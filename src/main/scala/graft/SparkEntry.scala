@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps SURVEY.md §2 operator ids to runnable Spark plans over the
+  * test tables; `oracleSql` holds the DuckDB-equivalent SQL (same column
+  * names/types) for the hash-match correctness gate.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    pipeline.ChunkIndexer.flagship(spark, "/root/testdata/sf0.001")
+
+  import graft.{queries => gq}
+  private val parts: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (gq.Relational.queries, gq.Relational.oracles),
+      (gq.TextQueries.queries, gq.TextQueries.oracles),
+      (gq.VectorQueries.queries, gq.VectorQueries.oracles),
+      (gq.PipelineQueries.queries, gq.PipelineQueries.oracles)
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parts.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    parts.map(_._2).reduce(_ ++ _)
 }

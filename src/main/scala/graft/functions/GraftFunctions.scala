@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+import graft.core._
+
+/** Registration + Column-level API for graft's custom functions.
+  *
+  * Native Catalyst expressions (vector kernels) are registered into the
+  * session FunctionRegistry so they are usable from both SQL and the Column
+  * API via `call_function` — this avoids private Column↔Expression bridges.
+  * Domain scalar functions that are not hot-path (minhash/simhash/langid/…)
+  * are Scala UDFs; promotion to codegen expressions is a perf, not a
+  * correctness, decision.
+  */
+object GraftFunctions {
+
+  // registration is idempotent (createOrReplace semantics), so no guard needed
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_f32", es => DotProductF32(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_f32", es => CosineSimF32(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2norm_f32", es => L2NormF32(es(0)), "scala_udf")
+
+    // Domain scalar/generator functions as UDFs (SURVEY §2.12).
+    spark.udf.register("graft_title", (s: String) => TextKeys.titleFromFilename(s))
+    spark.udf.register("graft_sanitize_key", (s: String) => TextKeys.sanitizeKey(s))
+    spark.udf.register("graft_chunk_key",
+      (url: String, id: Int) => TextKeys.stableChunkKey(url, id))
+    spark.udf.register("graft_utf8_truncate",
+      (s: String, maxBytes: Int) => TextKeys.utf8SafeTruncate(s, maxBytes))
+    spark.udf.register("graft_token_count", (s: String) => RegexTokenizer.count(s))
+    spark.udf.register("graft_fingerprint", (s: String) => TextKeys.rollingFingerprint(s))
+    spark.udf.register("graft_split_recursive",
+      (s: String, maxTokens: Int, overlap: Int) =>
+        TextSplitters.recursiveSplit(s, SplitParams(maxTokens, overlap)))
+    spark.udf.register("graft_split_markdown",
+      (s: String, maxTokens: Int, overlap: Int) =>
+        TextSplitters.markdownSplit(s, SplitParams(maxTokens, overlap)))
+    spark.udf.register("graft_json_partition",
+      (s: String, maxTokens: Int) => JsonPartitioner.partition(s, maxTokens))
+    spark.udf.register("graft_minhash", (s: String) => Hashing.minhashSignature(s))
+    spark.udf.register("graft_simhash", (s: String) => Hashing.simhash64(s))
+    spark.udf.register("graft_langid", (s: String) => LangId.detect(s))
+  }
+
+  // Column API
+  def dot_f32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+  def cosine_f32(a: Column, b: Column): Column = call_function("cosine_f32", a, b)
+  def l2norm_f32(a: Column): Column = call_function("l2norm_f32", a)
+  def minhash(c: Column): Column = call_function("graft_minhash", c)
+  def simhash(c: Column): Column = call_function("graft_simhash", c)
+  def langid(c: Column): Column = call_function("graft_langid", c)
+  def token_count(c: Column): Column = call_function("graft_token_count", c)
+  def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
+}

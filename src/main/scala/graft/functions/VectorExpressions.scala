@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions over `array<float>` embedding columns
+  * (SURVEY §2.12, §7.1 item 7 — the vector-similarity surface).
+  *
+  * Implemented as codegen'd expressions rather than Scala UDFs so they stay
+  * inside WholeStageCodegen and read ArrayData directly with no
+  * serialization — at 100 TB the dot product is the innermost loop of the
+  * similarity-search operators. Accumulation is in double precision.
+  */
+object VectorKernels {
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble; val b = y.getFloat(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  def l2norm(x: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val a = x.getFloat(i).toDouble; s += a * a; i += 1 }
+    math.sqrt(s)
+  }
+}
+
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs must be array<float>; AbstractDataType is private[sql], so no
+  // declared inputTypes — callers go through GraftFunctions' typed Column API
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += (double)$x.getFloat(i) * (double)$y.getFloat(i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class CosineSimF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs must be array<float>; AbstractDataType is private[sql], so no
+  // declared inputTypes — callers go through GraftFunctions' typed Column API
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_f32"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double a = (double)$x.getFloat(i);
+         |  double b = (double)$y.getFloat(i);
+         |  dot += a * b; nx += a * a; ny += b * b;
+         |}
+         |double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |${ev.value} = (denom == 0.0) ? 0.0 : dot / denom;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2NormF32(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2norm_f32"
+  override def nullSafeEval(a: Any): Any = VectorKernels.l2norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |double acc = 0.0;
+         |int n = $x.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  double a = (double)$x.getFloat(i); acc += a * a;
+         |}
+         |${ev.value} = java.lang.Math.sqrt(acc);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+
+/** Format-dispatched chunking as a one-to-many generator (SURVEY §2.9).
+  *
+  * The reference's ChunkerFactory dispatches on extension
+  * (/root/reference/chunking/chunker_factory.py:34-72); here dispatch happens
+  * inside one serializable function so the whole corpus chunks in a single
+  * distributed explode — no per-format job fan-out. Chunk ids, offsets and
+  * stable keys are window functions (W1/W3) + X3 over the exploded rows.
+  */
+object Chunkers {
+
+  /** Pure dispatch: (text, ext) → ordered chunk list. Formats:
+    * md → markdown-aware split; json → greedy JSON partitioner;
+    * vtt → speaker-merged transcript then sentence split;
+    * txt/csv/html/py/xml and unknown → recursive split (C7 default).
+    */
+  def chunkText(text: String, ext: String, p: SplitParams): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val ltext = ext match {
+      case "vtt" => Vtt.toTranscript(text)
+      case _ => text
+    }
+    ext match {
+      case "md" | "markdown" => TextSplitters.markdownSplit(ltext, p)
+      case "json" =>
+        try JsonPartitioner.partition(ltext, p.maxTokens)
+        catch { case _: Exception => TextSplitters.recursiveSplit(ltext, p) }
+      case _ => TextSplitters.recursiveSplit(ltext, p)
+    }
+  }
+
+  /** Explode documents into chunk rows with sequence ids, running offsets and
+    * stable keys. Input needs (idCol, textCol [, extCol]); output adds
+    * chunk_id, content, n_tokens, chunk_offset, chunk_key.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      extCol: Option[String], p: SplitParams): DataFrame = {
+    val splitUdf = udf((text: String, ext: String) =>
+      chunkText(text, if (ext == null) "txt" else ext, p)
+        .filter(c => p.tokenizer.count(c) >= p.minChunkTokens))
+    val ext = extCol.map(col).getOrElse(lit("txt"))
+    val exploded = docs
+      .withColumn("_chunks", splitUdf(col(textCol), ext))
+      .select(docs.columns.map(col) :+
+        posexplode(col("_chunks")).as(Seq("chunk_id", "content")): _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keyUdf = udf((id: String, cid: Int) => TextKeys.stableChunkKey(id, cid))
+    exploded
+      .withColumn("n_tokens", graft.functions.GraftFunctions.token_count(col("content")))
+      .withColumn("chunk_offset", coalesce(sum(length(col("content"))).over(w), lit(0L)))
+      .withColumn("chunk_key", keyUdf(col(idCol).cast("string"), col("chunk_id")))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.pipeline.ChunkIndexer
+import graft.streaming.Sessions
+
+/** End-to-end pipeline semantics (SURVEY §3.2): incremental replace (K2/K3),
+  * embedding-text precedence (E4), guard filters (F3/F11), and gap
+  * sessionization (§2.11). The chunk-index build itself uses the token-aware
+  * splitter + hashing embedder → deterministic but rows-only.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CSize = 128
+  private val CStride = 96
+  private val CMin = 20
+
+  /** Fixed-char chunks (same algebra as c1_chunk_fixed) for doc set `pred`,
+    * with a configurable size — used to model "re-chunk with new params".
+    */
+  private def fixedChunks(docs: DataFrame, size: Int, stride: Int): DataFrame =
+    docs.filter(col("n_chars") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), floor((col("n_chars") - 1) / stride))))
+      .withColumn("chunk", substring(col("text"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
+      .filter(length(col("chunk")) >= CMin)
+      .select(col("doc_id"), col("source"), col("chunk_id"), col("chunk"))
+
+  val queries: Map[String, Q] = Map(
+    // K2+K3 keyed replace: delete-by-parent ∪ insert, verified via per-source
+    // chunk counts and byte totals after replacing every 10th document.
+    "k3_replace_parent" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val oldIndex = fixedChunks(docs, CSize, CStride)
+      val touched = docs.filter($"doc_id" % 10 === 0)
+      val newChunks = fixedChunks(touched, 160, 120)
+      val replaced = oldIndex
+        .join(broadcast(touched.select($"doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(newChunks)
+      replaced.groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"), sum(length($"chunk")).as("total_chars"))
+        .orderBy($"source")
+    }),
+
+    // E4: embedding-text precedence — summary ∥ truncated content.
+    "e4_embed_text_choice" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .withColumn("summary", when($"n_chars" > 300, substring($"text", 1, 100)))
+        .withColumn("embedding_text", coalesce($"summary", $"text"))
+        .select($"doc_id", length($"embedding_text").cast("long").as("len_embed_text"),
+          ($"summary".isNotNull).as("used_summary"))
+        .orderBy($"doc_id")
+    }),
+
+    // F11-style guard predicate + A2 counters.
+    "f11_guard_filter" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .filter($"n_chars" * 4.0 <= lit(1600.0))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_ok"), max($"n_chars").as("max_chars"))
+        .orderBy($"source")
+    }),
+
+    // §2.11: event-time gap sessionization (batch form; the streaming form
+    // with session_window is exercised in the test suite).
+    "st1_gap_sessions" -> ((s, d) => {
+      Sessions.gapSessionStats(load(s, d, "events"), gapSeconds = 1800)
+    }),
+
+    // Full chunk+embed index build (flagship §7.2) — per-source summary with
+    // vector sanity (avg L2 norm ≈ 1.0 for the hashing embedder). Rows-only.
+    "p1_chunk_index_build" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val index = ChunkIndexer.buildChunkIndex(s, d)
+      index.groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"n_tokens").as("total_tokens"),
+          round(avg(graft.functions.GraftFunctions.l2norm_f32($"contentVector")), 2).as("avg_norm"))
+        .orderBy($"source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "k3_replace_parent" ->
+      s"""WITH old_index AS (
+         | SELECT d.doc_id, d.source, t.i AS chunk_id,
+         |        substr(d.text, CAST(t.i*$CStride+1 AS INTEGER), $CSize) AS chunk
+         | FROM documents d, generate_series(0, 255) t(i)
+         | WHERE d.n_chars > 0 AND t.i <= (d.n_chars-1)//$CStride
+         |   AND length(substr(d.text, CAST(t.i*$CStride+1 AS INTEGER), $CSize)) >= $CMin),
+         |new_chunks AS (
+         | SELECT d.doc_id, d.source, t.i AS chunk_id,
+         |        substr(d.text, CAST(t.i*120+1 AS INTEGER), 160) AS chunk
+         | FROM documents d, generate_series(0, 255) t(i)
+         | WHERE d.n_chars > 0 AND d.doc_id % 10 = 0 AND t.i <= (d.n_chars-1)//120
+         |   AND length(substr(d.text, CAST(t.i*120+1 AS INTEGER), 160)) >= $CMin),
+         |replaced AS (
+         | SELECT * FROM old_index WHERE doc_id % 10 <> 0
+         | UNION ALL SELECT * FROM new_chunks)
+         |SELECT source, count(*) AS n_chunks,
+         | CAST(sum(length(chunk)) AS BIGINT) AS total_chars
+         |FROM replaced GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e4_embed_text_choice" ->
+      """SELECT doc_id,
+        | CAST(length(coalesce(CASE WHEN n_chars > 300 THEN substr(text,1,100) END, text)) AS BIGINT) AS len_embed_text,
+        | (n_chars > 300) AS used_summary
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f11_guard_filter" ->
+      """SELECT source, count(*) AS n_ok, max(n_chars) AS max_chars
+        |FROM documents WHERE n_chars * 4.0 <= 1600.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st1_gap_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |s AS (
+        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM g),
+        |per_session AS (
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |        epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur_ms
+        | FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(max(n_events) AS BIGINT) AS max_session_events,
+        | CAST(max(dur_ms) AS BIGINT) AS max_session_dur_ms
+        |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

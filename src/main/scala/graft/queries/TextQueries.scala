@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.core.SplitParams
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, TextAnalysis}
+import graft.pipeline.Chunkers
+
+/** Chunking (C*), scalar-function (X*) and text-analysis/dedup operators over
+  * the `documents` table. SQL-expressible ops carry DuckDB oracles; the
+  * token-aware chunkers and sketch-based dedup are deterministic but not
+  * SQL-expressible → rows-only checks.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // c1 fixed chunker params (shared with the oracle SQL below)
+  private val CSize = 128
+  private val CStride = 96
+  private val CMin = 20
+
+  val queries: Map[String, Q] = Map(
+    // C1-class generator with an exact SQL oracle: fixed-size char chunks
+    // with overlap, min-size filter (F6), pure codegen (sequence+explode —
+    // no UDF in the hot path).
+    "c1_chunk_fixed" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .filter($"n_chars" > 0)
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L), floor(($"n_chars" - 1) / CStride))))
+        .withColumn("chunk",
+          substring($"text", ($"chunk_id" * CStride + 1).cast("int"), lit(CSize)))
+        .filter(length($"chunk") >= CMin)
+        .select($"doc_id", $"chunk_id", $"chunk")
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // C7: the real token-bounded recursive splitter (UDF generator) with
+    // W1 ids, W3 offsets and X3 stable keys. Deterministic; no SQL oracle.
+    "c7_chunk_recursive" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val p = SplitParams(maxTokens = 32, overlapTokens = 4, minChunkTokens = 1)
+      Chunkers.chunkDocuments(load(s, d, "documents"), "doc_id", "text", None, p)
+        .select($"doc_id", $"chunk_id", $"n_tokens", $"chunk_offset", $"chunk_key")
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // C5: greedy JSON partitioner over per-source JSON arrays (rows-only).
+    "c5_json_partition" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docsJson = load(s, d, "documents")
+        .groupBy($"source")
+        .agg(sort_array(collect_list(struct($"doc_id", substring($"text", 1, 60).as("t")))).as("docs"))
+        .withColumn("js", to_json($"docs"))
+      docsJson
+        .select($"source", posexplode(call_function("graft_json_partition", $"js", lit(120)))
+          .as(Seq("part_id", "part")))
+        .select($"source", $"part_id",
+          GraftFunctions.token_count($"part").as("n_tokens"))
+        .orderBy($"source", $"part_id")
+    }),
+
+    // X5 token counting, both tokenizers, aggregated per source.
+    "t1_token_counts" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.withTokenCounts(load(s, d, "documents"), "text")
+        .groupBy($"source")
+        .agg(sum($"n_ws_tokens").as("ws_tokens"), sum($"n_bpe_tokens").as("bpe_tokens"))
+        .orderBy($"source")
+    }),
+
+    // Quality scoring heuristics (punctuation/stopword ratios).
+    "t2_quality_scores" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.withQualityScore(load(s, d, "documents"), "text")
+        .select($"doc_id", $"n_tokens", $"punct_ratio", $"stopword_ratio", $"mean_word_len")
+        .orderBy($"doc_id")
+    }),
+
+    // Language-id heuristic vs the labeled lang column (rows-only).
+    "t3_langid_agreement" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      TextAnalysis.withLangId(load(s, d, "documents"), "text")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          count(when($"lang_pred" === $"lang", 1)).as("n_match"))
+        .orderBy($"lang")
+    }),
+
+    // X2/X3 key functions, expressed with codegen builtins (oracle-matched).
+    "x3_stable_keys" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .withColumn("fname", concat(lit("doc_"), $"doc_id", lit(".txt")))
+        .withColumn("skey",
+          regexp_replace(regexp_replace(concat($"source", lit("/"), $"fname"),
+            "[^A-Za-z0-9_-]+", "-"), "-{2,}", "-"))
+        .withColumn("ckey", format_string("%s-c%05d", $"skey", ($"doc_id" % 100).cast("int")))
+        .withColumn("fp10", substring(md5($"text"), 1, 10))
+        .select($"doc_id", $"fname", $"skey", $"ckey", $"fp10")
+        .orderBy($"doc_id")
+    }),
+
+    // D1 exact dedup groups by content hash.
+    "d1_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exactGroups(load(s, d, "documents"), "doc_id", "text")
+        .orderBy($"fp")
+    }),
+
+    // Document fingerprinting (md5 of normalized text) + distinct count.
+    "d5_fingerprint_md5" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.withFingerprints(load(s, d, "documents"), "text")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), countDistinct($"fp_md5").as("n_distinct"))
+        .orderBy($"source")
+    }),
+
+    // MinHash + LSH near-dup candidate pairs (rows-only; sketch-based).
+    "d2_minhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Dedup.minhashNearDupPairs(load(s, d, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SimHash near-dup pairs within hamming ≤ 3 (rows-only).
+    "d3_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Dedup.simhashNearDupPairs(load(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LSH candidates verified by exact n-gram Jaccard (rows-only).
+    "d4_jaccard_verified" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docs = load(s, d, "documents")
+      val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      Dedup.verifyJaccard(cand, docs, "doc_id", "text", threshold = 0.4)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c1_chunk_fixed" ->
+      s"""SELECT d.doc_id, t.i AS chunk_id, substr(d.text, CAST(t.i*$CStride+1 AS INTEGER), $CSize) AS chunk
+         |FROM documents d, generate_series(0, 255) t(i)
+         |WHERE d.n_chars > 0 AND t.i <= (d.n_chars-1)//$CStride
+         | AND length(substr(d.text, CAST(t.i*$CStride+1 AS INTEGER), $CSize)) >= $CMin
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t1_token_counts" ->
+      """SELECT source,
+        | CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t2_quality_scores" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens,
+        | round(len(regexp_extract_all(text,'[.,;:!?]'))*1.0
+        |   / greatest(len(string_split_regex(trim(text),'\s+')),1), 4) AS punct_ratio,
+        | round(len(list_filter(string_split_regex(trim(text),'\s+'),
+        |     x -> x IN ('the','and','of','to','a','in','is','it','that','for')))*1.0
+        |   / greatest(len(string_split_regex(trim(text),'\s+')),1), 4) AS stopword_ratio,
+        | round((length(trim(text)) - (len(string_split_regex(trim(text),'\s+'))-1))*1.0
+        |   / greatest(len(string_split_regex(trim(text),'\s+')),1), 4) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x3_stable_keys" ->
+      """SELECT doc_id,
+        | 'doc_' || doc_id || '.txt' AS fname,
+        | regexp_replace(regexp_replace(source || '/' || 'doc_' || doc_id || '.txt',
+        |     '[^A-Za-z0-9_-]+','-','g'), '-{2,}','-','g') AS skey,
+        | printf('%s-c%05d',
+        |   regexp_replace(regexp_replace(source || '/' || 'doc_' || doc_id || '.txt',
+        |     '[^A-Za-z0-9_-]+','-','g'), '-{2,}','-','g'),
+        |   CAST(doc_id % 100 AS INTEGER)) AS ckey,
+        | substr(md5(text),1,10) AS fp10
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "d5_fingerprint_md5" ->
+      """SELECT source, count(*) AS n,
+        | count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]','','g'),' +',' ','g')))) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

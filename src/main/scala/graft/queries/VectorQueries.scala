@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Vector/similarity operators over the `embeddings` table (64-dim float).
+  * The cosine/dot kernels are native codegen'd Catalyst expressions
+  * accumulating in double — the DuckDB oracles compute the same arithmetic in
+  * explicit DOUBLE (list_cosine_similarity computes in float32, so oracles
+  * spell out the lambda instead).
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def probeVec(s: SparkSession, d: String): Array[Float] = {
+    val r = load(s, d, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head()
+    r.getSeq[Float](0).toArray
+  }
+
+  // Oracle fragment: double-precision dot of two float lists.
+  private def sqlDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a,$b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)),'sum')"
+  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+
+  val queries: Map[String, Q] = Map(
+    // Full similarity scan vs one probe vector (codegen'd cosine expression).
+    "v1_cosine_scan" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val probe = probeVec(s, d)
+      load(s, d, "embeddings")
+        .select($"vec_id",
+          round(GraftFunctions.cosine_f32($"embedding", typedLit(probe)), 6).as("sim"))
+        .orderBy($"vec_id")
+    }),
+
+    // Exact top-k retrieval: TakeOrderedAndProject, no global sort.
+    "v2_knn_top10" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Similarity.bruteForceTopK(load(s, d, "embeddings"), "vec_id", "embedding",
+        probeVec(s, d), 10)
+        .select($"vec_id", round($"sim", 6).as("sim"))
+    }),
+
+    // L2-norm stats per label (native l2norm expression).
+    "v3_norm_stats" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      load(s, d, "embeddings")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(GraftFunctions.l2norm_f32($"embedding")), 6).as("avg_norm"))
+        .orderBy($"label")
+    }),
+
+    // Dot product of consecutive vector pairs (join + native dot expression).
+    "v4_dot_consecutive" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = load(s, d, "embeddings")
+      val a = e.select($"vec_id", $"embedding".as("va"))
+      val b = e.select(($"vec_id" - 1).as("vec_id"), $"embedding".as("vb"))
+      a.join(b, Seq("vec_id"))
+        .select($"vec_id", round(GraftFunctions.dot_f32($"va", $"vb"), 6).as("dot"))
+        .orderBy($"vec_id")
+    }),
+
+    // IVF-partitioned ANN vs brute-force: recall@10 (rows-only; the ANN path
+    // is the 100 TB design — cell-pruned scan + exact rerank).
+    "v5_ann_ivf_recall" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val index = Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16, iters = 2)
+      val approx = Similarity.searchIvf(index, probe, nprobe = 4, k = 10)
+        .select($"id".as("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("recall_at_10_hits"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs via hyperplane LSH (rows-only).
+    "v6_embedding_neardup" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Dedup.embeddingNearDupPairs(load(s, d, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.2, planes = 8)
+        .orderBy($"id_a", $"id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_scan" ->
+      s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a, embeddings b WHERE a.vec_id = 0
+         |ORDER BY b.vec_id""".stripMargin,
+    "v2_knn_top10" ->
+      s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a, embeddings b WHERE a.vec_id = 0
+         |ORDER BY ${sqlCos("a.embedding", "b.embedding")} DESC, b.vec_id LIMIT 10""".stripMargin,
+    "v3_norm_stats" ->
+      s"""SELECT label, count(*) AS n, round(avg(${sqlNorm("embedding")}), 6) AS avg_norm
+         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v4_dot_consecutive" ->
+      s"""SELECT a.vec_id, round(${sqlDot("a.embedding", "b.embedding")}, 6) AS dot
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |ORDER BY a.vec_id""".stripMargin
+  )
+}

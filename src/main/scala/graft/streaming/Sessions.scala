@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Incremental/streaming semantics (SURVEY §2.11). The reference is
+  * cron-scheduled incremental batch; the Spark-native forms are (a) the
+  * batch gap-sessionization below (lag + running sum — one shuffle on the
+  * session key) and (b) true Structured Streaming with session_window +
+  * watermark for unbounded input.
+  */
+object Sessions {
+
+  /** Gap-based sessions per key: a new session starts when the gap from the
+    * previous event exceeds gapSeconds. Emits per-user session stats.
+    */
+  def gapSessionStats(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    val marked = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSession = marked.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("dur_ms"))
+    perSession.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("dur_ms")).as("max_session_dur_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Structured Streaming variant: watermarked session_window aggregation.
+    * Reads the events parquet as a stream (Trigger.AvailableNow analog for
+    * tests via processAllAvailable) and counts events per (user, session).
+    */
+  def streamingSessionCounts(spark: SparkSession, sfDir: String,
+      gap: String = "30 minutes", queryName: String = "graft_sessions"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("user_id"), col("session.start").as("session_start"), col("n_events"))
+  }
+}
