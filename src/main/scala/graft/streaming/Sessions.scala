@@ -42,7 +42,14 @@ object Sessions {
   def streamingSessionCounts(spark: SparkSession, sfDir: String,
       gap: String = "30 minutes", queryName: String = "graft_sessions"): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    // FileStreamSource needs a directory: stream the sf dir, glob one table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // same TIMESTAMP(NANOS) workaround as Tables.load (ts arrives as long ns)
+    val stream =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dot/cosine/l2norm match reference math through the DataFrame API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+      GraftFunctions.dot_f32($"a", $"b").as("dot"),
+      GraftFunctions.cosine_f32($"a", $"b").as("cos"),
+      GraftFunctions.l2norm_f32($"a").as("na")).head()
+    val expDot = 1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0
+    val na = math.sqrt(1 + 4 + 9)
+    val nb = math.sqrt(1 + 0.25 + 4)
+    assert(math.abs(row.getDouble(0) - expDot) < 1e-12)
+    assert(math.abs(row.getDouble(1) - expDot / (na * nb)) < 1e-12)
+    assert(math.abs(row.getDouble(2) - na) < 1e-12)
+  }
+
+  test("null inputs propagate null; zero vector cosine is 0") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Array(1.0f, 0.0f)), None: Option[Array[Float]]),
+      (Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 1.0f)))
+    ).toDF("a", "b")
+    val rows = df.select(GraftFunctions.cosine_f32($"a", $"b")).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  test("expressions work from SQL too (function registry)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+}
