@@ -17,6 +17,7 @@ object SparkEntry {
   private val parts: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (gq.Relational.queries, gq.Relational.oracles),
+      (gq.Extended.queries, gq.Extended.oracles),
       (gq.TextQueries.queries, gq.TextQueries.oracles),
       (gq.VectorQueries.queries, gq.VectorQueries.oracles),
       (gq.PipelineQueries.queries, gq.PipelineQueries.oracles)
