@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (gq.Relational.queries, gq.Relational.oracles),
       (gq.Extended.queries, gq.Extended.oracles),
+      (gq.DomainQueries.queries, gq.DomainQueries.oracles),
       (gq.TextQueries.queries, gq.TextQueries.oracles),
       (gq.VectorQueries.queries, gq.VectorQueries.oracles),
       (gq.PipelineQueries.queries, gq.PipelineQueries.oracles)

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.SplitParams
+import graft.services.{Embedder, HashingEmbedder}
+
+/** The reference's incremental indexing loop as a Spark batch job
+  * (SURVEY §3.2, §2.11): change-detect against a keyed state table, chunk +
+  * embed only what changed, keyed-replace into the index, purge vanished
+  * parents, update per-file state (attempts / blocked, F3) and emit run
+  * summary counters (A2).
+  *
+  * State and index are plain parquet tables keyed by parent_id; this is the
+  * piece that makes re-runs cheap — at 100 TB the win is never re-embedding
+  * unchanged documents (the reference calls full re-index "significant cost
+  * implications", CHANGELOG v2.2.5). Change detection is a broadcast-friendly
+  * left join on (parent_id, content_hash); no driver-side key maps.
+  */
+object IncrementalIndexer {
+
+  final case class RunSummary(runId: String, sourceDocs: Long, processed: Long,
+      skippedNoChange: Long, skippedBlocked: Long, purgedParents: Long,
+      chunksWritten: Long, indexSize: Long)
+
+  val maxAttempts = 3
+
+  private val stateSchema = StructType(Seq(
+    StructField("parent_id", LongType),
+    StructField("content_hash", StringType),
+    StructField("attempts", IntegerType),
+    StructField("blocked", BooleanType)))
+
+  private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists())
+      spark.read.parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** One incremental run. `docs` needs (doc_id, text, source, lang). */
+  def runOnce(spark: SparkSession, docs: DataFrame, indexDir: String, stateDir: String,
+      runId: String, p: SplitParams = ChunkIndexer.defaultSplit,
+      embedder: Embedder = new HashingEmbedder(64)): RunSummary = {
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = docs.withColumn("content_hash", md5(col("text"))).cache()
+    val state = readOr(spark, stateDir, stateSchema)
+
+    // F1/F12: keep docs that are new or whose content changed; F3: skip blocked
+    val joined = hashed.join(
+      state.select(col("parent_id").as("doc_id"), col("content_hash").as("prev_hash"),
+        col("blocked"), col("attempts")),
+      Seq("doc_id"), "left").cache()
+    val blockedCount = joined.filter(col("blocked") === true).count()
+    val unchanged = joined.filter(col("prev_hash") === col("content_hash") &&
+      !coalesce(col("blocked"), lit(false))).count()
+    val toProcess = joined
+      .filter(!coalesce(col("blocked"), lit(false)) &&
+        (col("prev_hash").isNull || col("prev_hash") =!= col("content_hash")))
+      .select(hashed.columns.map(col): _*)
+
+    // chunk → embed → search docs (only the changed slice)
+    val chunks = Chunkers.chunkDocuments(toProcess, "doc_id", "text", None, p)
+    val newDocs = ChunkIndexer.embedChunks(chunks, "content", embedder)
+      .select(col("chunk_key").as("id"), col("doc_id").as("parent_id"),
+        col("chunk_id"), col("content"), col("n_tokens"), col("chunk_offset"),
+        col("source"), col("lang"), col("contentVector"))
+
+    // K2/K3 replace + J2 purge against the current source listing
+    val index = readOr(spark, indexDir, newDocs.schema)
+    val replaced = ChunkIndexer.replaceParents(index, newDocs)
+    val purged = ChunkIndexer.purgeMissing(replaced,
+      hashed.select(col("doc_id").as("parent_id")))
+    val purgedParents = index.select("parent_id").distinct()
+      .join(hashed.select(col("doc_id").as("parent_id")), Seq("parent_id"), "left_anti")
+      .count()
+
+    // materialize before overwriting the tables we just read
+    val finalIndex = purged.localCheckpoint(true)
+    val chunksWritten = newDocs.count()
+    finalIndex.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(indexDir)
+
+    // state': successful parents get attempts=0, hash updated; blocked rows
+    // persist so poison pills stay skipped (F3 semantics)
+    val newState = hashed
+      .join(state.select(col("parent_id").as("doc_id"), col("attempts"), col("blocked")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id").as("parent_id"), col("content_hash"),
+        coalesce(col("attempts"), lit(0)).as("attempts"),
+        coalesce(col("blocked"), lit(false)).as("blocked"))
+      .localCheckpoint(true)
+    newState.write.mode(SaveMode.Overwrite).parquet(stateDir)
+
+    val processed = toProcess.count()
+    RunSummary(runId, hashed.count(), processed, unchanged, blockedCount,
+      purgedParents, chunksWritten, finalIndex.count())
+  }
+
+  /** Manual block/unblock (the admin endpoint analog, api/admin.py:363-400). */
+  def setBlocked(spark: SparkSession, stateDir: String, parentId: Long,
+      blocked: Boolean): Unit = {
+    val state = spark.read.parquet(stateDir)
+      .withColumn("blocked",
+        when(col("parent_id") === parentId, lit(blocked)).otherwise(col("blocked")))
+      .localCheckpoint(true)
+    state.write.mode(SaveMode.Overwrite).parquet(stateDir)
+  }
+}

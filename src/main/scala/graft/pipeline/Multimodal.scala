@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.services.Summarizer
+
+/** Multimodal column plumbing (SURVEY §2.9 C2, §2.2 K5, §2.3 F8, §2.8 X13).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata structs —
+  * the schema/partitioning/batching are real; only the codec call is a
+  * deterministic stub (image/audio libraries are not in this container; a
+  * real decoder drops into [[decodeStub]] without touching the plan). The
+  * decode/feature stage runs as iterator-style mapPartitions — the JVM
+  * analog of `mapInPandas` batches — so one task amortizes codec init.
+  */
+object Multimodal {
+
+  val figureSchema: StructType = StructType(Seq(
+    StructField("figure_id", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("polygon", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("page_width", DoubleType, nullable = false),
+    StructField("page_height", DoubleType, nullable = false)))
+
+  /** X13: shoelace area of a flat [x0,y0,x1,y1,...] polygon. */
+  def polygonArea(poly: Seq[Double]): Double = {
+    val n = poly.length / 2
+    if (n < 3) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += poly(2 * i) * poly(2 * j + 1) - poly(2 * j) * poly(2 * i + 1)
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  /** Percentage of page area covered (F8 predicate input). */
+  def figureAreaPct(poly: Seq[Double], pageW: Double, pageH: Double): Double =
+    if (pageW <= 0 || pageH <= 0) 0.0 else polygonArea(poly) / (pageW * pageH) * 100.0
+
+  private val areaPctUdf = udf((p: Seq[Double], w: Double, h: Double) => figureAreaPct(p, w, h))
+
+  /** F8: drop figures whose page-area share is below the threshold. */
+  def filterSmallFigures(figures: DataFrame, minAreaPct: Double = 4.0): DataFrame =
+    figures.filter(areaPctUdf(col("polygon"), col("page_width"), col("page_height")) > minAreaPct)
+
+  /** Deterministic stand-in for an image decode: derives (width, height,
+    * format) and a 16-bin byte histogram "feature" from the payload bytes.
+    * Mirrors a real decoder's signature: bytes in → metadata + features out.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, String, Array[Float]) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, "empty", new Array[Float](16))
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0f; i += 1 }
+    var norm = 0.0
+    hist.foreach(x => norm += x.toDouble * x)
+    val inv = if (norm == 0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
+    (0 until 16).foreach(j => hist(j) *= inv)
+    val w = 64 + (bytes.length % 960)
+    val h = 64 + ((bytes.length * 7) % 960)
+    (w, h, "stub", hist)
+  }
+
+  /** Decode + feature-extract a binary column in partition-sized batches.
+    * Input needs (binCol: binary); appends media_width, media_height,
+    * media_format, media_features.
+    */
+  def withMediaFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("media_width", IntegerType),
+      StructField("media_height", IntegerType),
+      StructField("media_format", StringType),
+      StructField("media_features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // one "codec" per task; batches keep the call amortized like mapInPandas
+      rows.map { r =>
+        val (w, h, fmt, feat) = decodeStub(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, fmt, feat.toSeq))
+      }
+    }(enc)
+  }
+
+  /** C2 caption stage: deterministic caption stub + the chunk⋈figure join
+    * shape (J6): explode figure refs, enrich, re-aggregate per chunk.
+    */
+  def attachCaptions(figures: DataFrame, captioner: Summarizer): DataFrame = {
+    val cap = udf((id: String, w: Int, h: Int) =>
+      captioner.summarize(s"figure $id rendered at ${w}x$h pixels."))
+    figures.withColumn("caption", cap(col("figure_id"), col("media_width"), col("media_height")))
+  }
+
+  /** K5 side-output sink: write figure payloads as individual files under
+    * outDir (the `documents-images` container analog). Runs on executors.
+    */
+  def writeFigureBlobs(figures: DataFrame, binCol: String, idCol: String, outDir: String): Unit = {
+    val bin = figures.schema.fieldIndex(binCol)
+    val idIdx = figures.schema.fieldIndex(idCol)
+    figures.foreachPartition { rows: Iterator[Row] =>
+      val dir = new java.io.File(outDir)
+      dir.mkdirs()
+      rows.foreach { r =>
+        val f = new java.io.File(dir, r.getString(idIdx) + ".bin")
+        val os = new java.io.FileOutputStream(f)
+        try os.write(r.getAs[Array[Byte]](bin)) finally os.close()
+      }
+    }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.core.{PageAttribution, SplitParams, TextSplitters}
+import graft.functions.Aggregators
+import graft.pipeline.{Multimodal, Spreadsheet}
+
+/** Domain operators wave 3: the custom DSv2 paged source (S4/F10), the
+  * spreadsheet row chunker (C3/X10), figure geometry (X13/F8), the A5
+  * ordered-capped-distinct Aggregator, multimodal feature plumbing (C2),
+  * and W2 page attribution.
+  */
+object DomainQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S4/S5/F10: paged-API DSv2 source; site filter + column prune push into
+    // the scan, one partition per page. Deterministic synthetic service.
+    "s4_paged_pushdown" -> ((s, _) => {
+      import s.implicits._
+      s.read.format("graft.sources.PagedItemsSource")
+        .option("pages", 8).option("pageSize", 250).load()
+        .filter($"site" === "site3" && $"modified_ms" > 1701000000000L)
+        .groupBy($"site")
+        .agg(count(lit(1)).as("n"), sum($"size_bytes").as("total_bytes"))
+        .orderBy($"site")
+    }),
+
+    // C3/X10: compact per-row embedding text over lineitem-as-spreadsheet.
+    "c3_row_chunks" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "lineitem")
+        .filter($"l_orderkey" % 50 === 0)
+        .withColumn("row_text", concat(
+          lit("file=lineitem sheet="), $"l_returnflag",
+          lit(" row="), $"l_orderkey" * 10 + $"l_linenumber",
+          lit(" cols=okey|lnum|qty vals="),
+          $"l_orderkey", lit("|"), $"l_linenumber", lit("|"), $"l_quantity".cast("int")))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum(length($"row_text")).as("total_chars"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // X13/F8: shoelace polygon area — validated against the rectangle
+    // closed form in the oracle; keeps figures covering > 4% of the page.
+    "x13_figure_area" -> ((s, d) => {
+      import s.implicits._
+      val areaPct = udf((p: Seq[Double], w: Double, h: Double) =>
+        Multimodal.figureAreaPct(p, w, h))
+      load(s, d, "documents")
+        .withColumn("x0", ($"doc_id" % 10).cast("double"))
+        .withColumn("y0", ($"doc_id" % 7).cast("double"))
+        .withColumn("w", ($"doc_id" % 5 + 1).cast("double"))
+        .withColumn("h", ($"doc_id" % 3 + 1).cast("double"))
+        .withColumn("polygon", array($"x0", $"y0", $"x0" + $"w", $"y0",
+          $"x0" + $"w", $"y0" + $"h", $"x0", $"y0" + $"h"))
+        .withColumn("area_pct", round(areaPct($"polygon", lit(20.0), lit(20.0)), 6))
+        .filter($"area_pct" > 1.0)
+        .select($"doc_id", $"area_pct")
+        .orderBy($"doc_id")
+    }),
+
+    // A5 as a typed Aggregator: first-occurrence-ordered distinct tokens per
+    // source, capped at 32 (deterministic via min-position semantics).
+    "a5b_ordered_capped" -> ((s, d) => {
+      import s.implicits._
+      val agg = new Aggregators.OrderedCappedDistinct(32).toColumn
+      load(s, d, "documents")
+        .select($"source", $"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+        .select($"source", struct(($"doc_id" * 100000 + $"pos" + 1).as("pos"), $"w".as("value")).as("pv"))
+        .as[(String, Aggregators.PosVal)]
+        .groupByKey(_._1)
+        .agg(agg.name("toks"))
+        .toDF("source", "toks")
+        .select($"source", array_join($"toks", ",").as("first_tokens"),
+          size($"toks").cast("long").as("n"))
+        .orderBy($"source")
+    }),
+
+    // C2: multimodal binary columns → decode stub → features, per-source.
+    "m1_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val bin = load(s, d, "documents")
+        .withColumn("payload", encode($"text", "UTF-8"))
+      val feat = Multimodal.withMediaFeatures(bin, "payload")
+      feat.groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          round(avg(graft.functions.GraftFunctions.l2norm_f32($"media_features")), 2).as("avg_feat_norm"),
+          sum($"media_width").as("total_width"))
+        .orderBy($"source")
+    }),
+
+    // W2: marker numbering + <50% page attribution over synthesized paged
+    // markdown (deterministic; exercised exactly in unit tests too).
+    "w2_marker_pages" -> ((s, _) => {
+      import s.implicits._
+      val mk = udf((docId: Long) => {
+        val pages = (1 to (docId % 4 + 2).toInt).map(p => s"page $p content " * (docId % 7 + 3).toInt)
+        val raw = pages.mkString(PageAttribution.RawMarker)
+        val (numbered, _) = PageAttribution.numberMarkers(raw)
+        val chunks = TextSplitters.recursiveSplit(numbered,
+          SplitParams(maxTokens = 24, overlapTokens = 0, minChunkTokens = 1))
+        val attributed = PageAttribution.attributePages(chunks)
+        chunks.zip(attributed).map { case (c, p) => s"$p:${c.length}" }
+      })
+      s.range(0, 200).select($"id".as("doc_id"), explode(mk($"id")).as("page_len"))
+        .groupBy($"page_len").agg(count(lit(1)).as("n"))
+        .orderBy($"page_len")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c3_row_chunks" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(length('file=lineitem sheet=' || l_returnflag ||
+        |   ' row=' || (l_orderkey*10 + l_linenumber) ||
+        |   ' cols=okey|lnum|qty vals=' || l_orderkey || '|' || l_linenumber || '|' ||
+        |   CAST(l_quantity AS INTEGER))) AS BIGINT) AS total_chars
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x13_figure_area" ->
+      """SELECT doc_id,
+        | round(((doc_id % 5 + 1) * (doc_id % 3 + 1)) / 400.0 * 100.0, 6) AS area_pct
+        |FROM documents
+        |WHERE ((doc_id % 5 + 1) * (doc_id % 3 + 1)) / 400.0 * 100.0 > 1.0
+        |ORDER BY doc_id""".stripMargin,
+    "a5b_ordered_capped" ->
+      """WITH toks AS (
+        | SELECT source, doc_id,
+        |   unnest(string_split(text,' ')) AS w,
+        |   generate_subscripts(string_split(text,' '), 1) AS i
+        | FROM documents),
+        |pos AS (
+        | SELECT source, w, min(doc_id * 100000 + i) AS mp FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT source, w, mp,
+        |   row_number() OVER (PARTITION BY source ORDER BY mp, w) AS rn
+        | FROM pos)
+        |SELECT source,
+        | string_agg(w, ',' ORDER BY mp, w) AS first_tokens,
+        | count(*) AS n
+        |FROM ranked WHERE rn <= 32
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

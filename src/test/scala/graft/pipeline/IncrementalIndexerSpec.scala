@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.TestSpark
+
+class IncrementalIndexerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(): (String, String) = {
+    val d = Files.createTempDirectory("graft-incr")
+    (d.resolve("index").toString, d.resolve("state").toString)
+  }
+
+  private def docs(texts: Map[Long, String]) = {
+    import spark.implicits._
+    texts.toSeq.map { case (id, t) => (id, t, s"src${id % 3}", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+  }
+
+  private val base = Map(
+    1L -> ("alpha beta gamma " * 20).trim,
+    2L -> ("delta epsilon zeta " * 15).trim,
+    3L -> ("eta theta iota " * 10).trim)
+
+  test("run 1 processes everything; unchanged run 2 processes nothing (§5.4)") {
+    val (indexDir, stateDir) = tmp()
+    val r1 = IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run1")
+    assert(r1.processed == 3 && r1.skippedNoChange == 0)
+    assert(r1.chunksWritten > 0 && r1.indexSize == r1.chunksWritten)
+
+    val r2 = IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run2")
+    assert(r2.processed == 0, "unchanged docs must not re-process (the cost lever)")
+    assert(r2.skippedNoChange == 3)
+    assert(r2.chunksWritten == 0)
+    assert(r2.indexSize == r1.indexSize)
+  }
+
+  test("touching one doc replaces exactly its chunks") {
+    import spark.implicits._
+    val (indexDir, stateDir) = tmp()
+    IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run1")
+    val before = spark.read.parquet(indexDir)
+      .select("id", "parent_id").as[(String, Long)].collect().toSet
+
+    val touched = base + (2L -> ("changed words entirely " * 12).trim)
+    val r2 = IncrementalIndexer.runOnce(spark, docs(touched), indexDir, stateDir, "run2")
+    assert(r2.processed == 1 && r2.skippedNoChange == 2)
+    val after = spark.read.parquet(indexDir)
+      .select("id", "parent_id").as[(String, Long)].collect().toSet
+    // parents 1 and 3 untouched bit-for-bit (same keys)
+    assert(before.filter(_._2 != 2L) == after.filter(_._2 != 2L))
+    assert(after.exists(_._2 == 2L))
+  }
+
+  test("removing a doc purges its chunks (J2)") {
+    val (indexDir, stateDir) = tmp()
+    IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run1")
+    val r2 = IncrementalIndexer.runOnce(spark, docs(base - 3L), indexDir, stateDir, "run2")
+    assert(r2.purgedParents == 1)
+    val parents = spark.read.parquet(indexDir).select("parent_id").distinct().count()
+    assert(parents == 2)
+  }
+
+  test("blocked parents are skipped until unblocked (F3)") {
+    val (indexDir, stateDir) = tmp()
+    IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run1")
+    IncrementalIndexer.setBlocked(spark, stateDir, 1L, blocked = true)
+    val touched = base + (1L -> "totally new content for doc one")
+    val r2 = IncrementalIndexer.runOnce(spark, docs(touched), indexDir, stateDir, "run2")
+    assert(r2.processed == 0, "blocked doc must not process even when changed")
+    assert(r2.skippedBlocked == 1)
+    IncrementalIndexer.setBlocked(spark, stateDir, 1L, blocked = false)
+    val r3 = IncrementalIndexer.runOnce(spark, docs(touched), indexDir, stateDir, "run3")
+    assert(r3.processed == 1)
+  }
+
+  test("index table is partitioned by source (partition pruning at scale)") {
+    val (indexDir, stateDir) = tmp()
+    IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run1")
+    val dirs = new java.io.File(indexDir).listFiles().map(_.getName).filter(_.startsWith("source="))
+    assert(dirs.nonEmpty, "expected hive-style source= partitions")
+  }
+}

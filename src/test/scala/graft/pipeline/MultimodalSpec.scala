@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.services.LeadingSentencesSummarizer
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("shoelace polygon area: rectangle, triangle, degenerate (X13)") {
+    val rect = Seq(0.0, 0.0, 4.0, 0.0, 4.0, 3.0, 0.0, 3.0)
+    assert(Multimodal.polygonArea(rect) == 12.0)
+    val tri = Seq(0.0, 0.0, 4.0, 0.0, 0.0, 3.0)
+    assert(Multimodal.polygonArea(tri) == 6.0)
+    assert(Multimodal.polygonArea(Seq(1.0, 2.0)) == 0.0)
+    assert(Multimodal.figureAreaPct(rect, 20, 20) == 3.0)
+  }
+
+  test("figure area filter drops sub-threshold figures (F8)") {
+    import spark.implicits._
+    val figs = Seq(
+      ("f1", 1, Seq(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0), 20.0, 20.0), // 25%
+      ("f2", 1, Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0), 20.0, 20.0)      // 1%
+    ).toDF("figure_id", "page", "polygon", "page_width", "page_height")
+    val kept = Multimodal.filterSmallFigures(figs, minAreaPct = 4.0).collect()
+    assert(kept.map(_.getString(0)).toSeq == Seq("f1"))
+  }
+
+  test("binary decode stub + feature extraction plumbing (C2)") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val out = Multimodal.withMediaFeatures(df, "payload").collect()
+    assert(out.length == 2)
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[String]("media_format") == "stub")
+    val feats = r1.getAs[Seq[Float]]("media_features")
+    assert(feats.length == 16)
+    val norm = math.sqrt(feats.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // deterministic
+    val again = Multimodal.withMediaFeatures(df, "payload").collect()
+      .find(_.getLong(0) == 1L).get.getAs[Seq[Float]]("media_features")
+    assert(again == feats)
+  }
+
+  test("caption stub + K5 figure blob side-output") {
+    import spark.implicits._
+    val figs = Seq(("fig-1", "payload-bytes")).toDF("figure_id", "text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val withMeta = Multimodal.withMediaFeatures(figs, "payload")
+    val captioned = Multimodal.attachCaptions(withMeta, new LeadingSentencesSummarizer(1))
+    val cap = captioned.select("caption").head().getString(0)
+    assert(cap.startsWith("figure fig-1 rendered at"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-figs").toString
+    Multimodal.writeFigureBlobs(captioned, "payload", "figure_id", dir)
+    val f = new java.io.File(dir, "fig-1.bin")
+    assert(f.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == "payload-bytes")
+  }
+}
