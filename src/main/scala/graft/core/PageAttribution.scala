@@ -23,7 +23,7 @@ object PageAttribution {
     * numbered text and the number of markers found.
     */
   def numberMarkers(text: String, firstPage: Int = 1): (String, Int) = {
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     var from = 0
     var page = firstPage
     var i = text.indexOf(RawMarker)

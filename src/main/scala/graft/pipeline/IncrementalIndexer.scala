@@ -58,6 +58,9 @@ object IncrementalIndexer {
       .filter(!coalesce(col("blocked"), lit(false)) &&
         (col("prev_hash").isNull || col("prev_hash") =!= col("content_hash")))
       .select(hashed.columns.map(col): _*)
+    // count before any table overwrite: writing stateDir below re-caches
+    // plans that read it, which would make this filter see the new hashes
+    val processed = toProcess.count()
 
     // chunk → embed → search docs (only the changed slice)
     val chunks = Chunkers.chunkDocuments(toProcess, "doc_id", "text", None, p)
@@ -82,16 +85,20 @@ object IncrementalIndexer {
 
     // state': successful parents get attempts=0, hash updated; blocked rows
     // persist so poison pills stay skipped (F3 semantics)
+    // blocked rows keep their previous hash: they were NOT processed, so an
+    // unblock must let the pending change re-trigger processing
     val newState = hashed
-      .join(state.select(col("parent_id").as("doc_id"), col("attempts"), col("blocked")),
+      .join(state.select(col("parent_id").as("doc_id"), col("content_hash").as("prev_hash"),
+        col("attempts"), col("blocked")),
         Seq("doc_id"), "left")
-      .select(col("doc_id").as("parent_id"), col("content_hash"),
+      .select(col("doc_id").as("parent_id"),
+        when(coalesce(col("blocked"), lit(false)), coalesce(col("prev_hash"), col("content_hash")))
+          .otherwise(col("content_hash")).as("content_hash"),
         coalesce(col("attempts"), lit(0)).as("attempts"),
         coalesce(col("blocked"), lit(false)).as("blocked"))
       .localCheckpoint(true)
     newState.write.mode(SaveMode.Overwrite).parquet(stateDir)
 
-    val processed = toProcess.count()
     RunSummary(runId, hashed.count(), processed, unchanged, blockedCount,
       purgedParents, chunksWritten, finalIndex.count())
   }

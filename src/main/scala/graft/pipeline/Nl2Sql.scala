@@ -8,7 +8,7 @@ import graft.services.Embedder
   * spec: /root/reference/jobs/nl2sql_indexer.py:131-328).
   *
   * Three document kinds live as JSON files under `<root>/{queries,tables,
-  * measures}/*.json`. Each file becomes one search doc: id from the file
+  * measures}` (glob `*.json`). Each file becomes one search doc: id from the file
   * name, embedding text = question (queries) / description (tables,
   * measures), vector from the pluggable embedder. The scan is
   * `spark.read.option("multiLine", true).json` + `input_file_name()` —
@@ -16,7 +16,7 @@ import graft.services.Embedder
   */
 object Nl2Sql {
 
-  private def docId(kind: String, path: String): org.apache.spark.sql.Column =
+  private def docId(kind: String, path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit(kind), lit("-"),
       regexp_replace(element_at(split(path, "/"), -1), "\\.json$", ""))
 

@@ -72,6 +72,7 @@ object DomainQueries {
         .select($"source", struct(($"doc_id" * 100000 + $"pos" + 1).as("pos"), $"w".as("value")).as("pv"))
         .as[(String, Aggregators.PosVal)]
         .groupByKey(_._1)
+        .mapValues(_._2)
         .agg(agg.name("toks"))
         .toDF("source", "toks")
         .select($"source", array_join($"toks", ",").as("first_tokens"),

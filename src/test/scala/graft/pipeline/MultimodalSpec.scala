@@ -35,13 +35,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 2)
     val r1 = out.find(_.getLong(0) == 1L).get
     assert(r1.getAs[String]("media_format") == "stub")
-    val feats = r1.getAs[Seq[Float]]("media_features")
+    val feats = r1.getAs[scala.collection.Seq[Float]]("media_features")
     assert(feats.length == 16)
     val norm = math.sqrt(feats.map(x => x.toDouble * x).sum)
     assert(math.abs(norm - 1.0) < 1e-5)
     // deterministic
     val again = Multimodal.withMediaFeatures(df, "payload").collect()
-      .find(_.getLong(0) == 1L).get.getAs[Seq[Float]]("media_features")
+      .find(_.getLong(0) == 1L).get.getAs[scala.collection.Seq[Float]]("media_features")
     assert(again == feats)
   }
 

@@ -41,7 +41,7 @@ class Nl2SqlSpec extends AnyFunSuite {
     assert(byKind == Map("queries" -> 2, "tables" -> 1, "measures" -> 1))
     val q1 = docs.filter($"id" === "queries-q1").head()
     assert(q1.getAs[String]("embedding_text") == "total revenue by region last year")
-    assert(q1.getAs[Seq[Float]]("vector").length == 16)
+    assert(q1.getAs[scala.collection.Seq[Float]]("vector").length == 16)
     // nested columns survive in the payload round-trip
     val tbl = docs.filter($"id" === "tables-fact_sale").head()
     assert(tbl.getAs[String]("payload").contains("\"qty\""))
