@@ -21,7 +21,8 @@ object SparkEntry {
       (gq.DomainQueries.queries, gq.DomainQueries.oracles),
       (gq.TextQueries.queries, gq.TextQueries.oracles),
       (gq.VectorQueries.queries, gq.VectorQueries.oracles),
-      (gq.PipelineQueries.queries, gq.PipelineQueries.oracles)
+      (gq.PipelineQueries.queries, gq.PipelineQueries.oracles),
+      (gq.Coverage3.queries, gq.Coverage3.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
