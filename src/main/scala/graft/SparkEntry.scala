@@ -22,7 +22,9 @@ object SparkEntry {
       (gq.TextQueries.queries, gq.TextQueries.oracles),
       (gq.VectorQueries.queries, gq.VectorQueries.oracles),
       (gq.PipelineQueries.queries, gq.PipelineQueries.oracles),
-      (gq.Coverage3.queries, gq.Coverage3.oracles)
+      (gq.Coverage3.queries, gq.Coverage3.oracles),
+      (gq.Coverage4.queries, gq.Coverage4.oracles),
+      (gq.Coverage5.queries, gq.Coverage5.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+import graft.services.HashingEmbedder
+
+import java.nio.file.{Files, Paths}
+
+/** Coverage wave 5b — remaining SURVEY §2.1 sources, §2.2 sinks, §2.10
+  * embedding ops, and the C2 figure-attach chunker join:
+  * binary-file scan with dir-marker skip (S1/S2), recursive folder walk (S7),
+  * jobs-log JSON scan (S12), batched upload partitioning (K1), keyed delete
+  * (K2), write-then-verify state round-trip (K6), deterministic batched
+  * embedder invariants (E1/E3), and figure-reference join with area filter
+  * (C2 = J6 + F8). Filesystem fixtures are builder-authored, deterministic,
+  * and rewritten on every call (idempotent), so oracles are constant tables.
+  *
+  * Scale notes: binaryFile scans parallelize by file; K1 batch assignment is
+  * a per-partition-key window (no global sort); K2 is a shuffle-free
+  * broadcast anti-join when the delete set is small and AQE-planned
+  * otherwise; the embedder runs batched per partition (one client per task).
+  */
+object Coverage5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpRoot(sub: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), sub)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def writeFile(root: String, rel: String, body: String): Unit = {
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, body)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // S1/S2: container scan via binaryFile — names, sizes, full bytes; the
+    // zero-length marker is dropped (F5) (blob_storage_indexer.py:286-303).
+    "s1_binary_scan" -> ((s, _) => {
+      import s.implicits._
+      val root = tmpRoot("graft-s1-binscan")
+      writeFile(root, "a.txt", "hello world")
+      writeFile(root, "b.txt", "spark")
+      writeFile(root, "empty.txt", "")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(root)
+        .filter($"length" > 0)
+        .select(element_at(split($"path", "/"), -1).as("name"),
+          $"length", decode($"content", "UTF-8").as("text"))
+        .orderBy($"name")
+    }),
+
+    // S7: recursive folder walk with extension filter
+    // (tools/sharepoint.py:54-120).
+    "s7_recursive_walk" -> ((s, _) => {
+      import s.implicits._
+      val root = tmpRoot("graft-s7-walk")
+      writeFile(root, "a.txt", "aa")
+      writeFile(root, "sub/b.txt", "bbb")
+      writeFile(root, "sub/deep/c.txt", "cccc")
+      writeFile(root, "sub/skip.md", "zz")
+      s.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .load(root)
+        .agg(count(lit(1)).as("n_files"), sum($"length").as("total_bytes"))
+    }),
+
+    // S12: jobs-log scan — schema-on-read JSON over run summaries
+    // (api/admin.py:106-180).
+    "s12_log_scan" -> ((s, _) => {
+      import s.implicits._
+      val root = tmpRoot("graft-s12-logs")
+      writeFile(root, "jobA/runs/r1.json",
+        """{"runId": "r1", "status": "ok", "files": 3, "chunks": 10}""")
+      writeFile(root, "jobA/runs/r2.json",
+        """{"runId": "r2", "status": "failed", "files": 1, "chunks": 2}""")
+      writeFile(root, "jobB/runs/r3.json",
+        """{"runId": "r3", "status": "ok", "files": 5, "chunks": 25}""")
+      s.read.json(s"$root/*/runs/*.json")
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_runs"), sum($"chunks").as("total_chunks"))
+        .orderBy($"status")
+    }),
+
+    // K1: batched upload — 500-doc batches per source partition
+    // (blob_storage_indexer.py:1220-1257); window is per-key, no global sort.
+    "k1_upload_batches" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      load(s, d, "documents")
+        .withColumn("batch", floor((row_number().over(w) - 1) / 100))
+        .groupBy($"source", $"batch").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"batch")
+    }),
+
+    // K2: keyed delete — drop every chunk whose parent is in the delete set,
+    // expressed as an anti-join (blob_storage_indexer.py:1259-1328).
+    "k2_keyed_delete" -> ((s, d) => {
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+      val parents = load(s, d, "orders")
+        .filter($"o_orderstatus" === "F").select($"o_orderkey")
+      li.join(parents, li("l_orderkey") === parents("o_orderkey"), "left_anti")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_remaining"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // K6: state sink with write-then-read-back verification
+    // (sharepoint_indexer.py:1118-1237).
+    "k6_state_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = tmpRoot("graft-k6-state") + "/run_summary"
+      val summary = load(s, d, "events").groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      summary.write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+      summary.as("a").join(back.as("b"), Seq("event_type"))
+        .select($"event_type",
+          ($"a.n" === $"b.n" && abs($"a.sum_value" - $"b.sum_value") < 1e-9).as("verified"))
+        .orderBy($"event_type")
+    }),
+
+    // E1/E3: batched deterministic embedder — stable across calls, fixed
+    // dim, unit L2 norm (tools/aoai.py:210-264 → HashingEmbedder).
+    "e1_embed_invariants" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val embedder = new HashingEmbedder(32)
+      val embed = udf((t: String) => embedder.embed(t))
+      load(s, d, "documents").filter($"n_chars" > 0)
+        .withColumn("v1", embed($"text"))
+        .withColumn("v2", embed($"text"))
+        .select($"doc_id",
+          size($"v1").cast("long").as("dim"),
+          ($"v1" === $"v2").as("stable"),
+          (abs(call_function("l2norm_f32", $"v1") - 1.0) < 1e-4).as("unit_norm"))
+        .orderBy($"doc_id")
+    }),
+
+    // C2 = J6 + F8: figure-reference extraction from chunk content, join to
+    // the figures dimension, area filter, re-aggregate captions per chunk
+    // (multimodal_chunker.py:207-345, 267-274).
+    "c2_figure_attach" -> ((s, d) => {
+      import s.implicits._
+      val figures = Seq((0, "f0", 3.0), (1, "f1", 5.0), (2, "f2", 10.0))
+        .toDF("fig_id", "caption", "area_pct")
+      load(s, d, "documents")
+        .withColumn("content",
+          concat(lit("<figure"), $"doc_id" % 3, lit("/> body <figure1/>")))
+        .withColumn("ref",
+          explode(regexp_extract_all($"content", lit("<figure(\\d+)/>"), lit(1))))
+        .withColumn("fig_id", $"ref".cast("int"))
+        .join(broadcast(figures), Seq("fig_id"))
+        .filter($"area_pct" > 4.0)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_figs"),
+          array_join(sort_array(collect_list($"caption")), ",").as("captions"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_binary_scan" ->
+      """SELECT * FROM (VALUES
+        | ('a.txt', CAST(11 AS BIGINT), 'hello world'),
+        | ('b.txt', CAST(5 AS BIGINT), 'spark')) AS t(name, length, text)
+        |ORDER BY name""".stripMargin,
+    "s7_recursive_walk" ->
+      """SELECT CAST(3 AS BIGINT) AS n_files, CAST(9 AS BIGINT) AS total_bytes""",
+    "s12_log_scan" ->
+      """SELECT * FROM (VALUES
+        | ('failed', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        | ('ok', CAST(2 AS BIGINT), CAST(35 AS BIGINT))) AS t(status, n_runs, total_chunks)
+        |ORDER BY status""".stripMargin,
+    "k1_upload_batches" ->
+      """WITH r AS (
+        | SELECT source,
+        |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 100 AS batch
+        | FROM documents)
+        |SELECT source, CAST(batch AS BIGINT) AS batch, count(*) AS n_docs
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "k2_keyed_delete" ->
+      """SELECT l_returnflag, count(*) AS n_remaining, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k6_state_roundtrip" ->
+      """SELECT event_type, true AS verified FROM
+        | (SELECT DISTINCT event_type FROM events) ORDER BY 1""".stripMargin,
+    "e1_embed_invariants" ->
+      """SELECT doc_id, CAST(32 AS BIGINT) AS dim, true AS stable, true AS unit_norm
+        |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
+    "c2_figure_attach" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_figs,
+        | CASE doc_id % 3 WHEN 0 THEN 'f1' WHEN 1 THEN 'f1,f1' ELSE 'f1,f2' END AS captions
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
