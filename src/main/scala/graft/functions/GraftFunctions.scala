@@ -21,6 +21,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("dot_f32", es => DotProductF32(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_f32", es => CosineSimF32(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2norm_f32", es => L2NormF32(es(0)), "scala_udf")
+    // one-to-many chunking as a native Generator (LATERAL VIEW-able)
+    reg.createOrReplaceTempFunction("chunk_document", es => ChunkDocument(es), "scala_udf")
 
     // Domain scalar/generator functions as UDFs (SURVEY §2.12).
     spark.udf.register("graft_title", (s: String) => TextKeys.titleFromFilename(s))

@@ -142,6 +142,51 @@ object Coverage5 {
         .orderBy($"doc_id")
     }),
 
+    // §2.11 end-to-end: two incremental runs over unchanged input — run 2
+    // must process nothing, skip everything, write no chunks and purge no
+    // parents, leaving the index byte-identical (idempotent replace, the
+    // reference's cost-defining semantic; blob_storage_indexer.py:293-305).
+    "p2_incremental_rerun" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-p2").toString
+      val docs = load(s, d, "documents")
+      val r1 = graft.pipeline.IncrementalIndexer.runOnce(
+        s, docs, s"$root/index", s"$root/state", "r1")
+      val r2 = graft.pipeline.IncrementalIndexer.runOnce(
+        s, docs, s"$root/index", s"$root/state", "r2")
+      Seq((r1.processed, r2.processed, r2.skippedNoChange, r2.chunksWritten,
+        r2.purgedParents, r1.indexSize == r2.indexSize))
+        .toDF("r1_processed", "r2_processed", "r2_skipped", "r2_chunks",
+          "r2_purged", "idempotent")
+    }),
+
+    // §2.12 Generator: chunk_document as a native Catalyst Generator driven
+    // from pure SQL (LATERAL VIEW). Invariants (every non-empty doc chunks,
+    // every chunk within the token budget) are oracle-checkable.
+    "c8_chunk_sql" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      load(s, d, "documents").createOrReplaceTempView("c8_docs")
+      s.sql(
+        """SELECT doc_id, (count(*) > 0) AS has_chunks,
+          |       (max(c.n_tokens) <= 64) AS within_budget
+          |FROM c8_docs LATERAL VIEW chunk_document(text, 'txt', 64, 8, 1) c
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
+    // §4 TopK: grouped top-k via the bounded-heap aggregator — partial-agg
+    // streaming top-k, no per-key sort (vs the window formulation).
+    "v7_topk_per_key" -> ((s, d) => {
+      import s.implicits._
+      val topk = udaf(new graft.functions.TopKByScore(3))
+      load(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(topk($"o_orderkey", $"o_totalprice").as("top"))
+        .select($"o_custkey", posexplode($"top").as(Seq("r", "p")))
+        .select($"o_custkey", ($"r" + 1).cast("int").as("rank"),
+          $"p._1".as("o_orderkey"), $"p._2".as("o_totalprice"))
+        .orderBy($"o_custkey", $"rank")
+    }),
+
     // C2 = J6 + F8: figure-reference extraction from chunk content, join to
     // the figures dimension, area filter, re-aggregate captions per chunk
     // (multimodal_chunker.py:207-345, 267-274).
@@ -196,6 +241,22 @@ object Coverage5 {
     "e1_embed_invariants" ->
       """SELECT doc_id, CAST(32 AS BIGINT) AS dim, true AS stable, true AS unit_norm
         |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
+    "p2_incremental_rerun" ->
+      """SELECT count(*) AS r1_processed, CAST(0 AS BIGINT) AS r2_processed,
+        | count(*) AS r2_skipped, CAST(0 AS BIGINT) AS r2_chunks,
+        | CAST(0 AS BIGINT) AS r2_purged, true AS idempotent
+        |FROM documents""".stripMargin,
+    "c8_chunk_sql" ->
+      """SELECT doc_id, true AS has_chunks, true AS within_budget
+        |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
+    "v7_topk_per_key" ->
+      """WITH r AS (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        | FROM orders)
+        |SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "c2_figure_attach" ->
       """SELECT doc_id,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_figs,

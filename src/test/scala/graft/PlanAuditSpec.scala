@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression tests — the scale posture, asserted.
+  *
+  * These lock in the plan shapes that make the operators survive a 100 TB /
+  * 1000-executor deployment: filters and projections reach the parquet scan,
+  * small dimensions broadcast instead of shuffling the fact side, top-k is a
+  * per-partition heap (TakeOrderedAndProject) rather than a global sort, and
+  * sketch UDFs are evaluated once per row (no self-join double-compute).
+  * A regression that silently reintroduces a shuffle or a second scan fails
+  * here before it ever reaches a cluster.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan("q02_filtered_revenue")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity filter not pushed")
+    // projection pruning: the 16-column lineitem scan reads only 4 columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), "scan reads more columns than needed")
+  }
+
+  test("j5/q05: dimension joins broadcast — the fact table never shuffles for a join") {
+    val p5 = plan("j5_dim_join_revenue")
+    assert(p5.contains("BroadcastHashJoin"), p5.take(1500))
+    assert(!p5.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+    val q5 = plan("q05_regional_revenue")
+    assert(q5.contains("BroadcastHashJoin"), q5.take(1500))
+  }
+
+  test("j1: change-detect state snapshot broadcasts to the probe side") {
+    val p = plan("j1_change_detect")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("w7/v2: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("w7_topk_orders").contains("TakeOrderedAndProject"))
+    assert(plan("v2_knn_top10").contains("TakeOrderedAndProject"))
+  }
+
+  test("j2: purge anti-join stays a single anti-join (no distinct/aggregate detour)") {
+    val p = plan("j2_purge_anti")
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("d2: the minhash signature UDF is computed exactly once per row") {
+    val p = plan("d2_minhash_pairs")
+    val n = "graft_minhash".r.findAllIn(p).length
+    assert(n == 1, s"expected a single minhash evaluation site in the plan, found $n")
+  }
+
+  test("d3: the simhash sketch UDF is computed exactly once per row") {
+    val p = plan("d3_simhash_pairs")
+    val n = "graft_simhash".r.findAllIn(p).length
+    assert(n == 1, s"expected a single simhash evaluation site in the plan, found $n")
+  }
+
+  test("v1: cosine similarity stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("v1_cosine_scan")(spark, TestSpark.sf)
+    df.collect() // AQE only annotates codegen ids once THIS plan executes
+    // FormattedMode labels codegen'd operators with "[codegen id : N]"
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("codegen id"), p.take(1500))
+  }
+}
