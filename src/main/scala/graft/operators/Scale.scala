@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY §4 "Bounded concurrency / skew";
+  * builder brief: "salting for skew, AQE for runtime re-plan").
+  *
+  * AQE's skew-join split handles most runtime skew; these helpers cover the
+  * two patterns AQE cannot fix by itself:
+  *
+  *  - a single hot GROUP BY key whose partial aggregate still funnels into
+  *    one reducer → two-phase salted aggregation;
+  *  - a hot join key against a dimension too large to broadcast → replicate
+  *    the dimension per salt so the hot key's rows spread over N reducers.
+  *
+  * Salts are deterministic (hash-derived), so results stay reproducible
+  * run-to-run — same property as the stable chunk keys (X3).
+  */
+object Scale {
+
+  /** Deterministic salt in [0, nSalts) derived from arbitrary columns. */
+  def saltOf(nSalts: Int, cols: Column*): Column =
+    pmod(hash(cols: _*), lit(nSalts))
+
+  /** Two-phase aggregation for skewed group keys: aggregate on
+    * (key, salt) first — spreading a hot key over nSalts reducers — then
+    * combine the partials per key. `partial` must be an algebraic
+    * (re-aggregatable) function set; the caller passes both phases.
+    *
+    * Example: sum/count →
+    * {{{
+    * saltedAggregate(df, col("k"), saltOf(16, col("id")),
+    *   Seq(sum("v").as("s"), count(lit(1)).as("n")),
+    *   Seq(sum("s").as("s"), sum("n").as("n")))
+    * }}}
+    */
+  def saltedAggregate(df: DataFrame, key: Column, salt: Column,
+      partial: Seq[Column], combine: Seq[Column]): DataFrame =
+    df.withColumn("_salt", salt)
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col("_key"))
+      .agg(combine.head, combine.tail: _*)
+
+  /** Skew-proof equi-join of a fact table against a non-broadcastable
+    * dimension: facts get a deterministic salt, the dimension is replicated
+    * once per salt value, and the join key becomes (key, salt) — a hot key's
+    * rows land on nSalts reducers instead of one.
+    *
+    * Row-multiplication is on the dimension side only (nSalts ×), which is
+    * the side chosen precisely because it is the smaller one.
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+      nSalts: Int, saltSource: Column): DataFrame = {
+    val salted = facts.withColumn("_salt", saltOf(nSalts, saltSource))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}
