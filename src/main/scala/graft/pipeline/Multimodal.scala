@@ -86,6 +86,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic "resize": returns payload bytes strided down so the
+    * output length matches the target pixel budget — the real resizer's
+    * signature and batch shape (bytes→bytes inside the same task), with the
+    * codec swapped for arithmetic.
+    */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+    val target = math.max(1, math.min(bytes.length, targetW * targetH / 64))
+    val stride = math.max(1, bytes.length / target)
+    val out = new Array[Byte](math.min(target, (bytes.length + stride - 1) / stride))
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+    out
+  }
+
+  /** Frame sampling as a one-to-many explode: treat the payload as
+    * fixed-size frames, emit every `everyNth` frame with its index and a
+    * byte checksum. A real video decoder swaps into the frame iterator;
+    * the explode shape (and therefore the plan) is identical.
+    */
+  def sampleFrames(bytes: Array[Byte], frameSize: Int, everyNth: Int): Seq[(Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    val nFrames = (bytes.length + frameSize - 1) / frameSize
+    (0 until nFrames by everyNth).map { f =>
+      val start = f * frameSize
+      val end = math.min(start + frameSize, bytes.length)
+      var sum = 0
+      var i = start
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      (f, sum % 256)
+    }
+  }
+
+  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeStub(b, w, h))
+  private val framesUdf = udf((b: Array[Byte], fs: Int, n: Int) => sampleFrames(b, fs, n))
+
+  /** Resize the binary column in place (bytes→bytes column transform). */
+  def withResized(df: DataFrame, binCol: String, targetW: Int, targetH: Int): DataFrame =
+    df.withColumn(s"${binCol}_resized", resizeUdf(col(binCol), lit(targetW), lit(targetH)))
+
+  /** Explode sampled frames: adds (frame_idx, frame_checksum) rows. */
+  def explodeFrames(df: DataFrame, binCol: String, frameSize: Int, everyNth: Int): DataFrame =
+    df.withColumn("_f", explode(framesUdf(col(binCol), lit(frameSize), lit(everyNth))))
+      .withColumn("frame_idx", col("_f._1"))
+      .withColumn("frame_checksum", col("_f._2"))
+      .drop("_f")
+
   /** C2 caption stage: deterministic caption stub + the chunk⋈figure join
     * shape (J6): explode figure refs, enrich, re-aggregate per chunk.
     */

