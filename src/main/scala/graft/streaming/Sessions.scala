@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Incremental/streaming semantics (SURVEY §2.11). The reference is
   * cron-scheduled incremental batch; the Spark-native forms are (a) the
@@ -33,6 +34,35 @@ object Sessions {
         max(col("n_events")).as("max_session_events"),
         max(col("dur_ms")).as("max_session_dur_ms"))
       .orderBy(col("user_id"))
+  }
+
+  /** Keyed state carried across micro-batches (SURVEY §2.12 "custom state"
+    * via mapGroupsWithState). Running per-user event count + latest
+    * timestamp — the streaming form of the reference's per-file JSON state
+    * (attempts / lastModified, jobs/blob_storage_indexer.py:417-507):
+    * arbitrary state per key, updated incrementally, surviving batches.
+    */
+  final case class UserState(n: Long, lastTsMs: Long)
+  final case class UserUpdate(user_id: Long, n_events: Long, last_ts_ms: Long)
+
+  /** Input needs (user_id: long, ts_ms: long); works on batch and streaming
+    * Datasets alike (update output mode when streaming).
+    */
+  def runningUserCounts(events: Dataset[(Long, Long)]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var last = prev.lastTsMs
+          rows.foreach { case (_, tsMs) =>
+            n += 1
+            if (tsMs > last) last = tsMs
+          }
+          state.update(UserState(n, last))
+          UserUpdate(uid, n, last)
+      }
   }
 
   /** Structured Streaming variant: watermarked session_window aggregation.

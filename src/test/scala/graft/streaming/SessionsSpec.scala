@@ -18,6 +18,34 @@ class SessionsSpec extends AnyFunSuite {
     assert(stats.count() == users)
   }
 
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Sessions.runningUserCounts(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_user_state").start()
+    try {
+      input.addData((1L, 100L), (1L, 200L), (2L, 50L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("graft_user_state")
+        .groupBy($"user_id").agg(max($"n_events").as("n"), max($"last_ts_ms").as("ts"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(afterB1(1L) == (2L, 200L))
+      assert(afterB1(2L) == (1L, 50L))
+
+      // second micro-batch: counts accumulate, stale timestamps don't regress
+      input.addData((1L, 150L), (2L, 500L), (3L, 10L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("graft_user_state")
+        .groupBy($"user_id").agg(max($"n_events").as("n"), max($"last_ts_ms").as("ts"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(afterB2(1L) == (3L, 200L))
+      assert(afterB2(2L) == (2L, 500L))
+      assert(afterB2(3L) == (1L, 10L))
+    } finally q.stop()
+  }
+
   test("structured streaming session_window agrees with batch on totals") {
     import spark.implicits._
     val out = Sessions.streamingSessionCounts(spark, TestSpark.sf, gap = "30 minutes",
