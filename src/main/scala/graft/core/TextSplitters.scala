@@ -103,7 +103,16 @@ object TextSplitters {
     }
     for (piece <- pieces) {
       val n = p.tokenizer.count(piece)
-      if (total + n > p.maxTokens && window.nonEmpty) emit()
+      if (total + n > p.maxTokens && window.nonEmpty) {
+        emit()
+        // the retained overlap tail must still leave room for the incoming
+        // piece — shed tail pieces until it does, else the next emitted
+        // chunk would exceed the token budget
+        while (window.nonEmpty && total + n > p.maxTokens) {
+          total -= window.head._2
+          window.remove(0)
+        }
+      }
       window += ((piece, n))
       total += n
     }
