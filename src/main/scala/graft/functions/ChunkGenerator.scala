@@ -43,11 +43,11 @@ case class ChunkDocument(children: Seq[Expression])
       maxTokens = children(2).eval(input).asInstanceOf[Int],
       overlapTokens = children(3).eval(input).asInstanceOf[Int],
       minChunkTokens = children(4).eval(input).asInstanceOf[Int])
-    val chunks = Chunkers.chunkText(text.toString, ext, p).iterator
-      .filter(c => p.tokenizer.count(c) >= p.minChunkTokens)
-    chunks.zipWithIndex.map { case (c, i) =>
-      InternalRow(i, UTF8String.fromString(c), p.tokenizer.count(c))
-    }
+    Chunkers.chunkText(text.toString, ext, p).iterator
+      .map(c => (c, p.tokenizer.count(c))) // tokenize once per chunk
+      .filter(_._2 >= p.minChunkTokens)
+      .zipWithIndex
+      .map { case ((c, n), i) => InternalRow(i, UTF8String.fromString(c), n) }
   }
 
   override protected def withNewChildrenInternal(

@@ -31,7 +31,11 @@ class TopKByScore(k: Int)
     xs.sorted(ord).take(k)
 
   override def reduce(buf: List[(Long, Double)], in: (Long, Double)): List[(Long, Double)] =
-    bounded(in :: buf)
+    // buf is kept sorted (zero/bounded/merge all return sorted lists), so a
+    // full buffer whose worst element beats the input needs no re-sort —
+    // the common case on a hot group is a single comparison, not O(k log k)
+    if (buf.lengthCompare(k) >= 0 && ord.lteq(buf.last, in)) buf
+    else bounded(in :: buf)
 
   override def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =
     bounded(a ::: b)

@@ -29,46 +29,82 @@ object Dedup {
   }
 
   private val bandsUdf = udf((sig: Seq[Long]) => Hashing.bandHashes(sig.toArray))
-  private val estJaccardUdf =
-    udf((a: Seq[Long], b: Seq[Long]) => Hashing.estimatedJaccard(a.toArray, b.toArray))
-  private val hammingUdf = udf((a: Long, b: Long) => Hashing.hammingDistance(a, b))
 
   /** id → MinHash signature (64 perms over word-3-gram shingles). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), GraftFunctions.minhash(col(textCol)).as("sig"))
 
-  /** In-bucket pair expansion: members (id, sig) → ordered unique pairs.
-    * Bounded by maxBucketSize upstream, so the O(n²) stays per-bucket-local.
+  /** In-bucket pair scoring for MinHash buckets: members (id, sig) →
+    * (id_a, id_b, est_jaccard) for pairs meeting the threshold.
+    *
+    * The verifier runs INSIDE the expansion loop and only survivors are
+    * materialized, so per-bucket memory is O(survivors), never O(n²) —
+    * the loop itself is O(n²) time but bounded by the bucket cap. Buckets
+    * larger than `maxFullExpand` (mega-clusters of near-identical content)
+    * switch to star expansion against the minimum id: output stays linear
+    * and every member remains reachable from the cluster representative,
+    * instead of silently dropping the cluster. Trade-off: a pair whose
+    * first-colliding (owner) bucket is oversized is connected transitively
+    * through the representative rather than scored directly.
     */
-  private val bucketPairsUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-    val n = members.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Long], Seq[Long])]
-    var i = 0
-    while (i < n) {
-      val ia = members(i).getLong(0)
-      val sa = members(i).getSeq[Long](1)
-      var j = i + 1
-      while (j < n) {
-        val ib = members(j).getLong(0)
-        val sb = members(j).getSeq[Long](1)
-        if (ia < ib) out += ((ia, ib, sa, sb))
-        else if (ib < ia) out += ((ib, ia, sb, sa))
-        j += 1
+  private def minhashBucketPairs(threshold: Double, maxFullExpand: Int) =
+    udf((band: Int, members: Seq[org.apache.spark.sql.Row]) => {
+      val n = members.length
+      val ids = Array.tabulate(n)(i => members(i).getLong(0))
+      val sigs = Array.tabulate(n)(i => members(i).getSeq[Long](1).toArray)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      // a pair colliding in several bands is scored only in the FIRST such
+      // band — decidable locally from the two signatures, so the global
+      // dropDuplicates never sees (or pays for) redundant scorings
+      def firstCollidingBand(a: Array[Long], b: Array[Long]): Int = {
+        var bd = 0
+        while (bd * Hashing.RowsPerBand < a.length) {
+          var r = bd * Hashing.RowsPerBand
+          val end = r + Hashing.RowsPerBand
+          var same = true
+          while (same && r < end) { same = a(r) == b(r); r += 1 }
+          if (same) return bd
+          bd += 1
+        }
+        -1
       }
-      i += 1
-    }
-    out.toSeq
-  })
+      def score(i: Int, j: Int, checkOwner: Boolean): Unit = if (ids(i) != ids(j)) {
+        if (!checkOwner || firstCollidingBand(sigs(i), sigs(j)) == band) {
+          val est = Hashing.estimatedJaccard(sigs(i), sigs(j))
+          if (est >= threshold) {
+            val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += ((a, b, est))
+          }
+        }
+      }
+      if (n <= maxFullExpand) {
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) { score(i, j, checkOwner = true); j += 1 }
+          i += 1
+        }
+      } else {
+        // star pairs are O(n), so cross-band duplicate scoring is cheap and
+        // skipping the owner check keeps the rep-connectivity guarantee even
+        // when the owning band's bucket had a different representative
+        var rep = 0
+        var i = 1
+        while (i < n) { if (ids(i) < ids(rep)) rep = i; i += 1 }
+        i = 0
+        while (i < n) { if (i != rep) score(rep, i, checkOwner = false); i += 1 }
+      }
+      out.toSeq
+    })
 
   /** Near-duplicate candidate pairs via MinHash banding (16 bands × 4 rows),
     * verified by estimated Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard).
     *
     * Shape: signatures are computed ONCE (single scan), buckets are built by
-    * one groupBy shuffle, and pairs are expanded inside buckets — no
-    * self-join (which would recompute the signature UDF on both sides) and
-    * no window pass. Oversized buckets (degenerate collisions / identical
-    * boilerplate) are dropped, which both guards skew at scale and bounds
-    * the per-bucket pair expansion.
+    * one groupBy shuffle, and pairs are scored inside buckets — no self-join
+    * (which would recompute the signature UDF on both sides), no window
+    * pass, and only threshold-passing pairs ever materialize. Ids must be
+    * numeric (cast to long) — the test tables and chunk index key by int64.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
@@ -78,40 +114,64 @@ object Dedup {
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
     bands.groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-      .select(explode(bucketPairsUdf(col("members"))).as("p"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(minhashBucketPairs(threshold, maxBucketSize)(
+        col("band"), col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("sig_a"), col("p._4").as("sig_b"))
+        round(col("p._3"), 4).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("est_jaccard", estJaccardUdf(col("sig_a"), col("sig_b")))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  private val bucketPairsLongUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-    val n = members.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    var i = 0
-    while (i < n) {
-      val ia = members(i).getLong(0)
-      val sa = members(i).getLong(1)
-      var j = i + 1
-      while (j < n) {
-        val ib = members(j).getLong(0)
-        val sb = members(j).getLong(1)
-        if (ia < ib) out += ((ia, ib, sa, sb))
-        else if (ib < ia) out += ((ib, ia, sb, sa))
-        j += 1
+  /** In-bucket scoring for SimHash pigeonhole buckets — same
+    * survivors-only / star-expansion shape as [[minhashBucketPairs]].
+    */
+  private def simhashBucketPairs(maxHamming: Int, maxFullExpand: Int) =
+    udf((chunkIdx: Int, members: Seq[org.apache.spark.sql.Row]) => {
+      val n = members.length
+      val ids = Array.tabulate(n)(i => members(i).getLong(0))
+      val shs = Array.tabulate(n)(i => members(i).getLong(1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      // owner = first 16-bit chunk where the sketches agree (local dedup
+      // across the 4 pigeonhole blocks, same trick as the minhash bands)
+      def firstMatchingChunk(a: Long, b: Long): Int = {
+        var c = 0
+        while (c < 4) {
+          if (((a >>> (c * 16)) & 0xffffL) == ((b >>> (c * 16)) & 0xffffL)) return c
+          c += 1
+        }
+        -1
       }
-      i += 1
-    }
-    out.toSeq
-  })
+      def score(i: Int, j: Int, checkOwner: Boolean): Unit = if (ids(i) != ids(j)) {
+        if (!checkOwner || firstMatchingChunk(shs(i), shs(j)) == chunkIdx) {
+          val h = Hashing.hammingDistance(shs(i), shs(j))
+          if (h <= maxHamming) {
+            val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += ((a, b, h))
+          }
+        }
+      }
+      if (n <= maxFullExpand) {
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) { score(i, j, checkOwner = true); j += 1 }
+          i += 1
+        }
+      } else {
+        var rep = 0
+        var i = 1
+        while (i < n) { if (ids(i) < ids(rep)) rep = i; i += 1 }
+        i = 0
+        while (i < n) { if (i != rep) score(rep, i, checkOwner = false); i += 1 }
+      }
+      out.toSeq
+    })
 
   /** SimHash near-dup pairs: 64-bit sketch, pigeonhole blocking (4×16-bit
     * chunks — any pair within hamming ≤ 3 shares a chunk), hamming verify.
     * Same one-scan bucket-aggregate shape as MinHash LSH: the sketch UDF
-    * runs once per row and pairs expand inside bounded buckets.
+    * runs once per row, only hamming-passing pairs materialize, and
+    * mega-cluster buckets star-expand instead of dropping.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
@@ -122,14 +182,11 @@ object Dedup {
     }: _*)).as("c")).select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
     chunks.groupBy(col("ci"), col("cv"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-      .select(explode(bucketPairsLongUdf(col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("sh_a"), col("p._4").as("sh_b"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(simhashBucketPairs(maxHamming, maxBucketSize)(
+        col("ci"), col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   private val jaccardUdf = udf((a: String, b: String) => Hashing.ngramJaccard(a, b))
@@ -157,29 +214,50 @@ object Dedup {
       Array.tabulate(planes)(p => Array.tabulate(dim)(i =>
         if ((Hashing.hash64(p + ":" + i) & 1L) == 1L) 1.0f else -1.0f)))
 
-  private val bucketPairsVecUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-    val n = members.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Float], Seq[Float])]
-    var i = 0
-    while (i < n) {
-      val ia = members(i).getLong(0)
-      val va = members(i).getSeq[Float](1)
-      var j = i + 1
-      while (j < n) {
-        val ib = members(j).getLong(0)
-        val vb = members(j).getSeq[Float](1)
-        if (ia < ib) out += ((ia, ib, va, vb))
-        else if (ib < ia) out += ((ib, ia, vb, va))
-        j += 1
+  /** In-bucket cosine scoring — survivors-only / star-expansion, with the
+    * dot product in double precision over the raw float arrays.
+    */
+  private def cosineBucketPairs(minCosine: Double, maxFullExpand: Int) =
+    udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val n = members.length
+      val ids = Array.tabulate(n)(i => members(i).getLong(0))
+      val vecs = Array.tabulate(n)(i => members(i).getSeq[Float](1).toArray)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def cosine(x: Array[Float], y: Array[Float]): Double = {
+        val m = math.min(x.length, y.length)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var i = 0
+        while (i < m) {
+          val a = x(i).toDouble; val b = y(i).toDouble
+          dot += a * b; nx += a * a; ny += b * b
+          i += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        if (denom == 0.0) 0.0 else dot / denom
       }
-      i += 1
-    }
-    out.toSeq
-  })
+      def score(i: Int, j: Int): Unit = {
+        val c = cosine(vecs(i), vecs(j))
+        if (c >= minCosine && ids(i) != ids(j)) {
+          val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+          out += ((a, b, c))
+        }
+      }
+      if (n <= maxFullExpand) {
+        var i = 0
+        while (i < n) { var j = i + 1; while (j < n) { score(i, j); j += 1 }; i += 1 }
+      } else {
+        var rep = 0
+        var i = 1
+        while (i < n) { if (ids(i) < ids(rep)) rep = i; i += 1 }
+        i = 0
+        while (i < n) { if (i != rep) score(rep, i); i += 1 }
+      }
+      out.toSeq
+    })
 
   /** Embedding-cosine near-duplicates via random-hyperplane LSH buckets
-    * (16 sign bits, seeded), verified with the native cosine expression.
-    * One scan computes the sketches; pairs expand inside bounded buckets.
+    * (16 sign bits, seeded), verified inline against the cosine threshold.
+    * One scan computes the sketches; only passing pairs materialize.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, planes: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
@@ -202,12 +280,9 @@ object Dedup {
       .withColumn("bucket", sketch(col("vec")))
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-      .select(explode(bucketPairsVecUdf(col("members"))).as("p"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(cosineBucketPairs(minCosine, maxBucketSize)(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("vec_a"), col("p._4").as("vec_b"))
-      .withColumn("cos", GraftFunctions.cosine_f32(col("vec_a"), col("vec_b")))
-      .filter(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        round(col("p._3"), 4).as("cos"))
   }
 }

@@ -92,6 +92,7 @@ object Multimodal {
     * codec swapped for arithmetic.
     */
   def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive, got ${targetW}x$targetH")
     if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
     val target = math.max(1, math.min(bytes.length, targetW * targetH / 64))
     val stride = math.max(1, bytes.length / target)
@@ -107,6 +108,8 @@ object Multimodal {
     * the explode shape (and therefore the plan) is identical.
     */
   def sampleFrames(bytes: Array[Byte], frameSize: Int, everyNth: Int): Seq[(Int, Int)] = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     if (bytes == null || bytes.isEmpty) return Seq.empty
     val nFrames = (bytes.length + frameSize - 1) / frameSize
     (0 until nFrames by everyNth).map { f =>

@@ -74,6 +74,15 @@ object Coverage3 {
     "s11_nl2sql_docs" -> ((s, _) => {
       import s.implicits._
       val root = s"${System.getProperty("java.io.tmpdir")}/graft-nl2sql-fixture"
+      // fresh fixture dir every call: stale files from an earlier run (or a
+      // concurrent JVM's leftovers) would silently change the oracle counts
+      def clear(dir: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      clear(java.nio.file.Paths.get(root))
       def write(sub: String, name: String, body: String): Unit = {
         val dir = java.nio.file.Paths.get(root, sub)
         java.nio.file.Files.createDirectories(dir)

@@ -86,8 +86,10 @@ object Coverage5 {
         .orderBy($"status")
     }),
 
-    // K1: batched upload — 500-doc batches per source partition
-    // (blob_storage_indexer.py:1220-1257); window is per-key, no global sort.
+    // K1: batched upload — fixed-size batches per source partition
+    // (blob_storage_indexer.py:1220-1257; reference default 500, 100 here so
+    // several batches materialize at test scale); window is per-key, no
+    // global sort.
     "k1_upload_batches" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"source").orderBy($"doc_id")

@@ -47,21 +47,36 @@ object Sessions {
 
   /** Input needs (user_id: long, ts_ms: long); works on batch and streaming
     * Datasets alike (update output mode when streaming).
+    *
+    * On an unbounded key space pass a processing-time timeout (e.g.
+    * `GroupStateTimeout.ProcessingTimeTimeout` with `idleTimeout` set) so
+    * idle keys are evicted — keyed state otherwise grows without bound,
+    * the streaming analog of the reference's purge path.
     */
-  def runningUserCounts(events: Dataset[(Long, Long)]): Dataset[UserUpdate] = {
+  def runningUserCounts(events: Dataset[(Long, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      idleTimeout: String = "1 hour"): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_._1)
-      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserState, UserUpdate](timeout) {
         (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0L))
-          var n = prev.n
-          var last = prev.lastTsMs
-          rows.foreach { case (_, tsMs) =>
-            n += 1
-            if (tsMs > last) last = tsMs
+          if (state.hasTimedOut) {
+            val expired = state.getOption.getOrElse(UserState(0L, 0L))
+            state.remove()
+            UserUpdate(uid, expired.n, expired.lastTsMs)
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0L))
+            var n = prev.n
+            var last = prev.lastTsMs
+            rows.foreach { case (_, tsMs) =>
+              n += 1
+              if (tsMs > last) last = tsMs
+            }
+            state.update(UserState(n, last))
+            if (useTimeout) state.setTimeoutDuration(idleTimeout)
+            UserUpdate(uid, n, last)
           }
-          state.update(UserState(n, last))
-          UserUpdate(uid, n, last)
       }
   }
 

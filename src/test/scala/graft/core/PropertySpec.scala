@@ -41,11 +41,14 @@ class PropertySpec extends AnyFunSuite {
         assert(c.trim.nonEmpty)
         assert(p.tokenizer.count(c) <= maxTok, s"chunk over budget: '$c'")
       }
-      // order: each chunk's body occurs at a non-decreasing position
+      // order: each chunk's leading content occurs in the input at a
+      // non-decreasing position (overlap means the next chunk can start
+      // before the previous one ends, but never before it starts)
       var pos = 0
       chunks.foreach { c =>
         val at = text.indexOf(c.trim.take(20), pos)
-        if (at >= 0) pos = at
+        assert(at >= 0, s"chunk content not found in order: '${c.take(40)}'")
+        pos = at
       }
     }
   }

@@ -88,6 +88,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(self.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("mega-cluster buckets star-expand instead of silently dropping pairs") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 200 identical docs share every LSH bucket; with maxBucketSize=50 the
+    // bucket exceeds the full-expansion cap — star expansion must still
+    // connect every member to the cluster representative (min id)
+    val docs = (0L until 200L).map(i => (i, "the same exact text repeated " * 10))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashNearDupPairs(
+      docs, "doc_id", "text", threshold = 0.9, maxBucketSize = 50)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L until 200L).map(j => (0L, j)).toSet,
+      s"expected 199 star pairs from the representative, got ${got.size}")
+  }
+
   test("language id heuristic: clear-cut samples") {
     assert(graft.functions.LangId.detect("the cat and the dog are in the house") == "en")
     assert(graft.functions.LangId.detect("el perro y el gato en la casa por la noche") == "es")
