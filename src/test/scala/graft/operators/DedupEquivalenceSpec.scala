@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.{GraftFunctions, Hashing}
+
+/** The distributed LSH pair generation must find EXACTLY the pairs a naive
+  * driver-side reference finds: for every pair, if any band/chunk collides
+  * and the verifier passes, the pair appears once — regardless of how many
+  * buckets it collides in or which band "owns" the scoring.
+  */
+class DedupEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // deterministic corpus with duplicate clusters and near-dups
+  private def corpus: Seq[(Long, String)] = {
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away today",
+      "spark structured streaming processes unbounded data with watermarks",
+      "minhash signatures estimate jaccard similarity between shingled sets",
+      "completely unrelated text about cooking pasta with tomato sauce")
+    (0L until 60L).map { i =>
+      val base = bases((i % 4).toInt)
+      val text =
+        if (i < 40) base // ten exact copies of each base
+        else if (i < 50) base + s" extra token${i}" // near-dups
+        else s"unique document number $i with its own random words ${i * 7}"
+      (i, text * 3)
+    }
+  }
+
+  test("minhashNearDupPairs matches the naive all-pairs reference exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val threshold = 0.5
+    val docs = corpus.toDF("doc_id", "text")
+
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sigs = corpus.map { case (id, t) => id -> Hashing.minhashSignature(t) }.toMap
+    val bands = sigs.map { case (id, s) => id -> Hashing.bandHashes(s) }
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      collide = bands(a).lazyZip(bands(b)).exists(_ == _)
+      if collide && Hashing.estimatedJaccard(sigs(a), sigs(b)) >= threshold
+    } yield (a, b)).toSet
+
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+  }
+
+  test("simhashNearDupPairs matches the naive all-pairs reference exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = corpus.toDF("doc_id", "text")
+    val maxHamming = 3
+
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = maxHamming)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val shs = corpus.map { case (id, t) => id -> Hashing.simhash64(t) }.toMap
+    def chunkMatch(a: Long, b: Long): Boolean =
+      (0 until 4).exists(c => ((a >>> (c * 16)) & 0xffffL) == ((b >>> (c * 16)) & 0xffffL))
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      if chunkMatch(shs(a), shs(b)) && Hashing.hammingDistance(shs(a), shs(b)) <= maxHamming
+    } yield (a, b)).toSet
+
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+  }
+}
