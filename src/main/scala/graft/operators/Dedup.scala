@@ -34,6 +34,30 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), GraftFunctions.minhash(col(textCol)).as("sig"))
 
+  /** Shared expansion skeleton for in-bucket pair scoring: full O(n²)
+    * expansion up to `maxFullExpand` members (each pair scored with the
+    * owner check enabled), star expansion against the min-id representative
+    * beyond it (owner check skipped so rep-connectivity always holds).
+    * `score(i, j, checkOwner)` decides emission.
+    */
+  private def expandPairs(n: Int, ids: Array[Long], maxFullExpand: Int,
+      score: (Int, Int, Boolean) => Unit): Unit = {
+    if (n <= maxFullExpand) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { score(i, j, true); j += 1 }
+        i += 1
+      }
+    } else {
+      var rep = 0
+      var i = 1
+      while (i < n) { if (ids(i) < ids(rep)) rep = i; i += 1 }
+      i = 0
+      while (i < n) { if (i != rep) score(rep, i, false); i += 1 }
+    }
+  }
+
   /** In-bucket pair scoring for MinHash buckets: members (id, sig) →
     * (id_a, id_b, est_jaccard) for pairs meeting the threshold.
     *
@@ -68,32 +92,15 @@ object Dedup {
         }
         -1
       }
-      def score(i: Int, j: Int, checkOwner: Boolean): Unit = if (ids(i) != ids(j)) {
-        if (!checkOwner || firstCollidingBand(sigs(i), sigs(j)) == band) {
+      expandPairs(n, ids, maxFullExpand, (i, j, checkOwner) =>
+        if (ids(i) != ids(j) &&
+            (!checkOwner || firstCollidingBand(sigs(i), sigs(j)) == band)) {
           val est = Hashing.estimatedJaccard(sigs(i), sigs(j))
           if (est >= threshold) {
             val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
             out += ((a, b, est))
           }
-        }
-      }
-      if (n <= maxFullExpand) {
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) { score(i, j, checkOwner = true); j += 1 }
-          i += 1
-        }
-      } else {
-        // star pairs are O(n), so cross-band duplicate scoring is cheap and
-        // skipping the owner check keeps the rep-connectivity guarantee even
-        // when the owning band's bucket had a different representative
-        var rep = 0
-        var i = 1
-        while (i < n) { if (ids(i) < ids(rep)) rep = i; i += 1 }
-        i = 0
-        while (i < n) { if (i != rep) score(rep, i, checkOwner = false); i += 1 }
-      }
+        })
       out.toSeq
     })
 
@@ -141,29 +148,15 @@ object Dedup {
         }
         -1
       }
-      def score(i: Int, j: Int, checkOwner: Boolean): Unit = if (ids(i) != ids(j)) {
-        if (!checkOwner || firstMatchingChunk(shs(i), shs(j)) == chunkIdx) {
+      expandPairs(n, ids, maxFullExpand, (i, j, checkOwner) =>
+        if (ids(i) != ids(j) &&
+            (!checkOwner || firstMatchingChunk(shs(i), shs(j)) == chunkIdx)) {
           val h = Hashing.hammingDistance(shs(i), shs(j))
           if (h <= maxHamming) {
             val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
             out += ((a, b, h))
           }
-        }
-      }
-      if (n <= maxFullExpand) {
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) { score(i, j, checkOwner = true); j += 1 }
-          i += 1
-        }
-      } else {
-        var rep = 0
-        var i = 1
-        while (i < n) { if (ids(i) < ids(rep)) rep = i; i += 1 }
-        i = 0
-        while (i < n) { if (i != rep) score(rep, i, checkOwner = false); i += 1 }
-      }
+        })
       out.toSeq
     })
 
@@ -235,23 +228,16 @@ object Dedup {
         val denom = math.sqrt(nx) * math.sqrt(ny)
         if (denom == 0.0) 0.0 else dot / denom
       }
-      def score(i: Int, j: Int): Unit = {
-        val c = cosine(vecs(i), vecs(j))
-        if (c >= minCosine && ids(i) != ids(j)) {
-          val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
-          out += ((a, b, c))
-        }
-      }
-      if (n <= maxFullExpand) {
-        var i = 0
-        while (i < n) { var j = i + 1; while (j < n) { score(i, j); j += 1 }; i += 1 }
-      } else {
-        var rep = 0
-        var i = 1
-        while (i < n) { if (ids(i) < ids(rep)) rep = i; i += 1 }
-        i = 0
-        while (i < n) { if (i != rep) score(rep, i); i += 1 }
-      }
+      // single bucket per row (one sketch) → no cross-bucket duplicates,
+      // so no owner check is needed in either branch
+      expandPairs(n, ids, maxFullExpand, (i, j, _) =>
+        if (ids(i) != ids(j)) {
+          val c = cosine(vecs(i), vecs(j))
+          if (c >= minCosine) {
+            val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += ((a, b, c))
+          }
+        })
       out.toSeq
     })
 
