@@ -20,6 +20,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKByScore(k: Int)
     extends Aggregator[(Long, Double), List[(Long, Double)], List[(Long, Double)]] {
+  require(k > 0, s"k must be positive, got $k")
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 
   private val ord: Ordering[(Long, Double)] =
@@ -34,7 +35,7 @@ class TopKByScore(k: Int)
     // buf is kept sorted (zero/bounded/merge all return sorted lists), so a
     // full buffer whose worst element beats the input needs no re-sort —
     // the common case on a hot group is a single comparison, not O(k log k)
-    if (buf.lengthCompare(k) >= 0 && ord.lteq(buf.last, in)) buf
+    if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && ord.lteq(buf.last, in)) buf
     else bounded(in :: buf)
 
   override def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =

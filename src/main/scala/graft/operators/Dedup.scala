@@ -67,34 +67,39 @@ object Dedup {
     * larger than `maxFullExpand` (mega-clusters of near-identical content)
     * switch to star expansion against the minimum id: output stays linear
     * and every member remains reachable from the cluster representative,
-    * instead of silently dropping the cluster. Trade-off: a pair whose
-    * first-colliding (owner) bucket is oversized is connected transitively
-    * through the representative rather than scored directly.
+    * instead of silently dropping the cluster.
+    *
+    * A pair colliding in several bands is scored only in its OWNER band —
+    * the first colliding band whose bucket is NOT oversized (`hotBuckets`
+    * is the broadcast set of oversized bucket keys, computed by a cheap
+    * count-only pre-pass). This keeps cross-band scoring deduplicated
+    * without ever deferring a pair into a bucket that only star-expands:
+    * pairs with at least one normal-size shared bucket are always scored
+    * directly; pairs confined to mega-buckets connect via the rep star.
     */
-  private def minhashBucketPairs(threshold: Double, maxFullExpand: Int) =
+  private def minhashBucketPairs(threshold: Double, maxFullExpand: Int,
+      hotBuckets: Set[(Int, Long)]) =
     udf((band: Int, members: Seq[org.apache.spark.sql.Row]) => {
       val n = members.length
       val ids = Array.tabulate(n)(i => members(i).getLong(0))
       val sigs = Array.tabulate(n)(i => members(i).getSeq[Long](1).toArray)
+      val bhs = Array.tabulate(n)(i => Hashing.bandHashes(sigs(i)))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      // a pair colliding in several bands is scored only in the FIRST such
-      // band — decidable locally from the two signatures, so the global
-      // dropDuplicates never sees (or pays for) redundant scorings
-      def firstCollidingBand(a: Array[Long], b: Array[Long]): Int = {
+      def ownerBand(i: Int, j: Int): Int = {
+        val a = sigs(i); val b = sigs(j)
         var bd = 0
         while (bd * Hashing.RowsPerBand < a.length) {
           var r = bd * Hashing.RowsPerBand
           val end = r + Hashing.RowsPerBand
           var same = true
           while (same && r < end) { same = a(r) == b(r); r += 1 }
-          if (same) return bd
+          if (same && !hotBuckets.contains((bd, bhs(i)(bd)))) return bd
           bd += 1
         }
         -1
       }
       expandPairs(n, ids, maxFullExpand, (i, j, checkOwner) =>
-        if (ids(i) != ids(j) &&
-            (!checkOwner || firstCollidingBand(sigs(i), sigs(j)) == band)) {
+        if (ids(i) != ids(j) && (!checkOwner || ownerBand(i, j) == band)) {
           val est = Hashing.estimatedJaccard(sigs(i), sigs(j))
           if (est >= threshold) {
             val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
@@ -119,10 +124,17 @@ object Dedup {
       GraftFunctions.minhash(col(textCol)).as("sig"))
     val bands = sigs
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
+    // count-only pre-pass: the (small) set of oversized bucket keys, needed
+    // so the owner-band rule never defers a pair into a star-only bucket.
+    // At production scale persist `bands` around the two passes.
+    val hot: Set[(Int, Long)] = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bh")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
     bands.groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .filter(size(col("members")) >= 2)
-      .select(explode(minhashBucketPairs(threshold, maxBucketSize)(
+      .select(explode(minhashBucketPairs(threshold, maxBucketSize, hot)(
         col("band"), col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         round(col("p._3"), 4).as("est_jaccard"))
@@ -132,25 +144,28 @@ object Dedup {
   /** In-bucket scoring for SimHash pigeonhole buckets — same
     * survivors-only / star-expansion shape as [[minhashBucketPairs]].
     */
-  private def simhashBucketPairs(maxHamming: Int, maxFullExpand: Int) =
+  private def simhashBucketPairs(maxHamming: Int, maxFullExpand: Int,
+      hotBuckets: Set[(Int, Long)]) =
     udf((chunkIdx: Int, members: Seq[org.apache.spark.sql.Row]) => {
       val n = members.length
       val ids = Array.tabulate(n)(i => members(i).getLong(0))
       val shs = Array.tabulate(n)(i => members(i).getLong(1))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-      // owner = first 16-bit chunk where the sketches agree (local dedup
-      // across the 4 pigeonhole blocks, same trick as the minhash bands)
-      def firstMatchingChunk(a: Long, b: Long): Int = {
+      // owner = first matching 16-bit chunk whose bucket is not oversized
+      // (same cross-bucket dedup rule as the minhash bands)
+      def ownerChunk(a: Long, b: Long): Int = {
         var c = 0
         while (c < 4) {
-          if (((a >>> (c * 16)) & 0xffffL) == ((b >>> (c * 16)) & 0xffffL)) return c
+          val ca = (a >>> (c * 16)) & 0xffffL
+          if (ca == ((b >>> (c * 16)) & 0xffffL) && !hotBuckets.contains((c, ca)))
+            return c
           c += 1
         }
         -1
       }
       expandPairs(n, ids, maxFullExpand, (i, j, checkOwner) =>
         if (ids(i) != ids(j) &&
-            (!checkOwner || firstMatchingChunk(shs(i), shs(j)) == chunkIdx)) {
+            (!checkOwner || ownerChunk(shs(i), shs(j)) == chunkIdx)) {
           val h = Hashing.hammingDistance(shs(i), shs(j))
           if (h <= maxHamming) {
             val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
@@ -173,10 +188,14 @@ object Dedup {
     val chunks = sk.select(col("id"), col("sh"), explode(array((0 until 4).map { i =>
       struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) % 65536).as("cv"))
     }: _*)).as("c")).select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
+    val hot: Set[(Int, Long)] = chunks.groupBy(col("ci"), col("cv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("ci"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
     chunks.groupBy(col("ci"), col("cv"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
       .filter(size(col("members")) >= 2)
-      .select(explode(simhashBucketPairs(maxHamming, maxBucketSize)(
+      .select(explode(simhashBucketPairs(maxHamming, maxBucketSize, hot)(
         col("ci"), col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .dropDuplicates("id_a", "id_b")

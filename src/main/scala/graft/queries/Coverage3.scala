@@ -73,14 +73,17 @@ object Coverage3 {
     // oracle is the constant expected table.
     "s11_nl2sql_docs" -> ((s, _) => {
       import s.implicits._
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft-nl2sql-fixture"
-      // fresh fixture dir every call: stale files from an earlier run (or a
-      // concurrent JVM's leftovers) would silently change the oracle counts
+      // per-process dir (no cross-JVM races), wiped each call so stale files
+      // from an earlier in-process run can't skew the constant oracle
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-nl2sql-fixture-" +
+        ProcessHandle.current().pid()
       def clear(dir: java.nio.file.Path): Unit =
         if (java.nio.file.Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
         }
       clear(java.nio.file.Paths.get(root))
       def write(sub: String, name: String, body: String): Unit = {

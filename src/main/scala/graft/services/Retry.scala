@@ -17,7 +17,12 @@ final case class RetryPolicy(
     maxAttempts: Int = 20,
     baseDelayMs: Long = 1000,
     maxDelayMs: Long = 60000,
-    jitterMs: Long = 500)
+    jitterMs: Long = 500,
+    /** Fixed jitter seed for reproducible tests; None (production) mixes a
+      * per-call random nonce so concurrent clients desynchronize instead of
+      * retrying in lock-step.
+      */
+    jitterSeed: Option[Long] = None)
 
 /** Failure that the service reports as transient; `retryAfterMs` carries a
   * server-specified wait (the Retry-After / retry-after-ms header analog).
@@ -27,22 +32,33 @@ final class RetryableException(msg: String, val retryAfterMs: Option[Long] = Non
 
 object Retry {
 
-  /** Deterministic jitter in [0, jitterMs) from the attempt number. */
-  private def jitter(policy: RetryPolicy, attempt: Int): Long =
+  /** Jitter in [0, jitterMs) from (seed, attempt) — deterministic for a
+    * fixed seed, desynchronized across clients for random seeds.
+    */
+  private def jitter(policy: RetryPolicy, seed: Long, attempt: Int): Long =
     if (policy.jitterMs <= 0) 0L
-    else math.abs(scala.util.hashing.MurmurHash3.productHash((attempt, 0x5eed))) % policy.jitterMs
+    else math.abs(scala.util.hashing.MurmurHash3.productHash((seed, attempt))) % policy.jitterMs
 
-  /** Exponential delay for the given 1-based attempt, capped and jittered. */
-  def delayFor(policy: RetryPolicy, attempt: Int, retryAfterMs: Option[Long]): Long =
-    retryAfterMs.getOrElse {
-      val exp = policy.baseDelayMs * (1L << math.min(20, attempt - 1))
-      math.min(policy.maxDelayMs, exp) + jitter(policy, attempt)
+  /** Exponential delay for the given 1-based attempt, capped and jittered.
+    * A server-provided Retry-After wins but is clamped to [0, maxDelayMs] —
+    * a garbage negative header must not crash the sleeper and a huge one
+    * must not stall the task beyond the policy envelope.
+    */
+  def delayFor(policy: RetryPolicy, attempt: Int, retryAfterMs: Option[Long],
+      seed: Long = 0L): Long =
+    retryAfterMs match {
+      case Some(ra) => math.min(policy.maxDelayMs, math.max(0L, ra))
+      case None =>
+        val exp = policy.baseDelayMs * (1L << math.min(20, attempt - 1))
+        math.min(policy.maxDelayMs, exp) + jitter(policy, seed, attempt)
     }
 
   /** Run `op` with retries on [[RetryableException]]; other exceptions
     * propagate immediately. `sleeper` is injectable for tests.
     */
   def withRetry[T](policy: RetryPolicy, sleeper: Long => Unit = Thread.sleep)(op: () => T): T = {
+    val seed = policy.jitterSeed.getOrElse(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
     var attempt = 0
     while (true) {
       attempt += 1
@@ -50,7 +66,7 @@ object Retry {
       catch {
         case e: RetryableException =>
           if (attempt >= policy.maxAttempts) throw e
-          sleeper(delayFor(policy, attempt, e.retryAfterMs))
+          sleeper(delayFor(policy, attempt, e.retryAfterMs, seed))
       }
     }
     throw new IllegalStateException("unreachable")

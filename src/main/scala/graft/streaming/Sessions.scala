@@ -56,6 +56,11 @@ object Sessions {
   def runningUserCounts(events: Dataset[(Long, Long)],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
       idleTimeout: String = "1 hour"): Dataset[UserUpdate] = {
+    // setTimeoutDuration below is only legal under processing-time timeouts;
+    // event-time eviction would need a watermark + setTimeoutTimestamp
+    require(timeout == GroupStateTimeout.NoTimeout ||
+      timeout == GroupStateTimeout.ProcessingTimeTimeout,
+      s"only NoTimeout or ProcessingTimeTimeout supported, got $timeout")
     import events.sparkSession.implicits._
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_._1)

@@ -20,15 +20,18 @@ class RetrySpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(100L, 200L, 400L))
   }
 
-  test("Retry-After overrides the computed backoff") {
+  test("Retry-After overrides the computed backoff, clamped to the policy envelope") {
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
     var calls = 0
     Retry.withRetry(policy, sleeps += _) { () =>
       calls += 1
-      if (calls == 1) throw new RetryableException("throttled", retryAfterMs = Some(12345L))
+      if (calls == 1) throw new RetryableException("throttled", retryAfterMs = Some(345L))
+      if (calls == 2) throw new RetryableException("throttled", retryAfterMs = Some(999999L))
+      if (calls == 3) throw new RetryableException("garbage", retryAfterMs = Some(-7L))
       "ok"
     }
-    assert(sleeps.toSeq == Seq(12345L))
+    // honored below the cap; huge values clamp to maxDelayMs; negative → 0
+    assert(sleeps.toSeq == Seq(345L, 1000L, 0L))
   }
 
   test("gives up after maxAttempts with the last error; non-retryable passes through") {
