@@ -230,6 +230,17 @@ object Coverage4 {
         .orderBy($"rflag", $"lstatus")
     }),
 
+    // §2.5 note: CUBE — all four grouping combinations in one pass.
+    "a11_cube" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"), $"n", $"sum_price")
+        .orderBy($"status", $"priority")
+    }),
+
     // §7.1: sketch-based distinct — approx_count_distinct within 10 % of the
     // exact count per group (HLL++; the 100 TB form of A4-style distincts).
     "d6_approx_distinct" -> ((s, d) => {
@@ -330,6 +341,12 @@ object Coverage4 {
         | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+    "a11_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "d6_approx_distinct" ->
       """SELECT source, true AS within_10pct FROM
         | (SELECT DISTINCT source FROM documents) ORDER BY 1""".stripMargin,

@@ -67,6 +67,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 1, s"expected a single simhash evaluation site in the plan, found $n")
   }
 
+  test("s4: the DSv2 source receives pushed filters and a pruned projection") {
+    val p = plan("s4_paged_pushdown")
+    // the scan's description advertises what reached the "service"
+    assert(p.contains("pushed=[EqualTo(site,site3),GreaterThan(modified_ms,"), p.take(2500))
+    assert(p.contains("cols=[site,size_bytes]"), p.take(2500))
+    // title/item_id are never read — the $select analog pruned them
+    assert(!p.contains("title"), "projection not pruned to required columns")
+  }
+
+  test("index table partitioned by source prunes partitions at scan time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partidx").toString
+    pipelineIndex.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("source") === "web")
+    val p = pruned.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(source"), p.take(2000))
+    assert(p.contains("(source"), "source equality missing from partition filters")
+  }
+
+  private lazy val pipelineIndex =
+    graft.pipeline.ChunkIndexer.buildChunkIndex(spark, TestSpark.sf)
+
   test("v1: cosine similarity stays inside whole-stage codegen") {
     val df = SparkEntry.queries("v1_cosine_scan")(spark, TestSpark.sf)
     df.collect() // AQE only annotates codegen ids once THIS plan executes
