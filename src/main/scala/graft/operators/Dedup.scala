@@ -122,11 +122,14 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol).cast("long").as("id"),
       GraftFunctions.minhash(col(textCol)).as("sig"))
+    // persisted because BOTH the hot-set pre-pass and the main pass scan it;
+    // the CacheManager also reuses it across repeated invocations of the
+    // same plan (e.g. candidate generation + verification queries)
+    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
     // count-only pre-pass: the (small) set of oversized bucket keys, needed
-    // so the owner-band rule never defers a pair into a star-only bucket.
-    // At production scale persist `bands` around the two passes.
+    // so the owner-band rule never defers a pair into a star-only bucket
     val hot: Set[(Int, Long)] = bands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select(col("band"), col("bh")).collect()
@@ -185,6 +188,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sk = df.select(col(idCol).cast("long").as("id"),
       GraftFunctions.simhash(col(textCol)).as("sh"))
+    sk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sk.select(col("id"), col("sh"), explode(array((0 until 4).map { i =>
       struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) % 65536).as("cv"))
     }: _*)).as("c")).select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
