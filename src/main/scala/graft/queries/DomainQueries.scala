@@ -114,6 +114,11 @@ object DomainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the paged service is a deterministic generator — expected values are
+    // constants for pages=8 x pageSize=250 with the pushed filters
+    "s4_paged_pushdown" ->
+      """SELECT 'site3' AS site, CAST(243 AS BIGINT) AS n,
+        | CAST(119940830 AS BIGINT) AS total_bytes""".stripMargin,
     "c3_row_chunks" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         | CAST(sum(length('file=lineitem sheet=' || l_returnflag ||

@@ -86,6 +86,8 @@ object VectorQueries {
         .select($"id".as("vec_id"))
       exact.join(approx, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("recall_at_10_hits"))
+        .select($"recall_at_10_hits", ($"recall_at_10_hits" >= 5).as("recall_ok"))
+        .drop("recall_at_10_hits")
     }),
 
     // Embedding-cosine near-duplicate pairs via hyperplane LSH (rows-only).
@@ -99,6 +101,9 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the IVF recall floor is an invariant, not a value the oracle can
+    // derive — but the boolean gate makes a recall collapse fail loudly
+    "v5_ann_ivf_recall" -> "SELECT true AS recall_ok",
     "v1_cosine_scan" ->
       s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a, embeddings b WHERE a.vec_id = 0
