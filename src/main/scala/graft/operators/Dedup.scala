@@ -120,12 +120,15 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    // eager localCheckpoint: the expensive signature UDF runs once even
+    // though both the hot-set pre-pass and the main pass scan the result —
+    // and unlike persist(), the backing blocks are released by the context
+    // cleaner once the returned DataFrame is no longer referenced, so
+    // repeated calls in a long-lived session do not leak storage. The
+    // (cheap) band-hash expansion below is recomputed per pass.
     val sigs = df.select(col(idCol).cast("long").as("id"),
       GraftFunctions.minhash(col(textCol)).as("sig"))
-    // persisted because BOTH the hot-set pre-pass and the main pass scan it;
-    // the CacheManager also reuses it across repeated invocations of the
-    // same plan (e.g. candidate generation + verification queries)
-    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bands = sigs
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
     // count-only pre-pass: the (small) set of oversized bucket keys, needed
@@ -188,7 +191,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sk = df.select(col(idCol).cast("long").as("id"),
       GraftFunctions.simhash(col(textCol)).as("sh"))
-    sk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // see minhashNearDupPairs — leak-free reuse
     val chunks = sk.select(col("id"), col("sh"), explode(array((0 until 4).map { i =>
       struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) % 65536).as("cv"))
     }: _*)).as("c")).select(col("id"), col("sh"), col("c.ci"), col("c.cv"))

@@ -48,25 +48,32 @@ object DocumentChunkingApi {
       return ChunkingResponse(Nil, Seq("document decodes to empty text"), Nil)
 
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
-    val fileName = documentUrl.split('/').last
+    val fileName = documentUrl.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(documentUrl)
     val title = TextKeys.titleFromFilename(fileName)
 
-    val pieces = Chunkers.chunkText(text, if (ext == null) "txt" else ext, p)
-      .map(c => (c, p.tokenizer.count(c)))
-      .filter(_._2 >= p.minChunkTokens)
+    // truncate to the sink's byte cap BEFORE enrichment so token counts and
+    // embeddings describe the content actually stored
+    val pieces: Seq[(String, Int)] =
+      Chunkers.chunkText(text, if (ext == null) "txt" else ext, p)
+        .zipWithIndex.map { case (c0, i) =>
+          if (c0.getBytes("UTF-8").length <= maxContentBytes) c0
+          else {
+            warnings += s"chunk $i truncated to $maxContentBytes bytes"
+            TextKeys.utf8SafeTruncate(c0, maxContentBytes)
+          }
+        }
+        .map(c => (c, p.tokenizer.count(c)))
+        .filter(_._2 >= p.minChunkTokens)
     if (pieces.isEmpty)
       warnings += s"no chunk met the ${p.minChunkTokens}-token minimum"
 
     val vectors = embedder.embedBatch(pieces.iterator.map(_._1)).toSeq
-    val chunks = pieces.lazyZip(vectors).zipWithIndex.map { case (((c0, n), vec), i) =>
-      val c =
-        if (c0.getBytes("UTF-8").length <= maxContentBytes) c0
-        else {
-          warnings += s"chunk $i truncated to $maxContentBytes bytes"
-          TextKeys.utf8SafeTruncate(c0, maxContentBytes)
-        }
+    // strict zip (not lazyZip): the truncation warnings above must all be
+    // recorded before the response is assembled, regardless of field order
+    val chunks = pieces.zip(vectors).zipWithIndex.map { case (((c, n), vec), i) =>
       ChunkRecord(i, TextKeys.stableChunkKey(documentUrl, i), title, c, n, vec)
     }
-    ChunkingResponse(chunks.toSeq, Nil, warnings.toSeq)
+    ChunkingResponse(chunks, Nil, warnings.toSeq)
   }
 }

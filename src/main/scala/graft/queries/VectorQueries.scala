@@ -85,9 +85,7 @@ object VectorQueries {
       val approx = Similarity.searchIvf(index, probe, nprobe = 4, k = 10)
         .select($"id".as("vec_id"))
       exact.join(approx, Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("recall_at_10_hits"))
-        .select($"recall_at_10_hits", ($"recall_at_10_hits" >= 5).as("recall_ok"))
-        .drop("recall_at_10_hits")
+        .agg((count(lit(1)) >= 5).as("recall_ok"))
     }),
 
     // Embedding-cosine near-duplicate pairs via hyperplane LSH (rows-only).

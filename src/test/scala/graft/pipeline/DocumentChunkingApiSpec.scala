@@ -33,6 +33,9 @@ class DocumentChunkingApiSpec extends AnyFunSuite {
     assert(chunkDocument(Array.emptyByteArray, "u", "txt", p).errors.nonEmpty)
     assert(chunkDocument("x".getBytes, "", "txt", p).errors.nonEmpty)
     assert(chunkDocument("   ".getBytes, "u", "txt", p).errors.nonEmpty)
+    // degenerate slash-only url must not throw (no path segment to name)
+    val slashes = chunkDocument(("word " * 20).getBytes, "///", "txt", p)
+    assert(slashes.errors.isEmpty && slashes.chunks.nonEmpty)
     val thin = chunkDocument("word".getBytes, "https://u/f.txt", "txt", p)
     assert(thin.errors.isEmpty)
     assert(thin.chunks.isEmpty)
