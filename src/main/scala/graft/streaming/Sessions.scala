@@ -85,6 +85,44 @@ object Sessions {
       }
   }
 
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Gap sessions materialized incrementally with flatMapGroupsWithState
+    * (append mode, zero-or-more outputs per key per batch): a session closes
+    * when a later event arrives more than `gapMs` after its end, and the
+    * closed session is emitted in that batch while the new session stays in
+    * state. Data-driven closure keeps the operator deterministic — no
+    * wall-clock timeouts — which is what the hermetic tests need; a
+    * production deployment adds a ProcessingTimeTimeout to flush sessions
+    * for keys that stop arriving.
+    */
+  def closedGapSessions(events: Dataset[(Long, Long)], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur = state.getOption
+          ts.foreach { t =>
+            cur match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                cur = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.startMs, s.endMs, s.n)
+                cur = Some(OpenSession(t, t, 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Structured Streaming variant: watermarked session_window aggregation.
     * Reads the events parquet as a stream (Trigger.AvailableNow analog for
     * tests via processAllAvailable) and counts events per (user, session).

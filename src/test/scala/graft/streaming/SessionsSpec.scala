@@ -46,6 +46,36 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits sessions closed by a gap, across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Sessions.closedGapSessions(input.toDS(), gapMs = 5000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_closed_sessions").start()
+    try {
+      // batch 1: one open session per user — nothing closes yet
+      input.addData((1L, 0L), (1L, 1000L), (2L, 500L))
+      q.processAllAvailable()
+      assert(spark.table("graft_closed_sessions").count() == 0)
+
+      // batch 2: user 1 jumps past the gap → their first session closes;
+      // user 2 stays within the gap → still open
+      input.addData((1L, 100000L), (2L, 3000L))
+      q.processAllAvailable()
+      val closed = spark.table("graft_closed_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.toSeq == Seq((1L, 0L, 1000L, 2L)))
+
+      // batch 3: user 2 jumps too → their (extended) session closes
+      input.addData((2L, 900000L))
+      q.processAllAvailable()
+      val closed2 = spark.table("graft_closed_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(closed2 == Set((1L, 0L, 1000L, 2L), (2L, 500L, 3000L, 2L)))
+    } finally q.stop()
+  }
+
   test("structured streaming session_window agrees with batch on totals") {
     import spark.implicits._
     val out = Sessions.streamingSessionCounts(spark, TestSpark.sf, gap = "30 minutes",
