@@ -119,6 +119,31 @@ object DomainQueries {
     "s4_paged_pushdown" ->
       """SELECT 'site3' AS site, CAST(243 AS BIGINT) AS n,
         | CAST(119940830 AS BIGINT) AS total_bytes""".stripMargin,
+    // w2 is sf-independent and fully deterministic, so the expected
+    // page:length histogram is a snapshot constant — it pins the splitter +
+    // <50%-rule attribution behavior (SURVEY §7.4's hardest fidelity item)
+    // into the correctness gate. If the splitter intentionally changes,
+    // regenerate via scripts/local_verify.py before committing.
+    "w2_marker_pages" ->
+      """SELECT * FROM (VALUES
+        | ('1:105', CAST(28 AS BIGINT)), ('1:110', CAST(29 AS BIGINT)),
+        | ('1:120', CAST(56 AS BIGINT)), ('1:78', CAST(29 AS BIGINT)),
+        | ('1:93', CAST(29 AS BIGINT)), ('1:95', CAST(29 AS BIGINT)),
+        | ('1:98', CAST(73 AS BIGINT)), ('2:108', CAST(21 AS BIGINT)),
+        | ('2:15', CAST(8 AS BIGINT)), ('2:30', CAST(14 AS BIGINT)),
+        | ('2:45', CAST(14 AS BIGINT)), ('2:75', CAST(7 AS BIGINT)),
+        | ('2:95', CAST(21 AS BIGINT)), ('2:98', CAST(113 AS BIGINT)),
+        | ('3:108', CAST(14 AS BIGINT)), ('3:110', CAST(14 AS BIGINT)),
+        | ('3:15', CAST(14 AS BIGINT)), ('3:30', CAST(8 AS BIGINT)),
+        | ('3:60', CAST(7 AS BIGINT)), ('3:83', CAST(21 AS BIGINT)),
+        | ('3:90', CAST(7 AS BIGINT)), ('3:98', CAST(100 AS BIGINT)),
+        | ('4:108', CAST(14 AS BIGINT)), ('4:110', CAST(14 AS BIGINT)),
+        | ('4:15', CAST(7 AS BIGINT)), ('4:30', CAST(14 AS BIGINT)),
+        | ('4:48', CAST(7 AS BIGINT)), ('4:68', CAST(7 AS BIGINT)),
+        | ('4:88', CAST(7 AS BIGINT)), ('4:90', CAST(14 AS BIGINT)),
+        | ('4:98', CAST(43 AS BIGINT)), ('5:45', CAST(8 AS BIGINT)),
+        | ('5:60', CAST(7 AS BIGINT)), ('5:98', CAST(22 AS BIGINT))
+        |) AS t(page_len, n) ORDER BY page_len""".stripMargin,
     "c3_row_chunks" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         | CAST(sum(length('file=lineitem sheet=' || l_returnflag ||
