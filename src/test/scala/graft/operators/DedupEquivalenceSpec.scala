@@ -50,6 +50,29 @@ class DedupEquivalenceSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
   }
 
+  test("minhash pairs over the real documents table match the naive reference") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val threshold = 0.5
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val sigs = local.map { case (id, t) => id -> Hashing.minhashSignature(t) }.toMap
+    val bands = sigs.map { case (id, s) => id -> Hashing.bandHashes(s) }
+    val idsSorted = local.map(_._1).sorted
+    val expected = (for {
+      a <- idsSorted; b <- idsSorted if a < b
+      if bands(a).lazyZip(bands(b)).exists(_ == _)
+      if Hashing.estimatedJaccard(sigs(a), sigs(b)) >= threshold
+    } yield (a, b)).toSet
+
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+  }
+
   test("simhashNearDupPairs matches the naive all-pairs reference exactly") {
     import spark.implicits._
     GraftFunctions.register(spark)
