@@ -54,7 +54,7 @@ object JsonPartitioner {
       case obj: ObjectNode =>
         val parts = ArrayBuffer.empty[JsonNode]
         var cur = mapper.createObjectNode()
-        obj.fields().asScala.foreach { e =>
+        obj.properties().asScala.foreach { e =>
           val (k, v) = (e.getKey, e.getValue)
           if (!fits(v, maxTokens, tok)) {
             if (cur.size() > 0) { parts += cur; cur = mapper.createObjectNode() }

@@ -18,7 +18,7 @@ object TextKeys {
     val spaced = base.replaceAll("[_-]+", " ")
       .replaceAll("(?<=[a-z0-9])(?=[A-Z])", " ")
     spaced.split("\\s+").filter(_.nonEmpty)
-      .map(w => w.head.toUpper + w.tail).mkString(" ")
+      .map(w => s"${w.head.toUpper}${w.tail}").mkString(" ")
   }
 
   /** X2: sanitize to a key-safe slug: non [A-Za-z0-9_-] runs → '-', trimmed. */

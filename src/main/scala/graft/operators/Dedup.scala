@@ -231,7 +231,7 @@ object Dedup {
   private def planeSigns(planes: Int, dim: Int): Array[Array[Float]] =
     signCache.computeIfAbsent((planes, dim), _ =>
       Array.tabulate(planes)(p => Array.tabulate(dim)(i =>
-        if ((Hashing.hash64(p + ":" + i) & 1L) == 1L) 1.0f else -1.0f)))
+        if ((Hashing.hash64(s"$p:$i") & 1L) == 1L) 1.0f else -1.0f)))
 
   /** In-bucket cosine scoring — survivors-only / star-expansion, with the
     * dot product in double precision over the raw float arrays.

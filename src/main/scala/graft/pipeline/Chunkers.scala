@@ -47,7 +47,7 @@ object Chunkers {
     val ext = extCol.map(col).getOrElse(lit("txt"))
     val exploded = docs
       .withColumn("_chunks", splitUdf(col(textCol), ext))
-      .select(docs.columns.map(col) :+
+      .select(docs.columns.toIndexedSeq.map(col) :+
         posexplode(col("_chunks")).as(Seq("chunk_id", "content")): _*)
     val w = Window.partitionBy(col(idCol)).orderBy(col("chunk_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

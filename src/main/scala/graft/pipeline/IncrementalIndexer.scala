@@ -57,7 +57,7 @@ object IncrementalIndexer {
     val toProcess = joined
       .filter(!coalesce(col("blocked"), lit(false)) &&
         (col("prev_hash").isNull || col("prev_hash") =!= col("content_hash")))
-      .select(hashed.columns.map(col): _*)
+      .select(hashed.columns.toIndexedSeq.map(col): _*)
     // count before any table overwrite: writing stateDir below re-caches
     // plans that read it, which would make this filter see the new hashes
     val processed = toProcess.count()

@@ -32,7 +32,7 @@ object Nl2Sql {
       lit(kind).as("kind"),
       col("datasource"),
       col(textField).as("embedding_text"),
-      to_json(struct(raw.columns.filter(_ != "_path").map(col): _*)).as("payload"))
+      to_json(struct(raw.columns.filter(_ != "_path").toIndexedSeq.map(col): _*)).as("payload"))
   }
 
   /** Full NL2SQL corpus: queries + tables + measures with vectors attached. */

@@ -37,7 +37,7 @@ object Retry {
     */
   private def jitter(policy: RetryPolicy, seed: Long, attempt: Int): Long =
     if (policy.jitterMs <= 0) 0L
-    else math.abs(scala.util.hashing.MurmurHash3.productHash((seed, attempt))) % policy.jitterMs
+    else math.abs(scala.util.hashing.MurmurHash3.caseClassHash((seed, attempt))) % policy.jitterMs
 
   /** Exponential delay for the given 1-based attempt, capped and jittered.
     * A server-provided Retry-After wins but is clamped to [0, maxDelayMs] —
