@@ -22,22 +22,21 @@ import graft.functions.{ChunkDocument, CosineSimF32, DotProductF32, L2NormF32}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String): ExpressionInfo =
+  private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("dot_f32"),
-      info("dot_f32", "dot_f32(a, b) - float32 dot product"),
+    // dot_f32(a, b): float32 dot product
+    ext.injectFunction((FunctionIdentifier("dot_f32"), info("dot_f32"),
       (es: Seq[Expression]) => DotProductF32(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("cosine_f32"),
-      info("cosine_f32", "cosine_f32(a, b) - float32 cosine similarity"),
+    // cosine_f32(a, b): float32 cosine similarity
+    ext.injectFunction((FunctionIdentifier("cosine_f32"), info("cosine_f32"),
       (es: Seq[Expression]) => CosineSimF32(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("l2norm_f32"),
-      info("l2norm_f32", "l2norm_f32(a) - float32 L2 norm"),
+    // l2norm_f32(a): float32 L2 norm
+    ext.injectFunction((FunctionIdentifier("l2norm_f32"), info("l2norm_f32"),
       (es: Seq[Expression]) => L2NormF32(es(0))))
-    ext.injectFunction((FunctionIdentifier("chunk_document"),
-      info("chunk_document",
-        "chunk_document(text, ext, maxTokens, overlap, minTokens) - chunk rows"),
+    // chunk_document(text, ext, maxTokens, overlap, minTokens): chunk rows
+    ext.injectFunction((FunctionIdentifier("chunk_document"), info("chunk_document"),
       (es: Seq[Expression]) => ChunkDocument(es)))
   }
 }
