@@ -254,6 +254,23 @@ object Coverage4 {
         .orderBy($"source")
     }),
 
+    // Language-id on clear-cut synthetic samples — oracle-gated detection
+    // (t3 measures agreement on the real corpus, whose text is English-only,
+    // so detection itself can only be gated on unambiguous inputs).
+    "t4_langid_samples" -> ((s, _) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Seq(
+        ("en", "the cat and the dog are in the house with the big red ball"),
+        ("es", "el perro y el gato en la casa por la noche con los amigos"),
+        ("de", "der Hund und die Katze sind nicht im Haus mit dem Ball"),
+        ("fr", "le chien et le chat dans la maison pour la nuit avec les amis"),
+        ("zh", "这是一个中文句子没有空格也没有标点符号只有汉字"))
+        .toDF("lang", "text")
+        .select($"lang", (call_function("graft_langid", $"text") === $"lang").as("detected"))
+        .orderBy($"lang")
+    }),
+
     // §2.11: keyed dedupe — dropDuplicates on (user, type, day), the batch
     // analog of streaming dropDuplicates-within-watermark.
     "st2_dedupe_keys" -> ((s, d) => {
@@ -350,6 +367,10 @@ object Coverage4 {
     "d6_approx_distinct" ->
       """SELECT source, true AS within_10pct FROM
         | (SELECT DISTINCT source FROM documents) ORDER BY 1""".stripMargin,
+    "t4_langid_samples" ->
+      """SELECT * FROM (VALUES
+        | ('de', true), ('en', true), ('es', true), ('fr', true), ('zh', true)
+        |) AS t(lang, detected) ORDER BY lang""".stripMargin,
     "st2_dedupe_keys" ->
       """SELECT event_type, count(*) AS n_keys FROM (
         | SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day FROM events)
