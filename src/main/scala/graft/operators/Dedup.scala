@@ -120,26 +120,27 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
-    // eager localCheckpoint: the expensive signature UDF runs once even
-    // though both the hot-set pre-pass and the main pass scan the result —
-    // and unlike persist(), the backing blocks are released by the context
-    // cleaner once the returned DataFrame is no longer referenced, so
-    // repeated calls in a long-lived session do not leak storage. The
-    // (cheap) band-hash expansion below is recomputed per pass.
     val sigs = df.select(col(idCol).cast("long").as("id"),
       GraftFunctions.minhash(col(textCol)).as("sig"))
-      .localCheckpoint(true)
     val bands = sigs
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
-    // count-only pre-pass: the (small) set of oversized bucket keys, needed
-    // so the owner-band rule never defers a pair into a star-only bucket
-    val hot: Set[(Int, Long)] = bands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bh")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toSet
-    bands.groupBy(col("band"), col("bh"))
+    // One aggregation materializes the buckets; the eager localCheckpoint
+    // means the signature UDF and the shuffle run exactly once even though
+    // two consumers read the result (the hot-set collect and the scoring
+    // pass) — and unlike persist(), the blocks are released by the context
+    // cleaner once the returned DataFrame is dropped, so repeated calls in
+    // a long-lived session do not leak storage.
+    val buckets = bands.groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .filter(size(col("members")) >= 2)
+      .localCheckpoint(true)
+    // the (small) set of oversized bucket keys — needed so the owner-band
+    // rule never defers a pair into a star-only bucket
+    val hot: Set[(Int, Long)] = buckets
+      .filter(size(col("members")) > maxBucketSize)
+      .select(col("band"), col("bh")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    buckets
       .select(explode(minhashBucketPairs(threshold, maxBucketSize, hot)(
         col("band"), col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
@@ -191,17 +192,19 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sk = df.select(col(idCol).cast("long").as("id"),
       GraftFunctions.simhash(col(textCol)).as("sh"))
-      .localCheckpoint(true) // see minhashNearDupPairs — leak-free reuse
     val chunks = sk.select(col("id"), col("sh"), explode(array((0 until 4).map { i =>
       struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) % 65536).as("cv"))
     }: _*)).as("c")).select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
-    val hot: Set[(Int, Long)] = chunks.groupBy(col("ci"), col("cv"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select(col("ci"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toSet
-    chunks.groupBy(col("ci"), col("cv"))
+    // single checkpointed aggregation — see minhashNearDupPairs
+    val buckets = chunks.groupBy(col("ci"), col("cv"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
       .filter(size(col("members")) >= 2)
+      .localCheckpoint(true)
+    val hot: Set[(Int, Long)] = buckets
+      .filter(size(col("members")) > maxBucketSize)
+      .select(col("ci"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    buckets
       .select(explode(simhashBucketPairs(maxHamming, maxBucketSize, hot)(
         col("ci"), col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
