@@ -53,6 +53,25 @@ class GeneratorTopKSpec extends AnyFunSuite {
     assert(gen.eval(null).iterator.nonEmpty)
   }
 
+  test("TopKByScore reduce/merge invariants hold on random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = Gen.zip(Gen.choose(0L, 50L), Gen.choose(-100.0, 100.0))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAllNoShrink(Gen.listOf(rowGen), Gen.choose(1, 5)) { (rows, k) =>
+        val agg = new TopKByScore(k)
+        val naive = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+        // sequential reduce
+        val reduced = rows.foldLeft(agg.zero)(agg.reduce)
+        // arbitrary split + merge (partial aggregation path)
+        val (l, r) = rows.splitAt(rows.length / 2)
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        agg.finish(reduced) == naive && agg.finish(merged) == naive &&
+          reduced.length <= k && merged.length <= k
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("TopKByScore agrees with the window row_number formulation") {
     import spark.implicits._
     val topk = udaf(new TopKByScore(3))
