@@ -18,17 +18,22 @@ object Bench {
     // spin-up all land here, so the timed pass measures steady-state
     // per-query cost instead of charging JVM warm-up to whichever query
     // happens to run first.
-    qs.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    qs.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable => System.err.println(s"[bench] warm-pass failure in $name: $t")
+      }
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable => System.err.println(s"[bench] $name threw: $t"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // -1.0 marks a query that threw; it must not deflate the total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }

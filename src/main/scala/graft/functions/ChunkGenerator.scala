@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -26,6 +27,25 @@ import graft.pipeline.Chunkers
   */
 case class ChunkDocument(children: Seq[Expression])
     extends Generator with CodegenFallback {
+
+  // validated so misuse (wrong arity, wrong argument types) is rejected at
+  // analysis time instead of surfacing as a ClassCastException or
+  // IndexOutOfBounds inside eval() on the executor
+  private val expectedTypes: Seq[(DataType, String)] = Seq(
+    StringType -> "text", StringType -> "ext", IntegerType -> "maxTokens",
+    IntegerType -> "overlapTokens", IntegerType -> "minTokens")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length != expectedTypes.length)
+      TypeCheckResult.TypeCheckFailure(
+        s"chunk_document expects ${expectedTypes.length} arguments " +
+          s"(text, ext, maxTokens, overlapTokens, minTokens); got ${children.length}")
+    else children.zip(expectedTypes).collectFirst {
+      case (c, (t, name)) if c.dataType != t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"chunk_document argument '$name' expects ${t.simpleString}, " +
+            s"got ${c.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("chunk_id", IntegerType, nullable = false),

@@ -236,14 +236,40 @@ object Dedup {
       Array.tabulate(planes)(p => Array.tabulate(dim)(i =>
         if ((Hashing.hash64(s"$p:$i") & 1L) == 1L) 1.0f else -1.0f)))
 
-  /** In-bucket cosine scoring — survivors-only / star-expansion, with the
-    * dot product in double precision over the raw float arrays.
+  /** All b per-band sign sketches of one vector: band `bd` is the r bits
+    * from hyperplanes [bd·r, (bd+1)·r). Shared by the row-level sketch UDF
+    * and the in-bucket owner check so the two can never disagree.
     */
-  private def cosineBucketPairs(minCosine: Double, maxFullExpand: Int) =
-    udf((members: Seq[org.apache.spark.sql.Row]) => {
+  private def bandSketches(v: Array[Float], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val signs = planeSigns(bands * rowsPerBand, v.length)
+    Array.tabulate(bands) { bd =>
+      var bits = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val row = signs(bd * rowsPerBand + r)
+        var dotv = 0.0
+        var i = 0
+        while (i < v.length) { dotv += v(i) * row(i); i += 1 }
+        if (dotv > 0) bits |= (1L << r)
+        r += 1
+      }
+      bits
+    }
+  }
+
+  /** In-bucket cosine scoring — survivors-only / star-expansion, with the
+    * dot product in double precision over the raw float arrays. Pairs
+    * colliding in several bands are scored only in their owner band (the
+    * first colliding band with a normal-size bucket) — the same cross-band
+    * dedup rule as [[minhashBucketPairs]].
+    */
+  private def cosineBucketPairs(minCosine: Double, bands: Int, rowsPerBand: Int,
+      maxFullExpand: Int, hotBuckets: Set[(Int, Long)]) =
+    udf((band: Int, members: Seq[org.apache.spark.sql.Row]) => {
       val n = members.length
       val ids = Array.tabulate(n)(i => members(i).getLong(0))
       val vecs = Array.tabulate(n)(i => members(i).getSeq[Float](1).toArray)
+      val sks = Array.tabulate(n)(i => bandSketches(vecs(i), bands, rowsPerBand))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       def cosine(x: Array[Float], y: Array[Float]): Double = {
         val m = math.min(x.length, y.length)
@@ -257,10 +283,17 @@ object Dedup {
         val denom = math.sqrt(nx) * math.sqrt(ny)
         if (denom == 0.0) 0.0 else dot / denom
       }
-      // single bucket per row (one sketch) → no cross-bucket duplicates,
-      // so no owner check is needed in either branch
-      expandPairs(n, ids, maxFullExpand, (i, j, _) =>
-        if (ids(i) != ids(j)) {
+      def ownerBand(i: Int, j: Int): Int = {
+        var bd = 0
+        while (bd < bands) {
+          if (sks(i)(bd) == sks(j)(bd) && !hotBuckets.contains((bd, sks(i)(bd))))
+            return bd
+          bd += 1
+        }
+        -1
+      }
+      expandPairs(n, ids, maxFullExpand, (i, j, checkOwner) =>
+        if (ids(i) != ids(j) && (!checkOwner || ownerBand(i, j) == band)) {
           val c = cosine(vecs(i), vecs(j))
           if (c >= minCosine) {
             val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
@@ -270,34 +303,37 @@ object Dedup {
       out.toSeq
     })
 
-  /** Embedding-cosine near-duplicates via random-hyperplane LSH buckets
-    * (16 sign bits, seeded), verified inline against the cosine threshold.
-    * One scan computes the sketches; only passing pairs materialize.
+  /** Embedding-cosine near-duplicates via banded random-hyperplane LSH
+    * (b tables of r sign bits — the OR-construction), verified inline
+    * against the cosine threshold. One scan computes all sketches.
+    *
+    * Banding is what makes recall hold AT the decision boundary: a single
+    * r·b-bit table collides near-threshold pairs with probability
+    * (1−θ/π)^(r·b) (≈0.18 at cos 0.95 for 16 bits), while b-of-r banding
+    * collides with 1−(1−(1−θ/π)^r)^b (≈0.99 at cos 0.95 for 8×8) —
+    * the same OR-construction MinHash uses. Candidates are verified with
+    * the exact cosine, so banding buys recall without costing precision.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.95, planes: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
-    val sketch = udf((v: Seq[Float]) => {
-      val signs = planeSigns(planes, v.length)
-      val arr = v.toArray
-      var bits = 0L
-      var p = 0
-      while (p < planes) {
-        val row = signs(p)
-        var dotv = 0.0
-        var i = 0
-        while (i < arr.length) { dotv += arr(i) * row(i); i += 1 }
-        if (dotv > 0) bits |= (1L << p)
-        p += 1
-      }
-      bits
-    })
-    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", sketch(col("vec")))
-      .groupBy(col("bucket"))
+      minCosine: Double = 0.95, bands: Int = 8, rowsPerBand: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sketchAll = udf((v: Seq[Float]) => bandSketches(v.toArray, bands, rowsPerBand))
+    val withBands = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"), posexplode(sketchAll(col("vec"))).as(Seq("band", "bits")))
+    // single checkpointed aggregation — see minhashNearDupPairs
+    val buckets = withBands.groupBy(col("band"), col("bits"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
       .filter(size(col("members")) >= 2)
-      .select(explode(cosineBucketPairs(minCosine, maxBucketSize)(col("members"))).as("p"))
+      .localCheckpoint(true)
+    val hot: Set[(Int, Long)] = buckets
+      .filter(size(col("members")) > maxBucketSize)
+      .select(col("band"), col("bits")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    buckets
+      .select(explode(cosineBucketPairs(minCosine, bands, rowsPerBand, maxBucketSize, hot)(
+        col("band"), col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         round(col("p._3"), 4).as("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions
 
 /** Similarity search over embedding columns (SURVEY §7.1 item 7, W7 top-k).
@@ -27,18 +26,28 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact top-k per probe row (small probe set → broadcast cross join,
-    * ranked per probe with a window; corpus never shuffles).
+  /** Exact top-k per probe row (small probe set → broadcast cross join).
+    *
+    * Ranking uses the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregator, NOT a `row_number` window: the window formulation shuffles
+    * the whole (corpus × probes) product so one reducer sorts the entire
+    * corpus per probe — at scale a single probe partition is the full table.
+    * The aggregator keeps ≤ k rows per probe in every partial aggregate
+    * (map-side combine), so the shuffle carries only (probes × k) rows and
+    * nothing ever sorts the corpus. Ties break by ascending id, matching the
+    * window's `orderBy(sim desc, id)` semantics exactly.
     */
   def topKPerProbe(probes: DataFrame, probeId: String, probeVec: String,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(probes.select(
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    corpus.crossJoin(broadcast(probes.select(
       col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))))
       .withColumn("sim", GraftFunctions.cosine_f32(col(vecCol), col("probe_vec")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col(idCol), col("sim"), col("rank"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col(idCol).cast("long"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as(idCol), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
   }
 
   /** IVF index: (centroids, assignments). K-means with deterministic init

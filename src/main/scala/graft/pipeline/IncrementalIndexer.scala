@@ -43,31 +43,45 @@ object IncrementalIndexer {
       runId: String, p: SplitParams = ChunkIndexer.defaultSplit,
       embedder: Embedder = new HashingEmbedder(64)): RunSummary = {
     graft.functions.GraftFunctions.register(spark)
-    val hashed = docs.withColumn("content_hash", md5(col("text"))).cache()
+    // localCheckpoint (not cache): one computation, blocks freed by the
+    // context cleaner when the frame is dropped — no CacheManager leak
+    // across repeated runs in a long session
+    val hashed = docs.withColumn("content_hash", md5(col("text"))).localCheckpoint(true)
     val state = readOr(spark, stateDir, stateSchema)
 
     // F1/F12: keep docs that are new or whose content changed; F3: skip blocked
     val joined = hashed.join(
       state.select(col("parent_id").as("doc_id"), col("content_hash").as("prev_hash"),
         col("blocked"), col("attempts")),
-      Seq("doc_id"), "left").cache()
-    val blockedCount = joined.filter(col("blocked") === true).count()
-    val unchanged = joined.filter(col("prev_hash") === col("content_hash") &&
-      !coalesce(col("blocked"), lit(false))).count()
-    val toProcess = joined
-      .filter(!coalesce(col("blocked"), lit(false)) &&
-        (col("prev_hash").isNull || col("prev_hash") =!= col("content_hash")))
+      Seq("doc_id"), "left")
+    val isBlocked = coalesce(col("blocked"), lit(false))
+    val changed = col("prev_hash").isNull || col("prev_hash") =!= col("content_hash")
+    // all run counters in ONE aggregate job (state is keyed by parent_id, so
+    // the left join preserves hashed's row count and `total` = sourceDocs);
+    // counted before any table overwrite — writing stateDir below would make
+    // a re-read of the state see the new hashes
+    val stats = joined.agg(
+      count(lit(1)).as("total"),
+      count(when(col("blocked") === true, 1)).as("blocked"),
+      count(when(col("prev_hash") === col("content_hash") && !isBlocked, 1)).as("unchanged"),
+      count(when(!isBlocked && changed, 1)).as("processed")).head()
+    val (sourceDocs, blockedCount, unchanged, processed) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val toProcess = joined.filter(!isBlocked && changed)
       .select(hashed.columns.toIndexedSeq.map(col): _*)
-    // count before any table overwrite: writing stateDir below re-caches
-    // plans that read it, which would make this filter see the new hashes
-    val processed = toProcess.count()
 
-    // chunk → embed → search docs (only the changed slice)
+    // chunk → embed → search docs (only the changed slice), materialized
+    // ONCE: everything downstream (replace, purge, the index write and the
+    // chunksWritten counter) derives from this checkpoint, so the embedder —
+    // the cost the whole incremental design exists to avoid — runs exactly
+    // once per chunk per run
     val chunks = Chunkers.chunkDocuments(toProcess, "doc_id", "text", None, p)
     val newDocs = ChunkIndexer.embedChunks(chunks, "content", embedder)
       .select(col("chunk_key").as("id"), col("doc_id").as("parent_id"),
         col("chunk_id"), col("content"), col("n_tokens"), col("chunk_offset"),
         col("source"), col("lang"), col("contentVector"))
+      .localCheckpoint(true)
+    val chunksWritten = newDocs.count()
 
     // K2/K3 replace + J2 purge against the current source listing
     val index = readOr(spark, indexDir, newDocs.schema)
@@ -78,9 +92,8 @@ object IncrementalIndexer {
       .join(hashed.select(col("doc_id").as("parent_id")), Seq("parent_id"), "left_anti")
       .count()
 
-    // materialize before overwriting the tables we just read
+    // materialize before overwriting the index table we just read
     val finalIndex = purged.localCheckpoint(true)
-    val chunksWritten = newDocs.count()
     finalIndex.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(indexDir)
 
     // state': successful parents get attempts=0, hash updated; blocked rows

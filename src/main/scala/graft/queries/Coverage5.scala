@@ -25,8 +25,17 @@ import java.nio.file.{Files, Paths}
 object Coverage5 {
   type Q = (SparkSession, String) => DataFrame
 
+  // pid-scoped and wiped on every call: a stale layout from an older fixture
+  // version or a concurrent JVM writing mid-scan must never skew the
+  // constant VALUES oracles (same isolation rule as s11_nl2sql_docs).
   private def tmpRoot(sub: String): String = {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), sub)
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"$sub-${ProcessHandle.current().pid()}")
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
     Files.createDirectories(p)
     p.toString
   }

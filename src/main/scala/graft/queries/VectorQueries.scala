@@ -88,12 +88,25 @@ object VectorQueries {
         .agg((count(lit(1)) >= 5).as("recall_ok"))
     }),
 
+    // Multi-probe exact top-k: broadcast probes × corpus, ranked by the
+    // bounded-heap aggregator — no window, nothing sorts the corpus
+    // (reference top-k retrieval, tools/aisearch.py:162-212).
+    "v8_topk_multiprobe" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probes = emb.filter($"vec_id" % 100 === 0).select($"vec_id", $"embedding")
+      Similarity.topKPerProbe(probes, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+        .select($"probe_id", $"vec_id", round($"sim", 6).as("sim"), $"rank")
+        .orderBy($"probe_id", $"rank")
+    }),
+
     // Embedding-cosine near-duplicate pairs via hyperplane LSH (rows-only).
     "v6_embedding_neardup" -> ((s, d) => {
       import s.implicits._
       GraftFunctions.register(s)
       Dedup.embeddingNearDupPairs(load(s, d, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.2, planes = 8)
+        minCosine = 0.2, bands = 8, rowsPerBand = 4)
         .orderBy($"id_a", $"id_b")
     })
   )
@@ -116,6 +129,15 @@ object VectorQueries {
     "v4_dot_consecutive" ->
       s"""SELECT a.vec_id, round(${sqlDot("a.embedding", "b.embedding")}, 6) AS dot
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-         |ORDER BY a.vec_id""".stripMargin
+         |ORDER BY a.vec_id""".stripMargin,
+    "v8_topk_multiprobe" ->
+      s"""SELECT probe_id, vec_id, round(cos, 6) AS sim, CAST(rn AS INTEGER) AS rank
+         |FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |    ${sqlCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${sqlCos("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |  FROM embeddings p, embeddings c WHERE p.vec_id % 100 = 0) t
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
   )
 }

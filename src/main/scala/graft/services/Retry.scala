@@ -37,7 +37,8 @@ object Retry {
     */
   private def jitter(policy: RetryPolicy, seed: Long, attempt: Int): Long =
     if (policy.jitterMs <= 0) 0L
-    else math.abs(scala.util.hashing.MurmurHash3.caseClassHash((seed, attempt))) % policy.jitterMs
+    else java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.caseClassHash((seed, attempt)).toLong, policy.jitterMs)
 
   /** Exponential delay for the given 1-based attempt, capped and jittered.
     * A server-provided Retry-After wins but is clamped to [0, maxDelayMs] —

@@ -101,6 +101,20 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val pipelineIndex =
     graft.pipeline.ChunkIndexer.buildChunkIndex(spark, TestSpark.sf)
 
+  test("v8: multi-probe top-k is a bounded-heap aggregate — no window, no corpus sort") {
+    val p = plan("v8_topk_multiprobe")
+    assert(!p.contains("Window"), "top-k regressed to a row_number window:\n" + p.take(2000))
+    // the probe set broadcasts; the corpus side never shuffles for the join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    // ranking happens in the partial-agg-friendly Aggregator, k rows per probe
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(2000))
+    // the only Sort allowed is the single final presentation orderBy AFTER
+    // the aggregate has reduced the corpus to (probes × k) rows
+    val sorts = "\\(\\d+\\) Sort\\b".r.findAllIn(p).length
+    assert(sorts <= 1, s"$sorts Sort nodes — a corpus-side sort crept in:\n" + p.take(2000))
+  }
+
   test("v1: cosine similarity stays inside whole-stage codegen") {
     val df = SparkEntry.queries("v1_cosine_scan")(spark, TestSpark.sf)
     df.collect() // AQE only annotates codegen ids once THIS plan executes

@@ -82,4 +82,32 @@ class IncrementalIndexerSpec extends AnyFunSuite {
     val dirs = new java.io.File(indexDir).listFiles().map(_.getName).filter(_.startsWith("source="))
     assert(dirs.nonEmpty, "expected hive-style source= partitions")
   }
+
+  test("the embedder runs exactly once per chunk per run (no double-execute)") {
+    val (indexDir, stateDir) = tmp()
+    // accumulator-backed decorator: counts texts embedded across executors
+    val calls = spark.sparkContext.longAccumulator("embedded-texts")
+    class CountingEmbedder extends graft.services.Embedder {
+      private val inner = new graft.services.HashingEmbedder(64)
+      override def dim: Int = inner.dim
+      override def embedBatch(texts: Iterator[String]): Iterator[Array[Float]] = {
+        val batch = texts.toSeq
+        calls.add(batch.size)
+        inner.embedBatch(batch.iterator)
+      }
+    }
+    val r1 = IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run1",
+      embedder = new CountingEmbedder)
+    assert(r1.chunksWritten > 0)
+    assert(calls.value == r1.chunksWritten,
+      s"embedder saw ${calls.value} texts for ${r1.chunksWritten} chunks — " +
+        "the chunk+embed pipeline executed more than once")
+
+    calls.reset()
+    val touched = base + (1L -> ("different content now " * 10).trim)
+    val r2 = IncrementalIndexer.runOnce(spark, docs(touched), indexDir, stateDir, "run2",
+      embedder = new CountingEmbedder)
+    assert(calls.value == r2.chunksWritten,
+      s"incremental run embedded ${calls.value} texts for ${r2.chunksWritten} chunks")
+  }
 }
