@@ -32,9 +32,11 @@ object Bench {
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // -1.0 marks a query that threw; it must not deflate the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // -1.0 marks a query that threw; a failing run must read as broken, not
+    // fast — any failure forces the headline total to -1.0 and is counted
+    val failed = results.count(_._2 < 0)
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

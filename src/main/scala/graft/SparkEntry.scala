@@ -32,7 +32,9 @@ object SparkEntry {
     parts.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Deterministic-but-not-SQL-expressible ops
+    * (sketch dedup, the chunk+embed pipeline, …) are pinned by generated
+    * snapshot VALUES oracles instead — see [[graft.queries.Snapshots]]. */
   def oracleSql: Map[String, String] =
-    parts.map(_._2).reduce(_ ++ _)
+    parts.map(_._2).reduce(_ ++ _) ++ gq.Snapshots.oracles
 }

@@ -41,7 +41,8 @@ case class ChunkDocument(children: Seq[Expression])
         s"chunk_document expects ${expectedTypes.length} arguments " +
           s"(text, ext, maxTokens, overlapTokens, minTokens); got ${children.length}")
     else children.zip(expectedTypes).collectFirst {
-      case (c, (t, name)) if c.dataType != t =>
+      // a literal NULL ext is legal — eval maps it to the "txt" default
+      case (c, (t, name)) if c.dataType != t && !(name == "ext" && c.dataType == NullType) =>
         TypeCheckResult.TypeCheckFailure(
           s"chunk_document argument '$name' expects ${t.simpleString}, " +
             s"got ${c.dataType.simpleString}")

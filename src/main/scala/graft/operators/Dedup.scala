@@ -269,7 +269,10 @@ object Dedup {
       val n = members.length
       val ids = Array.tabulate(n)(i => members(i).getLong(0))
       val vecs = Array.tabulate(n)(i => members(i).getSeq[Float](1).toArray)
-      val sks = Array.tabulate(n)(i => bandSketches(vecs(i), bands, rowsPerBand))
+      // sketches were computed once per ROW by the scan-side UDF and carried
+      // through the bucket struct — recomputing them here would redo
+      // O(bands·rowsPerBand·dim) work per bucket membership
+      val sks = Array.tabulate(n)(i => members(i).getSeq[Long](2).toArray)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       def cosine(x: Array[Float], y: Array[Float]): Double = {
         val m = math.min(x.length, y.length)
@@ -319,10 +322,12 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val sketchAll = udf((v: Seq[Float]) => bandSketches(v.toArray, bands, rowsPerBand))
     val withBands = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .select(col("id"), col("vec"), posexplode(sketchAll(col("vec"))).as(Seq("band", "bits")))
+      .withColumn("sks", sketchAll(col("vec")))
+      .select(col("id"), col("vec"), col("sks"),
+        posexplode(col("sks")).as(Seq("band", "bits")))
     // single checkpointed aggregation — see minhashNearDupPairs
     val buckets = withBands.groupBy(col("band"), col("bits"))
-      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+      .agg(collect_list(struct(col("id"), col("vec"), col("sks"))).as("members"))
       .filter(size(col("members")) >= 2)
       .localCheckpoint(true)
     val hot: Set[(Int, Long)] = buckets

@@ -100,15 +100,52 @@ object Similarity {
     IvfIndex(centroids, data.withColumn("cell", assignUdf(col("vec"))))
   }
 
-  /** ANN search: probe the nprobe nearest cells, exact rerank inside them. */
-  def searchIvf(index: IvfIndex, probe: Array[Float], nprobe: Int, k: Int): DataFrame = {
-    val cells = index.centroids.map { case (ci, c) =>
+  /** The nprobe cells whose centroids are closest to the probe vector. */
+  private def nearestCells(centroids: Array[(Int, Array[Float])],
+      probe: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.map { case (ci, c) =>
       var d = 0.0; var i = 0
       while (i < probe.length) { val x = probe(i) - c(i); d += x * x; i += 1 }
       (ci, d)
-    }.sortBy(_._2).take(nprobe).map(_._1)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+
+  /** ANN search: probe the nprobe nearest cells, exact rerank inside them. */
+  def searchIvf(index: IvfIndex, probe: Array[Float], nprobe: Int, k: Int): DataFrame = {
+    val cells = nearestCells(index.centroids, probe, nprobe)
     index.assignments
-      .filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), typedLit(probe)))
+      .select(col("id"), col("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Persist the index with the assignments PARTITIONED BY CELL — the layout
+    * that makes probing at 100 TB a partition-pruned scan: a search touches
+    * only nprobe/nCells of the corpus files, enforced at scan planning time
+    * (asserted in PlanAuditSpec), not by a post-scan filter. Centroids are a
+    * k-row side table; only they are ever collected to the driver.
+    */
+  def writeIvf(index: IvfIndex, dir: String): Unit = {
+    index.assignments.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    import index.assignments.sparkSession.implicits._
+    index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Search a persisted IVF index: rank cells from the (tiny) centroid
+    * table, then scan ONLY those cell partitions and exact-rerank. The
+    * `cell IN (…)` predicate lands in the scan's PartitionFilters, so
+    * unprobed cells are never read.
+    */
+  def searchIvfPartitioned(spark: SparkSession, dir: String, probe: Array[Float],
+      nprobe: Int, k: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val cells = nearestCells(centroids, probe, nprobe)
+    spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell").isin(cells: _*))
       .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), typedLit(probe)))
       .select(col("id"), col("sim"))
       .orderBy(col("sim").desc, col("id"))

@@ -43,11 +43,14 @@ object DocumentChunkingApi {
     if (documentUrl == null || documentUrl.isEmpty)
       return ChunkingResponse(Nil, Seq("documentUrl is required"), Nil)
 
-    val text = TextKeys.decodeUtf8Lossy(documentBytes)
+    // X7: detect the encoding before decoding (base_chunker.py:295-306) —
+    // BOM / UTF-8 validation / UTF-16 heuristic / windows-1252 fallback
+    val (text, charset) = graft.core.Charsets.decodeDetected(documentBytes)
     if (text.trim.isEmpty)
       return ChunkingResponse(Nil, Seq("document decodes to empty text"), Nil)
 
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (charset != "UTF-8") warnings += s"decoded with detected charset $charset"
     val fileName = documentUrl.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(documentUrl)
     val title = TextKeys.titleFromFilename(fileName)

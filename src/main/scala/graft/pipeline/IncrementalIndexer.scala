@@ -112,7 +112,7 @@ object IncrementalIndexer {
       .localCheckpoint(true)
     newState.write.mode(SaveMode.Overwrite).parquet(stateDir)
 
-    RunSummary(runId, hashed.count(), processed, unchanged, blockedCount,
+    RunSummary(runId, sourceDocs, processed, unchanged, blockedCount,
       purgedParents, chunksWritten, finalIndex.count())
   }
 

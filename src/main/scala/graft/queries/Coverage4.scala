@@ -131,6 +131,42 @@ object Coverage4 {
         .orderBy($"doc_id")
     }),
 
+    // X7b: charset DETECTION before decode (base_chunker.py:295-306) —
+    // BOM sniffing, strict UTF-8 validation, BOM-less UTF-16 NUL heuristic,
+    // windows-1252 fallback; every case must identify its encoding and
+    // round-trip the original text exactly.
+    "x7b_charset_detect" -> ((s, _) => {
+      import s.implicits._
+      val cases = Seq(
+        ("ascii_plain", "plain ascii text, nothing fancy", "UTF-8", false),
+        ("utf8_accents", "héllo wörld — naïve café 日本", "UTF-8", false),
+        ("utf8_bom", "bom then héllo", "UTF-8", true),
+        ("utf16le_bom", "utf-16 little endian", "UTF-16LE", true),
+        ("utf16be_bom", "utf-16 big endian", "UTF-16BE", true),
+        ("utf16le_raw", "bomless little endian text", "UTF-16LE", false),
+        ("utf16be_raw", "bomless big endian text", "UTF-16BE", false),
+        ("win1252_text", "café résumé £99 naïve", "windows-1252", false)
+      ).toDF("case_id", "text", "enc", "bom")
+      val encodeU = udf((t: String, enc: String, bom: Boolean) => {
+        val cs = java.nio.charset.Charset.forName(enc)
+        val body = t.getBytes(cs)
+        val bomBytes: Array[Byte] = if (!bom) Array.emptyByteArray else enc match {
+          case "UTF-8" => Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+          case "UTF-16LE" => Array(0xFF, 0xFE).map(_.toByte)
+          case "UTF-16BE" => Array(0xFE, 0xFF).map(_.toByte)
+          case _ => Array.emptyByteArray
+        }
+        bomBytes ++ body
+      })
+      val detectU = udf((bytes: Array[Byte]) => graft.core.Charsets.detect(bytes).charset)
+      val decodeU = udf((bytes: Array[Byte]) => graft.core.Charsets.decodeDetected(bytes)._1)
+      cases.withColumn("payload", encodeU($"text", $"enc", $"bom"))
+        .select($"case_id",
+          detectU($"payload").as("detected"),
+          (decodeU($"payload") === $"text").as("roundtrip"))
+        .orderBy($"case_id")
+    }),
+
     // X8: HTML-table placeholder swap before splitting, restore after
     // (doc_analysis_chunker.py:338-369).
     "x8_table_placeholder" -> ((s, d) => {
@@ -284,6 +320,19 @@ object Coverage4 {
   )
 
   val oracles: Map[String, String] = Map(
+    // fixed cases, and every one must both identify its charset and
+    // round-trip — a detector regression flips a constant
+    "x7b_charset_detect" ->
+      """SELECT * FROM (VALUES
+        | ('ascii_plain', 'UTF-8', true),
+        | ('utf8_accents', 'UTF-8', true),
+        | ('utf8_bom', 'UTF-8', true),
+        | ('utf16le_bom', 'UTF-16LE', true),
+        | ('utf16be_bom', 'UTF-16BE', true),
+        | ('utf16le_raw', 'UTF-16LE', true),
+        | ('utf16be_raw', 'UTF-16BE', true),
+        | ('win1252_text', 'windows-1252', true)
+        |) AS t(case_id, detected, roundtrip) ORDER BY case_id""".stripMargin,
     "f2_skew_guard" ->
       """WITH state AS (
         | SELECT user_id, max(ts) AS state_ts FROM events

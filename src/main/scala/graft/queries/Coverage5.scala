@@ -25,25 +25,25 @@ import java.nio.file.{Files, Paths}
 object Coverage5 {
   type Q = (SparkSession, String) => DataFrame
 
-  // pid-scoped and wiped on every call: a stale layout from an older fixture
-  // version or a concurrent JVM writing mid-scan must never skew the
-  // constant VALUES oracles (same isolation rule as s11_nl2sql_docs).
+  // pid-scoped so concurrent JVMs never share a dir; within a JVM the
+  // fixtures are written idempotently (atomic per-file replace, never a
+  // recursive wipe) — a suite re-invoking a query while another suite's
+  // returned DataFrame still scans the same path sees either the old or the
+  // new byte-identical file, never a missing one.
   private def tmpRoot(sub: String): String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"),
       s"$sub-${ProcessHandle.current().pid()}")
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
     Files.createDirectories(p)
     p.toString
   }
 
-  private def writeFile(root: String, rel: String, body: String): Unit = {
+  private def writeFile(root: String, rel: String, body: String): Unit = synchronized {
     val p = Paths.get(root, rel)
     Files.createDirectories(p.getParent)
-    Files.writeString(p, body)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   val queries: Map[String, Q] = Map(

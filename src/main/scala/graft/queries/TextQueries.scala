@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.load
 import graft.core.SplitParams
 import graft.functions.GraftFunctions
@@ -39,14 +40,27 @@ object TextQueries {
     }),
 
     // C7: the real token-bounded recursive splitter (UDF generator) with
-    // W1 ids, W3 offsets and X3 stable keys. Deterministic; no SQL oracle.
+    // W1 ids, W3 offsets and X3 stable keys. The splitter itself is not
+    // SQL-expressible, so the gate checks per-doc INVARIANTS (every chunk
+    // within the token budget, ids contiguous from 0, offsets monotone,
+    // keys unique) — each must hold for every non-empty document, making
+    // the oracle a constant-true table. The exact chunk boundaries are
+    // pinned separately by the w2_marker_pages snapshot and ScalaTest.
     "c7_chunk_recursive" -> ((s, d) => {
       import s.implicits._
       GraftFunctions.register(s)
       val p = SplitParams(maxTokens = 32, overlapTokens = 4, minChunkTokens = 1)
+      val w = Window.partitionBy($"doc_id").orderBy($"chunk_id")
       Chunkers.chunkDocuments(load(s, d, "documents"), "doc_id", "text", None, p)
-        .select($"doc_id", $"chunk_id", $"n_tokens", $"chunk_offset", $"chunk_key")
-        .orderBy($"doc_id", $"chunk_id")
+        .withColumn("prev_offset", lag($"chunk_offset", 1, -1).over(w))
+        .groupBy($"doc_id")
+        .agg(
+          (count(lit(1)) > 0).as("has_chunks"),
+          (max($"n_tokens") <= p.maxTokens).as("within_budget"),
+          (min($"chunk_id") === 0 && max($"chunk_id") === count(lit(1)) - 1).as("ids_contiguous"),
+          (count(when($"chunk_offset" <= $"prev_offset", 1)) === 0).as("offsets_monotone"),
+          (countDistinct($"chunk_key") === count(lit(1))).as("keys_unique"))
+        .orderBy($"doc_id")
     }),
 
     // C5: greedy JSON partitioner over per-source JSON arrays (rows-only).
@@ -152,6 +166,11 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // every per-doc invariant must hold for every non-empty document
+    "c7_chunk_recursive" ->
+      """SELECT doc_id, true AS has_chunks, true AS within_budget,
+        | true AS ids_contiguous, true AS offsets_monotone, true AS keys_unique
+        |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
     "c1_chunk_fixed" ->
       s"""SELECT d.doc_id, t.i AS chunk_id, substr(d.text, CAST(t.i*$CStride+1 AS INTEGER), $CSize) AS chunk
          |FROM documents d, generate_series(0, 255) t(i)

@@ -101,12 +101,16 @@ object VectorQueries {
         .orderBy($"probe_id", $"rank")
     }),
 
-    // Embedding-cosine near-duplicate pairs via hyperplane LSH (rows-only).
+    // Embedding-cosine near-duplicate pairs via banded hyperplane LSH,
+    // pinned by a snapshot VALUES oracle (the sketch is deterministic).
+    // The recall properties themselves are asserted against an all-pairs
+    // reference in DedupEquivalenceSpec; the snapshot keeps the gate
+    // sensitive to any change in the hashing, banding or verify logic.
     "v6_embedding_neardup" -> ((s, d) => {
       import s.implicits._
       GraftFunctions.register(s)
       Dedup.embeddingNearDupPairs(load(s, d, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.2, bands = 8, rowsPerBand = 4)
+        minCosine = 0.4, bands = 8, rowsPerBand = 4)
         .orderBy($"id_a", $"id_b")
     })
   )

@@ -115,6 +115,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sorts <= 1, s"$sorts Sort nodes — a corpus-side sort crept in:\n" + p.take(2000))
   }
 
+  test("v5: persisted IVF probe prunes cell partitions at scan time") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val index = graft.operators.Similarity.buildIvf(spark, emb, "vec_id", "embedding",
+      nCells = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+    try {
+      graft.operators.Similarity.writeIvf(index, dir.toString)
+      val res = graft.operators.Similarity.searchIvfPartitioned(
+        spark, dir.toString, probe, nprobe = 2, k = 10)
+      val p = res.queryExecution.explainString(FormattedMode)
+      // the cell IN (…) predicate must land in PartitionFilters — unprobed
+      // cells are pruned at planning time, never scanned
+      val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(pf.contains("cell"), "no cell predicate in PartitionFilters:\n" + p.take(2000))
+      assert(pf.contains(" IN "), "cell IN (...) not pushed to PartitionFilters: " + pf)
+      assert(res.count() == 10, "partitioned probe returned wrong k")
+      // probing only 2 of 8 cells must agree with the in-memory path
+      val mem = graft.operators.Similarity.searchIvf(index, probe, nprobe = 2, k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      val disk = res.collect().map(_.getLong(0)).toSeq
+      assert(disk == mem, s"partitioned search diverged: $disk vs $mem")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("v1: cosine similarity stays inside whole-stage codegen") {
     val df = SparkEntry.queries("v1_cosine_scan")(spark, TestSpark.sf)
     df.collect() // AQE only annotates codegen ids once THIS plan executes
