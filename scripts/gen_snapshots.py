@@ -22,7 +22,9 @@ QUERIES = [
     "d4_jaccard_verified",
     "m1_multimodal_features",
     "p1_chunk_index_build",
+    "s13_binary_decode",
     "t3_langid_agreement",
+    "t5_bpe_tokens",
     "v6_embedding_neardup",
 ]
 

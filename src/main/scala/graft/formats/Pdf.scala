@@ -1,0 +1,232 @@
+package graft.formats
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.{Deflater, Inflater}
+
+/** Minimal PDF text extraction (SURVEY §2.1 S13, §2.9 C1), JDK-only.
+  *
+  * The reference sends PDFs to a layout service
+  * (/root/reference/tools/doc_intelligence.py:88-198); the text layer the
+  * service reads is plain PDF content-stream operators, which need no
+  * third-party code for the common case:
+  *
+  *  - content streams are located by `stream`/`endstream` framing, with the
+  *    preceding object dictionary deciding `/FlateDecode` (inflated via
+  *    java.util.zip) vs raw bytes;
+  *  - text is the `Tj` / `'` / `TJ` show operators inside BT/ET blocks,
+  *    with `(…)` literals (escapes and balanced parens per spec §7.3.4.2),
+  *    `<…>` hex strings, and the Td, TD, T-star and Tm ops as line breaks.
+  *
+  * This covers PDFs from every common "save as PDF" generator and the
+  * hermetic [[writePdf]] fixtures; object-stream/encrypted documents are
+  * out of scope and yield empty text rather than an error.
+  */
+object Pdf {
+
+  /** Inflate a FlateDecode stream; None when the data is not valid zlib. */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        out.write(buf, 0, n)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** All decoded content streams of the document, in byte order. */
+  def contentStreams(pdf: Array[Byte]): Seq[Array[Byte]] = {
+    val s = new String(pdf, ISO_8859_1) // 1:1 byte↔char, offsets preserved
+    val out = Seq.newBuilder[Array[Byte]]
+    var from = 0
+    var keep = true
+    while (keep) {
+      val at = s.indexOf("stream", from)
+      if (at < 0) keep = false
+      else {
+        // the dict right before `stream` declares the filter; a real stream
+        // keyword is immediately preceded by its dict's `>>` (modulo EOL) —
+        // anything else is the keyword's bytes occurring inside binary data
+        val dictStart = s.lastIndexOf("<<", at)
+        val dictEnd = s.lastIndexOf(">>", at)
+        if (dictStart < 0 || dictEnd < dictStart ||
+            s.substring(dictEnd + 2, at).trim.nonEmpty) {
+          from = at + "stream".length
+        } else {
+          val dict = s.substring(dictStart, at)
+          // stream data starts after the keyword's EOL (CRLF or LF)
+          var dataStart = at + "stream".length
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+          // /Length is authoritative when present and consistent — stream
+          // data may itself contain the bytes "endstream" (e.g. text about
+          // PDFs), so a blind indexOf would truncate it
+          val declared = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
+            .map(m => dataStart + m.group(1).toInt)
+            .filter(e => e <= s.length &&
+              s.indexOf("endstream", e) >= 0 && s.indexOf("endstream", e) <= e + 2)
+          val end = declared.map(e => s.indexOf("endstream", e))
+            .getOrElse(s.indexOf("endstream", dataStart))
+          if (end < 0) keep = false
+          else {
+            var dataEnd = declared.getOrElse(end)
+            // trailing EOL before `endstream` is framing, not data
+            if (declared.isEmpty) {
+              if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+            }
+            val raw = java.util.Arrays.copyOfRange(pdf, dataStart, dataEnd)
+            if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
+            else if (!dict.contains("/Filter")) out += raw
+            // other filters (DCT images, …) are skipped, not errors
+            from = end + "endstream".length
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Parse one `(…)` literal starting at `i` (the open paren); returns
+    * (text, index after close). Handles \-escapes, octal codes and balanced
+    * nested parentheses (PDF 32000-1 §7.3.4.2).
+    */
+  private def parseLiteral(s: String, i: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var depth = 1
+    var j = i + 1
+    while (j < s.length && depth > 0) {
+      s.charAt(j) match {
+        case '\\' if j + 1 < s.length =>
+          s.charAt(j + 1) match {
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case 'b' => sb.append('\b'); j += 2
+            case 'f' => sb.append('\f'); j += 2
+            case '\n' => j += 2 // line continuation
+            case d if d >= '0' && d <= '7' =>
+              var k = j + 1
+              var code = 0
+              while (k < s.length && k < j + 4 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                code = code * 8 + (s.charAt(k) - '0'); k += 1
+              }
+              sb.append(code.toChar); j = k
+            case c => sb.append(c); j += 2
+          }
+        case '(' => depth += 1; sb.append('('); j += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb.append(')')
+          j += 1
+        case c => sb.append(c); j += 1
+      }
+    }
+    (sb.toString, j)
+  }
+
+  /** Extract the shown text of a decoded content stream. */
+  def streamText(content: Array[Byte]): String = {
+    val s = new String(content, ISO_8859_1)
+    val sb = new StringBuilder
+    var pendingBreak = false
+    def break(): Unit = { pendingBreak = sb.nonEmpty }
+    def emit(t: String): Unit = {
+      if (pendingBreak) { sb.append('\n'); pendingBreak = false }
+      sb.append(t)
+    }
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' =>
+          val (t, j) = parseLiteral(s, i)
+          emit(t)
+          i = j
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
+          i += 2 // dict opener inside the content stream, not a hex string
+        case '<' if i + 1 < s.length =>
+          val end = s.indexOf('>', i)
+          if (end < 0) i = s.length
+          else {
+            val hex = s.substring(i + 1, end).filterNot(_.isWhitespace)
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            emit(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
+            i = end + 1
+          }
+        case 'T' if i + 1 < s.length =>
+          // Td TD T* Tm reposition the cursor → treat as a line break
+          val op = s.charAt(i + 1)
+          if (op == 'd' || op == 'D' || op == '*' || op == 'm') break()
+          i += 2
+        case '\'' | '"' => break(); i += 1 // ' and " show-with-newline ops
+        case _ => i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Full text of a PDF payload: all content streams, in order. */
+  def extractText(pdf: Array[Byte]): String =
+    contentStreams(pdf).map(streamText).filter(_.nonEmpty).mkString("\n").trim
+
+  // ------------------------------------------------------------ fixture write
+
+  private def escapeLiteral(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Minimal single-page PDF with one text line per input string; content
+    * stream FlateDecode-compressed when `compress` (both paths exercise the
+    * reader). Offsets in the xref are correct, so external tools can read
+    * the fixtures too.
+    */
+  def writePdf(lines: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val content = ("BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${escapeLiteral(l)}) Tj").mkString(" 0 -14 Td ") +
+      " ET").getBytes(ISO_8859_1)
+    val (data, filter) =
+      if (compress) (deflate(content), " /Filter /FlateDecode") else (content, "")
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def obj(body: String): Unit = {
+      offsets += out.size()
+      w(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>")
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    offsets += out.size()
+    w(s"5 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** UTF-8 helper for callers chunking extracted text. */
+  def extractTextUtf8(pdf: Array[Byte]): Array[Byte] = extractText(pdf).getBytes(UTF_8)
+}

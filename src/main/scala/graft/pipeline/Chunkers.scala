@@ -18,6 +18,7 @@ object Chunkers {
   /** Pure dispatch: (text, ext) → ordered chunk list. Formats:
     * md → markdown-aware split; json → greedy JSON partitioner;
     * vtt → speaker-merged transcript then sentence split;
+    * xlsx → markdown-aware split (extraction renders markdown tables);
     * txt/csv/html/py/xml and unknown → recursive split (C7 default).
     */
   def chunkText(text: String, ext: String, p: SplitParams): Seq[String] = {
@@ -27,12 +28,31 @@ object Chunkers {
       case _ => text
     }
     ext match {
-      case "md" | "markdown" => TextSplitters.markdownSplit(ltext, p)
+      case "md" | "markdown" | "xlsx" => TextSplitters.markdownSplit(ltext, p)
       case "json" =>
         try JsonPartitioner.partition(ltext, p.maxTokens)
         catch { case _: Exception => TextSplitters.recursiveSplit(ltext, p) }
       case _ => TextSplitters.recursiveSplit(ltext, p)
     }
+  }
+
+  /** Binary formats whose payload is decoded structurally, not by charset. */
+  val binaryExts: Set[String] = Set("pdf", "docx", "xlsx")
+
+  /** S13: bytes → text by format. pdf/docx/xlsx decode their real binary
+    * containers (graft.formats); xlsx renders one markdown table per sheet
+    * (first row as header, spreadsheet_chunker.py:71-120 analog); anything
+    * else charset-detects (X7) and decodes.
+    */
+  def extractText(bytes: Array[Byte], ext: String): String = ext match {
+    case "pdf" => graft.formats.Pdf.extractText(bytes)
+    case "docx" => graft.formats.Ooxml.docxText(bytes)
+    case "xlsx" =>
+      graft.formats.Ooxml.readXlsx(bytes).filter(_.rows.nonEmpty).map { sh =>
+        val sheet = Spreadsheet.Sheet(sh.name, sh.rows.head, sh.rows.tail)
+        s"# ${sh.name}\n" + Spreadsheet.toMarkdown(sheet)
+      }.mkString("\n\n")
+    case _ => Charsets.decodeDetected(bytes)._1
   }
 
   /** Explode documents into chunk rows with sequence ids, running offsets and

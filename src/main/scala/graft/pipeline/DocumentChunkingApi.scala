@@ -43,14 +43,23 @@ object DocumentChunkingApi {
     if (documentUrl == null || documentUrl.isEmpty)
       return ChunkingResponse(Nil, Seq("documentUrl is required"), Nil)
 
-    // X7: detect the encoding before decoding (base_chunker.py:295-306) —
+    // S13: binary containers (pdf/docx/xlsx) decode structurally; text
+    // formats detect their encoding first (X7, base_chunker.py:295-306) —
     // BOM / UTF-8 validation / UTF-16 heuristic / windows-1252 fallback
-    val (text, charset) = graft.core.Charsets.decodeDetected(documentBytes)
-    if (text.trim.isEmpty)
+    val extSafe = if (ext == null) "txt" else ext
+    val (text, charset) =
+      if (Chunkers.binaryExts(extSafe))
+        (try Chunkers.extractText(documentBytes, extSafe) catch {
+          case e: Exception =>
+            return ChunkingResponse(Nil, Seq(s"$extSafe decode failed: ${e.getMessage}"), Nil)
+        }, "binary")
+      else graft.core.Charsets.decodeDetected(documentBytes)
+    if (text == null || text.trim.isEmpty)
       return ChunkingResponse(Nil, Seq("document decodes to empty text"), Nil)
 
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (charset != "UTF-8") warnings += s"decoded with detected charset $charset"
+    if (charset != "UTF-8" && charset != "binary")
+      warnings += s"decoded with detected charset $charset"
     val fileName = documentUrl.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(documentUrl)
     val title = TextKeys.titleFromFilename(fileName)
@@ -58,7 +67,7 @@ object DocumentChunkingApi {
     // truncate to the sink's byte cap BEFORE enrichment so token counts and
     // embeddings describe the content actually stored
     val pieces: Seq[(String, Int)] =
-      Chunkers.chunkText(text, if (ext == null) "txt" else ext, p)
+      Chunkers.chunkText(text, extSafe, p)
         .zipWithIndex.map { case (c0, i) =>
           if (c0.getBytes("UTF-8").length <= maxContentBytes) c0
           else {

@@ -136,6 +136,67 @@ object Multimodal {
       .withColumn("frame_checksum", col("_f._2"))
       .drop("_f")
 
+  /** Pixel bounding box of a page-unit polygon scaled into an imgW×imgH
+    * raster: the geometry step of the reference's figure extraction (the
+    * DocIntelligence service crops the figure PNG from the polygon's
+    * bounding region; multimodal_chunker.py:277-295 fetches the result).
+    * Clamped to the raster; returns (x0, y0, x1, y1), empty boxes allowed.
+    */
+  def pixelBBox(poly: Seq[Double], pageW: Double, pageH: Double,
+      imgW: Int, imgH: Int): (Int, Int, Int, Int) = {
+    if (poly.length < 4 || pageW <= 0 || pageH <= 0 || imgW <= 0 || imgH <= 0)
+      return (0, 0, 0, 0)
+    val xs = poly.indices.collect { case i if i % 2 == 0 => poly(i) }
+    val ys = poly.indices.collect { case i if i % 2 == 1 => poly(i) }
+    def clampX(v: Double) = math.max(0, math.min(imgW, math.round(v / pageW * imgW).toInt))
+    def clampY(v: Double) = math.max(0, math.min(imgH, math.round(v / pageH * imgH).toInt))
+    (clampX(xs.min), clampY(ys.min), clampX(xs.max), clampY(ys.max))
+  }
+
+  /** Crop the figure's pixel box out of the page payload: the page bytes are
+    * treated as the row-major imgW×imgH buffer [[decodeStub]] describes, and
+    * the crop copies exactly the rows/cols inside the polygon's bbox — a
+    * real raster crop with the codec swapped for modular addressing.
+    * Returns (crop_width, crop_height, bytes), empty for degenerate boxes.
+    */
+  def cropStub(pageBytes: Array[Byte], poly: Seq[Double],
+      pageW: Double, pageH: Double): (Int, Int, Array[Byte]) = {
+    if (pageBytes == null || pageBytes.isEmpty) return (0, 0, Array.emptyByteArray)
+    val (imgW, imgH, _, _) = decodeStub(pageBytes)
+    val (x0, y0, x1, y1) = pixelBBox(poly, pageW, pageH, imgW, imgH)
+    val cw = x1 - x0
+    val ch = y1 - y0
+    if (cw <= 0 || ch <= 0) return (0, 0, Array.emptyByteArray)
+    val out = new Array[Byte](cw * ch)
+    var y = 0
+    while (y < ch) {
+      var x = 0
+      while (x < cw) {
+        out(y * cw + x) = pageBytes(((y0 + y) * imgW + (x0 + x)) % pageBytes.length)
+        x += 1
+      }
+      y += 1
+    }
+    (cw, ch, out)
+  }
+
+  private val cropUdf = udf((b: Array[Byte], poly: Seq[Double], w: Double, h: Double) =>
+    cropStub(b, poly, w, h))
+
+  /** C2/K5: derive per-figure payloads from page payload + polygon geometry.
+    * Input needs (pageBin: binary, polygon, page_width, page_height);
+    * appends crop_width, crop_height, figure_bytes — the rows K5's
+    * [[writeFigureBlobs]] then writes as individual figure files, so the
+    * sink stores geometry-derived crops, never whole pages.
+    */
+  def withFigureCrops(df: DataFrame, pageBin: String): DataFrame =
+    df.withColumn("_c", cropUdf(col(pageBin), col("polygon"),
+        col("page_width"), col("page_height")))
+      .withColumn("crop_width", col("_c._1"))
+      .withColumn("crop_height", col("_c._2"))
+      .withColumn("figure_bytes", col("_c._3"))
+      .drop("_c")
+
   /** C2 caption stage: deterministic caption stub + the chunk⋈figure join
     * shape (J6): explode figure refs, enrich, re-aggregate per chunk.
     */

@@ -62,6 +62,48 @@ object Coverage5 {
         .orderBy($"name")
     }),
 
+    // S13: real binary-format decode — xlsx (zip + sheet XML + shared
+    // strings), docx (zip + document XML) and pdf (content streams, both
+    // FlateDecode and raw) are written as real container files by the
+    // format writers, read back via binaryFile, and decoded by the same
+    // extractText the chunking pipeline dispatches through. The snapshot
+    // oracle pins extraction output (length, line structure, head).
+    "s13_binary_decode" -> ((s, _) => {
+      import s.implicits._
+      val root = tmpRoot("graft-s13-formats")
+      val xlsx = graft.formats.Ooxml.writeXlsx(Seq(
+        graft.formats.Ooxml.XlsxSheet("Sales", Seq(
+          Seq("region", "amount"), Seq("east", "100"), Seq("west", "250.5"))),
+        graft.formats.Ooxml.XlsxSheet("Notes", Seq(
+          Seq("note"), Seq("quarterly <review> & outlook")))))
+      val docx = graft.formats.Ooxml.writeDocx(Seq(
+        "Heading paragraph", "Body with naïve café text", "Final & <closing>"))
+      val pdfZ = graft.formats.Pdf.writePdf(Seq(
+        "Quarterly results", "Revenue up 12% (estimate)"), compress = true)
+      val pdfR = graft.formats.Pdf.writePdf(Seq(
+        "raw stream \\ with (escapes)"), compress = false)
+      Seq(("table.xlsx", xlsx), ("notes.docx", docx),
+        ("report.pdf", pdfZ), ("memo.pdf", pdfR)).foreach { case (n, b) =>
+        val p = Paths.get(root, n)
+        val tmp = p.resolveSibling(n + ".tmp")
+        Files.write(tmp, b)
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val extract = udf((path: String, bytes: Array[Byte]) =>
+        graft.pipeline.Chunkers.extractText(bytes,
+          path.substring(path.lastIndexOf('.') + 1)))
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "{*.xlsx,*.docx,*.pdf}").load(root)
+        .select(element_at(split($"path", "/"), -1).as("name"),
+          extract($"path", $"content").as("text"))
+        .select($"name",
+          length($"text").cast("long").as("n_chars"),
+          (size(split($"text", "\n"))).cast("long").as("n_lines"),
+          element_at(split($"text", "\n"), 1).as("head"))
+        .orderBy($"name")
+    }),
+
     // S7: recursive folder walk with extension filter
     // (tools/sharepoint.py:54-120).
     "s7_recursive_walk" -> ((s, _) => {

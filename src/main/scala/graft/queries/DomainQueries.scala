@@ -80,17 +80,29 @@ object DomainQueries {
         .orderBy($"source")
     }),
 
-    // C2: multimodal binary columns → decode stub → features, per-source.
+    // C2: multimodal binary columns → decode stub → features → polygon
+    // bbox crop (the K5 figure payload), per-source. The crop dims derive
+    // from geometry scaled into the decoded raster, so the snapshot oracle
+    // pins the whole decode+crop arithmetic.
     "m1_multimodal_features" -> ((s, d) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val bin = load(s, d, "documents")
         .withColumn("payload", encode($"text", "UTF-8"))
-      val feat = Multimodal.withMediaFeatures(bin, "payload")
+        .withColumn("x0", ($"doc_id" % 10).cast("double"))
+        .withColumn("y0", ($"doc_id" % 7).cast("double"))
+        .withColumn("polygon", array($"x0", $"y0",
+          $"x0" + ($"doc_id" % 5 + 1), $"y0",
+          $"x0" + ($"doc_id" % 5 + 1), $"y0" + ($"doc_id" % 3 + 1),
+          $"x0", $"y0" + ($"doc_id" % 3 + 1)))
+        .withColumn("page_width", lit(20.0)).withColumn("page_height", lit(20.0))
+      val feat = Multimodal.withFigureCrops(
+        Multimodal.withMediaFeatures(bin, "payload"), "payload")
       feat.groupBy($"source")
         .agg(count(lit(1)).as("n"),
           round(avg(graft.functions.GraftFunctions.l2norm_f32($"media_features")), 2).as("avg_feat_norm"),
-          sum($"media_width").as("total_width"))
+          sum($"media_width").as("total_width"),
+          sum($"crop_width" * $"crop_height").as("total_crop_px"))
         .orderBy($"source")
     }),
 

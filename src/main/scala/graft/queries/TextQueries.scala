@@ -88,6 +88,22 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // X5 as REAL byte-level BPE: one distributed scan aggregates the
+    // pre-token vocabulary, merge learning runs on the driver over that
+    // small table, and the trained encoder counts tokens distributed.
+    // Deterministic (tie-broken training) → snapshot oracle; the BPE
+    // dynamics themselves are asserted in BpeSpec.
+    "t5_bpe_tokens" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val tok = graft.core.Bpe.trainOnCorpus(docs, "text", numMerges = 256)
+      val countU = udf((t: String) => tok.count(t))
+      docs.groupBy($"source")
+        .agg(sum(countU($"text")).cast("long").as("bpe_tokens"),
+          sum(octet_length(encode($"text", "UTF-8"))).cast("long").as("n_bytes"))
+        .orderBy($"source")
+    }),
+
     // Quality scoring heuristics (punctuation/stopword ratios).
     "t2_quality_scores" -> ((s, d) => {
       import s.implicits._

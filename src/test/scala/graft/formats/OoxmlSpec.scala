@@ -1,0 +1,75 @@
+package graft.formats
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real OOXML container decode (S13): zip + sheet XML + shared strings for
+  * xlsx, document XML paragraphs for docx. Round-trips through the fixture
+  * writers plus hand-built parts for the shapes the writer doesn't emit
+  * (inline strings, missing cell refs, rich-text runs).
+  */
+class OoxmlSpec extends AnyFunSuite {
+
+  test("xlsx round-trip: sheets, order, strings vs numbers, sparse cells") {
+    val sheets = Seq(
+      Ooxml.XlsxSheet("Sales", Seq(
+        Seq("region", "amount", "note"),
+        Seq("east", "100", "ok & fine"),
+        Seq("west", "250.5", "<quoted>"))),
+      Ooxml.XlsxSheet("Empty", Seq.empty),
+      Ooxml.XlsxSheet("Gaps", Seq(
+        Seq("a", "", "c")))) // empty middle cell → skipped by writer, padded by reader
+    val back = Ooxml.readXlsx(Ooxml.writeXlsx(sheets))
+    assert(back.map(_.name) == Seq("Sales", "Empty", "Gaps"))
+    assert(back.head.rows == sheets.head.rows)
+    assert(back(1).rows.isEmpty)
+    assert(back(2).rows == Seq(Seq("a", "", "c")))
+  }
+
+  test("xlsx cell references: column letters decode, gaps become empty cells") {
+    assert(Ooxml.columnIndex("A1") == 0)
+    assert(Ooxml.columnIndex("Z9") == 25)
+    assert(Ooxml.columnIndex("AA10") == 26)
+    assert(Ooxml.columnIndex("AB3") == 27)
+  }
+
+  test("xlsx inline strings and rich-text shared strings parse") {
+    // hand-built worksheet with an inlineStr cell and a rich-text <si>
+    // (multiple <r><t> runs) — shapes real producers emit that the fixture
+    // writer doesn't
+    val sst = """<?xml version="1.0"?>
+      |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1">
+      |<si><r><t>rich </t></r><r><t>text</t></r></si></sst>""".stripMargin
+    val ws = """<?xml version="1.0"?>
+      |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+      |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="inlineStr"><is><t>inline!</t></is></c></row>
+      |</sheetData></worksheet>""".stripMargin
+    val wb = """<?xml version="1.0"?>
+      |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+      |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    Seq("xl/workbook.xml" -> wb, "xl/sharedStrings.xml" -> sst,
+      "xl/worksheets/sheet1.xml" -> ws).foreach { case (n, c) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val back = Ooxml.readXlsx(bos.toByteArray)
+    // A1 = both rich runs concatenated, B1 missing → "", C1 inline
+    assert(back.head.rows == Seq(Seq("rich text", "", "inline!")))
+  }
+
+  test("docx round-trip: paragraphs, escapes, blank filtering") {
+    val paras = Seq("Heading", "Body with naïve café & <tags>", "", "tail")
+    val bytes = Ooxml.writeDocx(paras)
+    assert(Ooxml.readDocxParagraphs(bytes) == paras)
+    assert(Ooxml.docxText(bytes) == "Heading\nBody with naïve café & <tags>\ntail")
+  }
+
+  test("xlsx → chunking dispatch renders markdown tables per sheet") {
+    val bytes = Ooxml.writeXlsx(Seq(Ooxml.XlsxSheet("T",
+      Seq(Seq("h1", "h2"), Seq("v1", "v2")))))
+    val text = graft.pipeline.Chunkers.extractText(bytes, "xlsx")
+    assert(text == "# T\n| h1 | h2 |\n| --- | --- |\n| v1 | v2 |")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.formats
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Minimal PDF text extraction (S13): content-stream location, FlateDecode,
+  * literal/hex show operators, escape handling.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  test("round-trip: compressed and raw content streams extract the lines") {
+    val lines = Seq("Quarterly results", "Revenue up 12% (estimate)")
+    assert(Pdf.extractText(Pdf.writePdf(lines, compress = true)) == lines.mkString("\n"))
+    assert(Pdf.extractText(Pdf.writePdf(lines, compress = false)) == lines.mkString("\n"))
+  }
+
+  test("string escapes: parens, backslash, octal, line continuation") {
+    val tricky = Seq("""nested (parens) survive""", """back\slash and close)""")
+    assert(Pdf.extractText(Pdf.writePdf(tricky)) == tricky.mkString("\n"))
+    // hand-built stream with octal + continuation + hex string
+    val content = "BT (A\\101\\n) Tj (cont\\\ninued) Tj T* <48656C6C6F> Tj ET"
+      .getBytes("ISO-8859-1")
+    assert(Pdf.streamText(content) == "AA\n" + "continued\nHello")
+  }
+
+  test("streams with unknown filters are skipped, not errors") {
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length 3 /Filter /DCTDecode >>\n" +
+      "stream\n\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Length 20 >>\nstream\nBT (kept text) Tj ET\nendstream\nendobj\n")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf) == "kept text")
+  }
+
+  test("'stream' bytes inside binary data do not desync the scanner") {
+    // compressed payload engineered to contain the word "stream": the
+    // well-framed ">> stream" requirement must skip the false positive
+    val lines = Seq("x" * 40, "stream endstream stream", "tail line")
+    assert(Pdf.extractText(Pdf.writePdf(lines, compress = false)) == lines.mkString("\n"))
+  }
+
+  test("xref offsets are self-consistent (external readers can seek)") {
+    val pdf = new String(Pdf.writePdf(Seq("hi")), "ISO-8859-1")
+    val xrefAt = pdf.lastIndexOf("startxref")
+    val declared = pdf.substring(xrefAt).split("\n")(1).trim.toInt
+    assert(pdf.startsWith("xref", declared), "startxref must point at the xref table")
+    // each 20-byte entry must point at "N 0 obj"
+    val entries = pdf.substring(declared).split("\n").drop(3).takeWhile(_.endsWith(" n "))
+    entries.zipWithIndex.foreach { case (e, i) =>
+      val off = e.split(" ")(0).toInt
+      assert(pdf.startsWith(s"${i + 1} 0 obj", off), s"object ${i + 1} offset wrong")
+    }
+  }
+}

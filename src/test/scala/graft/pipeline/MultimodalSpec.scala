@@ -69,6 +69,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(exploded.select("frame_idx").collect().map(_.getInt(0)).toSeq == Seq(0, 2, 4, 6))
   }
 
+  test("polygon → pixel bbox → crop: dims derive from geometry (C2/K5)") {
+    // a 1000-byte page decodes to a 104x344 stub raster (64 + len%960 wide,
+    // 64 + len*7%960 tall)
+    val page = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val (imgW, imgH, _, _) = Multimodal.decodeStub(page)
+    assert((imgW, imgH) == (64 + 1000 % 960, 64 + 7000 % 960))
+    // polygon covering [2,6]x[3,5] inches of a 20x20-inch page scales to
+    // round(frac * raster): x 10..31, y 17..28
+    val poly = Seq(2.0, 3.0, 6.0, 3.0, 6.0, 5.0, 2.0, 5.0)
+    assert(Multimodal.pixelBBox(poly, 20, 20, imgW, imgH) ==
+      ((math.round(2.0 / 20 * imgW).toInt, math.round(3.0 / 20 * imgH).toInt,
+        math.round(6.0 / 20 * imgW).toInt, math.round(5.0 / 20 * imgH).toInt)))
+    val (cw, ch, bytes) = Multimodal.cropStub(page, poly, 20, 20)
+    assert(cw == math.round(6.0 / 20 * imgW).toInt - math.round(2.0 / 20 * imgW).toInt)
+    assert(ch == math.round(5.0 / 20 * imgH).toInt - math.round(3.0 / 20 * imgH).toInt)
+    assert(bytes.length == cw * ch)
+    // the crop is the row-major slice of the page buffer, not a prefix
+    val x0 = math.round(2.0 / 20 * imgW).toInt
+    val y0 = math.round(3.0 / 20 * imgH).toInt
+    assert(bytes(0) == page((y0 * imgW + x0) % page.length))
+    assert(bytes(cw) == page(((y0 + 1) * imgW + x0) % page.length)) // next row
+    // degenerate polygon → empty crop, never a whole-page payload
+    val deg = Multimodal.cropStub(page, Seq(5.0, 5.0, 5.0, 5.0), 20, 20)
+    assert(deg._1 == 0 && deg._2 == 0 && deg._3.isEmpty)
+    // DataFrame path: crop columns appear and K5 writes the crop, not the page
+    import spark.implicits._
+    val figs = Seq(("fig-9", page, poly)).toDF("figure_id", "payload", "polygon")
+      .withColumn("page_width", lit(20.0)).withColumn("page_height", lit(20.0))
+    val cropped = Multimodal.withFigureCrops(figs, "payload")
+    val row = cropped.select("crop_width", "crop_height", "figure_bytes").head()
+    assert(row.getInt(0) == cw && row.getInt(1) == ch)
+    assert(row.getAs[Array[Byte]](2).length == cw * ch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-crops").toString
+    Multimodal.writeFigureBlobs(cropped, "figure_bytes", "figure_id", dir)
+    val f = new java.io.File(dir, "fig-9.bin")
+    assert(f.exists() && f.length() == cw * ch, "K5 must store the geometry crop")
+  }
+
   test("caption stub + K5 figure blob side-output") {
     import spark.implicits._
     val figs = Seq(("fig-1", "payload-bytes")).toDF("figure_id", "text")
