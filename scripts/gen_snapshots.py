@@ -23,6 +23,8 @@ QUERIES = [
     "m1_multimodal_features",
     "p1_chunk_index_build",
     "s13_binary_decode",
+    "s6_drive_fetch",
+    "s8_config_scan",
     "t3_langid_agreement",
     "t5_bpe_tokens",
     "v6_embedding_neardup",

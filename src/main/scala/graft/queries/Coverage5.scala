@@ -120,6 +120,36 @@ object Coverage5 {
         .agg(count(lit(1)).as("n_files"), sum($"length").as("total_bytes"))
     }),
 
+    // S6: drive-item resolve + download — one client per partition, 429
+    // throttling retried through the shared Retry envelope on every row,
+    // 404-ing items dropped (sharepoint_graph_client.py:127-175).
+    "s6_drive_fetch" -> ((s, _) => {
+      import s.implicits._
+      val items = (0 until 20).map { i =>
+        ("site" + (i % 2), "c", "it" + i + (if (i % 5 == 0) "gone" else ""))
+      }.toDF("site_id", "collection_id", "item_id")
+      val fetched = graft.sources.DriveItems.fetchDriveItems(items,
+        () => new graft.sources.DriveItems.SyntheticDriveClient(throttleFirst = 2))
+      fetched.groupBy($"site_id")
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(octet_length($"content")).as("total_bytes"))
+        .orderBy($"site_id")
+    }),
+
+    // S8: config-container scan — schema-less job-config JSON normalized
+    // with the reference's duck-typed defaults (tools/cosmosdb.py:21-37,
+    // blob_storage_indexer.py:93-102).
+    "s8_config_scan" -> ((s, _) => {
+      import s.implicits._
+      val root = tmpRoot("graft-s8-config")
+      writeFile(root, "jobA.json",
+        """{"id":"jobA","batch_size":100,"input_is_base64":"yes","blob_prefix":"in/"}""")
+      writeFile(root, "jobB.json", """{"id":"jobB","max_concurrency":16}""")
+      writeFile(root, "jobC.json", """{"id":"jobC"}""")
+      graft.sources.ConfigScan.loadJobConfigs(s, s"$root/*.json")
+        .orderBy($"id")
+    }),
+
     // S12: jobs-log scan — schema-on-read JSON over run summaries
     // (api/admin.py:106-180).
     "s12_log_scan" -> ((s, _) => {
