@@ -173,9 +173,11 @@ object Pdf {
     sb.toString
   }
 
-  /** Full text of a PDF payload: all content streams, in order. */
+  /** Full text of a PDF payload: all content streams, in order. Whitespace
+    * is preserved exactly as shown — trimming is the caller's policy.
+    */
   def extractText(pdf: Array[Byte]): String =
-    contentStreams(pdf).map(streamText).filter(_.nonEmpty).mkString("\n").trim
+    contentStreams(pdf).map(streamText).filter(_.nonEmpty).mkString("\n")
 
   // ------------------------------------------------------------ fixture write
 
@@ -194,8 +196,9 @@ object Pdf {
 
   /** Minimal single-page PDF with one text line per input string; content
     * stream FlateDecode-compressed when `compress` (both paths exercise the
-    * reader). Offsets in the xref are correct, so external tools can read
-    * the fixtures too.
+    * reader). Text is written in the Latin-1 range (the PDF simple-font
+    * encoding); offsets in the xref are correct, so external tools can
+    * read the fixtures too.
     */
   def writePdf(lines: Seq[String], compress: Boolean = true): Array[Byte] = {
     val content = ("BT /F1 12 Tf 72 720 Td " +

@@ -56,38 +56,9 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Array[(Int, Array[Float])], assignments: DataFrame)
 
-  def buildIvf(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 3): IvfIndex = {
-    val data = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    var centroids: Array[(Int, Array[Float])] = data
-      .orderBy(col("id")).limit(nCells).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-
-    for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf((v: Seq[Float]) => {
-        val cs = bc.value
-        var best = 0; var bestD = Double.MaxValue
-        for ((ci, c) <- cs) {
-          var d = 0.0; var i = 0
-          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
-          if (d < bestD) { bestD = d; best = ci }
-        }
-        best
-      })
-      val assigned = data.withColumn("cell", assignUdf(col("vec")))
-      // new centroid = elementwise mean: posexplode + groupBy(cell, pos) avg
-      val means = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("c"))
-        .collect()
-      centroids = means.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    }
+  private def assignUdf(spark: SparkSession, centroids: Array[(Int, Array[Float])]) = {
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf((v: Seq[Float]) => {
+    udf((v: Seq[Float]) => {
       val cs = bc.value
       var best = 0; var bestD = Double.MaxValue
       for ((ci, c) <- cs) {
@@ -97,7 +68,36 @@ object Similarity {
       }
       best
     })
-    IvfIndex(centroids, data.withColumn("cell", assignUdf(col("vec"))))
+  }
+
+  def buildIvf(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 3): IvfIndex = {
+    // ONE source scan: every k-means iteration and the final assignment
+    // re-read the checkpointed blocks, never the parquet (at scale the
+    // source scan dominates an iteration; blocks are freed when dropped)
+    val data = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true)
+    var centroids: Array[(Int, Array[Float])] = data
+      .orderBy(col("id")).limit(nCells).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+    for (_ <- 1 to iters) {
+      val assigned = data.withColumn("cell", assignUdf(spark, centroids)(col("vec")))
+      // new centroid = elementwise mean. ONE partial-agg shuffle of
+      // (nCells × dim) sums; the tiny result assembles on the driver —
+      // no second shuffle, no per-cell array re-sort
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val dim = means.iterator.map(_.getInt(1)).max + 1
+      centroids = means.groupBy(_.getInt(0)).toArray.map { case (cell, rows) =>
+        val c = new Array[Float](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+        (cell, c)
+      }.sortBy(_._1)
+    }
+    IvfIndex(centroids, data.withColumn("cell", assignUdf(spark, centroids)(col("vec"))))
   }
 
   /** The nprobe cells whose centroids are closest to the probe vector. */

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.core.{Bpe, BpeTokenizer, Charsets}
+import graft.formats.{Ooxml, Pdf}
+
+/** Property-based invariants for the round-4 surface: charset detection,
+  * the binary container round-trips, and BPE losslessness — arbitrary
+  * inputs the fixed gate fixtures cannot cover.
+  */
+class FormatsPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](ga: Gen[A])(body: A => Unit): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100),
+      Prop.forAllNoShrink(ga) { a => body(a); true })
+    assert(res.passed, res.status.toString)
+  }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(1, 80)
+    chars <- Gen.listOfN(n, Gen.frequency(
+      (20, Gen.alphaNumChar),
+      (5, Gen.const(' ')),
+      (2, Gen.oneOf('é', 'ü', 'ß', '日', '本', 'ø')),
+      (2, Gen.oneOf('.', ',', '!', '-', '(', ')', '\\'))))
+  } yield chars.mkString
+
+  test("charset: any detected decode of UTF-8 text round-trips") {
+    forAll(textGen) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val (decoded, cs) = Charsets.decodeDetected(bytes)
+      assert(decoded == s, s"[$cs] mangled $s")
+    }
+  }
+
+  test("charset: detect never throws on arbitrary bytes and always decodes") {
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)) { b =>
+      val (decoded, cs) = Charsets.decodeDetected(b)
+      assert(decoded != null && cs.nonEmpty)
+    }
+  }
+
+  test("pdf: arbitrary text lines survive write → extract, both filters") {
+    // writePdf emits simple-font Latin-1 text — constrain the alphabet
+    val lineGen = textGen.map(_.replace("\r", " ").replace("\n", " ")
+      .map(c => if (c > 0xFF) 'x' else c))
+    forAll(Gen.nonEmptyListOf(lineGen).map(_.take(8))) { lines =>
+      val trimmed = lines // writer emits one Td-separated line each
+      for (compress <- Seq(true, false)) {
+        val got = Pdf.extractText(Pdf.writePdf(trimmed, compress))
+        assert(got == trimmed.mkString("\n"), s"compress=$compress")
+      }
+    }
+  }
+
+  test("docx: arbitrary paragraphs survive write → read") {
+    val para = textGen.map(_.replace("\r", " ").replace("\n", " ").replace("\t", " "))
+    forAll(Gen.nonEmptyListOf(para).map(_.take(10))) { paras =>
+      assert(Ooxml.readDocxParagraphs(Ooxml.writeDocx(paras)) == paras)
+    }
+  }
+
+  test("xlsx: arbitrary cell grids survive write → read modulo trailing blanks") {
+    val cell = Gen.frequency(
+      (6, textGen.map(_.take(12))),
+      (2, Gen.choose(-9999, 9999).map(_.toString)),
+      (1, Gen.const("")))
+    val row = Gen.listOfN(4, cell)
+    forAll(Gen.nonEmptyListOf(row).map(_.take(6))) { rows =>
+      val sheet = Ooxml.XlsxSheet("P", rows.map(_.toSeq))
+      val back = Ooxml.readXlsx(Ooxml.writeXlsx(Seq(sheet))).head.rows
+      assert(back.length == rows.length)
+      back.zip(rows).foreach { case (got, want) =>
+        // the writer omits empty cells; the reader pads interior gaps but
+        // cannot know about trailing blanks — compare right-trimmed
+        val wantTrim = want.reverse.dropWhile(_.isEmpty).reverse
+        assert(got == wantTrim, s"want=$want got=$got")
+      }
+    }
+  }
+
+  test("bpe: encoding is lossless for any trained table and any input") {
+    val corpusCounts = Seq("the quick brown fox", "lazy dogs sleep all day")
+      .flatMap(Bpe.preTokens).groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val tok = new BpeTokenizer(Bpe.train(corpusCounts, 40))
+    forAll(textGen) { s =>
+      val toks = tok.tokens(s)
+      if (s.nonEmpty) {
+        val bytes = toks.map(_.getBytes("ISO-8859-1")).foldLeft(Array.empty[Byte])(_ ++ _)
+        assert(new String(bytes, "UTF-8") == s, s"lossy: $s")
+        assert(tok.count(s) == toks.length)
+      }
+    }
+  }
+}
