@@ -89,13 +89,20 @@ object Bpe {
   }
 
   /** ONE distributed pass: pre-token frequencies over a text column (the
-    * only corpus-sized work in training; the result is vocabulary-sized).
+    * only corpus-sized work in training). The collect is bounded twice
+    * over: `minCount` drops the long tail and `maxVocab` caps the result
+    * at the most frequent entries (TakeOrderedAndProject — no global
+    * sort), so driver memory stays fixed no matter the corpus size.
+    * Deterministic: ties break on the token itself.
     */
-  def wordCounts(df: DataFrame, textCol: String, minCount: Long = 2L): Seq[(String, Long)] = {
+  def wordCounts(df: DataFrame, textCol: String, minCount: Long = 2L,
+      maxVocab: Int = 100000): Seq[(String, Long)] = {
     val pre = F.udf((s: String) => preTokens(s))
     df.select(F.explode(pre(F.col(textCol))).as("pre"))
       .groupBy(F.col("pre")).agg(F.count(F.lit(1)).as("n"))
       .filter(F.col("n") >= minCount)
+      .orderBy(F.col("n").desc, F.col("pre"))
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
