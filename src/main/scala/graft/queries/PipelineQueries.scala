@@ -72,6 +72,29 @@ object PipelineQueries {
       Sessions.gapSessionStats(load(s, d, "events"), gapSeconds = 1800)
     }),
 
+    // §2.11: event-time TUMBLING window aggregation (batch form of the
+    // streaming windowed agg; window() is the same expression either way).
+    "st3_tumbling_window" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select(unix_timestamp($"window.start").as("w_start"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"w_start", $"event_type")
+    }),
+
+    // §2.11: event-time SLIDING window aggregation (2 h windows every 1 h —
+    // each event lands in two windows; the oracle enumerates both starts).
+    "st4_sliding_window" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "events")
+        .groupBy(window($"ts", "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .select(unix_timestamp($"window.start").as("w_start"), $"n", $"n_users")
+        .orderBy($"w_start")
+    }),
+
     // Full chunk+embed index build (flagship §7.2) — per-source summary with
     // vector sanity (avg L2 norm ≈ 1.0 for the hashing embedder). Rows-only.
     "p1_chunk_index_build" -> ((s, d) => {
@@ -115,6 +138,20 @@ object PipelineQueries {
       """SELECT source, count(*) AS n_ok, max(n_chars) AS max_chars
         |FROM documents WHERE n_chars * 4.0 <= 1600.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st3_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st4_sliding_window" ->
+      """WITH assigned AS (
+        | SELECT e.user_id, u.s AS w_start
+        | FROM events e,
+        |  unnest([floor(epoch(ts)/3600)*3600 - 3600,
+        |          floor(epoch(ts)/3600)*3600]) u(s)
+        | WHERE epoch(ts) >= u.s AND epoch(ts) < u.s + 7200)
+        |SELECT CAST(w_start AS BIGINT) AS w_start, count(*) AS n,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
     "st1_gap_sessions" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id, value,

@@ -148,6 +148,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("m1: the crop UDF evaluates once per row despite three field reads") {
+    // withFigureCrops projects _c._1/_2/_3 from one UDF result; CollapseProject
+    // must not inline the non-cheap UDF into three evaluation sites
+    val p = plan("m1_multimodal_features")
+    val n = "UDF".r.findAllIn(p).length
+    // decode stub + crop + l2norm appear; crop specifically must not triple
+    assert(n <= 4, s"UDF evaluated at $n sites — projection collapse duplicated a stub:\n" +
+      p.take(2000))
+  }
+
   test("v1: cosine similarity stays inside whole-stage codegen") {
     val df = SparkEntry.queries("v1_cosine_scan")(spark, TestSpark.sf)
     df.collect() // AQE only annotates codegen ids once THIS plan executes
