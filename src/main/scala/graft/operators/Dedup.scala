@@ -237,10 +237,11 @@ object Dedup {
         if ((Hashing.hash64(s"$p:$i") & 1L) == 1L) 1.0f else -1.0f)))
 
   /** All b per-band sign sketches of one vector: band `bd` is the r bits
-    * from hyperplanes [bd·r, (bd+1)·r). Shared by the row-level sketch UDF
-    * and the in-bucket owner check so the two can never disagree.
+    * from hyperplanes [bd·r, (bd+1)·r). Shared by the row-level sketch UDF,
+    * the in-bucket owner check and [[Similarity.lshSearch]] probing so they
+    * can never disagree.
     */
-  private def bandSketches(v: Array[Float], bands: Int, rowsPerBand: Int): Array[Long] = {
+  private[operators] def bandSketches(v: Array[Float], bands: Int, rowsPerBand: Int): Array[Long] = {
     val signs = planeSigns(bands * rowsPerBand, v.length)
     Array.tabulate(bands) { bd =>
       var bits = 0L

@@ -120,6 +120,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH-bucketed ANN (the brief's second scale path next to IVF): the
+    * corpus explodes into the same b×r random-hyperplane band buckets the
+    * near-dup operator uses ([[Dedup.bandSketches]] — one shared kernel, so
+    * search and dedup can never disagree), the probe hashes to its b bucket
+    * keys on the driver, and ONLY rows sharing a bucket with the probe are
+    * cosine-reranked. Collision probability per band is (1−θ/π)^r, across
+    * bands 1−(1−(1−θ/π)^r)^b — near neighbors collide with high
+    * probability, the bulk of the corpus never reaches the rerank. At
+    * 100 TB the exploded (band, bits) table is precomputed once and
+    * bucket-pruned at scan time (same layout discipline as [[writeIvf]]);
+    * here it derives in one scan.
+    */
+  def lshSearch(corpus: DataFrame, idCol: String, vecCol: String,
+      probe: Array[Float], k: Int, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val probeKeys = Dedup.bandSketches(probe, bands, rowsPerBand)
+      .zipWithIndex.map { case (bits, bd) => bd.toLong * (1L << 32) + bits }.toSet
+    val sketchAll = udf((v: Seq[Float]) =>
+      Dedup.bandSketches(v.toArray, bands, rowsPerBand))
+    val keyed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(sketchAll(col(vecCol))).as(Seq("band", "bits")))
+      .withColumn("bkey", col("band").cast("long") * (1L << 32) + col("bits"))
+    keyed
+      .filter(col("bkey").isInCollection(probeKeys))
+      .select(col("id"), col("vec")).dropDuplicates("id")
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), typedLit(probe)))
+      .select(col("id"), col("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Persist the index with the assignments PARTITIONED BY CELL — the layout
     * that makes probing at 100 TB a partition-pruned scan: a search touches
     * only nprobe/nCells of the corpus files, enforced at scan planning time

@@ -101,6 +101,23 @@ object VectorQueries {
         .orderBy($"probe_id", $"rank")
     }),
 
+    // LSH-bucketed ANN vs brute force: recall@10 floor (the second scale
+    // path next to IVF; rows sharing a band bucket with the probe are the
+    // only candidates reranked).
+    "v9_lsh_ann_recall" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val approx = Similarity.lshSearch(emb, "vec_id", "embedding", probe, k = 10)
+        .select($"id".as("vec_id"))
+      // measured 9/10 at the gate SF; the floor catches a recall collapse
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 7).as("recall_ok"))
+    }),
+
     // Embedding-cosine near-duplicate pairs via banded hyperplane LSH,
     // pinned by a snapshot VALUES oracle (the sketch is deterministic).
     // The recall properties themselves are asserted against an all-pairs
@@ -119,6 +136,7 @@ object VectorQueries {
     // the IVF recall floor is an invariant, not a value the oracle can
     // derive — but the boolean gate makes a recall collapse fail loudly
     "v5_ann_ivf_recall" -> "SELECT true AS recall_ok",
+    "v9_lsh_ann_recall" -> "SELECT true AS recall_ok",
     "v1_cosine_scan" ->
       s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a, embeddings b WHERE a.vec_id = 0
