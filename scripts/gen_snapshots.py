@@ -46,7 +46,9 @@ def lit(v, dtype):
         return "'" + str(v).replace("'", "''") + "'"
     if dtype == "bool":
         return "true" if v else "false"
-    return repr(v if dtype == "float64" else int(v))
+    # coerce numpy scalars to python before repr (numpy>=2 reprs as
+    # np.float64(…), which would corrupt the SQL)
+    return repr(float(v) if dtype == "float64" else int(v))
 
 
 def values_sql(df):
@@ -59,8 +61,9 @@ def values_sql(df):
         cells = [f"CAST({lit(v, d)} AS {SQL_TYPE[d]})" for v, d in zip(t, dtypes)]
         rows.append(" (" + ", ".join(cells) + ")")
     cols = ", ".join(df.columns)
+    order = ", ".join(df.columns[:2])
     return ("SELECT * FROM (VALUES\n" + ",\n".join(rows) +
-            f"\n) AS t({cols}) ORDER BY {df.columns[0]}, {df.columns[1]}")
+            f"\n) AS t({cols}) ORDER BY {order}")
 
 
 def main(out_dir):

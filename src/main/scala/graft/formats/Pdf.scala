@@ -33,7 +33,9 @@ object Pdf {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return None // truncated
+        // 0 without finishing ⇔ truncated input or an FDICT preset-dictionary
+        // stream — bail instead of spinning forever
+        if (n == 0 && !inf.finished()) return None
         out.write(buf, 0, n)
       }
       Some(out.toByteArray)
@@ -162,10 +164,13 @@ object Pdf {
             i = end + 1
           }
         case 'T' if i + 1 < s.length =>
-          // Td TD T* Tm reposition the cursor → treat as a line break
+          // Td TD T* Tm reposition the cursor → treat as a line break.
+          // Only consume the second char when it is part of the operator —
+          // "BT(Hi)" has '(' right after the T and must not be swallowed
           val op = s.charAt(i + 1)
-          if (op == 'd' || op == 'D' || op == '*' || op == 'm') break()
-          i += 2
+          if (op == 'd' || op == 'D' || op == '*' || op == 'm') { break(); i += 2 }
+          else if (op.isLetter) i += 2
+          else i += 1
         case '\'' | '"' => break(); i += 1 // ' and " show-with-newline ops
         case _ => i += 1
       }

@@ -264,7 +264,7 @@ object Dedup {
     * first colliding band with a normal-size bucket) — the same cross-band
     * dedup rule as [[minhashBucketPairs]].
     */
-  private def cosineBucketPairs(minCosine: Double, bands: Int, rowsPerBand: Int,
+  private def cosineBucketPairs(minCosine: Double, bands: Int,
       maxFullExpand: Int, hotBuckets: Set[(Int, Long)]) =
     udf((band: Int, members: Seq[org.apache.spark.sql.Row]) => {
       val n = members.length
@@ -336,7 +336,7 @@ object Dedup {
       .select(col("band"), col("bits")).collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSet
     buckets
-      .select(explode(cosineBucketPairs(minCosine, bands, rowsPerBand, maxBucketSize, hot)(
+      .select(explode(cosineBucketPairs(minCosine, bands, maxBucketSize, hot)(
         col("band"), col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         round(col("p._3"), 4).as("cos"))

@@ -90,12 +90,15 @@ object Similarity {
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
-      val dim = means.iterator.map(_.getInt(1)).max + 1
-      centroids = means.groupBy(_.getInt(0)).toArray.map { case (cell, rows) =>
-        val c = new Array[Float](dim)
-        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
-        (cell, c)
-      }.sortBy(_._1)
+      // empty corpus / all-null vectors → keep the previous centroids
+      if (means.nonEmpty) {
+        val dim = means.iterator.map(_.getInt(1)).max + 1
+        centroids = means.groupBy(_.getInt(0)).toArray.map { case (cell, rows) =>
+          val c = new Array[Float](dim)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+          (cell, c)
+        }.sortBy(_._1)
+      }
     }
     IvfIndex(centroids, data.withColumn("cell", assignUdf(spark, centroids)(col("vec"))))
   }

@@ -46,7 +46,9 @@ object DocumentChunkingApi {
     // S13: binary containers (pdf/docx/xlsx) decode structurally; text
     // formats detect their encoding first (X7, base_chunker.py:295-306) —
     // BOM / UTF-8 validation / UTF-16 heuristic / windows-1252 fallback
-    val extSafe = if (ext == null) "txt" else ext
+    // extensions are case-insensitive everywhere downstream ("Report.PDF"
+    // must hit the structural decoder, not the charset path)
+    val extSafe = if (ext == null) "txt" else ext.toLowerCase
     val (text, charset) =
       if (Chunkers.binaryExts(extSafe))
         (try Chunkers.extractText(documentBytes, extSafe) catch {

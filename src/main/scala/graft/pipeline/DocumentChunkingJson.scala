@@ -88,8 +88,8 @@ object DocumentChunkingJson {
     val url = data.get("documentUrl").asText
     val contentType = data.get("documentContentType").asText
     val fileName = url.split('/').filter(_.nonEmpty).lastOption.getOrElse(url)
-    val ext = contentTypeExt.getOrElse(contentType,
-      fileName.split('.').drop(1).lastOption.getOrElse("txt"))
+    val ext = contentTypeExt.getOrElse(contentType.toLowerCase,
+      fileName.split('.').drop(1).lastOption.getOrElse("txt")).toLowerCase
 
     val response =
       try {

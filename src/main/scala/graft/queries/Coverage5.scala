@@ -25,26 +25,36 @@ import java.nio.file.{Files, Paths}
 object Coverage5 {
   type Q = (SparkSession, String) => DataFrame
 
-  // pid-scoped so concurrent JVMs never share a dir; within a JVM the
-  // fixtures are written idempotently (atomic per-file replace, never a
-  // recursive wipe) — a suite re-invoking a query while another suite's
-  // returned DataFrame still scans the same path sees either the old or the
-  // new byte-identical file, never a missing one.
-  private def tmpRoot(sub: String): String = {
+  // pid-scoped so concurrent JVMs never share a dir. The FIRST use of a
+  // sub-dir in this JVM wipes it (stale files from an older fixture layout
+  // on a pid-reusing machine must not leak into glob scans); every later
+  // use only replaces files atomically — a suite re-invoking a query while
+  // another suite's returned DataFrame still scans the same path sees
+  // either the old or the new byte-identical file, never a missing one.
+  private val initializedRoots = scala.collection.mutable.HashSet.empty[String]
+  private def tmpRoot(sub: String): String = synchronized {
     val p = Paths.get(System.getProperty("java.io.tmpdir"),
       s"$sub-${ProcessHandle.current().pid()}")
+    if (initializedRoots.add(p.toString) && Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
     Files.createDirectories(p)
     p.toString
   }
 
-  private def writeFile(root: String, rel: String, body: String): Unit = synchronized {
+  private def writeBytes(root: String, rel: String, body: Array[Byte]): Unit = synchronized {
     val p = Paths.get(root, rel)
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    Files.writeString(tmp, body)
+    Files.write(tmp, body)
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def writeFile(root: String, rel: String, body: String): Unit =
+    writeBytes(root, rel, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   val queries: Map[String, Q] = Map(
     // S1/S2: container scan via binaryFile — names, sizes, full bytes; the
@@ -84,11 +94,7 @@ object Coverage5 {
         "raw stream \\ with (escapes)"), compress = false)
       Seq(("table.xlsx", xlsx), ("notes.docx", docx),
         ("report.pdf", pdfZ), ("memo.pdf", pdfR)).foreach { case (n, b) =>
-        val p = Paths.get(root, n)
-        val tmp = p.resolveSibling(n + ".tmp")
-        Files.write(tmp, b)
-        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        writeBytes(root, n, b)
       }
       val extract = udf((path: String, bytes: Array[Byte]) =>
         graft.pipeline.Chunkers.extractText(bytes,

@@ -22,6 +22,21 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.streamText(content) == "AA\n" + "continued\nHello")
   }
 
+  test("compact streams: literal or hex immediately after an operator") {
+    // no whitespace between BT/Tj and the string opener — common in
+    // minimal generators; the operator skip must not swallow the '(' / '<'
+    assert(Pdf.streamText("BT(Hi) Tj ET".getBytes("ISO-8859-1")) == "Hi")
+    assert(Pdf.streamText("BT<4869>Tj ET".getBytes("ISO-8859-1")) == "Hi")
+  }
+
+  test("a FlateDecode stream demanding a preset dictionary is skipped, not a hang") {
+    // zlib header 0x78 0xBB has FDICT set; Inflater stalls needing the dict
+    val data = Array[Byte](0x78.toByte, 0xBB.toByte, 1, 2, 3, 4, 5, 6)
+    val pdf = (s"1 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n"
+      .getBytes("ISO-8859-1") ++ data ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    assert(Pdf.extractText(pdf) == "")
+  }
+
   test("streams with unknown filters are skipped, not errors") {
     val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length 3 /Filter /DCTDecode >>\n" +
       "stream\n\nendstream\nendobj\n" +
