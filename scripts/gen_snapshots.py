@@ -20,6 +20,7 @@ QUERIES = [
     "d2_minhash_pairs",
     "d3_simhash_pairs",
     "d4_jaccard_verified",
+    "d8_neardup_survivors",
     "m1_multimodal_features",
     "p1_chunk_index_build",
     "s13_binary_decode",

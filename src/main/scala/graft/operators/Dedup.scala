@@ -213,6 +213,58 @@ object Dedup {
 
   private val jaccardUdf = udf((a: String, b: String) => Hashing.ngramJaccard(a, b))
 
+  /** Connected components over near-dup candidate pairs by distributed
+    * min-label propagation: every row starts labeled with its own id, and
+    * each round every node adopts the minimum label in its neighborhood
+    * (including itself). Labels only ever decrease, so a fixpoint is
+    * reached in O(diameter) ≤ O(log n) rounds for near-dup clusters
+    * (which are small and dense); convergence is detected by a changed-row
+    * count, and every round's label table is localCheckpoint'ed so the
+    * lineage (and thus the plan) stays flat instead of growing per round.
+    * Returns (id, cluster) with cluster = min id of the component —
+    * the deterministic "keeper" rule every dedup operator here uses.
+    */
+  def nearDupClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // min label among neighbors, then min with own label
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .filter(col("cluster") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: MinHash-LSH candidates → exact
+    * n-gram Jaccard verify → connected components → keep ONE row per
+    * cluster (the min id). The composition a training-data pipeline runs;
+    * every stage is the bucketed/bounded shape documented above.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      candidateThreshold: Double = 0.5, jaccardThreshold: Double = 0.6): DataFrame = {
+    val cand = minhashNearDupPairs(df, idCol, textCol, candidateThreshold)
+    val verified = verifyJaccard(cand, df, idCol, textCol, jaccardThreshold)
+    val clusters = nearDupClusters(df.select(col(idCol)), verified)
+    df.join(clusters.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard verification of candidate pairs: joins the texts
     * back (broadcast when small) and computes the true similarity.
     */

@@ -169,6 +169,20 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // End-to-end near-dup REMOVAL: LSH candidates → Jaccard verify →
+    // connected components (distributed min-label propagation) → keep the
+    // min-id representative per cluster. Snapshot-pinned per source.
+    "d8_neardup_survivors" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docs = load(s, d, "documents")
+      val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        candidateThreshold = 0.3, jaccardThreshold = 0.4)
+      docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy($"source").agg(count(lit(1)).as("n_survivors")), Seq("source"))
+        .orderBy($"source")
+    }),
+
     // LSH candidates verified by exact n-gram Jaccard (rows-only).
     "d4_jaccard_verified" -> ((s, d) => {
       import s.implicits._

@@ -12,7 +12,7 @@ class JsonPartitionerSpec extends AnyFunSuite {
     */
   private def leaves(json: String): Seq[String] = {
     def walk(n: com.fasterxml.jackson.databind.JsonNode, path: String): Seq[String] =
-      if (n.isObject) n.fields().asScala.toSeq.flatMap(e => walk(e.getValue, path + "." + e.getKey))
+      if (n.isObject) n.properties().asScala.toSeq.flatMap(e => walk(e.getValue, path + "." + e.getKey))
       else if (n.isArray) n.elements().asScala.toSeq.flatMap(e => walk(e, path + "[]"))
       else Seq(path + "=" + n.asText())
     walk(mapper.readTree(json), "$")

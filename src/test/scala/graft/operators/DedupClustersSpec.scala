@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Connected-components dedup: distributed min-label propagation vs a
+  * driver-side union-find reference, and the end-to-end survivor rule.
+  */
+class DedupClustersSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("label propagation crosses a long chain (diameter > 1 round)") {
+    val ids = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("distributed clusters equal driver-side union-find on the real corpus") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+    val verified = Dedup.verifyJaccard(cand, docs, "doc_id", "text", threshold = 0.4)
+      .select($"id_a", $"id_b")
+    val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain verified near-dups for this test")
+
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = docs.select($"doc_id")
+    val got = Dedup.nearDupClusters(ids, verified).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, cluster) =>
+      assert(cluster == find(id), s"doc $id: got $cluster want ${find(id)}")
+    }
+  }
+
+  test("dropNearDuplicates keeps exactly one representative per cluster") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      candidateThreshold = 0.3, jaccardThreshold = 0.4)
+    val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+    val verified = Dedup.verifyJaccard(cand, docs, "doc_id", "text", threshold = 0.4)
+    val clusters = Dedup.nearDupClusters(docs.select($"doc_id"), verified)
+    val nClusters = clusters.select($"cluster").distinct().count()
+    assert(kept.count() == nClusters, "one survivor per component (incl. singletons)")
+    // survivors are exactly the min-id representatives
+    val keptIds = kept.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val reps = clusters.filter($"id" === $"cluster").collect().map(_.getLong(0)).toSet
+    assert(keptIds == reps)
+  }
+}
