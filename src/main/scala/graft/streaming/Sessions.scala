@@ -123,6 +123,23 @@ object Sessions {
       }
   }
 
+  /** Watermarked tumbling-window counts in APPEND mode (SURVEY §2.11
+    * watermark semantics, sharpest form): a window emits exactly once,
+    * only after the watermark passes its end, and events arriving later
+    * than the watermark are DROPPED before aggregation — bounded state by
+    * construction. Input (user_id, ts_ms); output one row per finalized
+    * window.
+    */
+  def tumblingWindowCounts(events: Dataset[(Long, Long)],
+      windowDur: String = "1 minute", watermarkDelay: String = "10 seconds"): DataFrame = {
+    events.toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"), col("n"))
+  }
+
   /** Structured Streaming variant: watermarked session_window aggregation.
     * Reads the events parquet as a stream (Trigger.AvailableNow analog for
     * tests via processAllAvailable) and counts events per (user, session).

@@ -90,4 +90,35 @@ class SessionsSpec extends AnyFunSuite {
       .filter($"n" > $"ne").count()
     assert(bad == 0)
   }
+
+  test("watermarked tumbling window: append emits once, late data is dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Sessions.tumblingWindowCounts(input.toDS(),
+      windowDur = "1 minute", watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_tumbling").start()
+    def rows(): Map[Long, Long] = spark.table("graft_tumbling").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // batch 1: two events in window [0,60s), one at 120s pushing the
+      // watermark to 110s — processAllAvailable runs the follow-up batch
+      // that finalizes [0,60s); the open [120s,180s) window must NOT emit
+      input.addData((1L, 10000L), (2L, 20000L), (1L, 120000L))
+      q.processAllAvailable()
+      assert(rows() == Map(0L -> 2L), "only the watermark-passed window may emit: " + rows())
+
+      // batch 2: a late event at 30s (< watermark 110s) MUST be dropped —
+      // the already-finalized [0,60s) row cannot change or re-emit
+      input.addData((3L, 30000L), (2L, 130000L))
+      q.processAllAvailable()
+      assert(rows() == Map(0L -> 2L), "late event leaked into a closed window: " + rows())
+
+      // advance far: [120s,180s) finalizes with events 120s + 130s
+      input.addData((1L, 400000L))
+      q.processAllAvailable()
+      assert(rows() == Map(0L -> 2L, 120000L -> 2L))
+    } finally q.stop()
+  }
 }
