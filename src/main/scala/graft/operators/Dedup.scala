@@ -265,6 +265,18 @@ object Dedup {
         .select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Embedding-space variant of [[dropNearDuplicates]]: banded hyperplane
+    * LSH candidates (exact-cosine-verified inline) → connected components →
+    * min-id representative per cluster.
+    */
+  def dropEmbeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, minCosine, bands, rowsPerBand)
+    val clusters = nearDupClusters(df.select(col(idCol)), pairs)
+    df.join(clusters.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard verification of candidate pairs: joins the texts
     * back (broadcast when small) and computes the true similarity.
     */

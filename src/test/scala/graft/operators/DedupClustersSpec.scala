@@ -44,6 +44,17 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding-space removal keeps one representative per cosine cluster") {
+    val emb = graft.Tables.load(spark, graft.TestSpark.sf, "embeddings")
+    val kept = Dedup.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding",
+      minCosine = 0.4, bands = 8, rowsPerBand = 4)
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, bands = 8, rowsPerBand = 4)
+    val clusters = Dedup.nearDupClusters(emb.select($"vec_id"), pairs)
+    assert(kept.count() == clusters.select($"cluster").distinct().count())
+    assert(kept.count() < emb.count(), "threshold 0.4 must merge something on this corpus")
+  }
+
   test("dropNearDuplicates keeps exactly one representative per cluster") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
