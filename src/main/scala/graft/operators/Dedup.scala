@@ -217,12 +217,15 @@ object Dedup {
     * min-label propagation: every row starts labeled with its own id, and
     * each round every node adopts the minimum label in its neighborhood
     * (including itself). Labels only ever decrease, so a fixpoint is
-    * reached in O(diameter) ≤ O(log n) rounds for near-dup clusters
-    * (which are small and dense); convergence is detected by a changed-row
-    * count, and every round's label table is localCheckpoint'ed so the
-    * lineage (and thus the plan) stays flat instead of growing per round.
-    * Returns (id, cluster) with cluster = min id of the component —
-    * the deterministic "keeper" rule every dedup operator here uses.
+    * reached in O(component diameter) rounds — near-dup clusters are small
+    * and dense, so a handful in practice; convergence is detected by a
+    * changed-row count, and every round's label table is localCheckpoint'ed
+    * so the lineage (and thus the plan) stays flat instead of growing per
+    * round. Exhausting `maxRounds` without converging THROWS rather than
+    * silently returning split clusters (under-dedup with no diagnostic is
+    * the worst failure mode a dedup operator can have). Returns
+    * (id, cluster) with cluster = min id of the component — the
+    * deterministic "keeper" rule every dedup operator here uses.
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -248,8 +251,20 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxRounds rounds — " +
+          "a component with diameter > maxRounds exists; raise maxRounds")
     labels
   }
+
+  /** One row per component: the min-id representative (shared keeper rule
+    * of both removal operators).
+    */
+  private def keepRepresentatives(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame =
+    df.join(clusters.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
 
   /** End-to-end near-duplicate removal: MinHash-LSH candidates → exact
     * n-gram Jaccard verify → connected components → keep ONE row per
@@ -260,9 +275,7 @@ object Dedup {
       candidateThreshold: Double = 0.5, jaccardThreshold: Double = 0.6): DataFrame = {
     val cand = minhashNearDupPairs(df, idCol, textCol, candidateThreshold)
     val verified = verifyJaccard(cand, df, idCol, textCol, jaccardThreshold)
-    val clusters = nearDupClusters(df.select(col(idCol)), verified)
-    df.join(clusters.filter(col("id") === col("cluster"))
-        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    keepRepresentatives(df, idCol, nearDupClusters(df.select(col(idCol)), verified))
   }
 
   /** Embedding-space variant of [[dropNearDuplicates]]: banded hyperplane
@@ -272,9 +285,7 @@ object Dedup {
   def dropEmbeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
     val pairs = embeddingNearDupPairs(df, idCol, vecCol, minCosine, bands, rowsPerBand)
-    val clusters = nearDupClusters(df.select(col(idCol)), pairs)
-    df.join(clusters.filter(col("id") === col("cluster"))
-        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    keepRepresentatives(df, idCol, nearDupClusters(df.select(col(idCol)), pairs))
   }
 
   /** Exact n-gram Jaccard verification of candidate pairs: joins the texts

@@ -21,8 +21,16 @@ object Chunkers {
     * xlsx → markdown-aware split (extraction renders markdown tables);
     * txt/csv/html/py/xml and unknown → recursive split (C7 default).
     */
-  def chunkText(text: String, ext: String, p: SplitParams): Seq[String] = {
+  /** Locale-independent lowercase — dispatch on "Report.MD" or a Turkish
+    * default locale must behave identically to "report.md". Normalized
+    * HERE, once, so every caller (Generator, API, queries) agrees.
+    */
+  private def normExt(ext: String): String =
+    if (ext == null) "txt" else ext.toLowerCase(java.util.Locale.ROOT)
+
+  def chunkText(text: String, rawExt: String, p: SplitParams): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
+    val ext = normExt(rawExt)
     val ltext = ext match {
       case "vtt" => Vtt.toTranscript(text)
       case _ => text
@@ -44,7 +52,7 @@ object Chunkers {
     * (first row as header, spreadsheet_chunker.py:71-120 analog); anything
     * else charset-detects (X7) and decodes.
     */
-  def extractText(bytes: Array[Byte], ext: String): String = ext match {
+  def extractText(bytes: Array[Byte], rawExt: String): String = normExt(rawExt) match {
     case "pdf" => graft.formats.Pdf.extractText(bytes)
     case "docx" => graft.formats.Ooxml.docxText(bytes)
     case "xlsx" =>

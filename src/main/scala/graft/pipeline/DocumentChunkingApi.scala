@@ -47,8 +47,9 @@ object DocumentChunkingApi {
     // formats detect their encoding first (X7, base_chunker.py:295-306) —
     // BOM / UTF-8 validation / UTF-16 heuristic / windows-1252 fallback
     // extensions are case-insensitive everywhere downstream ("Report.PDF"
-    // must hit the structural decoder, not the charset path)
-    val extSafe = if (ext == null) "txt" else ext.toLowerCase
+    // must hit the structural decoder, not the charset path); ROOT locale
+    // so a Turkish-locale JVM lowercases identically
+    val extSafe = if (ext == null) "txt" else ext.toLowerCase(java.util.Locale.ROOT)
     val (text, charset) =
       if (Chunkers.binaryExts(extSafe))
         (try Chunkers.extractText(documentBytes, extSafe) catch {

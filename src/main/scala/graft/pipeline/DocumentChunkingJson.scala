@@ -88,8 +88,10 @@ object DocumentChunkingJson {
     val url = data.get("documentUrl").asText
     val contentType = data.get("documentContentType").asText
     val fileName = url.split('/').filter(_.nonEmpty).lastOption.getOrElse(url)
-    val ext = contentTypeExt.getOrElse(contentType.toLowerCase,
-      fileName.split('.').drop(1).lastOption.getOrElse("txt")).toLowerCase
+    val ext = contentTypeExt.getOrElse(
+      contentType.toLowerCase(java.util.Locale.ROOT),
+      fileName.split('.').drop(1).lastOption.getOrElse("txt"))
+      .toLowerCase(java.util.Locale.ROOT)
 
     val response =
       try {

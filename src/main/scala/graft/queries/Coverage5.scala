@@ -37,8 +37,10 @@ object Coverage5 {
       s"$sub-${ProcessHandle.current().pid()}")
     if (initializedRoots.add(p.toString) && Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
     }
     Files.createDirectories(p)
     p.toString

@@ -178,8 +178,12 @@ object TextQueries {
       val docs = load(s, d, "documents")
       val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
         candidateThreshold = 0.3, jaccardThreshold = 0.4)
+      // left join: a source whose every doc clusters under lower-id docs
+      // elsewhere must still report, with zero survivors
       docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-        .join(kept.groupBy($"source").agg(count(lit(1)).as("n_survivors")), Seq("source"))
+        .join(kept.groupBy($"source").agg(count(lit(1)).as("n_survivors")),
+          Seq("source"), "left")
+        .select($"source", $"n_docs", coalesce($"n_survivors", lit(0L)).as("n_survivors"))
         .orderBy($"source")
     }),
 
