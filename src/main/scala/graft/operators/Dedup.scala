@@ -217,15 +217,17 @@ object Dedup {
     * min-label propagation: every row starts labeled with its own id, and
     * each round every node adopts the minimum label in its neighborhood
     * (including itself). Labels only ever decrease, so a fixpoint is
-    * reached in O(component diameter) rounds — near-dup clusters are small
-    * and dense, so a handful in practice; convergence is detected by a
-    * changed-row count, and every round's label table is localCheckpoint'ed
-    * so the lineage (and thus the plan) stays flat instead of growing per
-    * round. Exhausting `maxRounds` without converging THROWS rather than
-    * silently returning split clusters (under-dedup with no diagnostic is
-    * the worst failure mode a dedup operator can have). Returns
-    * (id, cluster) with cluster = min id of the component — the
-    * deterministic "keeper" rule every dedup operator here uses.
+    * followed by a pointer-jumping shortcut (cluster ← cluster's cluster,
+    * halving label-path lengths), so convergence is O(log n) rounds even on
+    * long chains — not O(diameter) as plain propagation would be.
+    * Convergence is detected by a changed-row count, and every round's
+    * label table is localCheckpoint'ed so the lineage (and thus the plan)
+    * stays flat instead of growing per round. Exhausting `maxRounds`
+    * without converging THROWS rather than silently returning split
+    * clusters (under-dedup with no diagnostic is the worst failure mode a
+    * dedup operator can have). Returns (id, cluster) with cluster = min id
+    * of the component — the deterministic "keeper" rule every dedup
+    * operator here uses.
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -241,9 +243,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val relaxed = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // pointer jumping: adopt the label OF the current label (labels cover
+      // every id, so the self-join is total); b.cluster ≤ b.id = a.cluster
+      // keeps labels monotone while halving chain lengths each round
+      val next = relaxed.as("a")
+        .join(relaxed.as("b"), col("a.cluster") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
         .filter(col("cluster") =!= col("prev")).count()

@@ -18,6 +18,14 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("pointer jumping converges a 60-node chain in O(log n) rounds") {
+    // plain one-hop propagation would need ~60 rounds; relax+jump needs ~7
+    val ids = (1L to 60L).toDF("id")
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(ids, pairs, maxRounds = 10).collect()
+    assert(got.forall(_.getLong(1) == 1L), "entire chain must label to the min id")
+  }
+
   test("distributed clusters equal driver-side union-find on the real corpus") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
     val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.3)
