@@ -116,6 +116,49 @@ object IncrementalIndexer {
       purgedParents, chunksWritten, finalIndex.count())
   }
 
+  /** Post-purge consistency check (blob_storage_indexer.py:1761-1830): a
+    * bounded re-scan of the index asserting the purged parents actually
+    * vanished. Where the reference polls an eventually-consistent search
+    * service with retries and a skip cap, a parquet re-read is immediately
+    * consistent — ONE anti-join answers the question. Returns the ids of
+    * parents still present though absent from the current source listing.
+    */
+  def leakedParents(spark: SparkSession, indexDir: String,
+      currentParents: DataFrame): Array[Long] =
+    spark.read.parquet(indexDir).select(col("parent_id")).distinct()
+      .join(currentParents.select(col(currentParents.columns.head).as("parent_id")),
+        Seq("parent_id"), "left_anti")
+      .collect().map(_.getLong(0))
+
+  /** Run-summary log sink with retention (api/admin.py:202-228 semantics:
+    * one JSON blob per run under `runs/`, keep the newest `maxRunFiles`,
+    * delete the oldest beyond it). File timestamps order retention like the
+    * reference's blob last_modified; ties break on name for determinism.
+    */
+  def writeRunLog(summary: RunSummary, logDir: String, maxRunFiles: Int = 500): Unit = {
+    val dir = java.nio.file.Paths.get(logDir, "runs")
+    java.nio.file.Files.createDirectories(dir)
+    val json =
+      s"""{"runId":"${summary.runId}","sourceDocs":${summary.sourceDocs},
+         |"processed":${summary.processed},"skippedNoChange":${summary.skippedNoChange},
+         |"skippedBlocked":${summary.skippedBlocked},"purgedParents":${summary.purgedParents},
+         |"chunksWritten":${summary.chunksWritten},"indexSize":${summary.indexSize}}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(dir.resolve(s"${summary.runId}.json"), json)
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(dir)
+    val all =
+      try listing.iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq
+        .map(p => (p, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .sortBy { case (p, t) => (t, p.getFileName.toString) }
+      finally listing.close()
+    if (all.length > maxRunFiles)
+      all.take(all.length - maxRunFiles).foreach { case (p, _) =>
+        java.nio.file.Files.deleteIfExists(p)
+      }
+  }
+
   /** Manual block/unblock (the admin endpoint analog, api/admin.py:363-400). */
   def setBlocked(spark: SparkSession, stateDir: String, parentId: Long,
       blocked: Boolean): Unit = {

@@ -110,4 +110,44 @@ class IncrementalIndexerSpec extends AnyFunSuite {
     assert(calls.value == r2.chunksWritten,
       s"incremental run embedded ${calls.value} texts for ${r2.chunksWritten} chunks")
   }
+
+  test("post-purge consistency check: leaked parents surface, clean runs are empty") {
+    val (indexDir, stateDir) = tmp()
+    IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "r1")
+    // all parents present → no leaks
+    import spark.implicits._
+    val current = base.keys.toSeq.toDF("parent_id")
+    assert(IncrementalIndexer.leakedParents(spark, indexDir, current).isEmpty)
+    // pretend doc 3 was removed from the source WITHOUT a purge run —
+    // the consistency check must name it
+    val shrunk = Seq(1L, 2L).toDF("parent_id")
+    assert(IncrementalIndexer.leakedParents(spark, indexDir, shrunk).toSeq == Seq(3L))
+    // after a real incremental run over the shrunk listing, the purge
+    // happens and the check is clean again (blob_storage_indexer.py:1761+)
+    IncrementalIndexer.runOnce(spark, docs(base - 3L), indexDir, stateDir, "r2")
+    assert(IncrementalIndexer.leakedParents(spark, indexDir, shrunk).isEmpty)
+  }
+
+  test("run log retention keeps the newest maxRunFiles summaries (admin.py:202-228)") {
+    val dir = Files.createTempDirectory("graft-runlog").toString
+    def summary(i: Int) = IncrementalIndexer.RunSummary(
+      f"run$i%03d", 3, 3, 0, 0, 0, 10, 10)
+    (1 to 7).foreach { i =>
+      IncrementalIndexer.writeRunLog(summary(i), dir, maxRunFiles = 5)
+      // distinct mtimes so retention order is unambiguous
+      val f = java.nio.file.Paths.get(dir, "runs", f"run$i%03d.json")
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
+    val kept = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "runs"))
+    import scala.jdk.CollectionConverters._
+    val names = try kept.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally kept.close()
+    assert(names == Seq("run003.json", "run004.json", "run005.json",
+      "run006.json", "run007.json"))
+    // the surviving payloads are the reference's run-summary JSON (S12 scans them)
+    val one = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "runs", "run007.json"))
+    assert(one.contains("\"runId\":\"run007\"") && one.contains("\"chunksWritten\":10"))
+  }
 }
