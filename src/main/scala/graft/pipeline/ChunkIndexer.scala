@@ -40,10 +40,14 @@ object ChunkIndexer {
 
   /** Batched embedding inside partitions: one embedder per task, iterator in /
     * iterator out (the E1/E3 service shape — a remote client with retry and
-    * rate limits drops in without changing the plan).
+    * rate limits drops in without changing the plan). The embed INPUT is
+    * token-capped like the reference's `max_embed_tokens`
+    * (tools/aoai.py:39: 8192) — the stored content is untouched, only the
+    * text sent to the embedding service is truncated; splitter-produced
+    * chunks are far below the cap, so the count short-circuits.
     */
   def embedChunks(chunks: DataFrame, textCol: String, embedder: Embedder,
-      batchSize: Int = 256): DataFrame = {
+      batchSize: Int = 256, maxEmbedTokens: Int = 8192): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(chunks.schema.fields :+
@@ -54,7 +58,8 @@ object ChunkIndexer {
       // batch the service calls (mirrors the reference's 500-doc batches,
       // jobs/blob_storage_indexer.py:1220-1257) — one embedder per task
       rows.grouped(batchSize).flatMap { batch =>
-        val vecs = embedder.embedBatch(batch.iterator.map(_.getString(idx))).toSeq
+        val vecs = embedder.embedBatch(batch.iterator.map(r =>
+          graft.core.TextKeys.truncateToTokens(r.getString(idx), maxEmbedTokens))).toSeq
         batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
       }
     }(enc)

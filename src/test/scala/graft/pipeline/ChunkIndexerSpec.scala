@@ -76,4 +76,29 @@ class ChunkIndexerSpec extends AnyFunSuite {
     assert(diff == 0)
     assert(index1.count() == index2.count())
   }
+
+  test("embed input is capped at maxEmbedTokens; stored content is untouched") {
+    import spark.implicits._
+    // record what the service was asked to embed via an accumulator
+    // (the embedder closure is serialized into the task)
+    val sentTokens = spark.sparkContext.collectionAccumulator[Int]("sentTokens")
+    val spy = new graft.services.Embedder {
+      override def dim: Int = 4
+      override def embedBatch(texts: Iterator[String]): Iterator[Array[Float]] =
+        texts.map { t =>
+          sentTokens.add(graft.core.RegexTokenizer.count(t))
+          Array.fill(4)(0.5f)
+        }
+    }
+    val long = ("tok " * 50).trim // 50 tokens
+    val chunks = Seq((1L, long)).toDF("doc_id", "content").coalesce(1)
+    val out = ChunkIndexer.embedChunks(chunks, "content", spy, maxEmbedTokens = 8)
+    val row = out.collect().head
+    // stored content keeps every token; the service saw at most 8
+    assert(row.getString(1) == long)
+    import scala.jdk.CollectionConverters._
+    val sent = sentTokens.value.asScala.toSeq
+    assert(sent.nonEmpty && sent.forall(_ <= 8),
+      s"embed input exceeded the cap: $sent")
+  }
 }
