@@ -8,7 +8,9 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = sys.env.getOrElse("SPARK_GRAFT_PROBE",
-      "q02_filtered_revenue,q05_regional_revenue,j5_dim_join_revenue,v2_knn_top10,w7_topk_orders")
+      "q02_filtered_revenue,q05_regional_revenue,j5_dim_join_revenue,v2_knn_top10," +
+        "w7_topk_orders,v8_topk_multiprobe,d2_minhash_pairs,d8_neardup_survivors," +
+        "v9_lsh_ann_recall,s13_binary_decode")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")
