@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ChunkDocument, CosineSimF32, DotProductF32, L2NormF32}
+import graft.functions.{ChunkDocument, CosineSimF32, DotProductF32, L2NormF32, TokenCount}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions —
   * the vector kernels and the `chunk_document` generator — first-class SQL
@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // chunk_document(text, ext, maxTokens, overlap, minTokens): chunk rows
     ext.injectFunction((FunctionIdentifier("chunk_document"), info("chunk_document"),
       (es: Seq[Expression]) => ChunkDocument(es)))
+    // graft_token_count(text): codegen'd hot-path tokenizer count
+    ext.injectFunction((FunctionIdentifier("graft_token_count"), info("graft_token_count"),
+      (es: Seq[Expression]) => TokenCount(es(0))))
   }
 }

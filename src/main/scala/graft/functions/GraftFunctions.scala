@@ -23,6 +23,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("l2norm_f32", es => L2NormF32(es(0)), "scala_udf")
     // one-to-many chunking as a native Generator (LATERAL VIEW-able)
     reg.createOrReplaceTempFunction("chunk_document", es => ChunkDocument(es), "scala_udf")
+    // hot-path: runs per chunk in every chunking pipeline → codegen'd
+    reg.createOrReplaceTempFunction("graft_token_count", es => TokenCount(es(0)), "scala_udf")
 
     // Domain scalar/generator functions as UDFs (SURVEY §2.12).
     spark.udf.register("graft_title", (s: String) => TextKeys.titleFromFilename(s))
@@ -31,7 +33,6 @@ object GraftFunctions {
       (url: String, id: Int) => TextKeys.stableChunkKey(url, id))
     spark.udf.register("graft_utf8_truncate",
       (s: String, maxBytes: Int) => TextKeys.utf8SafeTruncate(s, maxBytes))
-    spark.udf.register("graft_token_count", (s: String) => RegexTokenizer.count(s))
     spark.udf.register("graft_fingerprint", (s: String) => TextKeys.rollingFingerprint(s))
     spark.udf.register("graft_split_recursive",
       (s: String, maxTokens: Int, overlap: Int) =>

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Native token_count expression: agreement with the tokenizer and plan
+  * placement (it replaced a hot-path UDF).
+  */
+class TextExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  test("token_count agrees with RegexTokenizer, including null and empty") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val samples = Seq(
+      Some("hello, world!"), Some(""), Some("a b  c\nd"), None,
+      Some("多语言 text with 123 numbers…"))
+    val df = samples.toDF("text")
+      .select($"text", GraftFunctions.token_count($"text").as("n"))
+    df.collect().zip(samples).foreach { case (row, s) =>
+      s match {
+        case Some(t) => assert(row.getInt(1) == graft.core.RegexTokenizer.count(t), t)
+        case None => assert(row.isNullAt(1), "null text must yield null count")
+      }
+    }
+  }
+
+  test("token_count stays inside whole-stage codegen (no UDF wrapper)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // range source so constant folding can't collapse the projection
+    val df = spark.range(4)
+      .select(concat(lit("word "), $"id").as("text"))
+      .select(GraftFunctions.token_count($"text").as("n"))
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("UDF"), "token_count regressed to a UDF:\n" + p.take(1000))
+    assert(p.contains("codegen id"), p.take(1000))
+  }
+}
