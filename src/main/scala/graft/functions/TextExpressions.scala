@@ -15,9 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * WholeStageCodegen.
   */
 object TextKernels {
-  /** Count without materializing tokens; UTF8String converts lazily. */
+  /** Count without materializing tokens. Null never reaches here —
+    * [[TokenCount]] has SQL-standard null-in/null-out semantics (NOTE: the
+    * pre-promotion UDF returned 0 for null text; no gate table has null
+    * text, but new callers should expect the standard behavior).
+    */
   def tokenCount(s: UTF8String): Int =
-    if (s == null) 0 else graft.core.RegexTokenizer.count(s.toString)
+    graft.core.RegexTokenizer.count(s.toString)
 }
 
 case class TokenCount(child: Expression) extends UnaryExpression {

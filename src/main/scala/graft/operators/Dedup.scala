@@ -215,11 +215,10 @@ object Dedup {
 
   /** Connected components over near-dup candidate pairs by distributed
     * min-label propagation: every row starts labeled with its own id, and
-    * each round every node adopts the minimum label in its neighborhood
-    * (including itself). Labels only ever decrease, so a fixpoint is
-    * followed by a pointer-jumping shortcut (cluster ← cluster's cluster,
-    * halving label-path lengths), so convergence is O(log n) rounds even on
-    * long chains — not O(diameter) as plain propagation would be.
+    * each round relaxes labels over the edges and then applies a
+    * pointer-jumping shortcut (cluster ← cluster's cluster, halving
+    * label-path lengths), so convergence is O(log n) rounds even on long
+    * chains — not O(diameter) as plain propagation would be.
     * Convergence is detected by a changed-row count, and every round's
     * label table is localCheckpoint'ed so the lineage (and thus the plan)
     * stays flat instead of growing per round. Exhausting `maxRounds`
@@ -243,9 +242,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
+      // materialized: both sides of the jump self-join below read it, and
+      // they shuffle on different keys so exchange reuse can't dedup them
       val relaxed = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
       // pointer jumping: adopt the label OF the current label (labels cover
       // every id, so the self-join is total); b.cluster ≤ b.id = a.cluster
       // keeps labels monotone while halving chain lengths each round
@@ -261,8 +263,8 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxRounds rounds — " +
-          "a component with diameter > maxRounds exists; raise maxRounds")
+        s"nearDupClusters did not converge in $maxRounds relax+jump rounds " +
+          "(handles component diameters up to ~2^maxRounds); raise maxRounds")
     labels
   }
 

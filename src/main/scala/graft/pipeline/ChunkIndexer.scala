@@ -42,12 +42,15 @@ object ChunkIndexer {
     * iterator out (the E1/E3 service shape — a remote client with retry and
     * rate limits drops in without changing the plan). The embed INPUT is
     * token-capped like the reference's `max_embed_tokens`
-    * (tools/aoai.py:39: 8192) — the stored content is untouched, only the
-    * text sent to the embedding service is truncated; splitter-produced
-    * chunks are far below the cap, so the count short-circuits.
+    * (tools/aoai.py:39) — the stored content is untouched, only the text
+    * sent to the embedding service is truncated. The cap defaults to THE
+    * EMBEDDER'S OWN `maxTokens`, so a client with a smaller window is
+    * honored automatically and the wrapper can never disagree with the
+    * service seam.
     */
   def embedChunks(chunks: DataFrame, textCol: String, embedder: Embedder,
-      batchSize: Int = 256, maxEmbedTokens: Int = 8192): DataFrame = {
+      batchSize: Int = 256, maxEmbedTokens: Int = -1): DataFrame = {
+    val cap = if (maxEmbedTokens > 0) maxEmbedTokens else embedder.maxTokens
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(chunks.schema.fields :+
@@ -59,7 +62,7 @@ object ChunkIndexer {
       // jobs/blob_storage_indexer.py:1220-1257) — one embedder per task
       rows.grouped(batchSize).flatMap { batch =>
         val vecs = embedder.embedBatch(batch.iterator.map(r =>
-          graft.core.TextKeys.truncateToTokens(r.getString(idx), maxEmbedTokens))).toSeq
+          graft.core.TextKeys.truncateToTokens(r.getString(idx), cap))).toSeq
         batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
       }
     }(enc)

@@ -124,11 +124,15 @@ object IncrementalIndexer {
     * parents still present though absent from the current source listing.
     */
   def leakedParents(spark: SparkSession, indexDir: String,
-      currentParents: DataFrame): Array[Long] =
+      currentParents: DataFrame): Array[Long] = {
+    // a not-yet-created index trivially has no leaks (same missing-table
+    // tolerance as readOr above)
+    if (!new java.io.File(indexDir).exists()) return Array.empty
     spark.read.parquet(indexDir).select(col("parent_id")).distinct()
       .join(currentParents.select(col(currentParents.columns.head).as("parent_id")),
         Seq("parent_id"), "left_anti")
       .collect().map(_.getLong(0))
+  }
 
   /** Run-summary log sink with retention (api/admin.py:202-228 semantics:
     * one JSON blob per run under `runs/`, keep the newest `maxRunFiles`,
@@ -138,13 +142,26 @@ object IncrementalIndexer {
   def writeRunLog(summary: RunSummary, logDir: String, maxRunFiles: Int = 500): Unit = {
     val dir = java.nio.file.Paths.get(logDir, "runs")
     java.nio.file.Files.createDirectories(dir)
+    // runId is caller-supplied: JSON-escape it in the payload and slug it
+    // for the file name so a quote can't corrupt the S12 scan and a '/'
+    // can't write outside the retention directory
+    val jsonId = summary.runId.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val fileId = graft.core.TextKeys.sanitizeKey(summary.runId) match {
+      case "" => "run"
+      case s => s
+    }
     val json =
-      s"""{"runId":"${summary.runId}","sourceDocs":${summary.sourceDocs},
+      s"""{"runId":"$jsonId","sourceDocs":${summary.sourceDocs},
          |"processed":${summary.processed},"skippedNoChange":${summary.skippedNoChange},
          |"skippedBlocked":${summary.skippedBlocked},"purgedParents":${summary.purgedParents},
          |"chunksWritten":${summary.chunksWritten},"indexSize":${summary.indexSize}}"""
         .stripMargin.replace("\n", "")
-    java.nio.file.Files.writeString(dir.resolve(s"${summary.runId}.json"), json)
+    java.nio.file.Files.writeString(dir.resolve(s"$fileId.json"), json)
     import scala.jdk.CollectionConverters._
     val listing = java.nio.file.Files.list(dir)
     val all =
