@@ -69,4 +69,28 @@ class BpeSpec extends AnyFunSuite {
     assert(tok.merges.nonEmpty && tok.merges.length <= 60)
     assert(tok.count("the quick brown fox") <= 4)
   }
+
+  test("the trained BPE drives the splitter budget (reference X5→C7 link)") {
+    // the reference counts chunk budgets in real BPE tokens; the tokenizer
+    // seam makes the trained table a drop-in for the splitter
+    val tok = new BpeTokenizer(Bpe.train(counts.filter(_._2 >= 2).toSeq, 120))
+    // out-of-vocabulary text: every word decomposes into byte-level
+    // subwords, so it genuinely COSTS more budget than its word count —
+    // the tiktoken dynamic the regex approximation cannot show
+    val text = ("zyzzyva qoph wug snark jabberwock frumious bandersnatch. " * 30).trim
+    val p = SplitParams(maxTokens = 16, overlapTokens = 0, minChunkTokens = 1,
+      tokenizer = tok)
+    val chunks = TextSplitters.recursiveSplit(text, p)
+    assert(chunks.nonEmpty)
+    chunks.foreach(c => assert(tok.count(c) <= 16, s"over budget in BPE tokens: $c"))
+    val regexChunks = TextSplitters.recursiveSplit(text,
+      SplitParams(maxTokens = 16, overlapTokens = 0, minChunkTokens = 1))
+    assert(chunks.length > regexChunks.length,
+      s"unseen words must decompose: bpe=${chunks.length} regex=${regexChunks.length}")
+    // while in-vocabulary text costs the same budget either way
+    val seen = ("the quick brown fox jumps over the lazy dog. " * 10).trim
+    assert(TextSplitters.recursiveSplit(seen, p).length ==
+      TextSplitters.recursiveSplit(seen,
+        SplitParams(maxTokens = 16, overlapTokens = 0, minChunkTokens = 1)).length)
+  }
 }
