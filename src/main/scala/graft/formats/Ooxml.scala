@@ -216,6 +216,67 @@ object Ooxml {
   def docxText(bytes: Array[Byte]): String =
     readDocxParagraphs(bytes).filter(_.nonEmpty).mkString("\n")
 
+  // ---------------------------------------------------------------- pptx read
+
+  /** Decode a pptx payload into slides (each a list of paragraph texts),
+    * presentation order preserved: `ppt/presentation.xml`'s `sldIdLst`
+    * gives the slide sequence by relationship id, resolved through the
+    * presentation rels part — slide part NAMES carry no ordering guarantee.
+    * Falls back to numeric part-name order when either part is absent.
+    * Slide text lives in DrawingML `a:p`/`a:r`/`a:t`, the same local names
+    * docx uses, so the shared StAX walker applies unchanged.
+    */
+  def readPptxSlides(bytes: Array[Byte]): Seq[Seq[String]] = {
+    val parts = zipEntries(bytes)
+    val orderedRids = parts.get("ppt/presentation.xml").map { p =>
+      val r = reader(p)
+      val b = Seq.newBuilder[String]
+      try {
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sldId") {
+            // the slide-number `id` attr is unprefixed (empty namespace);
+            // the relationship pointer `r:id` is the namespaced one
+            (0 until r.getAttributeCount)
+              .find { i =>
+                val ns = r.getAttributeNamespace(i)
+                r.getAttributeLocalName(i) == "id" && ns != null && ns.nonEmpty
+              }
+              .foreach(i => b += r.getAttributeValue(i))
+          }
+        }
+      } finally r.close()
+      b.result()
+    }.getOrElse(Seq.empty)
+    val rels: Map[String, String] = parts.get("ppt/_rels/presentation.xml.rels").map { p =>
+      val r = reader(p)
+      val b = Map.newBuilder[String, String]
+      try {
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+            b += r.getAttributeValue(null, "Id") ->
+              ("ppt/" + r.getAttributeValue(null, "Target").stripPrefix("/ppt/").stripPrefix("./"))
+          }
+        }
+      } finally r.close()
+      b.result()
+    }.getOrElse(Map.empty)
+    val slideRe = """ppt/slides/slide(\d+)\.xml""".r
+    val slideParts: Seq[Array[Byte]] = {
+      val viaList = orderedRids.flatMap(rels.get).flatMap(parts.get)
+      if (viaList.nonEmpty) viaList
+      else parts.keysIterator.collect { case k @ slideRe(n) => (n.toInt, k) }
+        .toSeq.sortBy(_._1).map(e => parts(e._2))
+    }
+    slideParts.map(groupedText(_, "p", "t"))
+  }
+
+  /** Full deck text: paragraphs joined by newlines within a slide, slides
+    * separated by blank lines, empty paragraphs dropped.
+    */
+  def pptxText(bytes: Array[Byte]): String =
+    readPptxSlides(bytes).map(_.filter(_.nonEmpty).mkString("\n"))
+      .filter(_.nonEmpty).mkString("\n\n")
+
   // ------------------------------------------------------------ fixture write
 
   private def xmlEscape(s: String): String =
@@ -287,6 +348,44 @@ object Ooxml {
           s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
              |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.size}" uniqueCount="${strings.size}">$ssItems</sst>""".stripMargin
       ) ++ sheets.indices.map(i => s"xl/worksheets/sheet${i + 1}.xml" -> sheetXml(i))
+    )
+  }
+
+  /** Minimal spec-conformant pptx writer (one text box per slide, one run
+    * per paragraph). The sldIdLst is written in the given slide order, so
+    * round-trips exercise the rels-based ordering path of the reader.
+    */
+  def writePptx(slides: Seq[Seq[String]]): Array[Byte] = {
+    val slideXml = slides.map { paras =>
+      val body = paras.map(p =>
+        s"""<a:p><a:r><a:t>${xmlEscape(p)}</a:t></a:r></a:p>""").mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"><p:cSld><p:spTree><p:sp><p:txBody>$body</p:txBody></p:sp></p:spTree></p:cSld></p:sld>""".stripMargin
+    }
+    val sldIds = slides.indices.map { i =>
+      s"""<p:sldId id="${256 + i}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    val rels = slides.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide${i + 1}.xml"/>"""
+    }.mkString
+    val overrides = slides.indices.map { i =>
+      s"""<Override PartName="/ppt/slides/slide${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>"""
+    }.mkString
+    zip(
+      Seq(
+        "[Content_Types].xml" ->
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+             |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>$overrides</Types>""".stripMargin,
+        "_rels/.rels" ->
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+            |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/></Relationships>""".stripMargin,
+        "ppt/presentation.xml" ->
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+             |<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><p:sldIdLst>$sldIds</p:sldIdLst></p:presentation>""".stripMargin,
+        "ppt/_rels/presentation.xml.rels" ->
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+             |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""".stripMargin
+      ) ++ slides.indices.map(i => s"ppt/slides/slide${i + 1}.xml" -> slideXml(i))
     )
   }
 

@@ -45,16 +45,20 @@ object Chunkers {
   }
 
   /** Binary formats whose payload is decoded structurally, not by charset. */
-  val binaryExts: Set[String] = Set("pdf", "docx", "xlsx")
+  val binaryExts: Set[String] = Set("pdf", "docx", "xlsx", "pptx")
 
-  /** S13: bytes → text by format. pdf/docx/xlsx decode their real binary
-    * containers (graft.formats); xlsx renders one markdown table per sheet
-    * (first row as header, spreadsheet_chunker.py:71-120 analog); anything
-    * else charset-detects (X7) and decodes.
+  /** S13: bytes → text by format. pdf/docx/xlsx/pptx decode their real
+    * binary containers (graft.formats); xlsx renders one markdown table per
+    * sheet (first row as header, spreadsheet_chunker.py:71-120 analog);
+    * pptx yields slide paragraphs separated by blank lines (the reference
+    * routes pptx through the same layout-analysis markdown path as docx,
+    * chunker_factory.py:60-66); anything else charset-detects (X7) and
+    * decodes.
     */
   def extractText(bytes: Array[Byte], rawExt: String): String = normExt(rawExt) match {
     case "pdf" => graft.formats.Pdf.extractText(bytes)
     case "docx" => graft.formats.Ooxml.docxText(bytes)
+    case "pptx" => graft.formats.Ooxml.pptxText(bytes)
     case "xlsx" =>
       graft.formats.Ooxml.readXlsx(bytes).filter(_.rows.nonEmpty).map { sh =>
         val sheet = Spreadsheet.Sheet(sh.name, sh.rows.head, sh.rows.tail)

@@ -94,15 +94,19 @@ object Coverage5 {
         "Quarterly results", "Revenue up 12% (estimate)"), compress = true)
       val pdfR = graft.formats.Pdf.writePdf(Seq(
         "raw stream \\ with (escapes)"), compress = false)
+      val pptx = graft.formats.Ooxml.writePptx(Seq(
+        Seq("Agenda", "Q3 targets & risks"),
+        Seq("Summary <slide>", "", "Next steps")))
       Seq(("table.xlsx", xlsx), ("notes.docx", docx),
-        ("report.pdf", pdfZ), ("memo.pdf", pdfR)).foreach { case (n, b) =>
+        ("report.pdf", pdfZ), ("memo.pdf", pdfR),
+        ("deck.pptx", pptx)).foreach { case (n, b) =>
         writeBytes(root, n, b)
       }
       val extract = udf((path: String, bytes: Array[Byte]) =>
         graft.pipeline.Chunkers.extractText(bytes,
           path.substring(path.lastIndexOf('.') + 1)))
       s.read.format("binaryFile")
-        .option("pathGlobFilter", "{*.xlsx,*.docx,*.pdf}").load(root)
+        .option("pathGlobFilter", "{*.xlsx,*.docx,*.pdf,*.pptx}").load(root)
         .select(element_at(split($"path", "/"), -1).as("name"),
           extract($"path", $"content").as("text"))
         .select($"name",

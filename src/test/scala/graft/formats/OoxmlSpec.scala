@@ -66,6 +66,47 @@ class OoxmlSpec extends AnyFunSuite {
     assert(Ooxml.docxText(bytes) == "Heading\nBody with naïve café & <tags>\ntail")
   }
 
+  test("pptx round-trip: slides, paragraph order, escapes, blank filtering") {
+    val slides = Seq(
+      Seq("Agenda", "Q3 targets & risks"),
+      Seq("Summary <slide>", "", "Next steps"))
+    val bytes = Ooxml.writePptx(slides)
+    assert(Ooxml.readPptxSlides(bytes) == slides)
+    assert(Ooxml.pptxText(bytes) ==
+      "Agenda\nQ3 targets & risks\n\nSummary <slide>\nNext steps")
+  }
+
+  test("pptx slide order follows sldIdLst, not part-name order") {
+    // build a deck whose rels point rId1 → slide2.xml and rId2 → slide1.xml,
+    // so list order and numeric part order disagree
+    val base = Ooxml.writePptx(Seq(Seq("first"), Seq("second")))
+    val parts = Ooxml.zipEntries(base)
+    val swapped = parts.map {
+      case ("ppt/_rels/presentation.xml.rels", _) =>
+        "ppt/_rels/presentation.xml.rels" ->
+          ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+            """<Relationship Id="rId1" Type="t" Target="slides/slide2.xml"/>""" +
+            """<Relationship Id="rId2" Type="t" Target="slides/slide1.xml"/>""" +
+            """</Relationships>""").getBytes("UTF-8")
+      case kv => kv
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    swapped.foreach { case (name, body) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body)
+      zos.closeEntry()
+    }
+    zos.close()
+    assert(Ooxml.readPptxSlides(bos.toByteArray) == Seq(Seq("second"), Seq("first")))
+  }
+
+  test("pptx → chunking dispatch extracts deck text") {
+    val bytes = Ooxml.writePptx(Seq(Seq("Title"), Seq("Point one")))
+    assert(graft.pipeline.Chunkers.extractText(bytes, "pptx") == "Title\n\nPoint one")
+  }
+
   test("xlsx → chunking dispatch renders markdown tables per sheet") {
     val bytes = Ooxml.writeXlsx(Seq(Ooxml.XlsxSheet("T",
       Seq(Seq("h1", "h2"), Seq("v1", "v2")))))
