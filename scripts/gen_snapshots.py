@@ -20,6 +20,7 @@ QUERIES = [
     "d2_minhash_pairs",
     "d3_simhash_pairs",
     "d4_jaccard_verified",
+    "d7_winnow_pairs",
     "d8_neardup_survivors",
     "m1_multimodal_features",
     "p1_chunk_index_build",

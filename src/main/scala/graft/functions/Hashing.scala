@@ -131,6 +131,66 @@ object Hashing {
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  private def fmix64(x0: Long): Long = {
+    var z = x0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme: character k-gram
+    * rolling hash, then the minimum hash of every w-hash window is
+    * selected, rightmost minimum on ties). Guarantee: two documents
+    * sharing any substring of length ≥ w+k−1 (after fingerprint
+    * normalization) share at least one fingerprint, and no gap between
+    * selected positions exceeds w — detection density is tunable without
+    * hashing every k-gram into the index. Selection runs on a monotone
+    * deque (O(n), not O(n·w)); raw rolling hashes pass through a
+    * splitmix64 finalizer so min-selection sees well-mixed values.
+    * Returns the distinct selected hashes sorted (set semantics — these
+    * are the overlap join keys).
+    */
+  def winnowFingerprints(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    val s = TextKeys.normalizeForFingerprint(text)
+    val n = s.length
+    if (n == 0) return Array.empty
+    if (n <= k) return Array(fmix64(hash64(s)))
+    val base = 1000003L
+    var powK1 = 1L // base^(k-1), wrapping
+    var i = 1
+    while (i < k) { powK1 *= base; i += 1 }
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + s.charAt(i); i += 1 }
+    hashes(0) = fmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * powK1) * base + s.charAt(i + k - 1)
+      hashes(i) = fmix64(h)
+      i += 1
+    }
+    val selected = scala.collection.mutable.LongMap.empty[Unit]
+    val deque = new java.util.ArrayDeque[Int]() // indices, hashes increasing
+    var lastPicked = -1
+    i = 0
+    while (i < m) {
+      // pop >= so an equal newer hash wins: rightmost-minimum tie rule
+      while (!deque.isEmpty && hashes(deque.peekLast) >= hashes(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - w) deque.pollFirst()
+      if (i >= w - 1 || i == m - 1) { // every full window; short texts pick once
+        val min = deque.peekFirst
+        if (min != lastPicked) { selected(hashes(min)) = (); lastPicked = min }
+      }
+      i += 1
+    }
+    val out = selected.keysIterator.toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** Exact word-ngram Jaccard of two texts (verification pass after LSH). */
   def ngramJaccard(a: String, b: String, k: Int = ShingleSize): Double = {
     val sa = shingles(a, k).toSet

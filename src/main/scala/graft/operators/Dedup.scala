@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.{GraftFunctions, Hashing}
 
 /** Deduplication operators for large-scale text corpora.
@@ -213,29 +214,82 @@ object Dedup {
 
   private val jaccardUdf = udf((a: String, b: String) => Hashing.ngramJaccard(a, b))
 
+  private val winnowUdf = udf((t: String, k: Int, w: Int) =>
+    if (t == null) Array.empty[Long] else Hashing.winnowFingerprints(t, k, w))
+
+  /** Shared-substring near-dup pairs via winnowing fingerprints (the MOSS
+    * scheme, [[Hashing.winnowFingerprints]]): each doc contributes its
+    * selected k-gram fingerprints, an inverted index groups docs by
+    * fingerprint, and pairs sharing ≥ `minShared` fingerprints survive.
+    * Catches copied PASSAGES between otherwise-different documents — the
+    * overlap class MinHash (whole-doc Jaccard) is least sensitive to.
+    *
+    * Shape: one scan computes fingerprints, one groupBy builds the
+    * fingerprint document-frequency table, and the pair join runs only
+    * over fingerprints with 2..maxDocsPerFp postings — boilerplate
+    * fragments shared by more than `maxDocsPerFp` docs are dropped before
+    * the self-join (they carry no discriminating signal and would
+    * otherwise blow the join up quadratically in the hottest key).
+    * Fully declarative: both shuffles hash-partition by fingerprint, AQE
+    * handles residual skew. Returns (id_a, id_b, shared_fps).
+    */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, minShared: Int = 3,
+      maxDocsPerFp: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).cast("long").as("id"),
+        explode(winnowUdf(col(textCol), lit(k), lit(w))).as("fp"))
+      .localCheckpoint(true) // both sides of the pair join read it
+    val usable = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") >= 2 && col("df_count") <= maxDocsPerFp)
+      .select(col("fp"))
+    val posting = fps.join(usable, Seq("fp"))
+    posting.as("a")
+      .join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Connected components over near-dup candidate pairs by distributed
     * min-label propagation: every row starts labeled with its own id, and
     * each round relaxes labels over the edges and then applies a
     * pointer-jumping shortcut (cluster ← cluster's cluster, halving
     * label-path lengths), so convergence is O(log n) rounds even on long
     * chains — not O(diameter) as plain propagation would be.
-    * Convergence is detected by a changed-row count, and every round's
-    * label table is localCheckpoint'ed so the lineage (and thus the plan)
-    * stays flat instead of growing per round. Exhausting `maxRounds`
-    * without converging THROWS rather than silently returning split
-    * clusters (under-dedup with no diagnostic is the worst failure mode a
-    * dedup operator can have). Returns (id, cluster) with cluster = min id
-    * of the component — the deterministic "keeper" rule every dedup
-    * operator here uses.
+    *
+    * Only vertices that appear in an edge enter the loop: an isolated id
+    * can never change label, so it is emitted directly as its own
+    * singleton cluster. At corpus scale this is the difference between
+    * iterating over the whole table and iterating over the (vastly
+    * smaller) near-dup subgraph. Pair endpoints must be drawn from `ids`
+    * — true for every caller here, since pairs are mined from the same
+    * table.
+    *
+    * Convergence is detected by the exact sum of labels: labels are
+    * monotone non-increasing (least() in the relax step; the jump adopts
+    * b.cluster ≤ b.id), so any change strictly decreases the sum —
+    * an aggregate over the new labels alone, no join against the previous
+    * round. Every round's label table is localCheckpoint'ed so the lineage
+    * (and thus the plan) stays flat instead of growing per round.
+    * Exhausting `maxRounds` without converging THROWS rather than silently
+    * returning split clusters (under-dedup with no diagnostic is the worst
+    * failure mode a dedup operator can have). Returns (id, cluster) with
+    * cluster = min id of the component — the deterministic "keeper" rule
+    * every dedup operator here uses.
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = ids.select(col(ids.columns.head).cast("long").as("id"))
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+    val vertices = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var labels = vertices.withColumn("cluster", col("id")).localCheckpoint(true)
+    // exact decimal so the equality test can never alias through overflow
+    val labelSum = sum(col("cluster").cast(DecimalType(38, 0)))
+    var prevSum: Option[java.math.BigDecimal] = None
     var round = 0
-    var converged = false
+    var converged = labels.isEmpty // no edges → nothing to propagate
     while (round < maxRounds && !converged) {
       // min label among neighbors, then min with own label
       val neighborMin = edges
@@ -249,23 +303,27 @@ object Dedup {
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       // pointer jumping: adopt the label OF the current label (labels cover
-      // every id, so the self-join is total); b.cluster ≤ b.id = a.cluster
-      // keeps labels monotone while halving chain lengths each round
+      // every loop vertex, so the self-join is total); b.cluster ≤ b.id =
+      // a.cluster keeps labels monotone while halving chain lengths
       val next = relaxed.as("a")
         .join(relaxed.as("b"), col("a.cluster") === col("b.id"))
         .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .filter(col("cluster") =!= col("prev")).count()
+      val s = Option(next.agg(labelSum.as("s")).head().getDecimal(0))
       labels = next
-      converged = changed == 0
+      converged = prevSum.isDefined && prevSum == s
+      prevSum = s
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"nearDupClusters did not converge in $maxRounds relax+jump rounds " +
           "(handles component diameters up to ~2^maxRounds); raise maxRounds")
-    labels
+    // isolated ids never entered the loop: each is its own cluster
+    labels.unionByName(
+      ids.select(col(ids.columns.head).cast("long").as("id"))
+        .join(vertices, Seq("id"), "left_anti")
+        .withColumn("cluster", col("id")))
   }
 
   /** One row per component: the min-id representative (shared keeper rule

@@ -187,6 +187,18 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Winnowing fingerprint overlap pairs (MOSS shared-substring
+    // detection) — deterministic, snapshot-pinned. minShared is set high
+    // for the gate: 8-char grams over the synthetic corpus make low
+    // overlap counts commonplace (measured: 24k pairs at ≥3, 66 at ≥10),
+    // and the gate wants the strongly-linked tail, not the noise floor.
+    "d7_winnow_pairs" -> ((s, d) => {
+      import s.implicits._
+      Dedup.winnowNearDupPairs(load(s, d, "documents"), "doc_id", "text",
+        k = 8, w = 16, minShared = 10, maxDocsPerFp = 100)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // LSH candidates verified by exact n-gram Jaccard (rows-only).
     "d4_jaccard_verified" -> ((s, d) => {
       import s.implicits._
