@@ -192,7 +192,10 @@ object Ooxml {
           if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
             val id = r.getAttributeValue(null, "Id")
             val target = r.getAttributeValue(null, "Target")
-            b += id -> ("xl/" + target.stripPrefix("/xl/").stripPrefix("./"))
+            // tolerate malformed rels rows; the sheet lookup below throws
+            // a descriptive error if a referenced rId never resolved
+            if (id != null && target != null)
+              b += id -> ("xl/" + target.stripPrefix("/xl/").stripPrefix("./"))
           }
         }
       } finally r.close()
@@ -253,20 +256,26 @@ object Ooxml {
       try {
         while (r.hasNext) {
           if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
-            b += r.getAttributeValue(null, "Id") ->
-              ("ppt/" + r.getAttributeValue(null, "Target").stripPrefix("/ppt/").stripPrefix("./"))
+            // tolerate malformed rels rows (missing Id/Target) here; strict
+            // resolution below reports the rId that fails to resolve
+            val id = r.getAttributeValue(null, "Id")
+            val target = r.getAttributeValue(null, "Target")
+            if (id != null && target != null)
+              b += id -> ("ppt/" + target.stripPrefix("/ppt/").stripPrefix("./"))
           }
         }
       } finally r.close()
       b.result()
     }.getOrElse(Map.empty)
     val slideRe = """ppt/slides/slide(\d+)\.xml""".r
-    val slideParts: Seq[Array[Byte]] = {
-      val viaList = orderedRids.flatMap(rels.get).flatMap(parts.get)
-      if (viaList.nonEmpty) viaList
+    val slideParts: Seq[Array[Byte]] =
+      if (orderedRids.nonEmpty)
+        // strict: a listed slide that fails to resolve must throw, not
+        // silently drop content (same contract as readXlsx's sheet lookup)
+        orderedRids.map(rid => rels.get(rid).flatMap(parts.get).getOrElse(
+          throw new IllegalArgumentException(s"slide part for '$rid' missing")))
       else parts.keysIterator.collect { case k @ slideRe(n) => (n.toInt, k) }
         .toSeq.sortBy(_._1).map(e => parts(e._2))
-    }
     slideParts.map(groupedText(_, "p", "t"))
   }
 

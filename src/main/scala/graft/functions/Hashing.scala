@@ -19,16 +19,20 @@ object Hashing {
   val ShingleSize = 3
   private val Prime = (1L << 61) - 1 // Mersenne prime 2^61-1
 
+  /** splitmix64 finalizer — the one canonical copy (coefficient seeding and
+    * the winnowing rolling hash both mix through it).
+    */
+  private def fmix64(x0: Long): Long = {
+    var z = x0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   // Fixed pseudo-random coefficients (splitmix64 from seed 42).
   private val (coeffA, coeffB): (Array[Long], Array[Long]) = {
     var state = 42L
-    def next(): Long = {
-      state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    def next(): Long = { state += 0x9E3779B97F4A7C15L; fmix64(state) }
     val a = Array.fill(NumPerm)(math.abs(next()) % (Prime - 1) + 1)
     val b = Array.fill(NumPerm)(math.abs(next()) % Prime)
     (a, b)
@@ -130,13 +134,6 @@ object Hashing {
   }
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-
-  private def fmix64(x0: Long): Long = {
-    var z = x0
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   /** Winnowing document fingerprints (the MOSS scheme: character k-gram
     * rolling hash, then the minimum hash of every w-hash window is

@@ -263,9 +263,10 @@ object Dedup {
     * can never change label, so it is emitted directly as its own
     * singleton cluster. At corpus scale this is the difference between
     * iterating over the whole table and iterating over the (vastly
-    * smaller) near-dup subgraph. Pair endpoints must be drawn from `ids`
-    * — true for every caller here, since pairs are mined from the same
-    * table.
+    * smaller) near-dup subgraph. Loop vertices are intersected with `ids`,
+    * so a pair endpoint outside `ids` (pairs mined before a filter) never
+    * becomes a label or an output row — labels and output always cover
+    * exactly `ids`.
     *
     * Convergence is detected by the exact sum of labels: labels are
     * monotone non-increasing (least() in the relax step; the jump adopts
@@ -280,8 +281,14 @@ object Dedup {
     * every dedup operator here uses.
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val idsNorm = ids.select(col(ids.columns.head).cast("long").as("id"))
+    // drop edges with an endpoint outside ids BEFORE the loop (the pre-
+    // rewrite inner joins against an ids-based label table did this
+    // implicitly); a foreign endpoint must never become a cluster label
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .join(idsNorm.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(idsNorm.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint(true)
     val vertices = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
     var labels = vertices.withColumn("cluster", col("id")).localCheckpoint(true)
@@ -321,8 +328,7 @@ object Dedup {
           "(handles component diameters up to ~2^maxRounds); raise maxRounds")
     // isolated ids never entered the loop: each is its own cluster
     labels.unionByName(
-      ids.select(col(ids.columns.head).cast("long").as("id"))
-        .join(vertices, Seq("id"), "left_anti")
+      idsNorm.join(vertices, Seq("id"), "left_anti")
         .withColumn("cluster", col("id")))
   }
 

@@ -43,7 +43,8 @@ object DocumentChunkingApi {
     if (documentUrl == null || documentUrl.isEmpty)
       return ChunkingResponse(Nil, Seq("documentUrl is required"), Nil)
 
-    // S13: binary containers (pdf/docx/xlsx) decode structurally; text
+    // S13: binary containers (Chunkers.binaryExts: pdf/docx/xlsx/pptx)
+    // decode structurally; text
     // formats detect their encoding first (X7, base_chunker.py:295-306) —
     // BOM / UTF-8 validation / UTF-16 heuristic / windows-1252 fallback
     // extensions are case-insensitive everywhere downstream ("Report.PDF"

@@ -102,6 +102,22 @@ class OoxmlSpec extends AnyFunSuite {
     assert(Ooxml.readPptxSlides(bos.toByteArray) == Seq(Seq("second"), Seq("first")))
   }
 
+  test("pptx with a listed slide that fails to resolve throws, not drops") {
+    val base = Ooxml.writePptx(Seq(Seq("first"), Seq("second")))
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    Ooxml.zipEntries(base).foreach { case (name, body) =>
+      if (name != "ppt/slides/slide2.xml") { // drop a listed slide part
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(body)
+        zos.closeEntry()
+      }
+    }
+    zos.close()
+    val e = intercept[IllegalArgumentException](Ooxml.readPptxSlides(bos.toByteArray))
+    assert(e.getMessage.contains("rId2"))
+  }
+
   test("pptx → chunking dispatch extracts deck text") {
     val bytes = Ooxml.writePptx(Seq(Seq("Title"), Seq("Point one")))
     assert(graft.pipeline.Chunkers.extractText(bytes, "pptx") == "Title\n\nPoint one")

@@ -18,6 +18,17 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("pair endpoints outside ids never become labels or output rows") {
+    // pairs mined before a filter may reference dropped docs: vertex 2 is
+    // absent from ids, so it must not label the {5,6} cluster (labels
+    // outside ids would make keepRepresentatives drop the whole cluster)
+    val ids = Seq(5L, 6L).toDF("id")
+    val pairs = Seq((2L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L))
+  }
+
   test("pointer jumping converges a 60-node chain in O(log n) rounds") {
     // plain one-hop propagation would need ~60 rounds; relax+jump needs ~7
     val ids = (1L to 60L).toDF("id")
