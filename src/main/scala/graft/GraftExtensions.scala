@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ChunkDocument, CosineSimF32, DotProductF32, L2NormF32, TokenCount}
+import graft.functions.{ChunkDocument, CosineSimF32, CosineSimI8, DotProductF32, L2NormF32, TokenCount}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions —
   * the vector kernels and the `chunk_document` generator — first-class SQL
@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // l2norm_f32(a): float32 L2 norm
     ext.injectFunction((FunctionIdentifier("l2norm_f32"), info("l2norm_f32"),
       (es: Seq[Expression]) => L2NormF32(es(0))))
+    // cosine_i8(codes, probe): approx cosine over int8-quantized codes
+    ext.injectFunction((FunctionIdentifier("cosine_i8"), info("cosine_i8"),
+      (es: Seq[Expression]) => CosineSimI8(es(0), es(1))))
     // chunk_document(text, ext, maxTokens, overlap, minTokens): chunk rows
     ext.injectFunction((FunctionIdentifier("chunk_document"), info("chunk_document"),
       (es: Seq[Expression]) => ChunkDocument(es)))

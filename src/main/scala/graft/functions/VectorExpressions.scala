@@ -89,6 +89,49 @@ case class CosineSimF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Approximate cosine between int8-quantized codes (BinaryType) and a
+  * float probe. Under symmetric per-vector quantization (codes =
+  * round(v/s), one scale per vector) the scale cancels out of the cosine,
+  * so first-pass scoring reads ONLY the 4×-smaller code column — the
+  * memory lever that keeps a quantized 100 TB corpus hot. Candidates are
+  * exact-reranked against the float column afterwards
+  * ([[graft.operators.Similarity.searchQuantized]]).
+  */
+case class CosineSimI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_i8"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.length, y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val c = x(i).toDouble; val p = y.getFloat(i).toDouble
+      dot += c * p; nx += c * c; ny += p * p
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"""
+         |int n = java.lang.Math.min($x.length, $y.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double c = (double)$x[i];
+         |  double p = (double)$y.getFloat(i);
+         |  dot += c * p; nx += c * c; ny += p * p;
+         |}
+         |double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |${ev.value} = (denom == 0.0) ? 0.0 : dot / denom;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class L2NormF32(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = DoubleType

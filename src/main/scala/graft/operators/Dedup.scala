@@ -238,12 +238,14 @@ object Dedup {
       maxDocsPerFp: Int = 1000): DataFrame = {
     val fps = df.select(col(idCol).cast("long").as("id"),
         explode(winnowUdf(col(textCol), lit(k), lit(w))).as("fp"))
-      .localCheckpoint(true) // both sides of the pair join read it
+      .localCheckpoint(true) // the df-count agg and the posting join both read it
     val usable = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") >= 2 && col("df_count") <= maxDocsPerFp)
       .select(col("fp"))
-    val posting = fps.join(usable, Seq("fp"))
+    // materialized once: both sides of the self-join read it, and without
+    // this the df-count aggregate above is recomputed per side
+    val posting = fps.join(usable, Seq("fp")).localCheckpoint(true)
     posting.as("a")
       .join(posting.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

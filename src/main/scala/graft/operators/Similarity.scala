@@ -185,4 +185,51 @@ object Similarity {
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
   }
+
+  private val quantizeUdf = udf((v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      var maxAbs = 0f
+      var i = 0
+      while (i < v.length) { val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+      val out = new Array[Byte](v.length)
+      if (maxAbs > 0f) {
+        val s = maxAbs / 127f
+        i = 0
+        while (i < v.length) { out(i) = math.round(v(i) / s).toByte; i += 1 }
+      }
+      out
+    })
+
+  /** Symmetric per-vector int8 scalar quantization: codes =
+    * round(v · 127/maxAbs) as a BinaryType column — 4× smaller than the
+    * float vectors. Because one scale covers the whole vector, cosine over
+    * the raw codes equals cosine over the dequantized vector (the scale
+    * cancels), so the quantized table needs NO scale column for
+    * similarity search. Returns (idCol, codes).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), quantizeUdf(col(vecCol)).as("codes"))
+
+  /** Two-stage quantized search (the memory-bound 100 TB path): stage 1
+    * ranks the ENTIRE corpus by the codegen'd int8 approximate cosine,
+    * touching only the 4×-smaller code column, and keeps k·rerankFactor
+    * candidates via TakeOrderedAndProject (per-partition heap, no corpus
+    * sort); stage 2 joins just those candidates back to the float vectors
+    * for the exact ordering. Quantization error only matters near the
+    * candidate cutoff — rerankFactor is the recall knob.
+    */
+  def searchQuantized(quantized: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, probe: Array[Float], k: Int, rerankFactor: Int = 4): DataFrame = {
+    val candidates = quantized
+      .withColumn("approx_sim", GraftFunctions.cosine_i8(col("codes"), typedLit(probe)))
+      .select(col(idCol), col("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(k * rerankFactor)
+    corpus.join(broadcast(candidates.select(col(idCol))), Seq(idCol), "left_semi")
+      .withColumn("sim", GraftFunctions.cosine_f32(col(vecCol), typedLit(probe)))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

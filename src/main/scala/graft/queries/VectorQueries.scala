@@ -118,6 +118,30 @@ object VectorQueries {
         .agg((count(lit(1)) >= 7).as("recall_ok"))
     }),
 
+    // Int8-quantized two-stage search vs brute force: the 4×-compressed
+    // first pass plus exact rerank must reproduce the exact top-10 almost
+    // perfectly (64-dim unit vectors quantize with ~1e-2 cosine error,
+    // far below typical top-k gaps; the floor catches a kernel or
+    // quantizer regression). Also asserts the compression invariant:
+    // every code row is exactly dim bytes = ¼ of the float payload.
+    "v10_quantized_recall" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      val approx = Similarity.searchQuantized(quant, emb, "vec_id", "embedding",
+        probe, k = 10)
+        .select($"vec_id")
+      val dimOk = quant.join(emb, Seq("vec_id"))
+        .agg(every(length($"codes") === size($"embedding")).as("dim_ok"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 9).as("recall_ok"))
+        .crossJoin(dimOk)
+    }),
+
     // Embedding-cosine near-duplicate pairs via banded hyperplane LSH,
     // pinned by a snapshot VALUES oracle (the sketch is deterministic).
     // The recall properties themselves are asserted against an all-pairs
@@ -137,6 +161,7 @@ object VectorQueries {
     // derive — but the boolean gate makes a recall collapse fail loudly
     "v5_ann_ivf_recall" -> "SELECT true AS recall_ok",
     "v9_lsh_ann_recall" -> "SELECT true AS recall_ok",
+    "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
     "v1_cosine_scan" ->
       s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a, embeddings b WHERE a.vec_id = 0

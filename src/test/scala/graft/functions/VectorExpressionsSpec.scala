@@ -37,6 +37,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) == 0.0)
   }
 
+  test("cosine_i8 approximates cosine_f32 tightly on quantized codes") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val probe = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def quant(v: Array[Float]): Array[Byte] = {
+      val m = v.map(math.abs).max
+      if (m == 0f) new Array[Byte](v.length)
+      else v.map(x => math.round(x / (m / 127f)).toByte)
+    }
+    val df = vecs.map(v => (v, quant(v))).toDF("vec", "codes")
+    val rows = df.select(
+      GraftFunctions.cosine_f32($"vec", typedLit(probe)).as("exact"),
+      GraftFunctions.cosine_i8($"codes", typedLit(probe)).as("approx")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.01,
+        s"exact=${r.getDouble(0)} approx=${r.getDouble(1)}")
+    }
+  }
+
+  test("cosine_i8: null propagates, zero codes give 0") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (None: Option[Array[Byte]], Some(Array(1.0f, 1.0f))),
+      (Some(Array[Byte](0, 0)), Some(Array(1.0f, 1.0f)))
+    ).toDF("codes", "p")
+    val rows = df.select(GraftFunctions.cosine_i8($"codes", $"p")).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
   test("expressions work from SQL too (function registry)") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +

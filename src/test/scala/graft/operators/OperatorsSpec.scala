@@ -74,6 +74,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("int8 quantized two-stage search reproduces the exact top-k") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val probe = emb.filter($"vec_id" === 0L).select("embedding").head().getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // codes are ¼ the float payload: one byte per dimension
+    val dims = quant.join(emb, Seq("vec_id"))
+      .select(length($"codes") === size($"embedding")).as[Boolean].collect()
+    assert(dims.forall(identity))
+    val approx = Similarity.searchQuantized(quant, emb, "vec_id", "embedding", probe, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / 10
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("topKPerProbe ranks within each probe") {
     import spark.implicits._
     GraftFunctions.register(spark)
