@@ -10,7 +10,7 @@ object ExplainAudit {
     val names = sys.env.getOrElse("SPARK_GRAFT_PROBE",
       "q02_filtered_revenue,q05_regional_revenue,j5_dim_join_revenue,v2_knn_top10," +
         "w7_topk_orders,v8_topk_multiprobe,d2_minhash_pairs,d8_neardup_survivors," +
-        "v9_lsh_ann_recall,s13_binary_decode")
+        "v9_lsh_ann_recall,s13_binary_decode,d7_winnow_pairs,v10_quantized_recall")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

@@ -140,6 +140,24 @@ object Sessions {
       .select(unix_millis(col("window.start")).as("w_start_ms"), col("n"))
   }
 
+  /** Watermarked streaming key dedup (SURVEY §2.11 watermark row's
+    * "dropDuplicates-by-key-and-ts" mapping, and the streaming form of the
+    * reference's skippedNoChange freshness filter): the first arrival of a
+    * key passes, replays of the same key are dropped, and the watermark
+    * BOUNDS the dedup state — a key older than the delay ages out instead
+    * of accumulating forever, which is what makes exactly-once-per-key
+    * viable on an unbounded stream. Input (doc_id, ts_ms); output the
+    * surviving arrivals.
+    */
+  def dedupedArrivals(events: Dataset[(Long, Long)],
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    events.toDF("doc_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts_ms"))
+  }
+
   /** Structured Streaming variant: watermarked session_window aggregation.
     * Reads the events parquet as a stream (Trigger.AvailableNow analog for
     * tests via processAllAvailable) and counts events per (user, session).

@@ -18,6 +18,38 @@ class SessionsSpec extends AnyFunSuite {
     assert(stats.count() == users)
   }
 
+  test("dropDuplicatesWithinWatermark: replays drop, state ages out") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Sessions.dedupedArrivals(input.toDS(), watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup_stream").start()
+    try {
+      // batch 1: doc 1 twice (in-batch replay), doc 2 once
+      input.addData((1L, 1_000L), (1L, 2_000L), (2L, 3_000L))
+      q.processAllAvailable()
+      // batch 2: doc 1 replays within the watermark → dropped; doc 3 new
+      input.addData((1L, 4_000L), (3L, 5_000L))
+      q.processAllAvailable()
+      val got = spark.table("graft_dedup_stream")
+        .groupBy($"doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == Set(1L, 2L, 3L))
+      assert(got.values.forall(_ == 1L), s"each key must survive exactly once: $got")
+
+      // advance event time far past the watermark so doc 1's dedup state
+      // ages out, then replay it: the SAME key passes again — bounded
+      // state trades unbounded-history dedup for exactly-once-per-window
+      input.addData((99L, 100_000L))
+      q.processAllAvailable()
+      input.addData((1L, 101_000L))
+      q.processAllAvailable()
+      val doc1 = spark.table("graft_dedup_stream").filter($"doc_id" === 1L).count()
+      assert(doc1 == 2L, "aged-out key must be admitted again")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
