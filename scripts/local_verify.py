@@ -49,8 +49,11 @@ def main(sf_dir, out_dir):
             if str(gv.dtype) != str(ev.dtype):
                 bad.append(f"{c}: dtype {gv.dtype} vs {ev.dtype}")
             try:
-                neq = (gv.astype(object).where(gv.notna(), None) !=
-                       ev.astype(object).where(ev.notna(), None))
+                # NB: Series.where(cond, None) fills NaN (None = default),
+                # so nulls must be replaced via a sentinel object instead
+                NULL = object()
+                neq = (gv.astype(object).mask(gv.isna(), NULL) !=
+                       ev.astype(object).mask(ev.isna(), NULL))
                 n_bad = int(neq.sum())
                 if n_bad:
                     i = neq[neq].index[0]

@@ -24,7 +24,8 @@ object SparkEntry {
       (gq.PipelineQueries.queries, gq.PipelineQueries.oracles),
       (gq.Coverage3.queries, gq.Coverage3.oracles),
       (gq.Coverage4.queries, gq.Coverage4.oracles),
-      (gq.Coverage5.queries, gq.Coverage5.oracles)
+      (gq.Coverage5.queries, gq.Coverage5.oracles),
+      (gq.Coverage6.queries, gq.Coverage6.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

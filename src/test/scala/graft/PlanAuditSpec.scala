@@ -165,4 +165,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(FormattedMode)
     assert(p.contains("codegen id"), p.take(1500))
   }
+
+  test("dc1: the benchmark gram set broadcasts — the corpus side never shuffles for it") {
+    val p = plan("dc1_decontam")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the semi-join against the gram set must be the broadcast variant, not
+    // a shuffled sort-merge over the (huge at scale) exploded corpus grams
+    assert(!p.contains("SortMergeJoin(keys=[gram"),
+      "decontamination gram join shuffled the corpus side:\n" + p.take(2000))
+  }
+
+  test("t6: per-doc repetition metrics stay shuffle-free array expressions") {
+    // only the top-word mode (id,word grouping) and the final join/sort may
+    // shuffle; the counter columns themselves must not add exchanges
+    val df = graft.operators.Quality.withRepetitionMetrics(
+      graft.Tables.load(spark, TestSpark.sf, "documents"), "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"repetition counters introduced a shuffle:\n$p")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unit coverage for the corpus-hygiene operators (Quality) beyond the
+  * DuckDB-gated queries: hand-computable fixtures pin the exact semantics
+  * (edge rows shorter than k, empty text, tie handling, flag thresholds).
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("repetition metrics: hand-computed counters and flag") {
+    val df = Quality.withRepetitionMetrics(docs(
+      (1L, "a a a a"),          // 4 words, 1 distinct -> repetitive
+      (2L, "a b c d"),          // all distinct
+      (3L, "x y x y x y"),      // 6 words 2 distinct; 5 bigrams 2 distinct
+      (4L, ""),                 // empty text
+      (5L, "solo")              // 1 word, 0 bigrams
+    ), "text").select("doc_id", "n_words", "n_distinct_words",
+      "n_bigrams", "n_distinct_bigrams", "is_repetitive")
+    val m = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L) == Row(1L, 4L, 1L, 3L, 1L, true))
+    assert(m(2L) == Row(2L, 4L, 4L, 3L, 3L, false))
+    assert(m(3L) == Row(3L, 6L, 2L, 5L, 2L, true))
+    assert(m(4L) == Row(4L, 0L, 0L, 0L, 0L, false))
+    assert(m(5L) == Row(5L, 1L, 1L, 0L, 0L, false))
+  }
+
+  test("top word counts: mode per doc, docs without words absent") {
+    val out = Quality.topWordCounts(docs(
+      (1L, "a b a c a"), (2L, "x y"), (3L, "")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("pii redaction: counts on original text, masks all three families") {
+    val out = Quality.withPiiRedaction(docs(
+      (1L, "mail a.b@x.io and c@d.org call +1-555-0100 from 10.0.0.1 end"),
+      (2L, "clean text")), "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1)
+    val red = out(1L).getString(4)
+    assert(red == "mail <EMAIL> and <EMAIL> call <PHONE> from <IP> end")
+    assert(out(2L).getString(4) == "clean text")
+  }
+
+  test("shingles: non-overlapping, k-word, short rows yield none") {
+    val out = Quality.shingles(docs(
+      (1L, "a b c d e f g"),   // k=3 -> 2 shingles, trailing g dropped
+      (2L, "p q")), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set((1L, 0, "a b c"), (1L, 1, "d e f")))
+  }
+
+  test("dup span counts: owner is min doc_id, self-spans not counted") {
+    val out = Quality.dupSpanCounts(docs(
+      (1L, "a b c d e f"),      // owns both shingles (k=3)
+      (2L, "a b c x y z"),      // first shingle owned by doc 1
+      (3L, "a b c d e f")),     // both shingles owned by doc 1
+      "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 0L), 2L -> (2L, 1L), 3L -> (2L, 2L)))
+  }
+
+  test("contamination counts: overlapping grams, zero-hit docs surface") {
+    val bench = docs((100L, "q w e r t y u i"))           // one 8-gram
+    val corpus = docs(
+      (1L, "pad q w e r t y u i tail"),                   // contains it
+      (2L, "a b c d e f g h i"),                          // no overlap
+      (3L, "tiny"))                                       // < k words
+    val out = Quality.contaminationCounts(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(1L -> (1L, true), 2L -> (0L, false), 3L -> (0L, false)))
+  }
+
+  test("ngrams: stride-1 overlap and count n-k+1") {
+    val out = Quality.ngrams(docs((1L, "a b c d")), "doc_id", "text", 2)
+      .select("gram").as[String].collect().toSeq
+    assert(out == Seq("a b", "b c", "c d"))
+  }
+}
