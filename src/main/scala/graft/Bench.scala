@@ -14,29 +14,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warm pass (untimed): JIT, codegen, parquet footers and scheduler
-    // spin-up all land here, so the timed pass measures steady-state
-    // per-query cost instead of charging JVM warm-up to whichever query
-    // happens to run first.
-    qs.foreach { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch {
-        case t: Throwable => System.err.println(s"[bench] warm-pass failure in $name: $t")
-      }
-    }
+    // Warm + timed run back-to-back PER QUERY (not two full passes): JIT,
+    // codegen compilation, parquet footers and scheduler spin-up land in the
+    // warm run, and the timed run immediately reuses the still-hot generated
+    // classes. A whole-suite warm pass followed by a whole-suite timed pass
+    // breaks down once the suite outgrows Spark's ~100-entry codegen cache:
+    // the timed pass then re-compiles every evicted plan and the most
+    // compilation-heavy queries read 5-10x slower than steady state.
     val results = qs.map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable => System.err.println(s"[bench] warm failure in $name: $t")
+      }
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case t: Throwable => System.err.println(s"[bench] $name threw: $t"); false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact; -1.0 marks a query that
+    // threw — a failing run must read as broken, not fast, so any failure
+    // forces the headline total to -1.0 and is counted.
+    def r3(v: Double): Double = if (v < 0) -1.0 else math.rint(v * 1000) / 1000
+    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // -1.0 marks a query that threw; a failing run must read as broken, not
-    // fast — any failure forces the headline total to -1.0 and is counted
     val failed = results.count(_._2 < 0)
-    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    val total = if (failed > 0) -1.0 else r3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}""")
+    // The per-query line above can exceed a log tail window; repeat the
+    // headline as a short self-contained JSON line (same shape, queries map
+    // limited to the 10 slowest) so a truncated capture still contains one
+    // complete parseable record (it is printed LAST).
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus sampling and packing operators (builder brief: the
+  * operations a large-scale training-data pipeline needs beyond the
+  * reference's own surface).
+  *
+  * Everything here is deterministic: sampling decisions come from a
+  * portable multiplicative hash over a stable id, never from `rand()`, so
+  * a re-run (or a DuckDB oracle) reproduces the exact same sample. That is
+  * the property that makes corpus construction auditable — the "which rows
+  * made it into the training set" question must have one answer.
+  *
+  * Scale notes:
+  *  - [[packSequences]] windows PER STRATUM (one shuffle, strata run in
+  *    parallel); it never globally sorts the corpus.
+  *  - [[balancedSample]] broadcasts only the per-stratum count table
+  *    (|strata| rows) — the corpus side is a scan + filter, no shuffle.
+  *  - [[reservoirPerKey]] is a rank-limit window: Spark ≥3.5 plans it with
+  *    WindowGroupLimit, pushing the k-limit below the shuffle so each map
+  *    task emits at most k rows per key instead of its full partition.
+  *  - [[temperatureWeights]] aggregates to |strata| rows before any
+  *    driver-visible work; the normalizing constant is a broadcast scalar.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash, expressible in pure BIGINT arithmetic so
+    * any engine (Spark, DuckDB, a Python checker) computes the identical
+    * value: `(id * 2654435761) mod 2^32`. Inputs are non-negative ids well
+    * below 2^31, so the product stays inside signed-64 range.
+    */
+  def portableHash(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** Sequence packing, concat-then-chop form: lay documents end to end in
+    * a per-stratum token stream (ordered by `orderCol`) and assign each
+    * document to the fixed-size context window containing its START
+    * offset. This is the standard LM pretraining packing (documents joined
+    * with an EOS, then split into max-length sequences); the greedy
+    * "reset the bin when it overflows" variant is stateful-recursive and
+    * deliberately not this operator.
+    *
+    * Adds `start_offset` (tokens before this doc in its stratum) and
+    * `seq_id` (= floor(start_offset / budget)).
+    */
+  def packSequences(df: DataFrame, stratumCol: String, orderCol: String,
+      tokensCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val before = Window.partitionBy(stratumCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_offset",
+        coalesce(sum(col(tokensCol)).over(before), lit(0L)))
+      .withColumn("seq_id", floor(col("start_offset") / budgetTokens))
+  }
+
+  /** Balanced stratified sample: downsample every stratum to approximately
+    * the size of the SMALLEST stratum, deterministically. A row survives
+    * iff `hash(id) mod n_stratum < n_min` — an integer-exact keep rule (no
+    * float rate at the decision boundary), expected survivors ≈ n_min per
+    * stratum. Only the per-stratum count table is broadcast.
+    */
+  def balancedSample(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_stratum"))
+    val nMin = counts.agg(min(col("n_stratum")).as("n_min"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .crossJoin(broadcast(nMin))
+      .filter(portableHash(col(idCol)) % col("n_stratum") < col("n_min"))
+      .drop("n_stratum", "n_min")
+  }
+
+  /** Deterministic "reservoir" of k rows per key: bottom-k by the portable
+    * hash (ties broken by id). Equivalent to uniform-without-replacement
+    * sampling under the hash's mixing, but replayable. Planned as a
+    * rank-limit window (WindowGroupLimit: ≤k rows per key cross the
+    * shuffle), not a full per-key sort.
+    */
+  def reservoirPerKey(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(portableHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Temperature-based resampling weights: stratum d gets
+    * `w_d = n_d^alpha / sum_e(n_e^alpha)`. alpha=1 reproduces natural
+    * proportions, alpha=0 is uniform; alpha in (0,1) upweights small
+    * strata (the multilingual-pretraining standard). Returns one row per
+    * stratum: (stratum, n, weight).
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+    val z = counts.agg(sum(pow(col("n"), alpha)).as("z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("weight", pow(col("n"), alpha) / col("z"))
+      .drop("z")
+  }
+}
