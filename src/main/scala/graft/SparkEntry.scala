@@ -25,7 +25,8 @@ object SparkEntry {
       (gq.Coverage3.queries, gq.Coverage3.oracles),
       (gq.Coverage4.queries, gq.Coverage4.oracles),
       (gq.Coverage5.queries, gq.Coverage5.oracles),
-      (gq.Coverage6.queries, gq.Coverage6.oracles)
+      (gq.Coverage6.queries, gq.Coverage6.oracles),
+      (gq.Coverage7.queries, gq.Coverage7.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

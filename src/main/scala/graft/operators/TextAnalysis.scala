@@ -53,4 +53,21 @@ object TextAnalysis {
     df.withColumn("fp_rolling", GraftFunctions.fingerprint(col(textCol)))
       .withColumn("fp_md5", md5(
         trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))))
+
+  /** HTML boilerplate strip for web-scrape corpora: drop script/style
+    * blocks with their content, drop every remaining tag, decode the five
+    * XML entities plus nbsp, collapse whitespace. Pure chained
+    * regexp_replace/replace — codegen'd, shuffle-free, and expressible
+    * identically in RE2 engines (the character classes avoid Java-only
+    * escapes like \s, whose definition differs between regex dialects).
+    */
+  def stripHtml(df: DataFrame, htmlCol: String, outCol: String = "plain"): DataFrame = {
+    val noBlocks = regexp_replace(col(htmlCol),
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    df.withColumn(outCol, trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")))
+  }
 }

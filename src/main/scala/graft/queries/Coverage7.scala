@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.operators.{RangeJoin, Sampling, TextAnalysis}
+
+/** Coverage wave 7 — corpus-construction operators (builder brief):
+  * sequence packing, balanced stratified sampling, deterministic per-key
+  * reservoirs, temperature resampling weights, the bucketed interval join,
+  * and HTML boilerplate stripping. Every sampling decision derives from
+  * [[Sampling.portableHash]] (pure BIGINT arithmetic), so the DuckDB
+  * oracles reproduce the exact row set — no rand(), no float rate at a
+  * keep/drop boundary.
+  */
+object Coverage7 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val PackBudget = 512  // sp1: tokens per packed sequence
+  private val ReservoirK = 25   // sp3: rows kept per stratum
+  private val WindowHours = 6   // rj1: interval length and bucket width
+
+  /** Whitespace word count matching the DuckDB list_filter/string_split
+    * oracle formulation (empty splits dropped).
+    */
+  private def wordCount(c: org.apache.spark.sql.Column) =
+    size(filter(split(trim(c), " "), t => length(t) > 0)).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // SP1: sequence packing (concat-then-chop). Per-lang token stream
+    // ordered by doc_id; each doc lands in the fixed 512-token context
+    // window containing its start offset. One window per stratum — strata
+    // pack in parallel, nothing global.
+    "sp1_sequence_pack" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .withColumn("n_tokens", wordCount($"text"))
+      Sampling.packSequences(docs, "lang", "doc_id", "n_tokens", PackBudget)
+        .groupBy($"lang", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"seq_id")
+    }),
+
+    // SP2: balanced stratified sample — every language downsampled to
+    // ~|smallest stratum| via the integer-exact keep rule
+    // hash(id) mod n_stratum < n_min. Corpus side is scan+filter only.
+    "sp2_balanced_sample" -> ((s, d) => {
+      import s.implicits._
+      Sampling.balancedSample(load(s, d, "documents"), "lang", "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"), sum($"doc_id").as("id_sum"))
+        .orderBy($"lang")
+    }),
+
+    // SP3: deterministic per-key reservoir — bottom-k by portable hash.
+    // Emits the sampled rows themselves (the training-set manifest).
+    "sp3_reservoir_sample" -> ((s, d) => {
+      import s.implicits._
+      Sampling.reservoirPerKey(load(s, d, "documents"), "lang", "doc_id", ReservoirK)
+        .select($"lang", $"doc_id", $"n_chars")
+        .orderBy($"lang", $"doc_id")
+    }),
+
+    // SP4: temperature resampling weights (alpha = 0.5), the multilingual
+    // rebalancing standard: w_d = sqrt(n_d) / sum(sqrt(n_e)).
+    "sp4_temperature_weights" -> ((s, d) => {
+      import s.implicits._
+      Sampling.temperatureWeights(load(s, d, "documents"), "lang", 0.5)
+        .select($"lang", $"n", round($"weight", 6).as("weight"))
+        .orderBy($"lang")
+    }),
+
+    // RJ1: bucketed interval join — every 200th event opens a 6-hour
+    // window for its event_type; count/sum the events falling inside.
+    // Equi-join on (event_type, time_bucket) + exact refine: one hash
+    // shuffle, no cartesian/BNLJ surface (plan-asserted in RangeJoinSpec).
+    "rj1_range_join" -> ((s, d) => {
+      import s.implicits._
+      val events = load(s, d, "events")
+      val windows = events.filter($"event_id" % 200 === 0)
+        .select($"event_id".as("window_id"), $"event_type", $"ts".as("ws"),
+          ($"ts" + expr(s"INTERVAL $WindowHours HOURS")).as("we"))
+      val probes = events.select($"event_type", $"ts", $"value")
+      RangeJoin.bucketedIntervalJoin(probes, windows, Seq("event_type"),
+          "ts", "ws", "we", WindowHours * 3600L)
+        .groupBy($"window_id", $"event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"window_id")
+    }),
+
+    // T8: HTML boilerplate strip over deterministically HTML-wrapped docs
+    // (the synthetic corpus is plain text, so the wrapper injects tags, a
+    // script block, and entities the stripper must remove/decode).
+    "t8_html_strip" -> ((s, d) => {
+      import s.implicits._
+      val html = load(s, d, "documents").withColumn("html",
+        concat(lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+          lit("<style>p { color: red; }</style></head><body><h1>Doc "),
+          $"doc_id", lit("</h1><p class=\"body\">"), $"text",
+          lit("</p><div>&amp; tail &lt;b&gt; &quot;q&#39;s&quot; &nbsp;end</div></body></html>")))
+      TextAnalysis.stripHtml(html, "html")
+        .select($"doc_id",
+          length($"plain").cast("long").as("plain_len"),
+          wordCount($"plain").as("plain_words"),
+          substring($"plain", 1, 20).as("head"),
+          expr("right(plain, 24)").as("tail"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sp1_sequence_pack" ->
+      s"""WITH w AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(list_filter(string_split(trim(text), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |o AS (
+         | SELECT lang, doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         | FROM w)
+         |SELECT lang, CAST(floor(start_offset / $PackBudget.0) AS BIGINT) AS seq_id,
+         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sp2_balanced_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_stratum) AS n_min FROM c)
+        |SELECT d.lang, count(*) AS n_sampled, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN c USING (lang), m
+        |WHERE (d.doc_id * 2654435761) % 4294967296 % c.n_stratum < m.n_min
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sp3_reservoir_sample" ->
+      s"""SELECT lang, doc_id, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY lang
+         |  ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC) <= $ReservoirK
+         |ORDER BY lang, doc_id""".stripMargin,
+    "sp4_temperature_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n)) AS z FROM c)
+        |SELECT lang, n, round(sqrt(n) / z, 6) AS weight
+        |FROM c, z ORDER BY lang""".stripMargin,
+    "rj1_range_join" ->
+      s"""WITH w AS (
+         | SELECT event_id AS window_id, event_type, ts AS ws,
+         |  ts + INTERVAL $WindowHours HOUR AS we
+         | FROM events WHERE event_id % 200 = 0)
+         |SELECT w.window_id, w.event_type, count(*) AS n_events,
+         | round(sum(e.value), 2) AS sum_value
+         |FROM events e JOIN w ON e.event_type = w.event_type
+         | AND e.ts >= w.ws AND e.ts < w.we
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "t8_html_strip" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var x = 1 < 2;</script>' ||
+        |  '<style>p { color: red; }</style></head><body><h1>Doc ' || doc_id ||
+        |  '</h1><p class="body">' || text ||
+        |  '</p><div>&amp; tail &lt;b&gt; &quot;q&#39;s&quot; &nbsp;end</div></body></html>' AS html
+        | FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+        | FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t
+        | FROM s2),
+        |p AS (SELECT doc_id,
+        |  trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g')) AS plain FROM s3)
+        |SELECT doc_id, CAST(length(plain) AS BIGINT) AS plain_len,
+        | CAST(len(list_filter(string_split(plain, ' '), x -> len(x) > 0)) AS BIGINT) AS plain_words,
+        | substr(plain, 1, 20) AS head, right(plain, 24) AS tail
+        |FROM p ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Sampling operators pinned against naive in-memory recomputations: the
+  * distributed formulation must reproduce the exact row set a single-pass
+  * local implementation produces (determinism is the operator's contract).
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hash(id: Long): Long = (id * 2654435761L) % 4294967296L
+
+  private val corpus: Seq[(Long, String, Long)] =
+    (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+      (hash(i * 7) % 90) + 10)) // 10..99 "tokens", deterministic
+
+  private lazy val df = corpus.toDF("doc_id", "lang", "n_tokens")
+
+  test("packSequences matches a local cumulative scan") {
+    val got = Sampling.packSequences(df, "lang", "doc_id", "n_tokens", 100)
+      .select("lang", "doc_id", "start_offset", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val expected = corpus.groupBy(_._2).flatMap { case (lang, rows) =>
+      var off = 0L
+      rows.sortBy(_._1).map { case (id, _, n) =>
+        val r = (lang, id) -> (off, off / 100)
+        off += n
+        r
+      }
+    }.toMap
+    assert(got == expected)
+    // every doc's start offset falls inside its sequence's window
+    got.values.foreach { case (off, seq) =>
+      assert(off / 100 == seq)
+    }
+  }
+
+  test("packSequences: first doc of each stratum starts at offset 0, seq 0") {
+    val firsts = Sampling.packSequences(df, "lang", "doc_id", "n_tokens", 100)
+      .groupBy($"lang").agg(min_by(struct($"start_offset", $"seq_id"), $"doc_id").as("f"))
+      .select($"f.start_offset", $"f.seq_id").collect()
+    firsts.foreach(r => assert(r.getLong(0) == 0L && r.getLong(1) == 0L))
+  }
+
+  test("balancedSample keeps exactly the rows the keep rule admits") {
+    val got = Sampling.balancedSample(df, "lang", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val counts = corpus.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nMin = counts.values.min
+    val expected = corpus.collect {
+      case (id, lang, _) if hash(id) % counts(lang) < nMin => id
+    }.toSet
+    assert(got == expected)
+    // balance: every stratum lands within a loose band of n_min
+    val perLang = corpus.filter(c => expected(c._1)).groupBy(_._2).view.mapValues(_.size).toMap
+    perLang.values.foreach(n => assert(n > 0 && n <= counts.values.min * 2))
+  }
+
+  test("reservoirPerKey is the deterministic bottom-k by (hash, id)") {
+    val k = 5
+    val got = Sampling.reservoirPerKey(df, "lang", "doc_id", k)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = corpus.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.map(_._1).sortBy(id => (hash(id), id)).take(k).map(lang -> _)
+    }.toSet
+    assert(got == expected)
+    assert(got.groupBy(_._1).forall(_._2.size == k))
+  }
+
+  test("temperatureWeights: sums to 1, alpha=1 gives natural proportions") {
+    val w5 = Sampling.temperatureWeights(df, "lang", 0.5)
+      .select("lang", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w5.values.sum - 1.0) < 1e-12)
+    val counts = corpus.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val z = counts.values.map(math.sqrt).sum
+    counts.foreach { case (lang, n) =>
+      assert(math.abs(w5(lang) - math.sqrt(n) / z) < 1e-12)
+    }
+    val w1 = Sampling.temperatureWeights(df, "lang", 1.0)
+      .select("lang", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val total = counts.values.sum
+    counts.foreach { case (lang, n) =>
+      assert(math.abs(w1(lang) - n / total) < 1e-12)
+    }
+    // alpha=0.5 upweights the smallest stratum relative to natural
+    val smallest = counts.minBy(_._2)._1
+    assert(w5(smallest) > w1(smallest))
+  }
+}
