@@ -86,6 +86,53 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Sequence packing, document-intact greedy form: walk each stratum in
+    * `orderCol` order and start a new bin whenever adding the next document
+    * would overflow the token budget (a document larger than the budget
+    * gets a bin of its own). Unlike [[packSequences]] this never splits a
+    * document across sequences — the trade is per-bin slack. The recurrence
+    * (bin state depends on every earlier row) is not window-expressible, so
+    * it runs as a per-partition linear scan after one hash partition on the
+    * stratum: strata pack in parallel, rows stream through constant state.
+    *
+    * Scale note: a stratum is the sequential unit. If one stratum dominates
+    * the corpus, pre-shard it (make the stratum `(lang, shard)`) — packing
+    * quality degrades only at the ≤ nShards bin boundaries.
+    *
+    * Adds `bin_id` (0-based per stratum). `tokensCol` must be numeric.
+    */
+  def packGreedyIntact(df: DataFrame, stratumCol: String, orderCol: String,
+      tokensCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(df.schema.fields :+
+      StructField("bin_id", LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val sIdx = df.schema.fieldIndex(stratumCol)
+    val tIdx = df.schema.fieldIndex(tokensCol)
+    df.repartition(col(stratumCol))
+      .sortWithinPartitions(col(stratumCol), col(orderCol))
+      .mapPartitions { rows =>
+        // several strata can hash into one partition; the sort keeps each
+        // contiguous, so a stratum change resets the bin state
+        var curStratum: Any = null
+        var started = false
+        var bin = 0L
+        var binTokens = 0L
+        rows.map { r =>
+          val st = r.get(sIdx)
+          val n = r.getAs[Number](tIdx).longValue()
+          if (!started || st != curStratum) {
+            curStratum = st; started = true; bin = 0L; binTokens = n
+          } else if (binTokens + n > budgetTokens) {
+            bin += 1L; binTokens = n
+          } else binTokens += n
+          Row.fromSeq(r.toSeq :+ bin)
+        }
+      }(enc)
+  }
+
   /** Temperature-based resampling weights: stratum d gets
     * `w_d = n_d^alpha / sum_e(n_e^alpha)`. alpha=1 reproduces natural
     * proportions, alpha=0 is uniform; alpha in (0,1) upweights small

@@ -58,4 +58,27 @@ object Scale {
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Semi-join reduction via a broadcast Bloom filter: when the probe side
+    * is huge and the filter side's key set is selective but too big to
+    * broadcast as a hash join, pre-filter the probe side with a Bloom
+    * filter BEFORE its shuffle, then run the exact semi-join over the
+    * survivors. False positives pass the Bloom stage and die in the exact
+    * join, so the RESULT is exact — the filter only shrinks the shuffle.
+    * This is the manual form of Spark's runtime bloom-filter injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`), exposed for when the
+    * filter side is a computed dataset the optimizer can't see through.
+    *
+    * Key must be integral (long-compatible); `expectedKeys`/`fpp` size the
+    * filter (bits ≈ -n·ln(fpp)/ln²2 — 1M keys at 1% ≈ 1.2 MB broadcast).
+    */
+  def bloomSemiJoin(probe: DataFrame, filterSide: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = filterSide.stat.bloomFilter(key, expectedKeys, fpp)
+    val bfB = probe.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bfB.value.mightContainLong(k.longValue()))
+    probe.filter(might(col(key).cast("long")))
+      .join(filterSide.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
 }

@@ -71,6 +71,48 @@ object Coverage7 {
         .orderBy($"lang")
     }),
 
+    // SP5: document-intact greedy packing — the stateful recurrence SQL
+    // windows can't express; the oracle reproduces it exactly with a
+    // recursive CTE walking each stratum in doc_id order.
+    "sp5_greedy_pack" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .withColumn("n_tokens", wordCount($"text"))
+        .select($"doc_id", $"lang", $"n_tokens")
+      Sampling.packGreedyIntact(docs, "lang", "doc_id", "n_tokens", PackBudget)
+        .select($"lang", $"doc_id", $"n_tokens", $"bin_id")
+        .orderBy($"lang", $"doc_id")
+    }),
+
+    // J9: Bloom-pre-filtered semi-join. The Bloom stage only shrinks the
+    // probe-side shuffle; false positives die in the exact semi-join, so
+    // the oracle is the plain IN-subquery.
+    "j9_bloom_semi" -> ((s, d) => {
+      import s.implicits._
+      val keys = load(s, d, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_totalprice" > 150000.0)
+        .select($"o_orderkey".as("l_orderkey"))
+      graft.operators.Scale.bloomSemiJoin(
+          load(s, d, "lineitem"), keys, "l_orderkey", expectedKeys = 100000L)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // T9: corpus length-distribution stats — exact interpolated quantiles
+    // of doc length per language (Spark `percentile` and DuckDB
+    // `quantile_cont` both interpolate linearly on the sorted set).
+    "t9_length_quantiles" -> ((s, d) => {
+      import s.implicits._
+      load(s, d, "documents").groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+        .orderBy($"lang")
+    }),
+
     // RJ1: bucketed interval join — every 200th event opens a 6-hour
     // window for its event_type; count/sum the events falling inside.
     // Equi-join on (event_type, time_bucket) + exact refine: one hash
@@ -141,6 +183,40 @@ object Coverage7 {
         |z AS (SELECT sum(sqrt(n)) AS z FROM c)
         |SELECT lang, n, round(sqrt(n) / z, 6) AS weight
         |FROM c, z ORDER BY lang""".stripMargin,
+    "sp5_greedy_pack" ->
+      s"""WITH RECURSIVE w AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(list_filter(string_split(trim(text), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         | FROM documents),
+         |rec AS (
+         | SELECT lang, rn, doc_id, n_tokens,
+         |  CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_tokens
+         | FROM w WHERE rn = 1
+         | UNION ALL
+         | SELECT w.lang, w.rn, w.doc_id, w.n_tokens,
+         |  CASE WHEN r.bin_tokens + w.n_tokens > $PackBudget
+         |       THEN r.bin_id + 1 ELSE r.bin_id END,
+         |  CASE WHEN r.bin_tokens + w.n_tokens > $PackBudget
+         |       THEN w.n_tokens ELSE r.bin_tokens + w.n_tokens END
+         | FROM rec r JOIN w ON w.lang = r.lang AND w.rn = r.rn + 1)
+         |SELECT lang, doc_id, n_tokens, bin_id
+         |FROM rec ORDER BY lang, doc_id""".stripMargin,
+    "j9_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t9_length_quantiles" ->
+      """SELECT lang, count(*) AS n,
+        | round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        | round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        | round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        | round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "rj1_range_join" ->
       s"""WITH w AS (
          | SELECT event_id AS window_id, event_type, ts AS ws,

@@ -46,6 +46,44 @@ class SamplingSpec extends AnyFunSuite {
     firsts.foreach(r => assert(r.getLong(0) == 0L && r.getLong(1) == 0L))
   }
 
+  test("packGreedyIntact matches the sequential greedy recurrence") {
+    val budget = 100
+    val got = Sampling.packGreedyIntact(df, "lang", "doc_id", "n_tokens", budget)
+      .select("lang", "doc_id", "bin_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = corpus.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      var bin = 0L; var binTokens = 0L; var started = false
+      rows.sortBy(_._1).map { case (id, _, n) =>
+        if (!started) { started = true; binTokens = n }
+        else if (binTokens + n > budget) { bin += 1; binTokens = n }
+        else binTokens += n
+        (lang, id) -> bin
+      }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("packGreedyIntact: oversized doc gets its own bin, packing continues") {
+    val rows = Seq((1L, "en", 40L), (2L, "en", 250L), (3L, "en", 40L),
+      (4L, "en", 50L), (5L, "en", 20L)).toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.packGreedyIntact(rows, "lang", "doc_id", "n_tokens", 100)
+      .select("doc_id", "bin_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 40 | 250 | 40+50 | 20? -> 40+50 = 90, +20 = 110 > 100 -> new bin
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("packGreedyIntact: bins never exceed budget unless singleton") {
+    val agg = Sampling.packGreedyIntact(df, "lang", "doc_id", "n_tokens", 100)
+      .groupBy("lang", "bin_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("c"))
+      .collect()
+    agg.foreach { r =>
+      assert(r.getLong(2) <= 100 || r.getLong(3) == 1L,
+        s"bin over budget with >1 doc: $r")
+    }
+  }
+
   test("balancedSample keeps exactly the rows the keep rule admits") {
     val got = Sampling.balancedSample(df, "lang", "doc_id")
       .select("doc_id").as[Long].collect().toSet

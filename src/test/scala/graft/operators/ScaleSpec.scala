@@ -70,4 +70,33 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_langs")
     }
   }
+
+  test("bloomSemiJoin is exact: identical rows to the direct semi-join") {
+    import spark.implicits._
+    val li = graft.Tables.load(spark, TestSpark.sf, "lineitem")
+    val keys = graft.Tables.load(spark, TestSpark.sf, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey"))
+    val viaBloom = Scale.bloomSemiJoin(li, keys, "l_orderkey", expectedKeys = 10000L)
+      .select($"l_orderkey", $"l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val direct = li.join(keys, Seq("l_orderkey"), "left_semi")
+      .select($"l_orderkey", $"l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaBloom == direct)
+    assert(viaBloom.nonEmpty)
+  }
+
+  test("bloomSemiJoin pre-filter really drops non-members before the join") {
+    import spark.implicits._
+    // tiny key set against a wide probe range: the bloom stage alone must
+    // reject the overwhelming majority (fpp 1% on 100 keys)
+    val probe = spark.range(0, 100000).select($"id".cast("long").as("k"))
+    val keys = spark.range(0, 100).select(($"id" * 1000).cast("long").as("k"))
+    val bf = keys.stat.bloomFilter("k", 100L, 0.01)
+    val passed = probe.filter(udf((x: Long) => bf.mightContainLong(x)).apply($"k")).count()
+    assert(passed >= 100 && passed < 3000, s"bloom passed $passed of 100000")
+    val exact = Scale.bloomSemiJoin(probe, keys, "k", expectedKeys = 100L).count()
+    assert(exact == 100L)
+  }
 }
