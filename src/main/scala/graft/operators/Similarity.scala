@@ -232,4 +232,138 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------- PQ ----
+
+  /** Product-quantization codebook: `centroids(sub)(code)` is the sub-
+    * vector centroid for code `code` in subspace `sub`. Vectors are
+    * L2-normalized before coding, so approximate inner product over codes
+    * approximates cosine over the originals.
+    */
+  final case class PqCodebook(subspaces: Int, subDim: Int,
+      centroids: Array[Array[Array[Float]]])
+
+  private def l2unit(v: Seq[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Float](v.length)
+    if (n > 0) { i = 0; while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 } }
+    out
+  }
+
+  private def nearestCode(book: Array[Array[Float]], sub: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      val cent = book(c); var d = 0.0; var i = 0
+      while (i < sub.length) { val x = sub(i) - cent(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train a PQ codebook with per-subspace Lloyd iterations, fully
+    * distributed: vectors explode once into (id, sub, subvec) rows, every
+    * iteration is one assignment map (broadcast codebook) plus ONE
+    * partial-agg shuffle of (subspaces × codes × subDim) means. The driver
+    * holds only the codebook (e.g. 8×16×8 floats), never the corpus.
+    * Deterministic init: subvectors of the first `codesPerSub` rows by id.
+    */
+  def trainPq(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, codesPerSub: Int, iters: Int = 3): PqCodebook = {
+    val normUdf = udf((v: Seq[Float]) => l2unit(v))
+    val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).length
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces subspaces")
+    val subDim = dim / subspaces
+    val subsUdf = udf((v: Seq[Float]) => {
+      val u = l2unit(v)
+      (0 until subspaces).map(sc => u.slice(sc * subDim, (sc + 1) * subDim).toSeq)
+    })
+    val subRows = corpus
+      .select(col(idCol).as("id"), posexplode(subsUdf(col(vecCol))).as(Seq("sub", "subvec")))
+      .localCheckpoint(true)
+
+    var book: Array[Array[Array[Float]]] = {
+      val init = corpus.orderBy(col(idCol)).limit(codesPerSub)
+        .select(normUdf(col(vecCol))).collect().map(_.getSeq[Float](0).toArray)
+      Array.tabulate(subspaces, init.length)((sc, c) =>
+        init(c).slice(sc * subDim, (sc + 1) * subDim))
+    }
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(book)
+      val assign = udf((sub: Int, v: Seq[Float]) => nearestCode(bc.value(sub), v.toArray))
+      val means = subRows
+        .withColumn("code", assign(col("sub"), col("subvec")))
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      // codes that captured no rows keep their previous centroid
+      means.foreach(r => book(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat)
+    }
+    PqCodebook(subspaces, subDim, book)
+  }
+
+  /** Encode each vector as `subspaces` one-byte codes (BinaryType) — for
+    * 64-d float vectors at 8 subspaces that is 8 bytes/vector, a 32×
+    * compression. Returns (idCol, pq_codes).
+    */
+  def encodePq(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      book: PqCodebook): DataFrame = {
+    val bc = spark.sparkContext.broadcast(book)
+    val enc = udf((v: Seq[Float]) => {
+      val b = bc.value
+      val u = l2unit(v)
+      val out = new Array[Byte](b.subspaces)
+      var sc = 0
+      while (sc < b.subspaces) {
+        out(sc) = nearestCode(b.centroids(sc),
+          u.slice(sc * b.subDim, (sc + 1) * b.subDim)).toByte
+        sc += 1
+      }
+      out
+    })
+    corpus.select(col(idCol), enc(col(vecCol)).as("pq_codes"))
+  }
+
+  /** Asymmetric-distance (ADC) search over PQ codes, exact rerank: the
+    * driver precomputes the (subspaces × codes) table of query-subvector ·
+    * centroid inner products, stage 1 scores the WHOLE corpus by table
+    * lookups over the 8-byte codes (per-partition heap via
+    * TakeOrderedAndProject, no corpus sort, no float vectors touched),
+    * stage 2 exact-reranks only k·rerankFactor candidates. This is the
+    * classic memory-bound ANN layout (Jégou et al., TPAMI 2011): at 100 TB
+    * the code table is ~3 orders smaller than the vectors and is the only
+    * thing the scan reads.
+    */
+  def searchPq(spark: SparkSession, codes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, book: PqCodebook, probe: Array[Float],
+      k: Int, rerankFactor: Int = 4): DataFrame = {
+    val q = l2unit(probe)
+    val table: Array[Array[Float]] = Array.tabulate(book.subspaces) { sc =>
+      book.centroids(sc).map { cent =>
+        var s = 0.0; var i = 0
+        while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
+        s.toFloat
+      }
+    }
+    val bc = spark.sparkContext.broadcast(table)
+    val adc = udf((cs: Array[Byte]) => {
+      val t = bc.value
+      var s = 0.0f; var sc = 0
+      while (sc < cs.length) { s += t(sc)(cs(sc) & 0xff); sc += 1 }
+      s
+    })
+    val candidates = codes
+      .withColumn("approx_sim", adc(col("pq_codes")))
+      .select(col(idCol), col("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(k * rerankFactor)
+    corpus.join(broadcast(candidates.select(col(idCol))), Seq(idCol), "left_semi")
+      .withColumn("sim", GraftFunctions.cosine_f32(col(vecCol), typedLit(probe)))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

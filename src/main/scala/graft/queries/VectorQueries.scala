@@ -142,6 +142,30 @@ object VectorQueries {
         .crossJoin(dimOk)
     }),
 
+    // PQ (product quantization) ADC search vs brute force: 8 subspaces ×
+    // 16 codes over L2-normalized 64-d vectors = 8-byte codes (32×
+    // compression); stage 1 scores the corpus by table lookups only,
+    // stage 2 exact-reranks 4k candidates. The floor catches codebook,
+    // encoder, or ADC-table regressions; also asserts the code width.
+    "v11_pq_recall" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val book = Similarity.trainPq(s, emb, "vec_id", "embedding",
+        subspaces = 8, codesPerSub = 16, iters = 2)
+      val codes = Similarity.encodePq(s, emb, "vec_id", "embedding", book)
+      val approx = Similarity.searchPq(s, codes, emb, "vec_id", "embedding",
+        book, probe, k = 10)
+        .select($"vec_id")
+      val widthOk = codes.agg(every(length($"pq_codes") === 8).as("width_ok"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6).as("recall_ok"))
+        .crossJoin(widthOk)
+    }),
+
     // Embedding-cosine near-duplicate pairs via banded hyperplane LSH,
     // pinned by a snapshot VALUES oracle (the sketch is deterministic).
     // The recall properties themselves are asserted against an all-pairs
@@ -162,6 +186,7 @@ object VectorQueries {
     "v5_ann_ivf_recall" -> "SELECT true AS recall_ok",
     "v9_lsh_ann_recall" -> "SELECT true AS recall_ok",
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
+    "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v1_cosine_scan" ->
       s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a, embeddings b WHERE a.vec_id = 0
