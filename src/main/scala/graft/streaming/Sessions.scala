@@ -158,6 +158,31 @@ object Sessions {
       .select(col("doc_id"), col("ts_ms"))
   }
 
+  /** Watermarked stream-stream interval join (SURVEY §2.11 + builder brief
+    * streaming surface): click events enrich with the impression that
+    * preceded them by at most `joinWindowSec` for the same key. Both sides
+    * carry watermarks and the join condition time-bounds BOTH event times,
+    * which is exactly what lets Spark age out buffered rows: an impression
+    * older than (watermark − joinWindow) can never match a future click,
+    * so its state is dropped — the unbounded-stream analog of the bucketed
+    * batch interval join. Inputs (key, ts_ms[, payload]); output one row
+    * per matched (click, impression) pair.
+    */
+  def intervalJoin(impressions: Dataset[(Long, Long)], clicks: Dataset[(Long, Long)],
+      joinWindowSec: Long, watermarkDelay: String = "10 seconds"): DataFrame = {
+    val imp = impressions.toDF("key", "imp_ts_ms")
+      .withColumn("imp_ts", timestamp_millis(col("imp_ts_ms")))
+      .withWatermark("imp_ts", watermarkDelay)
+    val clk = clicks.toDF("ckey", "clk_ts_ms")
+      .withColumn("clk_ts", timestamp_millis(col("clk_ts_ms")))
+      .withWatermark("clk_ts", watermarkDelay)
+    imp.join(clk,
+        col("key") === col("ckey") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+      .select(col("key"), col("imp_ts_ms"), col("clk_ts_ms"))
+  }
+
   /** Structured Streaming variant: watermarked session_window aggregation.
     * Reads the events parquet as a stream (Trigger.AvailableNow analog for
     * tests via processAllAvailable) and counts events per (user, session).

@@ -153,4 +153,39 @@ class SessionsSpec extends AnyFunSuite {
       assert(rows() == Map(0L -> 2L, 120000L -> 2L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: matches inside the window, across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val imps = MemoryStream[(Long, Long)](spark)
+    val clks = MemoryStream[(Long, Long)](spark)
+    val q = Sessions.intervalJoin(imps.toDS(), clks.toDS(),
+      joinWindowSec = 30L, watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_ssjoin").start()
+    def pairs(): Set[(Long, Long, Long)] = spark.table("graft_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      // impression for key 1 at t=10s, key 2 at t=12s
+      imps.addData((1L, 10_000L), (2L, 12_000L))
+      q.processAllAvailable()
+      // clicks: key 1 inside the 30s window; key 2 outside it (50s gap);
+      // key 3 has no impression at all
+      clks.addData((1L, 25_000L), (2L, 62_000L), (3L, 20_000L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 10_000L, 25_000L)))
+
+      // a click in a LATER batch still joins a buffered impression, as
+      // long as it lands inside the join window
+      clks.addData((2L, 40_000L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 10_000L, 25_000L), (2L, 12_000L, 40_000L)))
+
+      // a click before its impression never matches (clk_ts >= imp_ts)
+      imps.addData((4L, 90_000L))
+      clks.addData((4L, 80_000L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 10_000L, 25_000L), (2L, 12_000L, 40_000L)))
+    } finally q.stop()
+  }
 }
