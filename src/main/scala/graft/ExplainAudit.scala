@@ -11,7 +11,9 @@ object ExplainAudit {
       "q02_filtered_revenue,q05_regional_revenue,j5_dim_join_revenue,v2_knn_top10," +
         "w7_topk_orders,v8_topk_multiprobe,d2_minhash_pairs,d8_neardup_survivors," +
         "v9_lsh_ann_recall,s13_binary_decode,d7_winnow_pairs,v10_quantized_recall," +
-        "aj1_asof_join,dc1_decontam,d9_dup_spans,t6_repetition_metrics")
+        "aj1_asof_join,dc1_decontam,d9_dup_spans,t6_repetition_metrics," +
+        "rj1_range_join,sp1_sequence_pack,sp5_greedy_pack,sp2_balanced_sample," +
+        "j9_bloom_semi,v11_pq_recall,t8_html_strip")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

@@ -184,4 +184,40 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"repetition counters introduced a shuffle:\n$p")
   }
+
+  test("rj1: the interval join is an equi-join — no product surface") {
+    val p = plan("rj1_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join regressed to a nested loop:\n" + p.take(2000))
+  }
+
+  test("sp2: balanced sampling broadcasts the count tables — the corpus never shuffles") {
+    val p = plan("sp2_balanced_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // exchanges allowed: the tiny count aggregations and the final per-lang
+    // aggregate — never a corpus-side join shuffle
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side shuffled for the count join:\n" + p.take(2000))
+  }
+
+  test("sp1/sp3: pack + reservoir windows shuffle once on the stratum, no extra sort") {
+    val p1 = plan("sp1_sequence_pack")
+    assert(p1.contains("Window"), p1.take(1500))
+    val p3 = plan("sp3_reservoir_sample")
+    // rank-limit windows qualify for WindowGroupLimit: each map task emits
+    // at most k rows per key before the shuffle
+    assert(p3.contains("WindowGroupLimit"),
+      "reservoir lost the group-limit pushdown:\n" + p3.take(2000))
+  }
+
+  test("t8: html strip is scan + projection only — zero exchanges before the sort") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.TextAnalysis.stripHtml(
+      graft.Tables.load(spark, TestSpark.sf, "documents")
+        .withColumn("html", concat(lit("<p>"), col("text"), lit("</p>"))), "html")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"stripHtml introduced a shuffle:\n$p")
+  }
 }
