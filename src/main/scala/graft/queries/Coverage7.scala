@@ -131,6 +131,26 @@ object Coverage7 {
         .orderBy($"window_id")
     }),
 
+    // K7: partition-pruned keyed upsert — the replace-parent sink at the
+    // layout that survives 100 TB: rows live in hash buckets of the key,
+    // and an upsert rewrites ONLY the buckets containing updated keys
+    // (file-level no-rewrite asserted in PartitionedUpsertSpec). Every
+    // 17th doc is "re-ingested" with a shifted payload; the oracle
+    // computes the post-upsert state directly.
+    "k7_partitioned_upsert" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-k7").toString
+      val base = load(s, d, "documents").select($"doc_id", $"lang", $"n_chars")
+      graft.pipeline.PartitionedUpsert.writeInitial(base, root, "doc_id", 16)
+      val updates = base.filter($"doc_id" % 17 === 0)
+        .withColumn("n_chars", $"n_chars" + 1000L)
+      graft.pipeline.PartitionedUpsert.upsertByKey(s, root, updates, "doc_id", 16)
+      graft.pipeline.PartitionedUpsert.read(s, root)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang")
+    }),
+
     // T8: HTML boilerplate strip over deterministically HTML-wrapped docs
     // (the synthetic corpus is plain text, so the wrapper injects tags, a
     // script block, and entities the stripper must remove/decode).
@@ -227,6 +247,11 @@ object Coverage7 {
          |FROM events e JOIN w ON e.event_type = w.event_type
          | AND e.ts >= w.ws AND e.ts < w.we
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "k7_partitioned_upsert" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id % 17 = 0 THEN n_chars + 1000
+        |               ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t8_html_strip" ->
       """WITH h AS (
         | SELECT doc_id,
