@@ -13,7 +13,8 @@ object ExplainAudit {
         "v9_lsh_ann_recall,s13_binary_decode,d7_winnow_pairs,v10_quantized_recall," +
         "aj1_asof_join,dc1_decontam,d9_dup_spans,t6_repetition_metrics," +
         "rj1_range_join,sp1_sequence_pack,sp5_greedy_pack,sp2_balanced_sample," +
-        "j9_bloom_semi,v11_pq_recall,t8_html_strip")
+        "j9_bloom_semi,v11_pq_recall,t8_html_strip," +
+        "t10_dsir_weights,sp6_domain_mix,k7_partitioned_upsert")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

@@ -26,7 +26,8 @@ object SparkEntry {
       (gq.Coverage4.queries, gq.Coverage4.oracles),
       (gq.Coverage5.queries, gq.Coverage5.oracles),
       (gq.Coverage6.queries, gq.Coverage6.oracles),
-      (gq.Coverage7.queries, gq.Coverage7.oracles)
+      (gq.Coverage7.queries, gq.Coverage7.oracles),
+      (gq.Coverage8.queries, gq.Coverage8.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -492,5 +492,78 @@ object Dedup {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         round(col("p._3"), 4).as("cos"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding space, then prune semantic duplicates WITHIN each cluster —
+    * a pair is a duplicate when cosine ≥ `minCosine`, and the lowest id of
+    * each duplicate set survives (greedy by ascending id, i.e. the
+    * lexicographically-first maximal independent set of the per-cluster
+    * duplicate graph; the paper's keep-farthest-from-centroid tiebreak is
+    * swapped for the deterministic min-id rule the other dedup families use).
+    *
+    * Scale shape: clustering bounds candidate generation — cosines are only
+    * evaluated inside a cell, never across the corpus, so the quadratic term
+    * is O(Σ cell²·dim) with E[cell] = n/k; pick k ∝ corpus size to hold the
+    * cell population constant (the paper runs k = 50 000 at 5 B docs). All
+    * corpus-sized work (Lloyd assignment + centroid update) is one map and
+    * one partial-agg shuffle per iteration in [[Similarity.buildIvf]]; the
+    * driver holds only the k×dim centroid matrix. A cell larger than
+    * `maxClusterSize` greedy-prunes its first `maxClusterSize` members by id
+    * and keeps the tail unconditionally — the same bounded-skew guard as
+    * `maxBucketSize` above (recall degrades on the pathological cell;
+    * nothing blows up).
+    */
+  def semDedupSurvivors(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int, minCosine: Double = 0.95,
+      iters: Int = 3, maxClusterSize: Int = 10000): DataFrame = {
+    val keptIds = semDedupFlags(spark, df, idCol, vecCol, nClusters, minCosine,
+      iters, maxClusterSize)
+      .filter(col("kept")).select(col("id").as(idCol))
+    df.join(keptIds, Seq(idCol), "left_semi")
+  }
+
+  /** Per-row SemDeDup verdicts: (id, cell, kept). Exposes the k-means cell
+    * alongside the survive/drop decision so callers can audit the pruning
+    * (every dropped row has an earlier-id kept row in its cell at
+    * cosine ≥ τ; no two kept rows in a cell are within τ) without
+    * re-running Lloyd — which matters because a recomputed clustering may
+    * legally differ at float-sum order on boundary rows.
+    */
+  def semDedupFlags(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int, minCosine: Double = 0.95,
+      iters: Int = 3, maxClusterSize: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val asg = Similarity.buildIvf(spark,
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      "id", "vec", nClusters, iters).assignments
+    asg.select(col("cell"), col("id"), col("vec"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val members = it.map { case (_, id, v) =>
+          val a = v.toArray
+          var n = 0.0; var i = 0
+          while (i < a.length) { n += a(i).toDouble * a(i); i += 1 }
+          val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+          val u = new Array[Double](a.length)
+          i = 0; while (i < a.length) { u(i) = a(i) * inv; i += 1 }
+          (id, u)
+        }.toArray.sortBy(_._1)
+        val (head, tail) = members.splitAt(maxClusterSize)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Boolean)]
+        for ((id, u) <- head) {
+          val dup = kept.exists { k =>
+            var d = 0.0; var i = 0
+            while (i < k.length) { d += k(i) * u(i); i += 1 }
+            d >= minCosine
+          }
+          if (!dup) kept += u
+          out += ((id, cell, !dup))
+        }
+        out.iterator ++ tail.iterator.map { case (id, _) => (id, cell, true) }
+      }
+      .toDF("id", "cell", "kept")
   }
 }

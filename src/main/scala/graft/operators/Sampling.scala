@@ -146,4 +146,49 @@ object Sampling {
       .withColumn("weight", pow(col("n"), alpha) / col("z"))
       .drop("z")
   }
+
+  /** Domain-mixture sampling: downsample each domain so the kept corpus
+    * approaches target mixture `shares` (relative integer weights per
+    * domain; unlisted domains get weight 0) under a global budget of
+    * `budgetNum/budgetDen` of the corpus's total `unitCol` (tokens, bytes,
+    * docs — the caller's currency). Per-domain keep probability is the
+    * integer threshold
+    *   thr_d = min(10^6, 10^6 · budget·share_d/Σshares / units_d)
+    * and a row survives iff `portableHash(id) mod 10^6 < thr_d` — pure
+    * BIGINT arithmetic end to end, so the exact kept row set is
+    * reproducible anywhere. (A domain scarcer than its target share keeps
+    * everything — rate capped at 1 — and the realized mixture degrades
+    * gracefully, which is the standard behavior: mixing can only
+    * downsample, not mint data.)
+    *
+    * Scale shape: the mixture plan is a |domains|-row aggregate BROADCAST
+    * back onto the corpus; the corpus side is scan + filter — no shuffle,
+    * no driver collect.
+    */
+  def domainMixSample(df: DataFrame, domainCol: String, idCol: String,
+      unitCol: String, shares: Map[String, Int],
+      budgetNum: Int, budgetDen: Int): DataFrame = {
+    val M = 1000000L
+    val shareOf = shares.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+      when(col(domainCol) === d, lit(w.toLong)).otherwise(acc)
+    }
+    val sumShares = shares.values.map(_.toLong).sum max 1L
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(col(unitCol)).cast("long").as("units_d"))
+      .withColumn("share_d", shareOf)
+    val total = perDomain.agg(sum(col("units_d")).as("units_total"))
+    // double-precision rate, integer threshold: IEEE ops in a fixed order,
+    // so any engine evaluating the same expression gets the same thr (and
+    // the product never outgrows int64 the way M·budget_d·units would)
+    val plan = perDomain.crossJoin(broadcast(total))
+      .withColumn("budget_d",
+        col("units_total") * (lit(budgetNum.toDouble) / budgetDen) *
+          col("share_d") / sumShares)
+      .withColumn("thr", least(lit(M),
+        floor(lit(M) * col("budget_d") / greatest(col("units_d"), lit(1L)))))
+      .select(col(domainCol), col("thr"))
+    df.join(broadcast(plan), Seq(domainCol))
+      .filter(portableHash(col(idCol)) % M < col("thr"))
+      .drop("thr")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -69,5 +69,56 @@ object TextAnalysis {
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     df.withColumn(outCol, trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")))
+  }
+
+  /** Portable hashed-token bucket for [[dsirLogWeights]]: a small polynomial
+    * over the token's length and the ASCII-sanitized first/last characters,
+    * in pure integer arithmetic both Spark and DuckDB evaluate identically
+    * (ascii('') = 0 in both). Production callers that don't need a SQL
+    * oracle can pass `pmod(hash(tok), buckets)` (Murmur3) instead — the
+    * operator only requires SOME deterministic token → [0, buckets) map.
+    */
+  def portableTokenBucket(tok: Column, buckets: Int): Column = {
+    val s = regexp_replace(tok, "[^a-zA-Z0-9]", "")
+    (lit(31) * length(tok) + lit(17) * ascii(s) + lit(7) * ascii(reverse(s)) +
+      lit(3) * length(s)) % buckets
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score each
+    * document by how much more likely its hashed-unigram bag is under a
+    * TARGET domain's token distribution than under the raw corpus's —
+    * log w(doc) = Σ_b n_b(doc)·[log p̂_T(b) − log p̂_R(b)] with add-1
+    * smoothing over `buckets` buckets. Sampling ∝ w then yields a corpus
+    * distributed like the target domain.
+    *
+    * Scale shape: the tokenize+explode scan is read twice — once into the
+    * (doc, bucket) partial-agg groupBy (the only corpus-sized shuffle) and
+    * once into the ≤`buckets`-row distribution table; the totals derive
+    * from that tiny table, not from another scan, and both join back by
+    * BROADCAST. Emits (id, n_tokens, log_w) with log_w rounded to 4 dp —
+    * coarse enough that double summation order can't flip the value.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256,
+      bucketOf: Column => Column = null): DataFrame = {
+    val bucketFn = if (bucketOf != null) bucketOf
+      else (c: Column) => portableTokenBucket(c, buckets)
+    val toks = df
+      .select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+      .withColumn("bk", bucketFn(col("tok")))
+      .select(col("id"), col("is_t"), col("bk"))
+    val perDoc = toks.groupBy(col("id"), col("bk")).agg(count(lit(1)).as("nb"))
+    val perBucket = toks.groupBy(col("bk"))
+      .agg(count(lit(1)).as("cr"), count(when(col("is_t"), 1)).as("ct"))
+    val totals = perBucket.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val term = col("nb") * (log((col("ct") + lit(1.0)) /
+        (col("nt") + lit(buckets).cast("double"))) -
+      log((col("cr") + lit(1.0)) / (col("nr") + lit(buckets).cast("double"))))
+    perDoc
+      .join(broadcast(perBucket), Seq("bk"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id"))
+      .agg(sum(col("nb")).as("n_tokens"), round(sum(term), 4).as("log_w"))
   }
 }

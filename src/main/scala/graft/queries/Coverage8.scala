@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Coverage wave 8 — semantic dedup, importance resampling, and domain
+  * mixing: the remaining big-name training-corpus constructions. Sampling
+  * decisions stay in pure integer arithmetic ([[graft.operators.Sampling
+  * .portableHash]]) and float scores round identically on both sides, so
+  * the DuckDB oracles reproduce exact row sets.
+  */
+object Coverage8 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SemTau = 0.45 // d10: embeddings-table near-dup band is cos≈0.45-0.51
+
+  val queries: Map[String, Q] = Map(
+    // D10: SemDeDup (Abbas et al. 2023) — k-means cells, within-cell greedy
+    // cosine pruning. The clustering is float-order sensitive at cell
+    // boundaries, so the oracle gates INVARIANTS computed from the single
+    // audited evaluation: every dropped row is covered by an earlier kept
+    // row in its cell at cos ≥ τ, no kept pair in a cell is within τ, and
+    // survivors are a nonempty proper subset (the table plants near-dups).
+    "d10_semdedup" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings").select($"vec_id".as("id"), $"embedding")
+      val flags = Dedup.semDedupFlags(s, emb, "id", "embedding",
+        nClusters = 8, minCosine = SemTau).localCheckpoint(true)
+      val withVec = flags.join(emb, Seq("id"))
+      val kept = withVec.filter($"kept").select($"id", $"cell", $"embedding")
+      val dropped = withVec.filter(!$"kept").select($"id", $"cell", $"embedding")
+      val nDocs = emb.count()
+      val nKept = kept.count()
+      val nDropped = dropped.count()
+      val covered = dropped.alias("d").join(kept.alias("k"),
+        col("d.cell") === col("k.cell") && col("k.id") < col("d.id") &&
+          GraftFunctions.cosine_f32(col("d.embedding"), col("k.embedding")) >= SemTau,
+        "left_semi").count()
+      val keptViolations = kept.alias("a").join(kept.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          GraftFunctions.cosine_f32(col("a.embedding"), col("b.embedding")) >= SemTau)
+        .count()
+      Seq((nDocs, nKept + nDropped == nDocs, nKept > 0 && nKept < nDocs,
+        covered == nDropped, keptViolations == 0L))
+        .toDF("n_docs", "partition_ok", "pruned_some", "dropped_covered",
+          "kept_separated")
+    }),
+
+    // T10: DSIR importance weights — hashed-unigram log-likelihood ratio of
+    // the 'en' target slice vs the raw corpus. The per-doc weight must be
+    // exactly reproducible from the portable bucket hash (full per-doc
+    // value set hash-matched; DsirMixSpec asserts the ordering semantics).
+    "t10_dsir_weights" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      TextAnalysis.dsirLogWeights(docs, "doc_id", "text", $"lang" === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // SP6: domain-mixture sampling — downsample per language toward a
+    // 3:1:1:1:1 en-heavy target under a half-token budget; keeps are
+    // hash-deterministic so the oracle reproduces the exact kept set.
+    "sp6_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(trim($"text"), " "), t => length(t) > 0)).cast("long"))
+      val kept = Sampling.domainMixSample(docs, "lang", "doc_id", "n_tokens",
+        Map("en" -> 3, "de" -> 1, "fr" -> 1, "es" -> 1, "zh" -> 1),
+        budgetNum = 1, budgetDen = 2)
+      kept.groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("tok_kept"),
+          min($"doc_id").as("first_id"))
+        .orderBy($"lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d10_semdedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS partition_ok,
+        | true AS pruned_some, true AS dropped_covered, true AS kept_separated
+        |FROM embeddings""".stripMargin,
+    "t10_dsir_weights" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang = 'en' AS is_t,
+        |  (31*len(t) + 17*ascii(regexp_replace(t,'[^a-zA-Z0-9]','','g'))
+        |   + 7*ascii(reverse(regexp_replace(t,'[^a-zA-Z0-9]','','g')))
+        |   + 3*len(regexp_replace(t,'[^a-zA-Z0-9]','','g'))) % 256 AS bk
+        | FROM documents,
+        |  unnest(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS u(t)),
+        |per_doc AS (SELECT doc_id, bk, count(*) AS nb FROM toks GROUP BY 1, 2),
+        |raw AS (SELECT bk, count(*) AS cr FROM toks GROUP BY 1),
+        |tgt AS (SELECT bk, count(*) AS ct FROM toks WHERE is_t GROUP BY 1),
+        |tot AS (SELECT count(*) AS nr, count(*) FILTER (is_t) AS nt FROM toks)
+        |SELECT p.doc_id, CAST(sum(p.nb) AS BIGINT) AS n_tokens,
+        | round(sum(p.nb * (ln((coalesce(ct, 0) + 1.0) / (nt + 256.0))
+        |                 - ln((cr + 1.0) / (nr + 256.0)))), 4) AS log_w
+        |FROM per_doc p JOIN raw USING (bk) LEFT JOIN tgt USING (bk) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sp6_domain_mix" ->
+      """WITH docs AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |per_domain AS (
+        | SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS units_d,
+        |  CASE lang WHEN 'en' THEN 3 ELSE 1 END AS share_d
+        | FROM docs GROUP BY lang),
+        |tot AS (SELECT CAST(sum(units_d) AS BIGINT) AS units_total FROM per_domain),
+        |mix_plan AS (
+        | SELECT lang, least(1000000, CAST(floor(
+        |   (1000000 * ((units_total * (CAST(1 AS DOUBLE) / 2)) * share_d / 7))
+        |   / greatest(units_d, 1)) AS BIGINT)) AS thr
+        | FROM per_domain CROSS JOIN tot),
+        |kept AS (
+        | SELECT d.* FROM docs d JOIN mix_plan p USING (lang)
+        | WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < p.thr)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS tok_kept,
+        | min(doc_id) AS first_id
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
