@@ -91,12 +91,13 @@ object TextAnalysis {
     * smoothing over `buckets` buckets. Sampling ∝ w then yields a corpus
     * distributed like the target domain.
     *
-    * Scale shape: the tokenize+explode scan is read twice — once into the
-    * (doc, bucket) partial-agg groupBy (the only corpus-sized shuffle) and
-    * once into the ≤`buckets`-row distribution table; the totals derive
-    * from that tiny table, not from another scan, and both join back by
-    * BROADCAST. Emits (id, n_tokens, log_w) with log_w rounded to 4 dp —
-    * coarse enough that double summation order can't flip the value.
+    * Scale shape: ONE tokenize+explode scan and ONE corpus-sized shuffle
+    * (the (doc, bucket) partial-agg groupBy, whose exchange the
+    * distribution rollup reuses — `ReusedExchange` in the plan); the
+    * ≤`buckets`-row distribution table and its totals are aggregates OF
+    * the per-doc table, and both join back by BROADCAST. Emits
+    * (id, n_tokens, log_w) with log_w rounded to 4 dp — coarse enough
+    * that double summation order can't flip the value.
     */
   def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 256,
@@ -108,9 +109,11 @@ object TextAnalysis {
         explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
       .withColumn("bk", bucketFn(col("tok")))
       .select(col("id"), col("is_t"), col("bk"))
-    val perDoc = toks.groupBy(col("id"), col("bk")).agg(count(lit(1)).as("nb"))
-    val perBucket = toks.groupBy(col("bk"))
-      .agg(count(lit(1)).as("cr"), count(when(col("is_t"), 1)).as("ct"))
+    val perDoc = toks.groupBy(col("id"), col("is_t"), col("bk"))
+      .agg(count(lit(1)).as("nb"))
+    val perBucket = perDoc.groupBy(col("bk"))
+      .agg(sum(col("nb")).as("cr"),
+        sum(when(col("is_t"), col("nb")).otherwise(lit(0L))).as("ct"))
     val totals = perBucket.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val term = col("nb") * (log((col("ct") + lit(1.0)) /
         (col("nt") + lit(buckets).cast("double"))) -

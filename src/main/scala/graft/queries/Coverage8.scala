@@ -77,6 +77,36 @@ object Coverage8 {
         .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("tok_kept"),
           min($"doc_id").as("first_id"))
         .orderBy($"lang")
+    }),
+
+    // P3: end-to-end corpus build — the composition a pretraining-data run
+    // actually executes: quality filter → exact dedup → domain mixing →
+    // document-intact packing into 1024-token bins. Every stage is a
+    // proven-portable fragment (t2 / d1 / sp6 / sp5), so the WHOLE
+    // pipeline hash-matches an independent DuckDB recompute, kept row set
+    // and bin boundaries included.
+    "p3_corpus_build" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val q = TextAnalysis.withQualityScore(docs, "text")
+        .filter($"n_tokens" >= 10 && $"punct_ratio" <= 0.3 &&
+          $"mean_word_len" <= 40.0)
+      val deduped = Dedup.dropExactDuplicates(q, "doc_id", "text")
+        .withColumn("mix_tokens",
+          size(filter(split(trim($"text"), " "), t => length(t) > 0)).cast("long"))
+      val mixed = Sampling.domainMixSample(deduped, "lang", "doc_id", "mix_tokens",
+        Map("en" -> 3, "de" -> 1, "fr" -> 1, "es" -> 1, "zh" -> 1),
+        budgetNum = 1, budgetDen = 2)
+      val packed = Sampling.packGreedyIntact(
+        mixed.select($"lang", $"doc_id", $"mix_tokens"),
+        "lang", "doc_id", "mix_tokens", budgetTokens = 1024)
+      packed.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (max($"bin_id") + 1L).as("n_bins"),
+          sum($"mix_tokens").as("tok_total"),
+          round(sum($"mix_tokens") / ((max($"bin_id") + 1L) * lit(1024.0)), 4)
+            .as("util"))
+        .orderBy($"lang")
     })
   )
 
@@ -122,6 +152,47 @@ object Coverage8 {
         | WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < p.thr)
         |SELECT lang, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS tok_kept,
         | min(doc_id) AS first_id
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p3_corpus_build" ->
+      """WITH RECURSIVE q AS (
+        | SELECT doc_id, lang, text,
+        |  CAST(len(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS BIGINT) AS mix_tokens
+        | FROM documents
+        | WHERE CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) >= 10
+        |  AND round(len(regexp_extract_all(text,'[.,;:!?]'))*1.0
+        |      / greatest(len(string_split_regex(trim(text),'\s+')),1), 4) <= 0.3
+        |  AND round((length(trim(text)) - (len(string_split_regex(trim(text),'\s+'))-1))*1.0
+        |      / greatest(len(string_split_regex(trim(text),'\s+')),1), 4) <= 40.0
+        | QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |per_domain AS (
+        | SELECT lang, CAST(sum(mix_tokens) AS BIGINT) AS units_d,
+        |  CASE lang WHEN 'en' THEN 3 ELSE 1 END AS share_d
+        | FROM q GROUP BY lang),
+        |tot AS (SELECT CAST(sum(units_d) AS BIGINT) AS units_total FROM per_domain),
+        |mix_plan AS (
+        | SELECT lang, least(1000000, CAST(floor(
+        |   (1000000 * ((units_total * (CAST(1 AS DOUBLE) / 2)) * share_d / 7))
+        |   / greatest(units_d, 1)) AS BIGINT)) AS thr
+        | FROM per_domain CROSS JOIN tot),
+        |kept AS (
+        | SELECT q.doc_id, q.lang, q.mix_tokens,
+        |  row_number() OVER (PARTITION BY q.lang ORDER BY q.doc_id) AS rn
+        | FROM q JOIN mix_plan p USING (lang)
+        | WHERE (q.doc_id * 2654435761) % 4294967296 % 1000000 < p.thr),
+        |rec AS (
+        | SELECT lang, rn, doc_id, mix_tokens,
+        |  CAST(0 AS BIGINT) AS bin_id, mix_tokens AS bin_tokens
+        | FROM kept WHERE rn = 1
+        | UNION ALL
+        | SELECT k.lang, k.rn, k.doc_id, k.mix_tokens,
+        |  CASE WHEN r.bin_tokens + k.mix_tokens > 1024
+        |       THEN r.bin_id + 1 ELSE r.bin_id END,
+        |  CASE WHEN r.bin_tokens + k.mix_tokens > 1024
+        |       THEN k.mix_tokens ELSE r.bin_tokens + k.mix_tokens END
+        | FROM rec r JOIN kept k ON k.lang = r.lang AND k.rn = r.rn + 1)
+        |SELECT lang, count(*) AS n_docs, max(bin_id) + 1 AS n_bins,
+        | CAST(sum(mix_tokens) AS BIGINT) AS tok_total,
+        | round(sum(mix_tokens) / ((max(bin_id) + 1) * 1024.0), 4) AS util
+        |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -212,4 +212,58 @@ object Sessions {
     spark.table(queryName)
       .select(col("user_id"), col("session.start").as("session_start"), col("n_events"))
   }
+
+  final case class KeyProfile(user_id: Long, n_events: Long, last_ts_ms: Long,
+      recent_ts: Seq[Long])
+
+  /** Per-key profile on the transformWithState API (Spark 4.x arbitrary
+    * state v2): a running counter in `ValueState` plus a bounded
+    * recent-timestamps window in `ListState` — the state-shape
+    * mapGroupsWithState can't hold cheaply (appending to a list inside one
+    * opaque state value rewrites the whole value every batch; ListState appends
+    * are incremental in the state store). Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`); TTLConfig
+    * on either state gives the idle-key eviction the purge path needs
+    * without timer bookkeeping.
+    */
+  class UserProfileProcessor(recentK: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), KeyProfile] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var count: ValueState[UserState] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      count = getHandle.getValueState[UserState]("count",
+        E.product[UserState], TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recent", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[KeyProfile] = {
+      val prev = if (count.exists()) count.get() else UserState(0L, 0L)
+      // sort the batch slice so replays produce identical state/output
+      val batch = rows.toArray.sortBy(_._2)
+      var n = prev.n
+      var last = prev.lastTsMs
+      batch.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+      count.update(UserState(n, last))
+      val window = ((if (recent.exists()) recent.get().toSeq else Seq.empty) ++
+        batch.map(_._2)).takeRight(recentK)
+      recent.put(window.toArray)
+      Iterator.single(KeyProfile(key, n, last, window))
+    }
+  }
+
+  /** Streaming per-user profiles via [[UserProfileProcessor]]; input is
+    * (user_id, ts_ms), update output mode. */
+  def userProfiles(events: Dataset[(Long, Long)], recentK: Int = 3): Dataset[KeyProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_._1)
+      .transformWithState(new UserProfileProcessor(recentK),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
