@@ -494,6 +494,69 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  private def explodeParas(df: DataFrame, idCol: String,
+      paragraphs: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      posexplode(paragraphs).as(Seq("p_idx", "p_text")))
+
+  /** Paragraph-granularity exact dedup (the C4 / Dolma normalization step):
+    * the corpus keeps ONE instance of every distinct paragraph — the
+    * (min id, min p_idx) occurrence — and each document is rebuilt from its
+    * surviving paragraphs in order. `paragraphs` is any array<string>
+    * expression over the row (split on blank lines for real text; the gate
+    * corpus has no newlines, so its query windows the token stream).
+    *
+    * Skew note: the keeper table is a groupBy-min(struct) — partial
+    * aggregation absorbs the boilerplate case (one paragraph appearing in
+    * millions of docs) on the map side, where a row_number window would
+    * funnel every instance of the hot paragraph through one reducer. The
+    * join back is on the md5 fingerprint, whose keeper side is one row per
+    * DISTINCT paragraph — skew-free by construction.
+    *
+    * Returns (id, n_paras, text_deduped); documents whose every paragraph
+    * was claimed elsewhere disappear (n_paras would be 0).
+    */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String,
+      paragraphs: Column, sep: String = " "): DataFrame = {
+    val paras = explodeParas(df, idCol, paragraphs)
+      .withColumn("_fp", md5(col("p_text")))
+    val keepers = paras.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("p_idx"))).as("_k"))
+    paras.join(keepers, Seq("_fp"))
+      .filter(col("id") === col("_k.id") && col("p_idx") === col("_k.p_idx"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_paras"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p_idx"), col("p_text")))),
+          x => x.getField("p_text")), sep).as("text_deduped"))
+  }
+
+  /** Ingest-time paragraph dedup against an EXISTING corpus index: incoming
+    * paragraphs whose fingerprint is already indexed are dropped, and
+    * within the batch only the first occurrence survives. `indexFps` is
+    * the persisted fingerprint column (`_fp`) of the corpus — at 100 TB
+    * nobody rescans the corpus per batch; the index is the compact state
+    * the ingest pipeline carries forward (and [[graft.pipeline
+    * .PartitionedUpsert]] is the layout that appends to it cheaply).
+    * The membership test is [[Scale.bloomAntiJoin]]: definitely-novel
+    * paragraphs (the common case) never shuffle.
+    *
+    * Returns the surviving (id, p_idx, p_text, _fp) rows — callers rebuild
+    * documents or append `_fp` to the index from the same result.
+    */
+  def ingestNovelParagraphs(incoming: DataFrame, idCol: String,
+      paragraphs: Column, indexFps: DataFrame,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val paras = explodeParas(incoming, idCol, paragraphs)
+      .withColumn("_fp", md5(col("p_text")))
+    val novel = Scale.bloomAntiJoin(paras, indexFps, "_fp", expectedKeys, fpp)
+    val keepers = novel.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("p_idx"))).as("_k"))
+    novel.join(keepers, Seq("_fp"))
+      .filter(col("id") === col("_k.id") && col("p_idx") === col("_k.p_idx"))
+      .select(col("id"), col("p_idx"), col("p_text"), col("_fp"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     * embedding space, then prune semantic duplicates WITHIN each cluster —
     * a pair is a duplicate when cosine ≥ `minCosine`, and the lowest id of

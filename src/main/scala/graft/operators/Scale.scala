@@ -74,11 +74,36 @@ object Scale {
     */
   def bloomSemiJoin(probe: DataFrame, filterSide: DataFrame, key: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // stat.bloomFilter NPEs on an empty input (null sketch buffer); the
+    // isEmpty probe is a limit-1 job, not a full scan
+    if (filterSide.isEmpty) return probe.limit(0)
     val bf = filterSide.stat.bloomFilter(key, expectedKeys, fpp)
     val bfB = probe.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>
       k != null && bfB.value.mightContainLong(k.longValue()))
     probe.filter(might(col(key).cast("long")))
       .join(filterSide.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  /** ANTI-join with a broadcast Bloom short-circuit (string keys): rows the
+    * Bloom filter rules out are DEFINITELY novel and bypass the join
+    * entirely — no shuffle, no state — while "maybe present" rows (true
+    * hits + fpp false positives) go through the exact left-anti join.
+    * Result is exact; at a 1 % fpp the shuffled slice is the true-duplicate
+    * volume + 1 % of the novel volume, which is what makes dedup-at-ingest
+    * against a corpus-sized index affordable: the common case (novel row)
+    * costs one broadcast-filter probe.
+    */
+  def bloomAntiJoin(probe: DataFrame, filterSide: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // empty index → everything is novel (and stat.bloomFilter would NPE)
+    if (filterSide.isEmpty) return probe
+    val bf = filterSide.stat.bloomFilter(key, expectedKeys, fpp)
+    val bfB = probe.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    val definitelyNovel = probe.filter(!might(col(key)))
+    val suspects = probe.filter(might(col(key)))
+      .join(filterSide.select(col(key)).distinct(), Seq(key), "left_anti")
+    definitelyNovel.unionByName(suspects)
   }
 }

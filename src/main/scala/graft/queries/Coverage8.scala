@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.Column
 import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Coverage wave 8 — semantic dedup, importance resampling, and domain
@@ -16,6 +17,20 @@ object Coverage8 {
   type Q = (SparkSession, String) => DataFrame
 
   private val SemTau = 0.45 // d10: embeddings-table near-dup band is cos≈0.45-0.51
+  private val ParaWords = 12 // d11/d12: tokens per pseudo-paragraph window
+
+  /** The gate corpus has no newlines, so "paragraphs" are non-overlapping
+    * 12-token windows — same slicing the DuckDB oracle spells with list
+    * ranges. Empty docs produce an empty array (sequence(0,-1) would
+    * otherwise count DOWN).
+    */
+  private def paraWindows(text: Column): Column = {
+    val toks = filter(split(trim(text), " "), t => length(t) > 0)
+    val nP = ceil(size(toks) / lit(ParaWords.toDouble)).cast("int")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nP - 1),
+        g => array_join(slice(toks, g * ParaWords + 1, lit(ParaWords)), " ")))
+  }
 
   val queries: Map[String, Q] = Map(
     // D10: SemDeDup (Abbas et al. 2023) — k-means cells, within-cell greedy
@@ -107,6 +122,46 @@ object Coverage8 {
           round(sum($"mix_tokens") / ((max($"bin_id") + 1L) * lit(1024.0)), 4)
             .as("util"))
         .orderBy($"lang")
+    }),
+
+    // D11: paragraph-granularity exact dedup (C4/Dolma) — the corpus keeps
+    // one instance of each distinct 12-token window and documents are
+    // rebuilt from their survivors; keeper choice is min(id, p_idx) so the
+    // whole rebuilt corpus hash-matches the QUALIFY-based recompute.
+    "d11_paragraph_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      Dedup.dropDuplicateParagraphs(docs, "doc_id", paraWindows($"text"))
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_paras").as("paras_kept"),
+          sum(length($"text_deduped")).as("chars_kept"))
+        .orderBy($"lang")
+    }),
+
+    // D12: ingest-time dedup against the existing corpus's fingerprint
+    // index (docs with doc_id % 3 != 0 are "already ingested"; the rest
+    // arrive as a batch). Bloom-negative paragraphs skip the join; the
+    // result is exact, so the oracle is the plain anti-join + first-in-
+    // batch rule.
+    "d12_incremental_ingest" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val existing = docs.filter($"doc_id" % 3 =!= 0)
+      val incoming = docs.filter($"doc_id" % 3 === 0)
+      val indexFps = existing
+        .select(explode(paraWindows($"text")).as("p_text"))
+        .select(md5($"p_text").as("_fp")).distinct()
+      val novel = Dedup.ingestNovelParagraphs(incoming, "doc_id",
+        paraWindows($"text"), indexFps, expectedKeys = 10000L)
+      novel.withColumnRenamed("id", "doc_id")
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("paras_novel"),
+          countDistinct($"doc_id").as("docs_touched"),
+          sum(length($"p_text")).as("chars_novel"))
+        .orderBy($"lang")
     })
   )
 
@@ -193,6 +248,42 @@ object Coverage8 {
         |SELECT lang, count(*) AS n_docs, max(bin_id) + 1 AS n_bins,
         | CAST(sum(mix_tokens) AS BIGINT) AS tok_total,
         | round(sum(mix_tokens) / ((max(bin_id) + 1) * 1024.0), 4) AS util
-        |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d11_paragraph_dedup" ->
+      s"""WITH w AS (
+         | SELECT doc_id, lang,
+         |  list_filter(string_split(trim(text),' '), x -> len(x) > 0) AS toks
+         | FROM documents),
+         |p AS (
+         | SELECT w.doc_id, w.lang, u.g AS p_idx,
+         |  array_to_string(w.toks[u.g*$ParaWords+1 : u.g*$ParaWords+$ParaWords], ' ') AS p_text
+         | FROM w JOIN (SELECT unnest(range(10000)) AS g) u ON u.g*$ParaWords < len(w.toks)),
+         |kept AS (
+         | SELECT doc_id, lang, p_idx, p_text FROM p
+         | QUALIFY row_number() OVER (PARTITION BY md5(p_text) ORDER BY doc_id, p_idx) = 1),
+         |docs2 AS (
+         | SELECT doc_id, lang, count(*) AS n_paras,
+         |  string_agg(p_text, ' ' ORDER BY p_idx) AS txt
+         | FROM kept GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_paras) AS BIGINT) AS paras_kept,
+         | CAST(sum(length(txt)) AS BIGINT) AS chars_kept
+         |FROM docs2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d12_incremental_ingest" ->
+      s"""WITH w AS (
+         | SELECT doc_id, lang,
+         |  list_filter(string_split(trim(text),' '), x -> len(x) > 0) AS toks
+         | FROM documents),
+         |p AS (
+         | SELECT w.doc_id, w.lang, u.g AS p_idx,
+         |  array_to_string(w.toks[u.g*$ParaWords+1 : u.g*$ParaWords+$ParaWords], ' ') AS p_text
+         | FROM w JOIN (SELECT unnest(range(10000)) AS g) u ON u.g*$ParaWords < len(w.toks)),
+         |ex AS (SELECT DISTINCT md5(p_text) AS fp FROM p WHERE doc_id % 3 != 0),
+         |novel AS (
+         | SELECT * FROM p
+         | WHERE doc_id % 3 = 0 AND md5(p_text) NOT IN (SELECT fp FROM ex)
+         | QUALIFY row_number() OVER (PARTITION BY md5(p_text) ORDER BY doc_id, p_idx) = 1)
+         |SELECT lang, count(*) AS paras_novel, count(DISTINCT doc_id) AS docs_touched,
+         | CAST(sum(length(p_text)) AS BIGINT) AS chars_novel
+         |FROM novel GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
