@@ -124,4 +124,38 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(sum(col("nb")).as("n_tokens"), round(sum(term), 4).as("log_w"))
   }
+
+  /** CCNet-style perplexity quality scores (Wenzek et al. 2020,
+    * arXiv:1911.00359): per-doc negative log-likelihood under a REFERENCE
+    * unigram distribution (the `isRef` slice — CCNet uses Wikipedia),
+    * add-1 smoothed over hashed buckets:
+    * nll(doc) = −(1/n)·Σ_b n_b(doc)·log p̂_ref(b). Low nll ⇒ the doc reads
+    * like the reference corpus; filtering keeps the head/middle of the
+    * distribution. Same single-shuffle shape as [[dsirLogWeights]]; the
+    * reference table is ≤`buckets` rows, broadcast.
+    */
+  def unigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      isRef: Column, buckets: Int = 256,
+      bucketOf: Column => Column = null): DataFrame = {
+    val bucketFn = if (bucketOf != null) bucketOf
+      else (c: Column) => portableTokenBucket(c, buckets)
+    val toks = df
+      .select(col(idCol).as("id"), isRef.as("is_r"),
+        explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+      .withColumn("bk", bucketFn(col("tok")))
+      .select(col("id"), col("is_r"), col("bk"))
+    val perDoc = toks.groupBy(col("id"), col("is_r"), col("bk"))
+      .agg(count(lit(1)).as("nb"))
+    val ref = perDoc.groupBy(col("bk"))
+      .agg(sum(when(col("is_r"), col("nb")).otherwise(lit(0L))).as("cref"))
+    val totals = ref.agg(sum(col("cref")).as("nref"))
+    val term = col("nb") * log((col("cref") + lit(1.0)) /
+      (col("nref") + lit(buckets).cast("double")))
+    perDoc
+      .join(broadcast(ref), Seq("bk"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id"))
+      .agg(sum(col("nb")).as("n_tokens"),
+        round(-sum(term) / sum(col("nb")), 4).as("nll"))
+  }
 }

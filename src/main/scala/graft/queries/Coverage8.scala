@@ -77,6 +77,17 @@ object Coverage8 {
         .orderBy($"doc_id")
     }),
 
+    // T11: CCNet-style perplexity quality score — per-doc NLL under the
+    // 'en' reference unigram distribution. Full per-doc value set
+    // hash-matched at 4 dp.
+    "t11_unigram_ppl" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      TextAnalysis.unigramPerplexity(docs, "doc_id", "text", $"lang" === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // SP6: domain-mixture sampling — downsample per language toward a
     // 3:1:1:1:1 en-heavy target under a half-token budget; keeps are
     // hash-deterministic so the oracle reproduces the exact kept set.
@@ -186,6 +197,21 @@ object Coverage8 {
         | round(sum(p.nb * (ln((coalesce(ct, 0) + 1.0) / (nt + 256.0))
         |                 - ln((cr + 1.0) / (nr + 256.0)))), 4) AS log_w
         |FROM per_doc p JOIN raw USING (bk) LEFT JOIN tgt USING (bk) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t11_unigram_ppl" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang = 'en' AS is_r,
+        |  (31*len(t) + 17*ascii(regexp_replace(t,'[^a-zA-Z0-9]','','g'))
+        |   + 7*ascii(reverse(regexp_replace(t,'[^a-zA-Z0-9]','','g')))
+        |   + 3*len(regexp_replace(t,'[^a-zA-Z0-9]','','g'))) % 256 AS bk
+        | FROM documents,
+        |  unnest(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS u(t)),
+        |per_doc AS (SELECT doc_id, bk, count(*) AS nb FROM toks GROUP BY 1, 2),
+        |ref AS (SELECT bk, count(*) FILTER (is_r) AS cref FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cref) AS BIGINT) AS nref FROM ref)
+        |SELECT p.doc_id, CAST(sum(p.nb) AS BIGINT) AS n_tokens,
+        | round(-sum(p.nb * ln((cref + 1.0) / (nref + 256.0))) / sum(p.nb), 4) AS nll
+        |FROM per_doc p JOIN ref USING (bk) CROSS JOIN tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sp6_domain_mix" ->
       """WITH docs AS (

@@ -220,4 +220,28 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"stripHtml introduced a shuffle:\n$p")
   }
+
+  test("t10/t11: distribution tables broadcast — no sort-merge join on the corpus") {
+    val p10 = plan("t10_dsir_weights")
+    assert(p10.contains("BroadcastHashJoin"), p10.take(1500))
+    assert(!p10.contains("SortMergeJoin"), "DSIR distribution join fell back to SMJ")
+    val p11 = plan("t11_unigram_ppl")
+    assert(p11.contains("BroadcastHashJoin"), p11.take(1500))
+    assert(!p11.contains("SortMergeJoin"), "perplexity reference join fell back to SMJ")
+  }
+
+  test("sp6: the mixture plan broadcasts — the corpus side never shuffles for the join") {
+    val p = plan("sp6_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "mixture-plan join fell back to SMJ")
+  }
+
+  test("d11: paragraph keeper is an aggregate, not a hot-key window") {
+    // the boilerplate-skew claim: dedup must NOT funnel every instance of a
+    // duplicated paragraph through one row_number reducer
+    val p = plan("d11_paragraph_dedup")
+    assert(!p.contains("Window"), "paragraph dedup regressed to a window:\n" + p.take(2000))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "keeper table lost its partial aggregation:\n" + p.take(2000))
+  }
 }

@@ -52,6 +52,19 @@ class DsirMixSpec extends AnyFunSuite {
     assert(enAvg > otherAvg, s"en avg $enAvg must exceed non-en avg $otherAvg")
   }
 
+  test("unigram perplexity ranks reference-like docs below off-reference docs") {
+    val docs = Seq(
+      (0L, true, "alpha beta gamma alpha beta gamma alpha beta"),
+      (1L, true, "beta gamma alpha gamma alpha beta"),
+      (2L, false, "alpha beta gamma alpha"),  // written in reference vocab
+      (3L, false, "zulu yankee xray zulu yankee xray")
+    ).toDF("id", "is_r", "text")
+    val nll = TextAnalysis.unigramPerplexity(docs, "id", "text", col("is_r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(2) < nll(3), "reference-vocab doc must have lower NLL")
+    assert(nll(0) < nll(3) && nll(1) < nll(3))
+  }
+
   test("domain mix keeps everything in a domain scarcer than its target share") {
     val df = ((1L to 500L).map(i => (i, "big", 10L)) ++
       (1000L to 1004L).map(i => (i, "rare", 10L))).toDF("id", "dom", "units")
