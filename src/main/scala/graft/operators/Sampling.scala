@@ -147,6 +147,36 @@ object Sampling {
       .drop("z")
   }
 
+  /** Deterministic epoch reshuffle for training-order assembly: each epoch
+    * permutes the corpus differently, but reproducibly — order comes from
+    * an epoch-salted multiplicative hash, never from `rand()`, so any
+    * worker (or a DuckDB audit) can answer "which example was row 4 071 of
+    * shard 17 in epoch 2". Rows are assigned to `nShards` shards and
+    * ranked within their shard; training readers consume shards
+    * independently.
+    *
+    * Scale shape: one shuffle on (epoch, shard) and a sort WITHIN each
+    * shard — there is deliberately no global row_number (a total order
+    * funnels the corpus through one reducer; per-shard order is what
+    * training jobs actually need, and nShards scales with the corpus).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+      nShards: Int): DataFrame = {
+    require(epochs > 0 && nShards > 0, "epochs and nShards must be positive")
+    val M = 4294967296L
+    val epoch = explode(sequence(lit(0), lit(epochs - 1))).as("epoch")
+    // the salt goes INSIDE the multiplication: an additive post-hash salt
+    // shifts every value by the same constant, which relabels shards but
+    // preserves relative order — i.e. the same permutation every epoch
+    val withEpoch = df.select(col("*"), epoch)
+      .withColumn("_h",
+        ((col(idCol).cast("long") + col("epoch") * 1000003L) * 2654435761L) % M)
+      .withColumn("shard", (col("_h") % nShards).cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("_h"), col(idCol))
+    withEpoch.withColumn("pos", row_number().over(w)).drop("_h")
+  }
+
   /** Domain-mixture sampling: downsample each domain so the kept corpus
     * approaches target mixture `shares` (relative integer weights per
     * domain; unlisted domains get weight 0) under a global budget of

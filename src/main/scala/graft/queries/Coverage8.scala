@@ -135,6 +135,22 @@ object Coverage8 {
         .orderBy($"lang")
     }),
 
+    // SP7: deterministic epoch reshuffle — two epochs, eight shards; the
+    // per-(epoch, shard) counts, the identity of position 1, and an
+    // order-weighted checksum pin the exact permutation. Distinct epochs
+    // must produce distinct orders (asserted by the checksum differing —
+    // the oracle reproduces both).
+    "sp7_epoch_shuffle" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents").select($"doc_id")
+      Sampling.epochShuffle(docs, "doc_id", epochs = 2, nShards = 8)
+        .groupBy($"epoch", $"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"pos" * $"doc_id").as("order_checksum"),
+          sum(when($"pos" === 1, $"doc_id")).as("first_doc"))
+        .orderBy($"epoch", $"shard")
+    }),
+
     // D11: paragraph-granularity exact dedup (C4/Dolma) — the corpus keeps
     // one instance of each distinct 12-token window and documents are
     // rebuilt from their survivors; keeper choice is min(id, p_idx) so the
@@ -275,6 +291,22 @@ object Coverage8 {
         | CAST(sum(mix_tokens) AS BIGINT) AS tok_total,
         | round(sum(mix_tokens) / ((max(bin_id) + 1) * 1024.0), 4) AS util
         |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sp7_epoch_shuffle" ->
+      """WITH e AS (
+        | SELECT doc_id, CAST(u.epoch AS INTEGER) AS epoch
+        | FROM documents CROSS JOIN (SELECT unnest(range(2)) AS epoch) u),
+        |h AS (
+        | SELECT doc_id, epoch,
+        |  ((doc_id + epoch * 1000003) * 2654435761) % 4294967296 AS hh
+        | FROM e),
+        |r AS (
+        | SELECT doc_id, epoch, CAST(hh % 8 AS INTEGER) AS shard,
+        |  row_number() OVER (PARTITION BY epoch, hh % 8 ORDER BY hh, doc_id) AS pos
+        | FROM h)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        | CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
+        | CAST(sum(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d11_paragraph_dedup" ->
       s"""WITH w AS (
          | SELECT doc_id, lang,

@@ -131,4 +131,36 @@ class SamplingSpec extends AnyFunSuite {
     val smallest = counts.minBy(_._2)._1
     assert(w5(smallest) > w1(smallest))
   }
+
+  test("epochShuffle: every (epoch, shard) covers the corpus once; orders differ by epoch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+      .select($"doc_id")
+    val n = docs.count()
+    val shuffled = Sampling.epochShuffle(docs, "doc_id", epochs = 2, nShards = 4)
+    // partition: each epoch holds every doc exactly once
+    val perEpoch = shuffled.groupBy($"epoch")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd")).collect()
+    assert(perEpoch.length == 2)
+    perEpoch.foreach(r => assert(r.getLong(1) == n && r.getLong(2) == n))
+    // positions are dense 1..k within each shard
+    val dense = shuffled.groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("k"), max($"pos").as("mx"), min($"pos").as("mn"))
+      .collect()
+    dense.foreach { r =>
+      assert(r.getInt(4) == 1, "positions must start at 1")
+      assert(r.getInt(3).toLong == r.getLong(2), "positions must be dense 1..k")
+    }
+    // the two epochs order the corpus differently
+    val orders = shuffled.groupBy($"epoch")
+      .agg(sum($"pos" * $"doc_id").as("chk")).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(orders.size == 2, "epoch permutations must differ")
+    // deterministic across runs
+    val again = Sampling.epochShuffle(docs, "doc_id", 2, 4)
+      .groupBy($"epoch").agg(sum($"pos" * $"doc_id").as("chk")).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(again == orders)
+  }
 }
