@@ -600,32 +600,43 @@ object Dedup {
     val asg = Similarity.buildIvf(spark,
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
       "id", "vec", nClusters, iters).assignments
+    // Bounded-memory streaming greedy (the packGreedyIntact shape): shuffle
+    // on cell, sort (cell, id) inside each partition, scan with running
+    // state. A flatMapGroups would buffer the WHOLE cell to sort it — one
+    // pathological cell then OOMs a task no matter what the cap says. Here
+    // a task holds at most `maxClusterSize` kept unit vectors (the greedy
+    // window); members past the cap stream through as unconditional keeps.
     asg.select(col("cell"), col("id"), col("vec"))
       .as[(Int, Long, Seq[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val members = it.map { case (_, id, v) =>
-          val a = v.toArray
-          var n = 0.0; var i = 0
-          while (i < a.length) { n += a(i).toDouble * a(i); i += 1 }
-          val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
-          val u = new Array[Double](a.length)
-          i = 0; while (i < a.length) { u(i) = a(i) * inv; i += 1 }
-          (id, u)
-        }.toArray.sortBy(_._1)
-        val (head, tail) = members.splitAt(maxClusterSize)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .mapPartitions { rows =>
+        var curCell = Int.MinValue
+        var started = false
+        var scanned = 0
         val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Boolean)]
-        for ((id, u) <- head) {
-          val dup = kept.exists { k =>
-            var d = 0.0; var i = 0
-            while (i < k.length) { d += k(i) * u(i); i += 1 }
-            d >= minCosine
+        rows.map { case (cell, id, v) =>
+          if (!started || cell != curCell) {
+            curCell = cell; started = true; scanned = 0; kept.clear()
           }
-          if (!dup) kept += u
-          out += ((id, cell, !dup))
+          if (scanned >= maxClusterSize) (id, cell, true)
+          else {
+            scanned += 1
+            val a = v.toArray
+            var n = 0.0; var i = 0
+            while (i < a.length) { n += a(i).toDouble * a(i); i += 1 }
+            val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+            val u = new Array[Double](a.length)
+            i = 0; while (i < a.length) { u(i) = a(i) * inv; i += 1 }
+            val dup = kept.exists { k =>
+              var d = 0.0; var j = 0
+              while (j < k.length) { d += k(j) * u(j); j += 1 }
+              d >= minCosine
+            }
+            if (!dup) kept += u
+            (id, cell, !dup)
+          }
         }
-        out.iterator ++ tail.iterator.map { case (id, _) => (id, cell, true) }
       }
       .toDF("id", "cell", "kept")
   }

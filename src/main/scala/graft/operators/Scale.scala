@@ -92,7 +92,9 @@ object Scale {
     * Result is exact; at a 1 % fpp the shuffled slice is the true-duplicate
     * volume + 1 % of the novel volume, which is what makes dedup-at-ingest
     * against a corpus-sized index affordable: the common case (novel row)
-    * costs one broadcast-filter probe.
+    * costs one broadcast-filter probe. The probe side is read twice (the
+    * two filter branches are separate scans) — callers with an expensive
+    * upstream should cache/checkpoint it first.
     */
   def bloomAntiJoin(probe: DataFrame, filterSide: DataFrame, key: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {

@@ -77,6 +77,24 @@ object Coverage8 {
         .orderBy($"doc_id")
     }),
 
+    // A12: mergeable quantile sketch (approx_percentile / KLL-style) vs the
+    // exact interpolated quantile — the distributed-sketch analog of t9's
+    // exact path. Like d6's HLL gate, the oracle pins the accuracy
+    // invariant: each approximate quantile lands within 5 % of the
+    // per-stratum value range of the exact answer.
+    "a12_approx_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val byLang = load(s, d, "documents").groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_chars, array(0.5D, 0.9D), 10000)").as("ap"),
+        expr("percentile(n_chars, array(0.5D, 0.9D))").as("ex"),
+        (max($"n_chars") - min($"n_chars")).cast("double").as("range"))
+      byLang.select($"lang", $"n_docs",
+          (abs($"ap"(0) - $"ex"(0)) <= $"range" * 0.05).as("p50_ok"),
+          (abs($"ap"(1) - $"ex"(1)) <= $"range" * 0.05).as("p90_ok"))
+        .orderBy($"lang")
+    }),
+
     // T11: CCNet-style perplexity quality score — per-doc NLL under the
     // 'en' reference unigram distribution. Full per-doc value set
     // hash-matched at 4 dp.
@@ -214,6 +232,9 @@ object Coverage8 {
         |                 - ln((cr + 1.0) / (nr + 256.0)))), 4) AS log_w
         |FROM per_doc p JOIN raw USING (bk) LEFT JOIN tgt USING (bk) CROSS JOIN tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a12_approx_quantiles" ->
+      """SELECT lang, count(*) AS n_docs, true AS p50_ok, true AS p90_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t11_unigram_ppl" ->
       """WITH toks AS (
         | SELECT doc_id, lang = 'en' AS is_r,
