@@ -177,6 +177,27 @@ object Sampling {
     withEpoch.withColumn("pos", row_number().over(w)).drop("_h")
   }
 
+  /** Leakage-safe train/val/test split: the decision hashes the GROUP key
+    * (source, domain, url-host — whatever shares contamination), never the
+    * row, so every document of a group lands in the same split and
+    * near-duplicates within a source can't straddle the train/eval
+    * boundary. The hash is the first 8 hex digits of md5(group) — a
+    * portable 32-bit value any engine reproduces — mapped to per-mille
+    * bands: [0, test) → test, [test, test+val) → val, rest → train.
+    * Pure projection: no shuffle, no state.
+    */
+  def groupedSplit(df: DataFrame, groupCol: String,
+      valPerMille: Int = 100, testPerMille: Int = 100): DataFrame = {
+    require(valPerMille >= 0 && testPerMille >= 0 &&
+      valPerMille + testPerMille <= 1000, "per-mille bands must fit in 1000")
+    val h = conv(substring(md5(col(groupCol)), 1, 8), 16, 10)
+      .cast("long") % 1000
+    df.withColumn("split",
+      when(h < testPerMille, "test")
+        .when(h < testPerMille + valPerMille, "val")
+        .otherwise("train"))
+  }
+
   /** Domain-mixture sampling: downsample each domain so the kept corpus
     * approaches target mixture `shares` (relative integer weights per
     * domain; unlisted domains get weight 0) under a global budget of

@@ -169,6 +169,21 @@ object Coverage8 {
         .orderBy($"epoch", $"shard")
     }),
 
+    // SP8: leakage-safe grouped split — the split hashes the SOURCE, so all
+    // docs of a source share a fate and train/eval contamination through
+    // within-source near-dups is structurally impossible. The oracle
+    // reproduces the exact assignment from the md5-prefix hash.
+    "sp8_grouped_split" -> ((s, d) => {
+      import s.implicits._
+      Sampling.groupedSplit(load(s, d, "documents"), "source",
+          valPerMille = 150, testPerMille = 150)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_sources"),
+          sum($"n_chars").as("chars_total"))
+        .orderBy($"split")
+    }),
+
     // D11: paragraph-granularity exact dedup (C4/Dolma) — the corpus keeps
     // one instance of each distinct 12-token window and documents are
     // rebuilt from their survivors; keeper choice is min(id, p_idx) so the
@@ -328,6 +343,15 @@ object Coverage8 {
         | CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
         | CAST(sum(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sp8_grouped_split" ->
+      """WITH h AS (
+        | SELECT *, CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT) % 1000 AS hb
+        | FROM documents)
+        |SELECT CASE WHEN hb < 150 THEN 'test'
+        |            WHEN hb < 300 THEN 'val' ELSE 'train' END AS split,
+        | count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_total
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "d11_paragraph_dedup" ->
       s"""WITH w AS (
          | SELECT doc_id, lang,

@@ -132,6 +132,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(w5(smallest) > w1(smallest))
   }
 
+  test("groupedSplit: a group never straddles splits; bands respect per-mille edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val split = Sampling.groupedSplit(docs, "source", valPerMille = 150,
+      testPerMille = 150)
+    // leakage check: every source maps to exactly one split
+    val perSource = split.groupBy($"source")
+      .agg(countDistinct($"split").as("k")).collect()
+    perSource.foreach(r => assert(r.getLong(1) == 1L,
+      s"source ${r.getString(0)} straddles splits"))
+    // all three labels valid; extreme bands behave
+    val labels = split.select($"split").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+    val allTrain = Sampling.groupedSplit(docs, "source", 0, 0)
+      .select($"split").distinct().collect().map(_.getString(0)).toSet
+    assert(allTrain == Set("train"))
+    // deterministic
+    val again = Sampling.groupedSplit(docs, "source", 150, 150)
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == first)
+  }
+
   test("epochShuffle: every (epoch, shard) covers the corpus once; orders differ by epoch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
