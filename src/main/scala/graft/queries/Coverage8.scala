@@ -106,6 +106,16 @@ object Coverage8 {
         .orderBy($"doc_id")
     }),
 
+    // T12: one-scan column profile (ANALYZE analog) — row count, per-column
+    // non-null and exact distinct counts; the multi-distinct plans through
+    // Expand so the whole profile is one shuffle.
+    "t12_corpus_profile" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.profileColumns(load(s, d, "documents"),
+          Seq("doc_id", "lang", "source", "text", "n_chars"))
+        .orderBy($"column_name")
+    }),
+
     // SP6: domain-mixture sampling — downsample per language toward a
     // 3:1:1:1:1 en-heavy target under a half-token budget; keeps are
     // hash-deterministic so the oracle reproduces the exact kept set.
@@ -265,6 +275,19 @@ object Coverage8 {
         | round(-sum(p.nb * ln((cref + 1.0) / (nref + 256.0))) / sum(p.nb), 4) AS nll
         |FROM per_doc p JOIN ref USING (bk) CROSS JOIN tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t12_corpus_profile" ->
+      """SELECT * FROM (
+        | SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+        |  count(doc_id) AS n_nonnull, count(DISTINCT doc_id) AS n_distinct FROM documents
+        | UNION ALL
+        | SELECT 'lang', count(*), count(lang), count(DISTINCT lang) FROM documents
+        | UNION ALL
+        | SELECT 'source', count(*), count(source), count(DISTINCT source) FROM documents
+        | UNION ALL
+        | SELECT 'text', count(*), count(text), count(DISTINCT text) FROM documents
+        | UNION ALL
+        | SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars) FROM documents)
+        |ORDER BY column_name""".stripMargin,
     "sp6_domain_mix" ->
       """WITH docs AS (
         | SELECT doc_id, lang,

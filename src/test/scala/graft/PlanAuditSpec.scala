@@ -236,6 +236,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "mixture-plan join fell back to SMJ")
   }
 
+  test("t12: the column profile is one Expand-based job, not a per-column loop") {
+    val p = plan("t12_corpus_profile")
+    assert(p.contains("Expand"), "multi-distinct lost the Expand plan:\n" + p.take(1500))
+    // one scan feeds the whole profile (formatted mode lists each node
+    // once in the tree and once in the details — count the detail entries)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "profile reads the table more than once:\n" + p.take(2000))
+  }
+
   test("d11: paragraph keeper is an aggregate, not a hot-key window") {
     // the boilerplate-skew claim: dedup must NOT funnel every instance of a
     // duplicated paragraph through one row_number reducer
