@@ -28,6 +28,7 @@ QUERIES = [
     "s6_drive_fetch",
     "s8_config_scan",
     "t3_langid_agreement",
+    "c9_cdc_chunks",
     "t5_bpe_tokens",
     "v6_embedding_neardup",
 ]

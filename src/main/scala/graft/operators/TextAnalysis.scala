@@ -159,6 +159,22 @@ object TextAnalysis {
         round(-sum(term) / sum(col("nb")), 4).as("nll"))
   }
 
+  /** Content-defined chunk explode ([[graft.core.Cdc]]): one row per
+    * (id, chunk_idx, chunk_text). Boundaries are content-local, so
+    * re-ingesting an edited document reproduces identical chunks (and
+    * fingerprints) for its unchanged regions — the property that lets the
+    * ingest-time dedup index suppress near-version storage at 100 TB.
+    */
+  def withCdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, maskBits: Int = 6, minLen: Int = 32,
+      maxLen: Int = 512): DataFrame = {
+    val chunkUdf = udf((t: String) =>
+      if (t == null) Vector.empty[String]
+      else graft.core.Cdc.chunks(t, window, maskBits, minLen, maxLen))
+    df.select(col(idCol),
+      posexplode(chunkUdf(col(textCol))).as(Seq("chunk_idx", "chunk_text")))
+  }
+
   /** ANALYZE-style column profile in ONE scan: row count plus per-column
     * non-null and exact-distinct counts, unpivoted to a row per column.
     * The multi-column distinct aggregate plans through Spark's Expand —

@@ -116,6 +116,23 @@ object Coverage8 {
         .orderBy($"column_name")
     }),
 
+    // C9: content-defined chunking — rolling-hash boundaries, so chunk
+    // identity survives document edits (CdcSpec asserts resynchronization).
+    // Deterministic pure function → snapshot VALUES oracle pins the exact
+    // per-lang chunk population.
+    "c9_cdc_chunks" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      TextAnalysis.withCdcChunks(docs, "doc_id", "text")
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length($"chunk_text")).as("chars_total"),
+          max(length($"chunk_text")).as("max_len"),
+          min(length($"chunk_text")).as("min_len"))
+        .orderBy($"lang")
+    }),
+
     // SP6: domain-mixture sampling — downsample per language toward a
     // 3:1:1:1:1 en-heavy target under a half-token budget; keeps are
     // hash-deterministic so the oracle reproduces the exact kept set.
