@@ -58,6 +58,32 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(got == Set((10L, "fresh1"), (11L, "fresh2")))
   }
 
+  test("CDC chunks + ingest dedup: re-ingesting an edited doc indexes only the edit") {
+    // the version-resilience story end to end: v2 of a document shares
+    // most CDC chunks with v1, so the ingest path stores only the chunks
+    // the edit actually touched — with fixed-size windows every chunk
+    // after the edit would be "novel" and the index would double
+    val spark2 = spark
+    import spark2.implicits._
+    val base = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+      .select($"text").limit(8).collect().map(_.getString(0)).mkString(" ")
+    val cdcUdf = udf((t: String) => graft.core.Cdc.chunks(t))
+    val cdcParas = cdcUdf(col("text"))
+
+    val v1 = Seq((1L, base)).toDF("doc_id", "text")
+    val index0 = spark.emptyDataFrame.select(lit("").as("_fp")).filter(lit(false))
+    val novel1 = Dedup.ingestNovelParagraphs(v1, "doc_id", cdcParas, index0, 1000L)
+    val nV1 = novel1.count()
+
+    val v2 = Seq((2L, base.substring(0, base.length / 2) + " EDITED " +
+      base.substring(base.length / 2))).toDF("doc_id", "text")
+    val novel2 = Dedup.ingestNovelParagraphs(v2, "doc_id", cdcParas,
+      novel1.select($"_fp"), 1000L)
+    val nV2 = novel2.count()
+    assert(nV1 >= 6, s"fixture should produce several chunks, got $nV1")
+    assert(nV2 <= 3, s"one interior edit must index at most ~3 chunks, got $nV2 of $nV1")
+  }
+
   test("ingest result fingerprints can extend the index (second batch sees them)") {
     val b1 = Seq((1L, "p1|p2")).toDF("doc_id", "text")
     val index0 = spark.emptyDataFrame.select(lit("").as("_fp")).filter(lit(false))
