@@ -557,6 +557,73 @@ object Dedup {
       .select(col("id"), col("p_idx"), col("p_text"), col("_fp"))
   }
 
+  /** Corpus-level overlap estimation from mergeable MinHash sketches
+    * (Broder 1997): each corpus's signature is the elementwise min of k
+    * universal-hash values over its shingle set, so signatures merge across
+    * partitions (and machines, and days) by elementwise min — the whole
+    * 100 TB corpus reduces to k longs via map-side combine, ONE pass, no
+    * shingle shuffle. P(min_A(i) = min_B(i)) = J(A, B), so the match
+    * fraction estimates the shingle-Jaccard between the two corpora —
+    * "how much does this crawl batch overlap last month's" without ever
+    * joining them.
+    *
+    * The hash family is integer-portable: shingle → 32-bit md5-prefix v,
+    * h_i(v) = (a_i·v + b_i) mod (2^31−1) with a_i = (i·2654435761 mod 2^30)+1,
+    * b_i = i·40503 — products stay under 2^62, and a SQL engine reproduces
+    * the SKETCH itself exactly, not just a tolerance band.
+    *
+    * Returns one row: (n_a, n_b, inter, union_n, matches, est_jaccard).
+    * The exact intersection/union counts (one distinct-shingle shuffle,
+    * gate-scale only; at 100 TB you run just the sketch) sit beside the
+    * estimate as INTEGERS, and est = matches/k is exactly representable
+    * for power-of-two k — no float rounding anywhere, so a SQL engine
+    * hash-matches the whole row.
+    */
+  def corpusMinhashOverlap(df: DataFrame, idCol: String, textCol: String,
+      inA: Column, shingleWords: Int = 3, k: Int = 64,
+      withExact: Boolean = true): DataFrame = {
+    val P = 2147483647L
+    def aOf(i: Int): Long = (i.toLong * 2654435761L) % 1073741824L + 1L
+    def bOf(i: Int): Long = i.toLong * 40503L
+    val toks = filter(split(trim(col(textCol)), " "), t => length(t) > 0)
+    val nSh = greatest(size(toks) - (shingleWords - 1), lit(0))
+    val shingleArr = transform(sequence(lit(1), nSh),
+      j => array_join(slice(toks, j, lit(shingleWords)), " "))
+    val shingles0 = df.select(inA.as("in_a"),
+        explode(when(nSh === 0, array().cast("array<string>"))
+          .otherwise(shingleArr)).as("sh"))
+      .withColumn("v", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+    // the exact pass re-reads the shingle set; materialize it once so the
+    // tokenize+md5 scan doesn't run twice (sketch-only callers skip this)
+    val shingles = if (withExact) shingles0.localCheckpoint(true) else shingles0
+    val minCols = (0 until k).map(i =>
+      min((lit(aOf(i)) * col("v") + lit(bOf(i))) % P).as(s"m$i"))
+    val sigRows = shingles.groupBy(col("in_a"))
+      .agg(minCols.head, minCols.tail: _*).collect()
+    val sig = sigRows.map(r => r.getBoolean(0) ->
+      (1 to k).map(r.getLong).toVector).toMap
+    val matches =
+      if (sig.size < 2) 0
+      else sig(true).zip(sig(false)).count { case (x, y) => x == y }
+    require((k & (k - 1)) == 0, "k must be a power of two (exact est_jaccard)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (!withExact)
+      return Seq((matches.toLong, matches.toDouble / k))
+        .toDF("matches", "est_jaccard")
+    // gate-scale exact check: distinct shingles tagged by side membership
+    val byShingle = shingles.groupBy(col("sh"))
+      .agg(max(when(col("in_a"), 1).otherwise(0)).as("a"),
+        max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+      .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("inter"),
+        count(lit(1)).as("union_n"),
+        sum(col("a").cast("long")).as("n_a"), sum(col("b").cast("long")).as("n_b"))
+      .head()
+    Seq((byShingle.getLong(2), byShingle.getLong(3), byShingle.getLong(0),
+      byShingle.getLong(1), matches.toLong, matches.toDouble / k))
+      .toDF("n_a", "n_b", "inter", "union_n", "matches", "est_jaccard")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     * embedding space, then prune semantic duplicates WITHIN each cluster —
     * a pair is a duplicate when cosine ≥ `minCosine`, and the lowest id of

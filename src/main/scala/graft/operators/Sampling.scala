@@ -198,6 +198,22 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Token-budget-capped selection: walk each stratum in `orderCol` order
+    * (priority — quality rank, recency, a deterministic hash) and keep
+    * rows while the running `tokensCol` sum stays within `budget`. The
+    * data-constrained-training primitive: "give me the best 50 B tokens
+    * per language". One window shuffle per stratum, rank-limit-friendly,
+    * exact and reproducible (no fractional sampling at the cut).
+    */
+  def takeTokenBudget(df: DataFrame, stratumCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("_run", sum(col(tokensCol)).over(w))
+      .filter(col("_run") <= budget)
+      .withColumnRenamed("_run", "tokens_through")
+  }
+
   /** Domain-mixture sampling: downsample each domain so the kept corpus
     * approaches target mixture `shares` (relative integer weights per
     * domain; unlisted domains get weight 0) under a global budget of

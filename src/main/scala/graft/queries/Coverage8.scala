@@ -211,6 +211,34 @@ object Coverage8 {
         .orderBy($"split")
     }),
 
+    // D13: corpus-overlap estimation — mergeable MinHash sketches of the
+    // even/odd doc_id halves; the sketch (64 elementwise mins), the match
+    // count, and the exact intersection/union all reproduce exactly in
+    // SQL (integer hash family, power-of-two k ⇒ est is exact binary).
+    "d13_corpus_overlap" -> ((s, d) => {
+      import s.implicits._
+      Dedup.corpusMinhashOverlap(load(s, d, "documents"), "doc_id", "text",
+        $"doc_id" % 2 === 0)
+    }),
+
+    // SP9: token-budget-capped selection — per-lang best-first walk (hash
+    // priority) keeps docs while the running token sum fits 2000; the
+    // exact kept set and running totals hash-match the window recompute.
+    "sp9_token_budget" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(trim($"text"), " "), t => length(t) > 0)).cast("long"))
+        // unique priority: hash scaled + id — a hash tie would leave the
+        // running-sum order ambiguous between engines
+        .withColumn("prio", Sampling.portableHash($"doc_id") * 1000000L + $"doc_id")
+      Sampling.takeTokenBudget(docs, "lang", "prio", "n_tokens", budget = 2000L)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), max($"tokens_through").as("tok_used"),
+          min($"doc_id").as("min_doc"))
+        .orderBy($"lang")
+    }),
+
     // D11: paragraph-granularity exact dedup (C4/Dolma) — the corpus keeps
     // one instance of each distinct 12-token window and documents are
     // rebuilt from their survivors; keeper choice is min(id, p_idx) so the
@@ -392,6 +420,44 @@ object Coverage8 {
         | count(*) AS n_docs, count(DISTINCT source) AS n_sources,
         | CAST(sum(n_chars) AS BIGINT) AS chars_total
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d13_corpus_overlap" ->
+      """WITH w AS (
+        | SELECT doc_id % 2 = 0 AS in_a,
+        |  list_filter(string_split(trim(text),' '), x -> len(x) > 0) AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT in_a, array_to_string(w.toks[u.j : u.j + 2], ' ') AS sh
+        | FROM w JOIN (SELECT unnest(range(1, 10000)) AS j) u ON u.j <= len(w.toks) - 2),
+        |v AS (SELECT in_a, sh, CAST(('0x' || substr(md5(sh), 1, 8)) AS UBIGINT) AS v FROM sh),
+        |sig AS (
+        | SELECT in_a, u.i,
+        |  min((((u.i * 2654435761) % 1073741824 + 1) * v.v + u.i * 40503) % 2147483647) AS m
+        | FROM v CROSS JOIN (SELECT unnest(range(64)) AS i) u GROUP BY 1, 2),
+        |mm AS (
+        | SELECT count(*) AS matches FROM sig a JOIN sig b
+        | ON a.i = b.i AND a.in_a AND NOT b.in_a AND a.m = b.m),
+        |ex AS (
+        | SELECT sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS inter,
+        |  count(*) AS union_n, sum(a) AS n_a, sum(b) AS n_b
+        | FROM (SELECT sh, max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+        |        max(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b FROM v GROUP BY 1))
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(inter AS BIGINT) AS inter, CAST(union_n AS BIGINT) AS union_n,
+        | CAST(matches AS BIGINT) AS matches, matches / 64.0 AS est_jaccard
+        |FROM ex CROSS JOIN mm""".stripMargin,
+    "sp9_token_budget" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  (doc_id * 2654435761) % 4294967296 * 1000000 + doc_id AS prio
+        | FROM documents),
+        |r AS (
+        | SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY prio
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        | FROM d)
+        |SELECT lang, count(*) AS n_kept, CAST(max(run) AS BIGINT) AS tok_used,
+        | min(doc_id) AS min_doc
+        |FROM r WHERE run <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "d11_paragraph_dedup" ->
       s"""WITH w AS (
          | SELECT doc_id, lang,
