@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.Column
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Search, TextAnalysis}
 
 /** Coverage wave 8 — semantic dedup, importance resampling, and domain
   * mixing: the remaining big-name training-corpus constructions. Sampling
@@ -209,6 +209,34 @@ object Coverage8 {
           countDistinct($"source").as("n_sources"),
           sum($"n_chars").as("chars_total"))
         .orderBy($"split")
+    }),
+
+    // R1: BM25 lexical retrieval with AND semantics — the Spark-first form
+    // of the reference's full-text search (aisearch.py search_documents,
+    // SearchMode.ALL). Exact scores hash-matched at 4 dp; bounded top-k.
+    "r1_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      Search.bm25TopK(load(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "hash", "window"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // R2: hybrid retrieval — BM25 top-20 fused with cosine top-20 (probe =
+    // embedding 0, joined on doc_id = vec_id) by reciprocal-rank fusion.
+    "r2_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val lex = Search.bm25TopK(load(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "window"), k = 20)
+      val probe = load(s, d, "embeddings").filter($"vec_id" === 0L)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      val vec = load(s, d, "embeddings")
+        .select($"vec_id".as("id"),
+          round(GraftFunctions.cosine_f32($"embedding", typedLit(probe)), 6).as("sim"))
+        .orderBy($"sim".desc, $"id").limit(20)
+      Search.rrfFuse(lex, vec, "id", "bm25", "sim", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .select($"doc_id", $"rrf")
     }),
 
     // D13: corpus-overlap estimation — mergeable MinHash sketches of the
@@ -420,6 +448,58 @@ object Coverage8 {
         | count(*) AS n_docs, count(DISTINCT source) AS n_sources,
         | CAST(sum(n_chars) AS BIGINT) AS chars_total
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r1_bm25_topk" ->
+      """WITH toks AS (
+        | SELECT doc_id AS id, t AS term FROM documents,
+        |  unnest(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS u(t)),
+        |lens AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark','hash','window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        | SELECT tf.id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 4) AS bm25,
+        |  count(*) AS matched
+        | FROM tf JOIN dfq USING (term) JOIN lens USING (id) CROSS JOIN stats
+        | GROUP BY 1)
+        |SELECT id AS doc_id, bm25 FROM sc WHERE matched = 3
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "r2_hybrid_rrf" ->
+      """WITH toks AS (
+        | SELECT doc_id AS id, t AS term FROM documents,
+        |  unnest(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS u(t)),
+        |lens AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark','hash','window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        | SELECT tf.id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 4) AS bm25,
+        |  count(*) AS matched
+        | FROM tf JOIN dfq USING (term) JOIN lens USING (id) CROSS JOIN stats
+        | GROUP BY 1),
+        |lex AS (SELECT id, bm25 FROM sc WHERE matched = 3 ORDER BY bm25 DESC, id LIMIT 20),
+        |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        |vec AS (
+        | SELECT vec_id AS id,
+        |  round(list_aggregate(list_transform(list_zip(embedding, pe),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(list_zip(pe, pe),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))), 6) AS sim
+        | FROM embeddings CROSS JOIN probe ORDER BY sim DESC, id LIMIT 20),
+        |ra AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rank_a FROM lex),
+        |rb AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank_b FROM vec),
+        |f AS (
+        | SELECT coalesce(ra.id, rb.id) AS doc_id,
+        |  round(coalesce(1.0 / (60 + rank_a), 0) + coalesce(1.0 / (60 + rank_b), 0), 6) AS rrf
+        | FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
+        |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "d13_corpus_overlap" ->
       """WITH w AS (
         | SELECT doc_id % 2 = 0 AS in_a,
