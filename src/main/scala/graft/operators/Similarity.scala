@@ -123,6 +123,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Filtered ANN (the reference's filter + vector search combination,
+    * tools/aisearch.py:162-212: `filter_str` alongside the query): the
+    * metadata predicate is applied as a SEMI-JOIN against the allowed-id
+    * set INSIDE the probed cells, before the cosine rerank — pre-filtering
+    * (not post-filtering the top-k), so a highly selective filter can't
+    * starve the result list the way discard-after-rank does. `allowed` is
+    * whatever the attribute predicate selects (one column named `id`);
+    * broadcast when small, shuffle-join otherwise — Spark picks.
+    */
+  def searchIvfFiltered(index: IvfIndex, probe: Array[Float], nprobe: Int,
+      k: Int, allowed: org.apache.spark.sql.DataFrame): DataFrame = {
+    val cells = nearestCells(index.centroids, probe, nprobe)
+    index.assignments
+      .filter(col("cell").isin(cells: _*))
+      .join(allowed.select(col("id")), Seq("id"), "left_semi")
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), typedLit(probe)))
+      .select(col("id"), col("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN (the brief's second scale path next to IVF): the
     * corpus explodes into the same b×r random-hyperplane band buckets the
     * near-dup operator uses ([[Dedup.bandSketches]] — one shared kernel, so

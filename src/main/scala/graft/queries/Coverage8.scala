@@ -211,6 +211,31 @@ object Coverage8 {
         .orderBy($"split")
     }),
 
+    // V12: filtered ANN — the reference's filter + vector combination
+    // (aisearch.py filter_str): the allowed-id set semi-joins INSIDE the
+    // probed cells before the rerank (pre-filter, not discard-after-rank).
+    // Recall vs the exact filtered top-k is the invariant the oracle pins.
+    "v12_filtered_ann" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = emb.filter($"vec_id" === 1L)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      val allowed = emb.filter($"vec_id" % 2 === 0)
+        .select($"vec_id".as("id"))
+      val index = graft.operators.Similarity.buildIvf(s, emb, "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      val got = graft.operators.Similarity.searchIvfFiltered(index, probe,
+        nprobe = 3, k = 10, allowed).collect()
+      val exact = graft.operators.Similarity.bruteForceTopK(
+          emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", probe, 10)
+        .collect().map(_.getLong(0)).toSet
+      val gotIds = got.map(_.getLong(0)).toSet
+      Seq((got.length == 10, got.forall(_.getLong(0) % 2 == 0),
+        (gotIds intersect exact).size >= 5))
+        .toDF("n_ok", "filter_respected", "recall_ok")
+    }),
+
     // R1: BM25 lexical retrieval with AND semantics — the Spark-first form
     // of the reference's full-text search (aisearch.py search_documents,
     // SearchMode.ALL). Exact scores hash-matched at 4 dp; bounded top-k.
@@ -448,6 +473,8 @@ object Coverage8 {
         | count(*) AS n_docs, count(DISTINCT source) AS n_sources,
         | CAST(sum(n_chars) AS BIGINT) AS chars_total
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v12_filtered_ann" ->
+      "SELECT true AS n_ok, true AS filter_respected, true AS recall_ok",
     "r1_bm25_topk" ->
       """WITH toks AS (
         | SELECT doc_id AS id, t AS term FROM documents,
