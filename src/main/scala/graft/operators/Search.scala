@@ -20,33 +20,43 @@ object Search {
 
   /** BM25 top-k with AND semantics. Scores are rounded to 4 dp so an
     * independent engine reproduces them bit-for-bit.
+    *
+    * One tokenize scan total: document length and the per-query-term
+    * frequencies come out of a SINGLE conditional aggregation (|terms| is
+    * query-sized, so the extra agg columns are a handful), and the global
+    * stats (N, avgdl, per-term df) reduce from that per-doc table, not
+    * from another pass over the corpus.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
+    val qTerms = queryTerms.distinct
     val toks = docs.select(col(idCol).as("id"),
       explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("term"))
-    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qTerms = queryTerms.distinct
-    val tf = toks.filter(col("term").isin(qTerms: _*))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df_), Seq("term"))
-      .join(lens, Seq("id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-      .withColumn("w", col("idf") * (col("tf") * (lit(k1) + 1)) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("id"))
-      .agg(round(sum(col("w")), 4).as("bm25"),
-        count(lit(1)).as("matched"))
-      .filter(col("matched") === qTerms.size) // SearchMode.ALL
-      .drop("matched")
-    scored.orderBy(col("bm25").desc, col("id")).limit(k)
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      count(when(col("term") === t, 1)).as(s"tf_$i")
+    }
+    val perDoc = toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      qTerms.indices.map(i =>
+        count(when(col(s"tf_$i") > 0, 1)).cast("long").as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val withStats = perDoc.crossJoin(broadcast(stats))
+    val w = qTerms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      idf * (tf * (lit(k1) + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val allMatch = qTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ && _)
+    withStats
+      .filter(allMatch) // SearchMode.ALL
+      .select(col("id"), round(w, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
   }
 
   /** Reciprocal-rank fusion of two rankings (id, scoreA) and (id, scoreB):
