@@ -189,6 +189,25 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incremental append to a persisted IVF index: new vectors are assigned
+    * to the EXISTING centroids (the k-row side table broadcasts; nothing
+    * retrains) and appended to their cell partitions — untouched cells gain
+    * no files, and a search immediately sees the new vectors through the
+    * same partition-pruned read. This is how a 100 TB vector index absorbs
+    * a daily ingest batch: Lloyd retraining is a scheduled rebuild
+    * (publish via [[graft.pipeline.VersionedIndex]]), not a per-batch cost;
+    * recall only degrades as far as the data distribution drifts from the
+    * trained centroids.
+    */
+  def appendToIvf(spark: SparkSession, dir: String, df: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", assignUdf(spark, centroids)(col("vec")))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
   /** Search a persisted IVF index: rank cells from the (tiny) centroid
     * table, then scan ONLY those cell partitions and exact-rerank. The
     * `cell IN (…)` predicate lands in the scan's PartitionFilters, so
