@@ -29,6 +29,7 @@ QUERIES = [
     "s8_config_scan",
     "t3_langid_agreement",
     "c9_cdc_chunks",
+    "d14_cluster_sizes",
     "t5_bpe_tokens",
     "v6_embedding_neardup",
 ]

@@ -211,6 +211,25 @@ object Coverage8 {
         .orderBy($"split")
     }),
 
+    // D14: near-dup cluster-size histogram — how concentrated duplication
+    // is (cluster size → number of clusters, plus the docs they absorb);
+    // the first report an analyst runs after a dedup pass. Clusters come
+    // from the same candidates→verify→CC pipeline as d8; the iterative CC
+    // isn't SQL-expressible, so the histogram is snapshot-pinned.
+    "d14_cluster_sizes" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docs = load(s, d, "documents")
+      val pairs = Dedup.verifyJaccard(
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.3),
+        docs, "doc_id", "text", 0.4)
+      val clusters = Dedup.nearDupClusters(docs.select($"doc_id".as("id")), pairs)
+      clusters.groupBy($"cluster").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("docs_absorbed", ($"sz" - 1) * $"n_clusters")
+        .orderBy($"sz")
+    }),
+
     // V12: filtered ANN — the reference's filter + vector combination
     // (aisearch.py filter_str): the allowed-id set semi-joins INSIDE the
     // probed cells before the rerank (pre-filter, not discard-after-rank).
