@@ -163,14 +163,18 @@ object Sampling {
   def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
       nShards: Int): DataFrame = {
     require(epochs > 0 && nShards > 0, "epochs and nShards must be positive")
-    val M = 4294967296L
     val epoch = explode(sequence(lit(0), lit(epochs - 1))).as("epoch")
-    // the salt goes INSIDE the multiplication: an additive post-hash salt
-    // shifts every value by the same constant, which relabels shards but
-    // preserves relative order — i.e. the same permutation every epoch
+    // the epoch must enter the hash NON-linearly: any affine mix
+    // ((id + epoch*c)*A mod 2^32) only shifts the hash by a per-epoch
+    // constant, which with power-of-two shard counts relabels shards and
+    // rotates within-shard order — the same permutation every epoch. A
+    // cryptographic digest of "id:epoch" has no such structure, and the
+    // md5-prefix form is reproducible by any engine (the oracle uses it).
     val withEpoch = df.select(col("*"), epoch)
       .withColumn("_h",
-        ((col(idCol).cast("long") + col("epoch") * 1000003L) * 2654435761L) % M)
+        conv(substring(md5(concat_ws(":",
+          col(idCol).cast("string"), col("epoch").cast("string"))), 1, 8),
+          16, 10).cast("long"))
       .withColumn("shard", (col("_h") % nShards).cast("int"))
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("_h"), col(idCol))

@@ -339,8 +339,14 @@ object Similarity {
         .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
+      // never mutate the broadcast object: a lost-block recompute of a task
+      // that still references `bc` would otherwise see a later iteration's
+      // centroids. Copy, update the copy, then retire the old broadcast.
+      val next = book.map(_.map(_.clone()))
       // codes that captured no rows keep their previous centroid
-      means.foreach(r => book(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat)
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat)
+      bc.destroy()
+      book = next
     }
     PqCodebook(subspaces, subDim, book)
   }

@@ -66,7 +66,9 @@ object VersionedIndex {
     if (!Files.exists(p)) return Seq.empty
     Files.list(p).iterator().asScala
       .filter(d => Files.isDirectory(d) && d.getFileName.toString.matches("v\\d+"))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).toSeq
+      // numeric order, not lexicographic: "v1000" must sort after "v999"
+      .sortBy(_.stripPrefix("v").toLong)
   }
 
   /** Drop all but the newest `keep` versions (never the published one). */

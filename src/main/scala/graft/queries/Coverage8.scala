@@ -473,7 +473,7 @@ object Coverage8 {
         | FROM documents CROSS JOIN (SELECT unnest(range(2)) AS epoch) u),
         |h AS (
         | SELECT doc_id, epoch,
-        |  ((doc_id + epoch * 1000003) * 2654435761) % 4294967296 AS hh
+        |  CAST(('0x' || substr(md5(doc_id || ':' || epoch), 1, 8)) AS UBIGINT) AS hh
         | FROM e),
         |r AS (
         | SELECT doc_id, epoch, CAST(hh % 8 AS INTEGER) AS shard,

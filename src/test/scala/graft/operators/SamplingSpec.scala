@@ -182,6 +182,14 @@ class SamplingSpec extends AnyFunSuite {
       .agg(sum($"pos" * $"doc_id").as("chk")).collect()
       .map(r => r.getLong(1)).toSet
     assert(orders.size == 2, "epoch permutations must differ")
+    // and not merely by relabeling shards: docs sharing a shard in epoch 0
+    // must scatter across several shards in epoch 1 (an affine epoch salt
+    // fails this — it maps each epoch-0 shard onto exactly one epoch-1 shard)
+    val e0 = shuffled.filter($"epoch" === 0).select($"doc_id", $"shard".as("s0"))
+    val e1 = shuffled.filter($"epoch" === 1).select($"doc_id", $"shard".as("s1"))
+    val fanout = e0.join(e1, "doc_id").groupBy($"s0")
+      .agg(countDistinct($"s1").as("nd")).collect().map(_.getLong(1))
+    assert(fanout.forall(_ > 1), s"epoch-1 shards must not be a relabeling of epoch-0 shards: $fanout")
     // deterministic across runs
     val again = Sampling.epochShuffle(docs, "doc_id", 2, 4)
       .groupBy($"epoch").agg(sum($"pos" * $"doc_id").as("chk")).collect()

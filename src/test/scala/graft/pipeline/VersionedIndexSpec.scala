@@ -42,6 +42,13 @@ class VersionedIndexSpec extends AnyFunSuite {
     assert(VersionedIndex.readCurrent(spark, root).count() == 4L)
   }
 
+  test("version order is numeric past v999, not lexicographic") {
+    val root = Files.createTempDirectory("graft-vidx").toString
+    Seq("v998", "v999", "v1000").foreach(v =>
+      Files.createDirectories(java.nio.file.Paths.get(root, v)))
+    assert(VersionedIndex.versions(root) == Seq("v998", "v999", "v1000"))
+  }
+
   test("publishing is crash-safe: no CURRENT update without full data") {
     val root = Files.createTempDirectory("graft-vidx").toString
     VersionedIndex.publish(Seq((1L, "a")).toDF("id", "v"), root)
