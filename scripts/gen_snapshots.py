@@ -22,7 +22,6 @@ QUERIES = [
     "d4_jaccard_verified",
     "d7_winnow_pairs",
     "d8_neardup_survivors",
-    "m1_multimodal_features",
     "p1_chunk_index_build",
     "s13_binary_decode",
     "s6_drive_fetch",

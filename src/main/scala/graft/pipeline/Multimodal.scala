@@ -1,5 +1,10 @@
 package graft.pipeline
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,14 +12,22 @@ import graft.services.Summarizer
 
 /** Multimodal column plumbing (SURVEY §2.9 C2, §2.2 K5, §2.3 F8, §2.8 X13).
   *
-  * Media payloads are opaque `binary` columns with typed metadata structs —
-  * the schema/partitioning/batching are real; only the codec call is a
-  * deterministic stub (image/audio libraries are not in this container; a
-  * real decoder drops into [[decodeStub]] without touching the plan). The
-  * decode/feature stage runs as iterator-style mapPartitions — the JVM
-  * analog of `mapInPandas` batches — so one task amortizes codec init.
+  * Media payloads are opaque `binary` columns with typed metadata structs.
+  * Image decode, resize, and figure crop are REAL codecs via `javax.imageio`
+  * (PNG/JPEG/BMP/GIF, TIFF on modern JDKs — no external dependency): bytes
+  * decode to a `BufferedImage`, features come from actual pixels, crops are
+  * `getSubimage` rasters re-encoded as PNG — the same crop → store shape as
+  * the reference's figure extraction (multimodal_chunker.py:449-517). Only
+  * VIDEO frame extraction remains a byte-frame stand-in ([[sampleFrames]]):
+  * the JDK has no video codec, so the one-to-many explode shape is real and
+  * the frame decode is synthetic. The decode/feature stage runs as
+  * iterator-style mapPartitions — the JVM analog of `mapInPandas` batches —
+  * so one task amortizes codec init.
   */
 object Multimodal {
+
+  // in-memory decode on executors: never spill codec scratch to temp files
+  ImageIO.setUseCache(false)
 
   val figureSchema: StructType = StructType(Seq(
     StructField("figure_id", StringType, nullable = false),
@@ -47,59 +60,165 @@ object Multimodal {
   def filterSmallFigures(figures: DataFrame, minAreaPct: Double = 4.0): DataFrame =
     figures.filter(areaPctUdf(col("polygon"), col("page_width"), col("page_height")) > minAreaPct)
 
-  /** Deterministic stand-in for an image decode: derives (width, height,
-    * format) and a 16-bin byte histogram "feature" from the payload bytes.
-    * Mirrors a real decoder's signature: bytes in → metadata + features out.
+  /** Decode any ImageIO-supported container (PNG/JPEG/BMP/GIF/WBMP; TIFF on
+    * JDK 9+). Returns the raster plus the reader's format name, or None when
+    * no installed reader claims the payload (not an image).
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, String, Array[Float]) = {
-    if (bytes == null || bytes.isEmpty) return (0, 0, "empty", new Array[Float](16))
-    val hist = new Array[Float](16)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0f; i += 1 }
-    var norm = 0.0
-    hist.foreach(x => norm += x.toDouble * x)
-    val inv = if (norm == 0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
-    (0 until 16).foreach(j => hist(j) *= inv)
-    val w = 64 + (bytes.length % 960)
-    val h = 64 + ((bytes.length * 7) % 960)
-    (w, h, "stub", hist)
+  def decodeImage(bytes: Array[Byte]): Option[(BufferedImage, String)] = {
+    if (bytes == null || bytes.length < 4) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.read(0), r.getFormatName.toLowerCase))
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
   }
+
+  /** Deterministic synthetic grayscale PNG: pixel (x, y) holds
+    * `(seed·31 + x·7 + y·13) mod 256`. A REAL PNG container (encoded and
+    * decoded by ImageIO) whose pixel values any engine can recompute
+    * arithmetically — the m1/m2 oracles pin the decode round-trip exactly.
+    */
+  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive, got ${width}x$height")
+    require(seed >= 0, s"seed must be non-negative, got $seed")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, ((seed * 31 + x * 7L + y * 13L) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Lossless PNG encode of a raster (figure crops, resizes). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ITU-R 601 integer luma; exact identity for grayscale pixels
+    * ((299 + 587 + 114)·g / 1000 == g).
+    */
+  private def luma(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+
+  /** One pixel pass: 16-bin luma histogram (L2-normalized) + exact luma sum.
+    * Single-band rasters read samples directly — getRGB would gamma-map
+    * linear gray into sRGB and break the exact-arithmetic oracle pin.
+    */
+  private def lumaStats(img: BufferedImage): (Array[Float], Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Float](16)
+    var sum = 0L
+    val gray = img.getRaster.getNumBands == 1
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l =
+          if (gray) math.min(255, raster.getSample(x, y, 0))
+          else luma(img.getRGB(x, y))
+        hist(l >> 4) += 1.0f
+        sum += l
+        x += 1
+      }
+      y += 1
+    }
+    (l2normalize(hist), sum)
+  }
+
+  private def l2normalize(hist: Array[Float]): Array[Float] = {
+    var n = 0.0
+    hist.foreach(x => n += x.toDouble * x)
+    val inv = if (n == 0) 0.0f else (1.0 / math.sqrt(n)).toFloat
+    hist.map(_ * inv)
+  }
+
+  /** Image decode: real metadata + pixel features for any ImageIO format.
+    * Non-image payloads degrade to a byte-nibble histogram with no raster
+    * (dims 0×0, format "raw") so mixed binary columns stay total.
+    */
+  def decode(bytes: Array[Byte]): (Int, Int, String, Array[Float], Long) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, "empty", new Array[Float](16), 0L)
+    decodeImage(bytes) match {
+      case Some((img, fmt)) =>
+        val (hist, sum) = lumaStats(img)
+        (img.getWidth, img.getHeight, fmt, hist, sum)
+      case None =>
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0f; i += 1 }
+        (0, 0, "raw", l2normalize(hist), 0L)
+    }
+  }
+
+  /** Exact pixel-luma sum of an image payload (0 for non-images) — the
+    * integer decode fingerprint the m1 oracle recomputes arithmetically.
+    */
+  def lumaSum(bytes: Array[Byte]): Long =
+    decodeImage(bytes).map(p => lumaStats(p._1)._2).getOrElse(0L)
 
   /** Decode + feature-extract a binary column in partition-sized batches.
     * Input needs (binCol: binary); appends media_width, media_height,
-    * media_format, media_features.
+    * media_format, media_features, media_luma.
     */
   def withMediaFeatures(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("media_width", IntegerType),
       StructField("media_height", IntegerType),
       StructField("media_format", StringType),
-      StructField("media_features", ArrayType(FloatType, containsNull = false))))
+      StructField("media_features", ArrayType(FloatType, containsNull = false)),
+      StructField("media_luma", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      // one "codec" per task; batches keep the call amortized like mapInPandas
+      // one codec per task; batches keep the call amortized like mapInPandas
       rows.map { r =>
-        val (w, h, fmt, feat) = decodeStub(r.getAs[Array[Byte]](idx))
-        Row.fromSeq(r.toSeq ++ Seq(w, h, fmt, feat.toSeq))
+        val (w, h, fmt, feat, lsum) = decode(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, fmt, feat.toSeq, lsum))
       }
     }(enc)
   }
 
-  /** Deterministic "resize": returns payload bytes strided down so the
-    * output length matches the target pixel budget — the real resizer's
-    * signature and batch shape (bytes→bytes inside the same task), with the
-    * codec swapped for arithmetic.
+  /** Real bilinear resize: decode, scale onto a targetW×targetH raster,
+    * re-encode as PNG. Non-image payloads yield empty bytes.
     */
-  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     require(targetW > 0 && targetH > 0, s"target dims must be positive, got ${targetW}x$targetH")
-    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
-    val target = math.max(1, math.min(bytes.length, targetW * targetH / 64))
-    val stride = math.max(1, bytes.length / target)
-    val out = new Array[Byte](math.min(target, (bytes.length + stride - 1) / stride))
-    var i = 0
-    while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
-    out
+    decodeImage(bytes) match {
+      case Some((img, _)) =>
+        val t = img.getType match {
+          // palette/bitonal/custom sources re-sample into plain RGB
+          case BufferedImage.TYPE_CUSTOM | BufferedImage.TYPE_BYTE_INDEXED |
+               BufferedImage.TYPE_BYTE_BINARY => BufferedImage.TYPE_INT_RGB
+          case other => other
+        }
+        val out = new BufferedImage(targetW, targetH, t)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        encodePng(out)
+      case None => Array.emptyByteArray
+    }
   }
 
   /** Frame sampling as a one-to-many explode: treat the payload as
@@ -122,7 +241,7 @@ object Multimodal {
     }
   }
 
-  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeStub(b, w, h))
+  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h))
   private val framesUdf = udf((b: Array[Byte], fs: Int, n: Int) => sampleFrames(b, fs, n))
 
   /** Resize the binary column in place (bytes→bytes column transform). */
@@ -153,35 +272,26 @@ object Multimodal {
     (clampX(xs.min), clampY(ys.min), clampX(xs.max), clampY(ys.max))
   }
 
-  /** Crop the figure's pixel box out of the page payload: the page bytes are
-    * treated as the row-major imgW×imgH buffer [[decodeStub]] describes, and
-    * the crop copies exactly the rows/cols inside the polygon's bbox — a
-    * real raster crop with the codec swapped for modular addressing.
-    * Returns (crop_width, crop_height, bytes), empty for degenerate boxes.
+  /** Real figure crop: decode the page image, cut the polygon's pixel bbox
+    * out of the raster with `getSubimage`, re-encode the crop as PNG — the
+    * reference's crop → store path (multimodal_chunker.py:449-517) with the
+    * service call replaced by the JDK codec. Returns (crop_width,
+    * crop_height, png_bytes); empty for degenerate boxes or non-images.
     */
-  def cropStub(pageBytes: Array[Byte], poly: Seq[Double],
-      pageW: Double, pageH: Double): (Int, Int, Array[Byte]) = {
-    if (pageBytes == null || pageBytes.isEmpty) return (0, 0, Array.emptyByteArray)
-    val (imgW, imgH, _, _) = decodeStub(pageBytes)
-    val (x0, y0, x1, y1) = pixelBBox(poly, pageW, pageH, imgW, imgH)
-    val cw = x1 - x0
-    val ch = y1 - y0
-    if (cw <= 0 || ch <= 0) return (0, 0, Array.emptyByteArray)
-    val out = new Array[Byte](cw * ch)
-    var y = 0
-    while (y < ch) {
-      var x = 0
-      while (x < cw) {
-        out(y * cw + x) = pageBytes(((y0 + y) * imgW + (x0 + x)) % pageBytes.length)
-        x += 1
-      }
-      y += 1
+  def cropFigure(pageBytes: Array[Byte], poly: Seq[Double],
+      pageW: Double, pageH: Double): (Int, Int, Array[Byte]) =
+    decodeImage(pageBytes) match {
+      case Some((img, _)) =>
+        val (x0, y0, x1, y1) = pixelBBox(poly, pageW, pageH, img.getWidth, img.getHeight)
+        val cw = x1 - x0
+        val ch = y1 - y0
+        if (cw <= 0 || ch <= 0) (0, 0, Array.emptyByteArray)
+        else (cw, ch, encodePng(img.getSubimage(x0, y0, cw, ch)))
+      case None => (0, 0, Array.emptyByteArray)
     }
-    (cw, ch, out)
-  }
 
   private val cropUdf = udf((b: Array[Byte], poly: Seq[Double], w: Double, h: Double) =>
-    cropStub(b, poly, w, h))
+    cropFigure(b, poly, w, h))
 
   /** C2/K5: derive per-figure payloads from page payload + polygon geometry.
     * Input needs (pageBin: binary, polygon, page_width, page_height);
@@ -209,14 +319,15 @@ object Multimodal {
   /** K5 side-output sink: write figure payloads as individual files under
     * outDir (the `documents-images` container analog). Runs on executors.
     */
-  def writeFigureBlobs(figures: DataFrame, binCol: String, idCol: String, outDir: String): Unit = {
+  def writeFigureBlobs(figures: DataFrame, binCol: String, idCol: String, outDir: String,
+      ext: String = ".png"): Unit = {
     val bin = figures.schema.fieldIndex(binCol)
     val idIdx = figures.schema.fieldIndex(idCol)
     figures.foreachPartition { rows: Iterator[Row] =>
       val dir = new java.io.File(outDir)
       dir.mkdirs()
       rows.foreach { r =>
-        val f = new java.io.File(dir, r.getString(idIdx) + ".bin")
+        val f = new java.io.File(dir, r.getString(idIdx) + ext)
         val os = new java.io.FileOutputStream(f)
         try os.write(r.getAs[Array[Byte]](bin)) finally os.close()
       }

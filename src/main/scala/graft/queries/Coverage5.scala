@@ -237,16 +237,20 @@ object Coverage5 {
         .orderBy($"doc_id")
     }),
 
-    // Multimodal pipeline (builder brief): binary media column → decode
-    // metadata/features → frame-sample explode — counts and dims are pure
-    // arithmetic over the synthetic payload, so the whole pipeline oracles.
+    // Multimodal pipeline (builder brief): real PNG media column → ImageIO
+    // decode (real dims + exact pixel-luma sum) → frame-sample explode over
+    // a byte stream. The PNG pixels follow a closed formula, so decode
+    // results and frame counts are both recomputable in SQL.
     "m2_media_pipeline" -> ((s, d) => {
       import s.implicits._
+      val synth = udf((id: Long) =>
+        graft.pipeline.Multimodal.synthPng((8 + id % 24).toInt, (8 + id * 3 % 24).toInt, id))
       val docs = load(s, d, "documents").filter($"n_chars" > 0)
-        .withColumn("media", encode(substring($"text", 1, 200), "UTF-8"))
+        .withColumn("media", synth($"doc_id"))
+        .withColumn("stream", encode(substring($"text", 1, 200), "UTF-8"))
       val feat = graft.pipeline.Multimodal.withMediaFeatures(docs, "media")
-      graft.pipeline.Multimodal.explodeFrames(feat, "media", frameSize = 16, everyNth = 2)
-        .groupBy($"doc_id", $"media_width", $"media_height")
+      graft.pipeline.Multimodal.explodeFrames(feat, "stream", frameSize = 16, everyNth = 2)
+        .groupBy($"doc_id", $"media_width", $"media_height", $"media_luma")
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy($"doc_id")
     }),
@@ -353,13 +357,19 @@ object Coverage5 {
       """SELECT doc_id, CAST(32 AS BIGINT) AS dim, true AS stable, true AS unit_norm
         |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
     "m2_media_pipeline" ->
-      """WITH m AS (SELECT doc_id, least(n_chars, 200) AS len
-        |           FROM documents WHERE n_chars > 0)
-        |SELECT doc_id,
-        | CAST(64 + len % 960 AS INTEGER) AS media_width,
-        | CAST(64 + (len * 7) % 960 AS INTEGER) AS media_height,
-        | CAST(((len + 15) // 16 + 1) // 2 AS BIGINT) AS n_sampled
-        |FROM m ORDER BY doc_id""".stripMargin,
+      """WITH m AS (SELECT doc_id, least(n_chars, 200) AS len,
+        |            8 + doc_id % 24 AS w, 8 + (doc_id*3) % 24 AS h
+        |           FROM documents WHERE n_chars > 0),
+        |l AS (SELECT m.doc_id, sum((m.doc_id*31 + x.x*7 + y.y*13) % 256) AS media_luma
+        |      FROM m, LATERAL (SELECT unnest(range(m.w)) AS x) x,
+        |              LATERAL (SELECT unnest(range(m.h)) AS y) y
+        |      GROUP BY 1)
+        |SELECT m.doc_id,
+        | CAST(m.w AS INTEGER) AS media_width,
+        | CAST(m.h AS INTEGER) AS media_height,
+        | CAST(l.media_luma AS BIGINT) AS media_luma,
+        | CAST(((m.len + 15) // 16 + 1) // 2 AS BIGINT) AS n_sampled
+        |FROM m JOIN l USING (doc_id) ORDER BY m.doc_id""".stripMargin,
     "p2_incremental_rerun" ->
       """SELECT count(*) AS r1_processed, CAST(0 AS BIGINT) AS r2_processed,
         | count(*) AS r2_skipped, CAST(0 AS BIGINT) AS r2_chunks,

@@ -80,15 +80,20 @@ object DomainQueries {
         .orderBy($"source")
     }),
 
-    // C2: multimodal binary columns → decode stub → features → polygon
-    // bbox crop (the K5 figure payload), per-source. The crop dims derive
-    // from geometry scaled into the decoded raster, so the snapshot oracle
-    // pins the whole decode+crop arithmetic.
+    // C2: multimodal binary columns → REAL PNG decode (javax.imageio) →
+    // pixel features → polygon bbox crop re-encoded as PNG (the K5 figure
+    // payload), per-source. Pages are deterministic synthetic PNGs whose
+    // pixel values follow a closed formula, so the oracle recomputes the
+    // decoded dims, the exact page/crop pixel-luma sums (pinning both
+    // decode round-trips), and the crop geometry — entirely in SQL.
     "m1_multimodal_features" -> ((s, d) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
+      val synth = udf((id: Long) =>
+        Multimodal.synthPng((8 + id % 24).toInt, (8 + id * 3 % 24).toInt, id))
+      val lumaOf = udf((b: Array[Byte]) => Multimodal.lumaSum(b))
       val bin = load(s, d, "documents")
-        .withColumn("payload", encode($"text", "UTF-8"))
+        .withColumn("payload", synth($"doc_id"))
         .withColumn("x0", ($"doc_id" % 10).cast("double"))
         .withColumn("y0", ($"doc_id" % 7).cast("double"))
         .withColumn("polygon", array($"x0", $"y0",
@@ -102,7 +107,9 @@ object DomainQueries {
         .agg(count(lit(1)).as("n"),
           round(avg(graft.functions.GraftFunctions.l2norm_f32($"media_features")), 2).as("avg_feat_norm"),
           sum($"media_width").as("total_width"),
-          sum($"crop_width" * $"crop_height").as("total_crop_px"))
+          sum($"media_luma").as("page_luma"),
+          sum($"crop_width" * $"crop_height").as("total_crop_px"),
+          sum(lumaOf($"figure_bytes")).as("crop_luma"))
         .orderBy($"source")
     }),
 
@@ -126,6 +133,43 @@ object DomainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // m1 pins the REAL ImageIO decode round-trip: pages are synthetic PNGs
+    // with pixel (x,y) = (doc_id*31 + 7x + 13y) mod 256, so the decoded
+    // dims, the exact page/crop luma sums, and the bbox geometry are all
+    // recomputable arithmetically — if decode, getSubimage, or the PNG
+    // re-encode corrupted a single pixel, the luma sums would diverge.
+    "m1_multimodal_features" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  8 + doc_id % 24 AS w, 8 + (doc_id*3) % 24 AS h,
+        |  CAST(doc_id % 10 AS DOUBLE) AS x0, CAST(doc_id % 7 AS DOUBLE) AS y0,
+        |  CAST(doc_id % 5 + 1 AS DOUBLE) AS dx, CAST(doc_id % 3 + 1 AS DOUBLE) AS dy
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, source, w, h,
+        |  CAST(round(x0/20*w) AS BIGINT) AS px0, CAST(round((x0+dx)/20*w) AS BIGINT) AS px1,
+        |  CAST(round(y0/20*h) AS BIGINT) AS py0, CAST(round((y0+dy)/20*h) AS BIGINT) AS py1
+        | FROM d),
+        |pg AS (
+        | SELECT b.doc_id, sum((b.doc_id*31 + x.x*7 + y.y*13) % 256) AS page_luma
+        | FROM b, LATERAL (SELECT unnest(range(b.w)) AS x) x,
+        |         LATERAL (SELECT unnest(range(b.h)) AS y) y
+        | GROUP BY 1),
+        |cr AS (
+        | SELECT b.doc_id,
+        |  CASE WHEN px1 > px0 AND py1 > py0 THEN (px1-px0)*(py1-py0) ELSE 0 END AS crop_px,
+        |  coalesce(cl.s, 0) AS crop_luma
+        | FROM b LEFT JOIN LATERAL (
+        |   SELECT sum((b.doc_id*31 + x.x*7 + y.y*13) % 256) AS s
+        |   FROM (SELECT unnest(range(b.px0, b.px1)) AS x) x,
+        |        (SELECT unnest(range(b.py0, b.py1)) AS y) y) cl ON true)
+        |SELECT b.source, count(*) AS n, CAST(1.0 AS DOUBLE) AS avg_feat_norm,
+        | CAST(sum(b.w) AS BIGINT) AS total_width,
+        | CAST(sum(pg.page_luma) AS BIGINT) AS page_luma,
+        | CAST(sum(cr.crop_px) AS BIGINT) AS total_crop_px,
+        | CAST(sum(cr.crop_luma) AS BIGINT) AS crop_luma
+        |FROM b JOIN pg USING (doc_id) JOIN cr USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the paged service is a deterministic generator — expected values are
     // constants for pages=8 x pageSize=250 with the pushed filters
     "s4_paged_pushdown" ->

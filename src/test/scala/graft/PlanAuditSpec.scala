@@ -152,10 +152,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // withFigureCrops projects _c._1/_2/_3 from one UDF result; CollapseProject
     // must not inline the non-cheap UDF into three evaluation sites
     val p = plan("m1_multimodal_features")
-    val n = "UDF".r.findAllIn(p).length
-    // decode stub + crop + l2norm appear; crop specifically must not triple
-    assert(n <= 4, s"UDF evaluated at $n sites — projection collapse duplicated a stub:\n" +
-      p.take(2000))
+    // the crop UDF (signature: payload + polygon + page dims) must be
+    // materialized into a single _c struct and projected from there — not
+    // inlined by CollapseProject into one site per consumed field
+    val cropSites = "UDF\\(payload".r.findAllIn(p).length
+    assert(cropSites == 1,
+      s"crop UDF evaluated at $cropSites sites — projection collapse duplicated it:\n" +
+        p.take(2000))
+    assert("AS _c#\\d+".r.findAllIn(p).length == 1, p.take(2000))
   }
 
   test("v1: cosine similarity stays inside whole-stage codegen") {

@@ -27,14 +27,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.map(_.getString(0)).toSeq == Seq("f1"))
   }
 
-  test("binary decode stub + feature extraction plumbing (C2)") {
+  test("real PNG decode: exact dims, pixel round-trip, luma sum (C2)") {
+    // a programmatically generated PNG must decode back to its exact
+    // pixels: dims, per-pixel values, the 16-bin histogram, and the luma sum
+    val png = Multimodal.synthPng(23, 17, seed = 42L)
+    // PNG magic bytes prove a real container, not a synthetic buffer
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte && png(2) == 'N'.toByte)
+    val (w, h, fmt, feats, lsum) = Multimodal.decode(png)
+    assert((w, h, fmt) == (23, 17, "png"))
+    // recompute the expected luma sum + histogram from the pixel formula
+    var expSum = 0L
+    val expHist = new Array[Long](16)
+    for (y <- 0 until 17; x <- 0 until 23) {
+      val g = ((42L * 31 + x * 7 + y * 13) % 256).toInt
+      expSum += g
+      expHist(g >> 4) += 1
+    }
+    assert(lsum == expSum, "decoded luma sum must equal the formula sum")
+    val norm = math.sqrt(expHist.map(c => c.toDouble * c).sum)
+    (0 until 16).foreach { b =>
+      assert(math.abs(feats(b) - expHist(b) / norm) < 1e-5,
+        s"histogram bin $b diverges from decoded pixels")
+    }
+    // the decoded image itself carries the formula pixels
+    val img = Multimodal.decodeImage(png).get._1
+    assert(img.getRaster.getSample(5, 3, 0) == ((42L * 31 + 5 * 7 + 3 * 13) % 256).toInt)
+  }
+
+  test("non-image payloads degrade to a rasterless byte histogram") {
     import spark.implicits._
     val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "text")
       .withColumn("payload", encode($"text", "UTF-8"))
     val out = Multimodal.withMediaFeatures(df, "payload").collect()
     assert(out.length == 2)
     val r1 = out.find(_.getLong(0) == 1L).get
-    assert(r1.getAs[String]("media_format") == "stub")
+    assert(r1.getAs[String]("media_format") == "raw")
+    assert(r1.getAs[Int]("media_width") == 0 && r1.getAs[Int]("media_height") == 0)
+    assert(r1.getAs[Long]("media_luma") == 0L)
     val feats = r1.getAs[scala.collection.Seq[Float]]("media_features")
     assert(feats.length == 16)
     val norm = math.sqrt(feats.map(x => x.toDouble * x).sum)
@@ -43,16 +72,29 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.withMediaFeatures(df, "payload").collect()
       .find(_.getLong(0) == 1L).get.getAs[scala.collection.Seq[Float]]("media_features")
     assert(again == feats)
+    assert(out.find(_.getLong(0) == 2L).get.getAs[String]("media_format") == "empty")
   }
 
-  test("resize stub: bounded output, deterministic, bytes drawn from input") {
-    val bytes = Array.tabulate(1024)(i => (i % 251).toByte)
-    val out = Multimodal.resizeStub(bytes, 64, 64)
-    assert(out.length <= 64 * 64 / 64)
-    assert(out.length > 0)
-    assert(out.toSeq == Multimodal.resizeStub(bytes, 64, 64).toSeq)
-    assert(out.forall(bytes.contains))
-    assert(Multimodal.resizeStub(Array.emptyByteArray, 64, 64).isEmpty)
+  test("real bilinear resize: output decodes at the target dims") {
+    val png = Multimodal.synthPng(64, 48, seed = 7L)
+    val resized = Multimodal.resizeImage(png, 16, 12)
+    val (w, h, fmt, _, _) = Multimodal.decode(resized)
+    assert((w, h, fmt) == (16, 12, "png"))
+    // deterministic and real: identical bytes across invocations
+    assert(resized.toSeq == Multimodal.resizeImage(png, 16, 12).toSeq)
+    // a constant-color image stays constant under interpolation
+    val flat = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 32).foreach(y => (0 until 32).foreach(x =>
+        img.getRaster.setSample(x, y, 0, 200)))
+      Multimodal.encodePng(img)
+    }
+    val flatSmall = Multimodal.decodeImage(Multimodal.resizeImage(flat, 8, 8)).get._1
+    (0 until 8).foreach(y => (0 until 8).foreach(x =>
+      assert(flatSmall.getRaster.getSample(x, y, 0) == 200)))
+    // non-image input → no raster to resize
+    assert(Multimodal.resizeImage("not an image".getBytes, 8, 8).isEmpty)
   }
 
   test("frame sampling: every Nth frame, correct count and checksums") {
@@ -69,30 +111,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(exploded.select("frame_idx").collect().map(_.getInt(0)).toSeq == Seq(0, 2, 4, 6))
   }
 
-  test("polygon → pixel bbox → crop: dims derive from geometry (C2/K5)") {
-    // a 1000-byte page decodes to a 104x344 stub raster (64 + len%960 wide,
-    // 64 + len*7%960 tall)
-    val page = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
-    val (imgW, imgH, _, _) = Multimodal.decodeStub(page)
-    assert((imgW, imgH) == (64 + 1000 % 960, 64 + 7000 % 960))
+  test("polygon → pixel bbox → real PNG crop with exact pixels (C2/K5)") {
+    val imgW = 104
+    val imgH = 64
+    val page = Multimodal.synthPng(imgW, imgH, seed = 9L)
     // polygon covering [2,6]x[3,5] inches of a 20x20-inch page scales to
-    // round(frac * raster): x 10..31, y 17..28
+    // round(frac * raster)
     val poly = Seq(2.0, 3.0, 6.0, 3.0, 6.0, 5.0, 2.0, 5.0)
-    assert(Multimodal.pixelBBox(poly, 20, 20, imgW, imgH) ==
-      ((math.round(2.0 / 20 * imgW).toInt, math.round(3.0 / 20 * imgH).toInt,
-        math.round(6.0 / 20 * imgW).toInt, math.round(5.0 / 20 * imgH).toInt)))
-    val (cw, ch, bytes) = Multimodal.cropStub(page, poly, 20, 20)
-    assert(cw == math.round(6.0 / 20 * imgW).toInt - math.round(2.0 / 20 * imgW).toInt)
-    assert(ch == math.round(5.0 / 20 * imgH).toInt - math.round(3.0 / 20 * imgH).toInt)
-    assert(bytes.length == cw * ch)
-    // the crop is the row-major slice of the page buffer, not a prefix
     val x0 = math.round(2.0 / 20 * imgW).toInt
     val y0 = math.round(3.0 / 20 * imgH).toInt
-    assert(bytes(0) == page((y0 * imgW + x0) % page.length))
-    assert(bytes(cw) == page(((y0 + 1) * imgW + x0) % page.length)) // next row
+    assert(Multimodal.pixelBBox(poly, 20, 20, imgW, imgH) ==
+      ((x0, y0, math.round(6.0 / 20 * imgW).toInt, math.round(5.0 / 20 * imgH).toInt)))
+    val (cw, ch, bytes) = Multimodal.cropFigure(page, poly, 20, 20)
+    assert(cw == math.round(6.0 / 20 * imgW).toInt - x0)
+    assert(ch == math.round(5.0 / 20 * imgH).toInt - y0)
+    // the crop is a REAL PNG whose pixel (x, y) equals page pixel
+    // (x0 + x, y0 + y) — getSubimage + re-encode lost nothing
+    val crop = Multimodal.decodeImage(bytes).get._1
+    assert((crop.getWidth, crop.getHeight) == (cw, ch))
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val exp = ((9L * 31 + (x0 + x) * 7 + (y0 + y) * 13) % 256).toInt
+      assert(crop.getRaster.getSample(x, y, 0) == exp,
+        s"crop pixel ($x,$y) diverged from the page raster")
+    }
     // degenerate polygon → empty crop, never a whole-page payload
-    val deg = Multimodal.cropStub(page, Seq(5.0, 5.0, 5.0, 5.0), 20, 20)
+    val deg = Multimodal.cropFigure(page, Seq(5.0, 5.0, 5.0, 5.0), 20, 20)
     assert(deg._1 == 0 && deg._2 == 0 && deg._3.isEmpty)
+    // non-image page bytes → no crop
+    val none = Multimodal.cropFigure("plain text".getBytes, poly, 20, 20)
+    assert(none._1 == 0 && none._3.isEmpty)
     // DataFrame path: crop columns appear and K5 writes the crop, not the page
     import spark.implicits._
     val figs = Seq(("fig-9", page, poly)).toDF("figure_id", "payload", "polygon")
@@ -100,25 +147,29 @@ class MultimodalSpec extends AnyFunSuite {
     val cropped = Multimodal.withFigureCrops(figs, "payload")
     val row = cropped.select("crop_width", "crop_height", "figure_bytes").head()
     assert(row.getInt(0) == cw && row.getInt(1) == ch)
-    assert(row.getAs[Array[Byte]](2).length == cw * ch)
+    assert(row.getAs[Array[Byte]](2).toSeq == bytes.toSeq)
     val dir = java.nio.file.Files.createTempDirectory("graft-crops").toString
     Multimodal.writeFigureBlobs(cropped, "figure_bytes", "figure_id", dir)
-    val f = new java.io.File(dir, "fig-9.bin")
-    assert(f.exists() && f.length() == cw * ch, "K5 must store the geometry crop")
+    val f = new java.io.File(dir, "fig-9.png")
+    assert(f.exists() && f.length() == bytes.length, "K5 must store the geometry crop")
+    // the stored file is itself a decodable PNG at the crop dims
+    val stored = Multimodal.decodeImage(
+      java.nio.file.Files.readAllBytes(f.toPath)).get._1
+    assert((stored.getWidth, stored.getHeight) == (cw, ch))
   }
 
   test("caption stub + K5 figure blob side-output") {
     import spark.implicits._
-    val figs = Seq(("fig-1", "payload-bytes")).toDF("figure_id", "text")
-      .withColumn("payload", encode($"text", "UTF-8"))
+    val png = Multimodal.synthPng(40, 30, seed = 3L)
+    val figs = Seq(("fig-1", png)).toDF("figure_id", "payload")
     val withMeta = Multimodal.withMediaFeatures(figs, "payload")
     val captioned = Multimodal.attachCaptions(withMeta, new LeadingSentencesSummarizer(1))
     val cap = captioned.select("caption").head().getString(0)
-    assert(cap.startsWith("figure fig-1 rendered at"))
+    assert(cap.startsWith("figure fig-1 rendered at 40x30"))
     val dir = java.nio.file.Files.createTempDirectory("graft-figs").toString
     Multimodal.writeFigureBlobs(captioned, "payload", "figure_id", dir)
-    val f = new java.io.File(dir, "fig-1.bin")
+    val f = new java.io.File(dir, "fig-1.png")
     assert(f.exists())
-    assert(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == "payload-bytes")
+    assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq == png.toSeq)
   }
 }
