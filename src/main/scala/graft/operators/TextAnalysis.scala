@@ -84,6 +84,84 @@ object TextAnalysis {
       lit(3) * length(s)) % buckets
   }
 
+  /** Bucket of one token — the Scala mirror of [[portableTokenBucket]]'s
+    * column expression (31·len(tok) + 17·ascii(strip) + 7·ascii(last of
+    * strip) + 3·len(strip), mod buckets). Lengths count CODEPOINTS (Spark's
+    * `length`); `strip` keeps only [a-zA-Z0-9], so its first/last chars are
+    * always ASCII and `ascii("") == 0` degrades the way Spark's does.
+    */
+  private def bucketOfToken(text: String, from: Int, until: Int, buckets: Int): Int = {
+    var tokLen = 0
+    var sLen = 0
+    var first = 0
+    var last = 0
+    var i = from
+    while (i < until) {
+      val cp = text.codePointAt(i)
+      tokLen += 1
+      val kept = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      if (kept) {
+        if (sLen == 0) first = cp
+        last = cp
+        sLen += 1
+      }
+      i += Character.charCount(cp)
+    }
+    (31 * tokLen + 17 * first + 7 * last + 3 * sLen) % buckets
+  }
+
+  /** Per-document bucket histogram built INSIDE the row — one pass over the
+    * text, no per-token rows ever materialize. Tokenization mirrors
+    * `split(trim(text), " ")` exactly: trim strips ' ' only (Spark trim
+    * semantics, NOT Java's which also eats \n\t), split on single spaces,
+    * empty tokens dropped.
+    */
+  private[operators] def bucketHistogram(text: String, buckets: Int): Array[Long] = {
+    val hist = new Array[Long](buckets)
+    if (text == null) return hist
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    var start = b
+    var i = b
+    while (i <= e) {
+      if (i == e || text.charAt(i) == ' ') {
+        if (i > start) hist(bucketOfToken(text, start, i, buckets)) += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hist
+  }
+
+  /** (id, flag, bk, nb) rows — one per NON-EMPTY bucket of each document.
+    * Default path: the histogram UDF collapses tokenization map-side, so at
+    * most `buckets` rows per document ever enter a shuffle (vs one row per
+    * token occurrence — the difference between shuffling Σ tokens and
+    * shuffling ≤ docs×256 at corpus scale). The explicit repartition on bk
+    * gives the bucket rollup and the join probe one shared exchange.
+    * A caller-supplied `bucketOf` column fn can't run inside the row UDF,
+    * so that path keeps the explode + groupBy shape.
+    */
+  private def perDocBuckets(df: DataFrame, idCol: String, textCol: String,
+      flag: Column, flagName: String, buckets: Int,
+      bucketOf: Column => Column): DataFrame =
+    if (bucketOf == null) {
+      val hist = udf((t: String) => bucketHistogram(t, buckets))
+      df.select(col(idCol).as("id"), flag.as(flagName),
+          posexplode(hist(col(textCol))).as(Seq("bk", "nb")))
+        .filter(col("nb") > 0)
+        .repartition(col("bk"))
+    } else {
+      df.select(col(idCol).as("id"), flag.as(flagName),
+          explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+        .withColumn("bk", bucketOf(col("tok")))
+        .groupBy(col("id"), col(flagName), col("bk"))
+        .agg(count(lit(1)).as("nb"))
+    }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score each
     * document by how much more likely its hashed-unigram bag is under a
     * TARGET domain's token distribution than under the raw corpus's —
@@ -91,26 +169,18 @@ object TextAnalysis {
     * smoothing over `buckets` buckets. Sampling ∝ w then yields a corpus
     * distributed like the target domain.
     *
-    * Scale shape: ONE tokenize+explode scan and ONE corpus-sized shuffle
-    * (the (doc, bucket) partial-agg groupBy, whose exchange the
-    * distribution rollup reuses — `ReusedExchange` in the plan); the
+    * Scale shape: ONE text scan; the per-token rows never exist — each row
+    * aggregates its own bucket histogram ([[bucketHistogram]]), so the only
+    * corpus-sized shuffle carries ≤ `buckets` rows per document. The
     * ≤`buckets`-row distribution table and its totals are aggregates OF
-    * the per-doc table, and both join back by BROADCAST. Emits
-    * (id, n_tokens, log_w) with log_w rounded to 4 dp — coarse enough
-    * that double summation order can't flip the value.
+    * the per-doc table (ReusedExchange), and both join back by BROADCAST.
+    * Emits (id, n_tokens, log_w) with log_w rounded to 4 dp — coarse
+    * enough that double summation order can't flip the value.
     */
   def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 256,
       bucketOf: Column => Column = null): DataFrame = {
-    val bucketFn = if (bucketOf != null) bucketOf
-      else (c: Column) => portableTokenBucket(c, buckets)
-    val toks = df
-      .select(col(idCol).as("id"), isTarget.as("is_t"),
-        explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
-      .withColumn("bk", bucketFn(col("tok")))
-      .select(col("id"), col("is_t"), col("bk"))
-    val perDoc = toks.groupBy(col("id"), col("is_t"), col("bk"))
-      .agg(count(lit(1)).as("nb"))
+    val perDoc = perDocBuckets(df, idCol, textCol, isTarget, "is_t", buckets, bucketOf)
     val perBucket = perDoc.groupBy(col("bk"))
       .agg(sum(col("nb")).as("cr"),
         sum(when(col("is_t"), col("nb")).otherwise(lit(0L))).as("ct"))
@@ -131,21 +201,14 @@ object TextAnalysis {
     * add-1 smoothed over hashed buckets:
     * nll(doc) = −(1/n)·Σ_b n_b(doc)·log p̂_ref(b). Low nll ⇒ the doc reads
     * like the reference corpus; filtering keeps the head/middle of the
-    * distribution. Same single-shuffle shape as [[dsirLogWeights]]; the
-    * reference table is ≤`buckets` rows, broadcast.
+    * distribution. Same per-doc-histogram shape as [[dsirLogWeights]] (no
+    * per-token rows, shuffle ≤ docs×buckets); the reference table is
+    * ≤`buckets` rows, broadcast.
     */
   def unigramPerplexity(df: DataFrame, idCol: String, textCol: String,
       isRef: Column, buckets: Int = 256,
       bucketOf: Column => Column = null): DataFrame = {
-    val bucketFn = if (bucketOf != null) bucketOf
-      else (c: Column) => portableTokenBucket(c, buckets)
-    val toks = df
-      .select(col(idCol).as("id"), isRef.as("is_r"),
-        explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
-      .withColumn("bk", bucketFn(col("tok")))
-      .select(col("id"), col("is_r"), col("bk"))
-    val perDoc = toks.groupBy(col("id"), col("is_r"), col("bk"))
-      .agg(count(lit(1)).as("nb"))
+    val perDoc = perDocBuckets(df, idCol, textCol, isRef, "is_r", buckets, bucketOf)
     val ref = perDoc.groupBy(col("bk"))
       .agg(sum(when(col("is_r"), col("nb")).otherwise(lit(0L))).as("cref"))
     val totals = ref.agg(sum(col("cref")).as("nref"))

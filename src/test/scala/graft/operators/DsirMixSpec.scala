@@ -31,6 +31,34 @@ class DsirMixSpec extends AnyFunSuite {
       s"target-voc docs $targetVoc must all outscore off-target docs $offVoc")
   }
 
+  test("in-row histogram path equals the per-token explode path exactly") {
+    // the fast path collapses tokenize+bucket inside the row; forcing a
+    // column bucket fn takes the legacy explode + groupBy path. Same
+    // inputs — including Spark-trim edge cases (tabs/newlines are NOT
+    // trimmed, multi-spaces make empty tokens, unicode codepoints count
+    // once) — must produce identical weights.
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+      .limit(50)
+      .union(Seq(
+        (9001L, "\thello  world \n", "en", "srcx", 15L),
+        (9002L, "  café ☕ naïve-test 42!x  ", "fr", "srcx", 26L),
+        (9003L, "", "en", "srcx", 0L),
+        (9004L, "    ", "en", "srcx", 4L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fast = TextAnalysis.dsirLogWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slow = TextAnalysis.dsirLogWeights(docs, "doc_id", "text", col("lang") === "en",
+        bucketOf = c => TextAnalysis.portableTokenBucket(c, 256))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == slow)
+    val fastNll = TextAnalysis.unigramPerplexity(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slowNll = TextAnalysis.unigramPerplexity(docs, "doc_id", "text", col("lang") === "en",
+        bucketOf = c => TextAnalysis.portableTokenBucket(c, 256))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fastNll == slowNll)
+  }
+
   test("dsir weights are deterministic and cover every doc") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
     val a = TextAnalysis.dsirLogWeights(docs, "doc_id", "text", col("lang") === "en")
