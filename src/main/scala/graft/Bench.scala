@@ -10,6 +10,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache defaults to 100 entries; this suite runs
+      // 140+ plans with several codegen units each, so under the default
+      // the tail of the suite evicts the head's classes and a handful of
+      // compile-heavy queries (the st* streaming family, p2) read 3-5x
+      // their steady-state time (r4→r5 bench delta with UNCHANGED query
+      // code; warm probe reps confirm 0.2-0.3s steady state). One process-
+      // wide cache sized to the suite removes that artifact.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,7 +47,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else r3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: stdout goes through sbt's logger and a log-tail capture,
+    // either of which can truncate the (long) per-query line. The file is
+    // the parse-safe record.
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_summary.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case t: Throwable => System.err.println(s"[bench] summary write failed: $t")
+    }
     // The per-query line above can exceed a log tail window; repeat the
     // headline as a short self-contained JSON line (same shape, queries map
     // limited to the 10 slowest) so a truncated capture still contains one
