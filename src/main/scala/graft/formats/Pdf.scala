@@ -237,4 +237,214 @@ object Pdf {
 
   /** UTF-8 helper for callers chunking extracted text. */
   def extractTextUtf8(pdf: Array[Byte]): Array[Byte] = extractText(pdf).getBytes(UTF_8)
+
+  /** Multi-page fixture: one page object + one content stream per entry of
+    * `pages` (each a list of text lines), under a single /Pages node —
+    * the flat layout every common generator emits. Object ids: 1 catalog,
+    * 2 pages, then (page, contents) pairs, font last; xref offsets correct.
+    */
+  def writePdfPages(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "at least one page")
+    val n = pages.length
+    val fontId = 3 + 2 * n
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def obj(body: String): Unit = {
+      offsets += out.size()
+      w(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [$kids] /Count $n >>")
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontId 0 R >> >> /Contents ${4 + 2 * i} 0 R >>")
+      val content = ("BT /F1 12 Tf 72 720 Td " +
+        lines.map(l => s"(${escapeLiteral(l)}) Tj").mkString(" 0 -14 Td ") +
+        " ET").getBytes(ISO_8859_1)
+      val (data, filter) =
+        if (compress) (deflate(content), " /Filter /FlateDecode") else (content, "")
+      offsets += out.size()
+      w(s"${offsets.length} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val xref = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ page splitting
+
+  /** One indirect object: its raw text (dict + any stream) and the byte
+    * span of the stream PAYLOAD within `raw` — ref rewriting must never
+    * touch payload bytes (compressed data can contain "12 0 R" by chance).
+    */
+  private case class PdfObj(raw: String, payload: Option[(Int, Int)])
+
+  /** Parse `N 0 obj … endobj` objects. Stream payloads are skipped via the
+    * same `>>`-framed `stream` + /Length logic as [[contentStreams]], so an
+    * `endobj` byte sequence inside compressed data cannot truncate an
+    * object. Same documented subset as the reader: flat xref, no object
+    * streams, generation 0.
+    */
+  private def parseObjects(s: String): Seq[(Int, PdfObj)] = {
+    val objM = java.util.regex.Pattern.compile("(\\d+)\\s+0\\s+obj").matcher(s)
+    val out = Seq.newBuilder[(Int, PdfObj)]
+    var from = 0
+    var keep = true
+    while (keep) {
+      if (!objM.find(from)) keep = false
+      else {
+        {
+          val num = objM.group(1).toInt
+          val bodyStart = objM.end
+          // find the true endobj, hopping over any stream payload
+          var cursor = bodyStart
+          var payload: Option[(Int, Int)] = None
+          var endobj = -1
+          while (endobj < 0 && cursor < s.length) {
+            val e = s.indexOf("endobj", cursor)
+            if (e < 0) { endobj = s.length }
+            else {
+              val st = s.indexOf("stream", cursor)
+              val framed = st >= 0 && st < e && {
+                val dictEnd = s.lastIndexOf(">>", st)
+                dictEnd >= 0 && s.substring(dictEnd + 2, st).trim.isEmpty
+              }
+              if (!framed) endobj = e
+              else {
+                var dataStart = st + "stream".length
+                if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+                if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+                val dict = s.substring(bodyStart, st)
+                val declared = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
+                  .map(mm => dataStart + mm.group(1).toInt)
+                  .filter(x => x <= s.length && s.indexOf("endstream", x) >= 0 &&
+                    s.indexOf("endstream", x) <= x + 2)
+                val endstream = declared.map(x => s.indexOf("endstream", x))
+                  .getOrElse(s.indexOf("endstream", dataStart))
+                if (endstream < 0) endobj = e
+                else {
+                  payload = Some((dataStart - bodyStart,
+                    declared.getOrElse(endstream) - bodyStart))
+                  cursor = endstream + "endstream".length
+                }
+              }
+            }
+          }
+          val end = math.min(endobj, s.length)
+          out += num -> PdfObj(s.substring(bodyStart, end), payload)
+          from = end + "endobj".length
+          if (from >= s.length) keep = false
+        }
+      }
+    }
+    out.result()
+  }
+
+  private val refRe = "(\\d+)\\s+0\\s+R\\b".r
+
+  /** Rewrite `old 0 R` references via `renum`, leaving stream payload bytes
+    * untouched.
+    */
+  private def rewriteRefs(o: PdfObj, renum: Map[Int, Int]): String = {
+    def rw(part: String): String =
+      refRe.replaceAllIn(part, m =>
+        renum.get(m.group(1).toInt)
+          .map(n => s"$n 0 R")
+          .getOrElse(java.util.regex.Matcher.quoteReplacement(m.matched)))
+    o.payload match {
+      case None => rw(o.raw)
+      case Some((a, b)) =>
+        rw(o.raw.substring(0, a)) + o.raw.substring(a, b) + rw(o.raw.substring(b))
+    }
+  }
+
+  private def refsOf(o: PdfObj): Seq[Int] = {
+    val scan = o.payload match {
+      case None => o.raw
+      case Some((a, b)) => o.raw.substring(0, a) + o.raw.substring(b)
+    }
+    refRe.findAllMatchIn(scan).map(_.group(1).toInt).toSeq
+  }
+
+  /** Page object ids in document order (Kids arrays, depth-first through
+    * nested /Pages nodes).
+    */
+  def pageIds(pdf: Array[Byte]): Seq[Int] = {
+    val objs = parseObjects(new String(pdf, ISO_8859_1)).toMap
+    val root = objs.collectFirst {
+      case (_, o) if "/Type\\s*/Catalog".r.findFirstIn(o.raw).isDefined =>
+        "/Pages\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(o.raw).map(_.group(1).toInt)
+    }.flatten
+    def walk(id: Int): Seq[Int] = objs.get(id) match {
+      case Some(o) if "/Type\\s*/Pages".r.findFirstIn(o.raw).isDefined =>
+        val kids = "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(o.raw)
+          .map(_.group(1)).getOrElse("")
+        refRe.findAllMatchIn(kids).map(_.group(1).toInt).toSeq.flatMap(walk)
+      case Some(_) => Seq(id)
+      case None => Seq.empty
+    }
+    root.map(walk).getOrElse(Seq.empty)
+  }
+
+  /** Number of pages of the document. */
+  def pageCount(pdf: Array[Byte]): Int = pageIds(pdf).length
+
+  /** Split a PDF into parts of at most `maxPages` pages each — the
+    * reference's large-document pre-analysis split
+    * (utils/file_utils.py:71-138) done on the object tree: each part is a
+    * complete, valid PDF with a fresh catalog + pages node, the part's page
+    * objects, and the transitive closure of everything those pages
+    * reference (content streams, fonts, images), renumbered densely.
+    * Documents at or under `maxPages` come back whole, byte-identical.
+    */
+  def splitByPages(pdf: Array[Byte], maxPages: Int): Seq[Array[Byte]] = {
+    require(maxPages > 0, s"maxPages must be positive, got $maxPages")
+    val ids = pageIds(pdf)
+    if (ids.isEmpty || ids.length <= maxPages) return Seq(pdf)
+    val objs = parseObjects(new String(pdf, ISO_8859_1)).toMap
+    val pagesNodes = objs.collect {
+      case (n, o) if "/Type\\s*/(Pages|Catalog)".r.findFirstIn(o.raw).isDefined => n
+    }.toSet
+    ids.grouped(maxPages).map { group =>
+      // transitive copy from the part's pages, never back up into the old
+      // catalog/pages tree (the /Parent edge would drag the whole document)
+      val order = scala.collection.mutable.LinkedHashSet[Int]()
+      def visit(id: Int): Unit =
+        if (!pagesNodes.contains(id) && !order.contains(id) && objs.contains(id)) {
+          order += id
+          refsOf(objs(id)).foreach(visit)
+        }
+      group.foreach(visit)
+      val renum = order.zipWithIndex.map { case (old, i) => old -> (i + 3) }.toMap ++
+        pagesNodes.map(_ -> 2).toMap // any old tree ref (e.g. /Parent) → new pages node
+      val out = new ByteArrayOutputStream()
+      val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+      def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+      w("%PDF-1.4\n")
+      offsets += out.size()
+      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      val kids = group.map(id => s"${renum(id)} 0 R").mkString(" ")
+      offsets += out.size()
+      w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count ${group.length} >>\nendobj\n")
+      order.foreach { old =>
+        offsets += out.size()
+        w(s"${renum(old)} 0 obj\n")
+        w(rewriteRefs(objs(old), renum))
+        w("\nendobj\n")
+      }
+      val xref = out.size()
+      w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+      offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+      w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      out.toByteArray
+    }.toSeq
+  }
 }

@@ -52,6 +52,55 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(Pdf.writePdf(lines, compress = false)) == lines.mkString("\n"))
   }
 
+  test("multi-page writer: page count and per-page text round-trip") {
+    val pages = (1 to 5).map(p => Seq(s"page $p line one", s"page $p line two"))
+    val pdf = Pdf.writePdfPages(pages)
+    assert(Pdf.pageCount(pdf) == 5)
+    assert(Pdf.extractText(pdf) ==
+      pages.map(_.mkString("\n")).mkString("\n"))
+  }
+
+  test("splitByPages: part page counts sum; concatenated text equals the whole") {
+    val pages = (1 to 7).map(p => Seq(s"p$p alpha", s"p$p beta"))
+    val whole = Pdf.writePdfPages(pages)
+    val parts = Pdf.splitByPages(whole, maxPages = 3)
+    assert(parts.length == 3)
+    assert(parts.map(Pdf.pageCount) == Seq(3, 3, 1))
+    assert(parts.map(Pdf.pageCount).sum == Pdf.pageCount(whole))
+    // text of the concatenated parts == text of the whole document
+    assert(parts.map(Pdf.extractText).mkString("\n") == Pdf.extractText(whole))
+    // each part is a well-formed standalone PDF: header, self-consistent
+    // xref offsets, and one /Pages node counting its pages
+    parts.zipWithIndex.foreach { case (part, pi) =>
+      val str = new String(part, "ISO-8859-1")
+      assert(str.startsWith("%PDF-"))
+      val declared = str.substring(str.lastIndexOf("startxref")).split("\n")(1).trim.toInt
+      assert(str.startsWith("xref", declared), s"part $pi startxref wrong")
+      val entries = str.substring(declared).split("\n").drop(3).takeWhile(_.endsWith(" n "))
+      entries.zipWithIndex.foreach { case (e, i) =>
+        val off = e.split(" ")(0).toInt
+        assert(str.startsWith(s"${i + 1} 0 obj", off), s"part $pi object ${i + 1} offset wrong")
+      }
+    }
+  }
+
+  test("splitByPages: at-or-under-limit documents come back whole and byte-identical") {
+    val whole = Pdf.writePdfPages((1 to 3).map(p => Seq(s"page $p")))
+    val parts = Pdf.splitByPages(whole, maxPages = 5)
+    assert(parts.length == 1)
+    assert(parts.head.toSeq == whole.toSeq)
+  }
+
+  test("splitByPages: compressed payloads survive renumbering untouched") {
+    // FlateDecode payload bytes may contain 'N 0 R' byte patterns; the ref
+    // rewrite must skip payload spans, so decode-after-split stays exact
+    val pages = (1 to 6).map(p => Seq(s"page $p " + ("R 0 7 " * 10)))
+    val parts = Pdf.splitByPages(Pdf.writePdfPages(pages, compress = true), 2)
+    assert(parts.length == 3)
+    assert(parts.map(Pdf.extractText).mkString("\n") ==
+      pages.map(_.mkString("\n")).mkString("\n"))
+  }
+
   test("xref offsets are self-consistent (external readers can seek)") {
     val pdf = new String(Pdf.writePdf(Seq("hi")), "ISO-8859-1")
     val xrefAt = pdf.lastIndexOf("startxref")
