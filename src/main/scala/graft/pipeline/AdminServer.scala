@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's admin/jobs dashboard API (api/admin.py:243-400) over the
+  * engine's own tables: `/api/jobs` lists run summaries from the
+  * [[IncrementalIndexer.writeRunLog]] directory, `/api/files` lists
+  * per-parent state rows, and `POST /api/files/unblock` clears a parent's
+  * blocked flag and resets its attempt counter so the next incremental run
+  * reprocesses it.
+  *
+  * Where the reference loads every log blob into Python lists and
+  * sorts/pages in process, here sort + slice run as a Spark plan — the
+  * proven `w6_sort_page` shape (orderBy + offset + limit, which plans as
+  * TakeOrderedAndProject, never a full materialized sort) — so the same
+  * endpoint keeps working when the log table outgrows one machine.
+  * Response envelope matches the reference: {items, total, page, pageSize}.
+  */
+object AdminServer {
+
+  private val runSchema = StructType(Seq(
+    StructField("runId", StringType),
+    StructField("sourceDocs", LongType),
+    StructField("processed", LongType),
+    StructField("skippedNoChange", LongType),
+    StructField("skippedBlocked", LongType),
+    StructField("purgedParents", LongType),
+    StructField("chunksWritten", LongType),
+    StructField("indexSize", LongType)))
+
+  /** Start serving on `port` (0 ⇒ ephemeral). Reads are per-request — the
+    * dashboard always sees the latest published state.
+    */
+  def start(port: Int, spark: SparkSession, stateDir: String, logDir: String): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    server.createContext("/api/jobs", (ex: HttpExchange) => handle(ex) {
+      if (ex.getRequestMethod != "GET") (405, """{"error":"method not allowed"}""")
+      else {
+        val runsDir = java.nio.file.Paths.get(logDir, "runs")
+        val df =
+          if (java.nio.file.Files.isDirectory(runsDir))
+            spark.read.schema(runSchema).json(runsDir.toString)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], runSchema)
+        listing(df, params(ex), defaultSort = "runId", tieBreak = "runId")
+      }
+    })
+
+    server.createContext("/api/files", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      handle(ex) {
+        if (path.startsWith("/api/files/unblock")) {
+          if (ex.getRequestMethod != "POST") (405, """{"error":"method not allowed"}""")
+          else unblock(spark, stateDir, params(ex))
+        } else if (ex.getRequestMethod != "GET") {
+          (405, """{"error":"method not allowed"}""")
+        } else {
+          val p = params(ex)
+          val df0 = IncrementalIndexer.readState(spark, stateDir)
+          val df = p.get("blocked") match {
+            case Some("true") => df0.filter(coalesce(col("blocked"), lit(false)))
+            case Some("false") => df0.filter(!coalesce(col("blocked"), lit(false)))
+            case Some(_) => null // invalid → caught below
+            case None => df0
+          }
+          if (df == null) (400, """{"error":"blocked must be true or false"}""")
+          else listing(df, p, defaultSort = "parent_id", tieBreak = "parent_id")
+        }
+      }
+    })
+
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+
+  // ------------------------------------------------------------------ pieces
+
+  private def handle(ex: HttpExchange)(body: => (Int, String)): Unit =
+    try {
+      val (status, payload) =
+        try body
+        catch { case t: Throwable => (500, jsonObj(Seq("error" -> jsonStr(t.toString)))) }
+      val bytes = payload.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  /** Sort + slice one listing DataFrame per the reference's query contract:
+    * page ≥ 1, 1 ≤ pageSize ≤ 100, sortField a real column, sortOrder
+    * asc|desc, `search` a case-insensitive substring over all columns.
+    */
+  private def listing(df: DataFrame, p: Map[String, String],
+      defaultSort: String, tieBreak: String): (Int, String) = {
+    val page = p.getOrElse("page", "1")
+    val pageSize = p.getOrElse("pageSize", "20")
+    val sortField = p.getOrElse("sortField", defaultSort)
+    val sortOrder = p.getOrElse("sortOrder", "desc")
+    if (!page.matches("\\d+") || page.toInt < 1)
+      return (400, """{"error":"page must be >= 1"}""")
+    if (!pageSize.matches("\\d+") || pageSize.toInt < 1 || pageSize.toInt > 100)
+      return (400, """{"error":"pageSize must be in [1, 100]"}""")
+    if (!df.columns.contains(sortField))
+      return (400, jsonObj(Seq("error" -> jsonStr(s"unknown sortField $sortField"))))
+    if (sortOrder != "asc" && sortOrder != "desc")
+      return (400, """{"error":"sortOrder must be asc or desc"}""")
+
+    val searched = p.get("search").filter(_.nonEmpty) match {
+      case Some(q) =>
+        // the reference substring-matches the JSON dump of each item; the
+        // declarative analog is a lowercase scan over all columns
+        val hay = lower(concat_ws("", df.columns.map(c => col(c).cast("string")): _*))
+        df.filter(hay.contains(q.toLowerCase))
+      case None => df
+    }
+    val key: Column = if (sortOrder == "desc") col(sortField).desc else col(sortField).asc
+    val total = searched.count()
+    val rows = searched
+      .orderBy(key, col(tieBreak)) // deterministic pages under ties
+      .offset((page.toInt - 1) * pageSize.toInt)
+      .limit(pageSize.toInt)
+      .collect()
+    val fields = rows.headOption.map(_.schema.fields).getOrElse(Array.empty[StructField])
+    val items = rows.map { r =>
+      jsonObj(fields.indices.map(i => fields(i).name -> jsonVal(r.get(i))))
+    }
+    (200, jsonObj(Seq(
+      "items" -> items.mkString("[", ",", "]"),
+      "total" -> total.toString,
+      "page" -> page,
+      "pageSize" -> pageSize)))
+  }
+
+  private def unblock(spark: SparkSession, stateDir: String,
+      p: Map[String, String]): (Int, String) =
+    p.get("parentId") match {
+      case None => (400, """{"error":"parentId is required"}""")
+      case Some(s) if !s.matches("-?\\d+") => (400, """{"error":"parentId must be an integer"}""")
+      case Some(s) =>
+        val id = s.toLong
+        val state = IncrementalIndexer.readState(spark, stateDir)
+        if (state.filter(col("parent_id") === id).isEmpty)
+          (404, """{"error":"parent not found"}""")
+        else {
+          IncrementalIndexer.unblock(spark, stateDir, id)
+          (200, jsonObj(Seq("status" -> jsonStr("ok"), "parentId" -> id.toString)))
+        }
+    }
+
+  // ------------------------------------------------------------------- json
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case s: String => jsonStr(s)
+    case b: Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case other => jsonStr(other.toString)
+  }
+
+  /** values are PRE-SERIALIZED json fragments. */
+  private def jsonObj(kv: Seq[(String, String)]): String =
+    kv.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+}

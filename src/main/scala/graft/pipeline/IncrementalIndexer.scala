@@ -176,6 +176,26 @@ object IncrementalIndexer {
       }
   }
 
+  /** The per-parent state table (empty frame when no run has happened yet) —
+    * the `/api/files` listing source.
+    */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    readOr(spark, stateDir, stateSchema)
+
+  /** Admin unblock (api/admin.py:363-400 semantics): clear the blocked flag
+    * AND reset the attempt counter, so the next run's F3 filter lets the
+    * parent through with a full retry budget.
+    */
+  def unblock(spark: SparkSession, stateDir: String, parentId: Long): Unit = {
+    val state = spark.read.parquet(stateDir)
+      .withColumn("blocked",
+        when(col("parent_id") === parentId, lit(false)).otherwise(col("blocked")))
+      .withColumn("attempts",
+        when(col("parent_id") === parentId, lit(0)).otherwise(col("attempts")))
+      .localCheckpoint(true)
+    state.write.mode(SaveMode.Overwrite).parquet(stateDir)
+  }
+
   /** Manual block/unblock (the admin endpoint analog, api/admin.py:363-400). */
   def setBlocked(spark: SparkSession, stateDir: String, parentId: Long,
       blocked: Boolean): Unit = {

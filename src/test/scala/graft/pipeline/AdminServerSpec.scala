@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import graft.TestSpark
+
+/** Real HTTP round-trips over the admin surface (api/admin.py:243-400
+  * parity): jobs/files listings with sort + page + filters, and the
+  * unblock → reprocess integration.
+  */
+class AdminServerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(texts: Map[Long, String]) = {
+    import spark.implicits._
+    texts.toSeq.map { case (id, t) => (id, t, s"src${id % 3}", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+  }
+
+  private val base = Map(
+    1L -> ("alpha beta gamma " * 20).trim,
+    2L -> ("delta epsilon zeta " * 15).trim,
+    3L -> ("eta theta iota " * 10).trim)
+
+  /** Three runs' worth of state + run logs, parent 2 manually blocked. */
+  private def fixture(): (String, String, String) = {
+    val root = Files.createTempDirectory("graft-admin")
+    val (indexDir, stateDir, logDir) =
+      (root.resolve("index").toString, root.resolve("state").toString,
+        root.resolve("logs").toString)
+    val r1 = IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run-a")
+    IncrementalIndexer.writeRunLog(r1, logDir)
+    val r2 = IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, "run-b")
+    IncrementalIndexer.writeRunLog(r2, logDir)
+    val touched = base + (1L -> ("fresh words here " * 9).trim)
+    val r3 = IncrementalIndexer.runOnce(spark, docs(touched), indexDir, stateDir, "run-c")
+    IncrementalIndexer.writeRunLog(r3, logDir)
+    IncrementalIndexer.setBlocked(spark, stateDir, 2L, blocked = true)
+    (indexDir, stateDir, logDir)
+  }
+
+  private def withServer(test: (Int, HttpClient, String, String) => Unit): Unit = {
+    val (_, stateDir, logDir) = fixture()
+    val server = AdminServer.start(0, spark, stateDir, logDir)
+    try test(server.getAddress.getPort, HttpClient.newHttpClient(), stateDir, logDir)
+    finally server.stop(0)
+  }
+
+  private def get(client: HttpClient, port: Int, pathQuery: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port$pathQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(client: HttpClient, port: Int, pathQuery: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port$pathQuery"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("/api/jobs: envelope, sort order, and page slicing") {
+    withServer { (port, client, _, _) =>
+      val all = get(client, port, "/api/jobs?sortField=runId&sortOrder=asc&pageSize=2")
+      assert(all.statusCode() == 200)
+      assert(all.body().contains("\"total\":3"))
+      // asc page 1 of size 2 = run-a, run-b; page 2 = run-c
+      val p1 = all.body()
+      assert(p1.indexOf("run-a") >= 0 && p1.indexOf("run-b") > p1.indexOf("run-a"))
+      assert(!p1.contains("run-c"))
+      val p2 = get(client, port,
+        "/api/jobs?sortField=runId&sortOrder=asc&pageSize=2&page=2").body()
+      assert(p2.contains("run-c") && !p2.contains("run-b"))
+      // desc flips the order
+      val desc = get(client, port, "/api/jobs?sortField=runId&sortOrder=desc").body()
+      assert(desc.indexOf("run-c") < desc.indexOf("run-a"))
+      // numeric sort field sorts numerically
+      val byProcessed = get(client, port,
+        "/api/jobs?sortField=processed&sortOrder=desc&pageSize=1").body()
+      assert(byProcessed.contains("\"runId\":\"run-a\""), byProcessed)
+    }
+  }
+
+  test("/api/jobs: search filters; invalid params are 400; wrong method 405") {
+    withServer { (port, client, _, _) =>
+      val hit = get(client, port, "/api/jobs?search=run-b").body()
+      assert(hit.contains("\"total\":1") && hit.contains("run-b"))
+      assert(get(client, port, "/api/jobs?page=0").statusCode() == 400)
+      assert(get(client, port, "/api/jobs?pageSize=101").statusCode() == 400)
+      assert(get(client, port, "/api/jobs?sortField=nope").statusCode() == 400)
+      assert(get(client, port, "/api/jobs?sortOrder=sideways").statusCode() == 400)
+      assert(post(client, port, "/api/jobs").statusCode() == 405)
+    }
+  }
+
+  test("/api/files: listing and blocked filter") {
+    withServer { (port, client, _, _) =>
+      val all = get(client, port, "/api/files?sortField=parent_id&sortOrder=asc")
+      assert(all.statusCode() == 200)
+      assert(all.body().contains("\"total\":3"))
+      val blocked = get(client, port, "/api/files?blocked=true").body()
+      assert(blocked.contains("\"total\":1") && blocked.contains("\"parent_id\":2"))
+      val open = get(client, port, "/api/files?blocked=false").body()
+      assert(open.contains("\"total\":2"))
+      assert(get(client, port, "/api/files?blocked=maybe").statusCode() == 400)
+    }
+  }
+
+  test("unblock: validation, 404, and the unblock → reprocess integration") {
+    val (indexDir, stateDir, logDir) = fixture()
+    val server = AdminServer.start(0, spark, stateDir, logDir)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      assert(post(client, port, "/api/files/unblock").statusCode() == 400)
+      assert(post(client, port, "/api/files/unblock?parentId=x").statusCode() == 400)
+      assert(post(client, port, "/api/files/unblock?parentId=99").statusCode() == 404)
+      assert(get(client, port, "/api/files/unblock?parentId=2").statusCode() == 405)
+
+      // blocked parent 2 sits out a run even when its content changes
+      // (parent 1 keeps run-c's text so only parent 2 counts as changed)
+      val changed = base +
+        (1L -> ("fresh words here " * 9).trim) +
+        (2L -> ("brand new content " * 11).trim)
+      val rBlocked = IncrementalIndexer.runOnce(
+        spark, docs(changed), indexDir, stateDir, "run-x")
+      assert(rBlocked.skippedBlocked == 1 && rBlocked.processed == 0)
+
+      val ok = post(client, port, "/api/files/unblock?parentId=2")
+      assert(ok.statusCode() == 200 && ok.body().contains("\"status\":\"ok\""))
+      val after = get(client, port, "/api/files?blocked=true").body()
+      assert(after.contains("\"total\":0"), after)
+
+      // next run picks the parent back up and reprocesses it
+      val rAfter = IncrementalIndexer.runOnce(
+        spark, docs(changed), indexDir, stateDir, "run-y")
+      assert(rAfter.skippedBlocked == 0)
+      assert(rAfter.processed == 1, s"unblocked parent must reprocess: $rAfter")
+    } finally server.stop(0)
+  }
+}
