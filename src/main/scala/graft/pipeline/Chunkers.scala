@@ -36,7 +36,7 @@ object Chunkers {
       case _ => text
     }
     ext match {
-      case "md" | "markdown" | "xlsx" => TextSplitters.markdownSplit(ltext, p)
+      case "md" | "markdown" | "xlsx" | "xls" => TextSplitters.markdownSplit(ltext, p)
       case "json" =>
         try JsonPartitioner.partition(ltext, p.maxTokens)
         catch { case _: Exception => TextSplitters.recursiveSplit(ltext, p) }
@@ -45,7 +45,7 @@ object Chunkers {
   }
 
   /** Binary formats whose payload is decoded structurally, not by charset. */
-  val binaryExts: Set[String] = Set("pdf", "docx", "xlsx", "pptx")
+  val binaryExts: Set[String] = Set("pdf", "docx", "xlsx", "xls", "pptx")
 
   /** S13: bytes → text by format. pdf/docx/xlsx/pptx decode their real
     * binary containers (graft.formats); xlsx renders one markdown table per
@@ -59,8 +59,12 @@ object Chunkers {
     case "pdf" => graft.formats.Pdf.extractText(bytes)
     case "docx" => graft.formats.Ooxml.docxText(bytes)
     case "pptx" => graft.formats.Ooxml.pptxText(bytes)
-    case "xlsx" =>
-      graft.formats.Ooxml.readXlsx(bytes).filter(_.rows.nonEmpty).map { sh =>
+    case ext @ ("xlsx" | "xls") =>
+      // legacy BIFF8 .xls and OOXML .xlsx render identically (the reference
+      // dispatches both to one spreadsheet chunker, chunker_factory.py:47)
+      val sheets = if (ext == "xls") graft.formats.Biff.readXls(bytes)
+        else graft.formats.Ooxml.readXlsx(bytes)
+      sheets.filter(_.rows.nonEmpty).map { sh =>
         val sheet = Spreadsheet.Sheet(sh.name, sh.rows.head, sh.rows.tail)
         s"# ${sh.name}\n" + Spreadsheet.toMarkdown(sheet)
       }.mkString("\n\n")

@@ -97,16 +97,20 @@ object Coverage5 {
       val pptx = graft.formats.Ooxml.writePptx(Seq(
         Seq("Agenda", "Q3 targets & risks"),
         Seq("Summary <slide>", "", "Next steps")))
+      // legacy BIFF8-in-CFB container, same spreadsheet chunker as xlsx
+      val xls = graft.formats.Biff.writeXls(Seq(
+        graft.formats.Ooxml.XlsxSheet("Ledger", Seq(
+          Seq("account", "balance"), Seq("ops", "1200"), Seq("r&d", "980.25")))))
       Seq(("table.xlsx", xlsx), ("notes.docx", docx),
         ("report.pdf", pdfZ), ("memo.pdf", pdfR),
-        ("deck.pptx", pptx)).foreach { case (n, b) =>
+        ("deck.pptx", pptx), ("ledger.xls", xls)).foreach { case (n, b) =>
         writeBytes(root, n, b)
       }
       val extract = udf((path: String, bytes: Array[Byte]) =>
         graft.pipeline.Chunkers.extractText(bytes,
           path.substring(path.lastIndexOf('.') + 1)))
       s.read.format("binaryFile")
-        .option("pathGlobFilter", "{*.xlsx,*.docx,*.pdf,*.pptx}").load(root)
+        .option("pathGlobFilter", "{*.xlsx,*.docx,*.pdf,*.pptx,*.xls}").load(root)
         .select(element_at(split($"path", "/"), -1).as("name"),
           extract($"path", $"content").as("text"))
         .select($"name",
@@ -114,6 +118,30 @@ object Coverage5 {
           (size(split($"text", "\n"))).cast("long").as("n_lines"),
           element_at(split($"text", "\n"), 1).as("head"))
         .orderBy($"name")
+    }),
+
+    // S14: binary PDF part-splitting — the reference splits large PDFs
+    // into real sub-PDFs before analysis (utils/file_utils.py:71-138).
+    // Per doc: build an n-page PDF (n from doc_id), split the object tree
+    // at 3 pages/part, and verify the part count, the page-count sum, and
+    // that re-extracting every part's text reassembles the whole document
+    // byte-for-byte — all reproducible arithmetically by the oracle.
+    "s14_pdf_split" -> ((s, d) => {
+      import s.implicits._
+      val splitUdf = udf((id: Long) => {
+        val nPages = (id % 6 + 2).toInt
+        val pages = (1 to nPages).map(p =>
+          Seq(s"doc $id page $p alpha", s"doc $id page $p beta"))
+        val whole = graft.formats.Pdf.writePdfPages(pages)
+        val parts = graft.formats.Pdf.splitByPages(whole, 3)
+        val roundtrip = parts.map(graft.formats.Pdf.extractText).mkString("\n") ==
+          graft.formats.Pdf.extractText(whole)
+        (nPages, parts.length, parts.map(graft.formats.Pdf.pageCount).sum, roundtrip)
+      })
+      load(s, d, "documents").select($"doc_id", splitUdf($"doc_id").as("r"))
+        .select($"doc_id", $"r._1".as("n_pages"), $"r._2".as("n_parts"),
+          $"r._3".as("pages_sum"), $"r._4".as("roundtrip"))
+        .orderBy($"doc_id")
     }),
 
     // S7: recursive folder walk with extension filter
@@ -332,6 +360,12 @@ object Coverage5 {
         |ORDER BY name""".stripMargin,
     "s7_recursive_walk" ->
       """SELECT CAST(3 AS BIGINT) AS n_files, CAST(9 AS BIGINT) AS total_bytes""",
+    "s14_pdf_split" ->
+      """SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS n_pages,
+        | CAST((doc_id % 6 + 4) // 3 AS INTEGER) AS n_parts,
+        | CAST(doc_id % 6 + 2 AS INTEGER) AS pages_sum,
+        | true AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "s12_log_scan" ->
       """SELECT * FROM (VALUES
         | ('failed', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
