@@ -9,9 +9,10 @@ import graft.core._
   * Native Catalyst expressions (vector kernels) are registered into the
   * session FunctionRegistry so they are usable from both SQL and the Column
   * API via `call_function` — this avoids private Column↔Expression bridges.
-  * Domain scalar functions that are not hot-path (minhash/simhash/langid/…)
-  * are Scala UDFs; promotion to codegen expressions is a perf, not a
-  * correctness, decision.
+  * Domain scalar functions that are not hot-path (langid/title/…) are
+  * Scala UDFs; hot-path scalars (token_count, minhash, simhash) are
+  * codegen'd expressions — promotion is a perf, not a correctness,
+  * decision.
   */
 object GraftFunctions {
 
@@ -26,6 +27,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("chunk_document", es => ChunkDocument(es), "scala_udf")
     // hot-path: runs per chunk in every chunking pipeline → codegen'd
     reg.createOrReplaceTempFunction("graft_token_count", es => TokenCount(es(0)), "scala_udf")
+    // hot-path: one sketch per document in every near-dup family → codegen'd
+    reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSignature(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es(0)), "scala_udf")
 
     // Domain scalar/generator functions as UDFs (SURVEY §2.12).
     spark.udf.register("graft_title", (s: String) => TextKeys.titleFromFilename(s))
@@ -43,8 +47,6 @@ object GraftFunctions {
         TextSplitters.markdownSplit(s, SplitParams(maxTokens, overlap)))
     spark.udf.register("graft_json_partition",
       (s: String, maxTokens: Int) => JsonPartitioner.partition(s, maxTokens))
-    spark.udf.register("graft_minhash", (s: String) => Hashing.minhashSignature(s))
-    spark.udf.register("graft_simhash", (s: String) => Hashing.simhash64(s))
     spark.udf.register("graft_langid", (s: String) => LangId.detect(s))
   }
 

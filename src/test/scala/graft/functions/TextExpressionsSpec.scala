@@ -25,6 +25,40 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash/simhash agree with the kernels and follow null-in/null-out") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val samples = Seq(Some("alpha beta gamma delta epsilon zeta"), Some(""), None)
+    val rows = samples.toDF("text")
+      .select($"text", GraftFunctions.minhash($"text").as("sig"),
+        GraftFunctions.simhash($"text").as("sh"))
+      .collect()
+    rows.zip(samples).foreach { case (row, s) =>
+      s match {
+        case Some(t) =>
+          assert(row.getSeq[Long](1) ==
+            graft.functions.Hashing.minhashSignature(t).toSeq)
+          assert(row.getLong(2) == graft.functions.Hashing.simhash64(t))
+        case None =>
+          assert(row.isNullAt(1) && row.isNullAt(2), "null text must yield null sketches")
+      }
+    }
+  }
+
+  test("minhash/simhash stay inside whole-stage codegen (no UDF wrapper)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = spark.range(4)
+      .select(concat(lit("doc word "), $"id").as("text"))
+      .select(GraftFunctions.minhash($"text").as("sig"),
+        GraftFunctions.simhash($"text").as("sh"))
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("UDF"), "sketches regressed to UDFs:\n" + p.take(1000))
+    assert(p.contains("codegen id"), p.take(1000))
+  }
+
   test("token_count stays inside whole-stage codegen (no UDF wrapper)") {
     import spark.implicits._
     GraftFunctions.register(spark)
