@@ -301,21 +301,26 @@ object Biff {
 
   // --------------------------------------------------------------- BIFF read
 
-  private def readXlString(b: ByteBuffer): String = {
+  private[formats] def readXlString(b: ByteBuffer): String = {
     val cch = b.getShort & 0xFFFF
     val flags = b.get() & 0xFF
-    // rich-text / phonetic variants carry extra trailing blocks; the plain
-    // string payload decodes the same way, and per-record parsing (each cell
-    // record wraps its own buffer) keeps any trailing bytes harmless
-    if ((flags & 0x01) == 0) {
-      val a = new Array[Byte](cch)
-      b.get(a)
-      new String(a.map(x => (x & 0xFF).toChar))
-    } else {
-      val a = new Array[Byte](cch * 2)
-      b.get(a)
-      new String(a, "UTF-16LE")
-    }
+    // rich-text (0x08) and phonetic (0x04) variants declare their extra
+    // block sizes BEFORE the character data and carry the blocks after it;
+    // both must be consumed or every following SST string would misparse
+    val cRun = if ((flags & 0x08) != 0) b.getShort & 0xFFFF else 0
+    val cbExt = if ((flags & 0x04) != 0) b.getInt else 0
+    val s =
+      if ((flags & 0x01) == 0) {
+        val a = new Array[Byte](cch)
+        b.get(a)
+        new String(a.map(x => (x & 0xFF).toChar))
+      } else {
+        val a = new Array[Byte](cch * 2)
+        b.get(a)
+        new String(a, "UTF-16LE")
+      }
+    b.position(math.min(b.limit(), b.position() + cRun * 4 + cbExt))
+    s
   }
 
   private def fmtNumber(d: Double): String =

@@ -103,6 +103,24 @@ object Multimodal {
     encodePng(img)
   }
 
+  /** Constant-gray PNG — interpolation-invariant (resampling equal values
+    * yields the value), so resize round-trips are exactly predictable: the
+    * m3 oracle pins decoded dims AND the post-resize luma sum.
+    */
+  def constPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive, got ${width}x$height")
+    require(gray >= 0 && gray <= 255, s"gray must be a byte value, got $gray")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** Lossless PNG encode of a raster (figure crops, resizes). */
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -283,6 +283,21 @@ object Coverage5 {
         .orderBy($"doc_id")
     }),
 
+    // M3: real bilinear resize through the codec — constant-gray pages make
+    // the resample exactly predictable (interpolating equal values is the
+    // identity), so the oracle pins the decoded target dims AND the
+    // post-resize pixel-luma sum of the re-encoded PNG arithmetically.
+    "m3_media_resize" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.constPng(
+        (16 + id % 32).toInt, (16 + id * 5 % 32).toInt, (id % 256).toInt))
+      val docs = load(s, d, "documents").withColumn("media", mk($"doc_id"))
+      val resized = graft.pipeline.Multimodal.withResized(docs, "media", 12, 9)
+      graft.pipeline.Multimodal.withMediaFeatures(resized, "media_resized")
+        .select($"doc_id", $"media_width", $"media_height", $"media_luma")
+        .orderBy($"doc_id")
+    }),
+
     // §2.11 end-to-end: two incremental runs over unchanged input — run 2
     // must process nothing, skip everything, write no chunks and purge no
     // parents, leaving the index byte-identical (idempotent replace, the
@@ -404,6 +419,11 @@ object Coverage5 {
         | CAST(l.media_luma AS BIGINT) AS media_luma,
         | CAST(((m.len + 15) // 16 + 1) // 2 AS BIGINT) AS n_sampled
         |FROM m JOIN l USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    "m3_media_resize" ->
+      """SELECT doc_id, CAST(12 AS INTEGER) AS media_width,
+        | CAST(9 AS INTEGER) AS media_height,
+        | CAST(doc_id % 256 * 108 AS BIGINT) AS media_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p2_incremental_rerun" ->
       """SELECT count(*) AS r1_processed, CAST(0 AS BIGINT) AS r2_processed,
         | count(*) AS r2_skipped, CAST(0 AS BIGINT) AS r2_chunks,

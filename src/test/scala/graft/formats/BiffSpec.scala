@@ -54,6 +54,25 @@ class BiffSpec extends AnyFunSuite {
     assert(Biff.rkString(((bits >>> 32) & 0xFFFFFFFCL).toInt) == "1.5")
   }
 
+  test("rich-text and phonetic SST strings consume their extra blocks") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // [MS-XLS] XLUnicodeRichExtendedString: cch, flags, [cRun], [cbExt],
+    // chars, runs (4B each), ExtRst — a misparse would corrupt the NEXT
+    // string, so parse two in sequence
+    val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(2.toShort).put(0x08.toByte).putShort(1.toShort) // "ab", 1 run
+      .put('a'.toByte).put('b'.toByte)
+      .putInt(0xDEADBEEF)                                      // the run block
+    b.putShort(3.toShort).put(0x04.toByte).putInt(2)           // "xyz", 2B ExtRst
+      .put('x'.toByte).put('y'.toByte).put('z'.toByte)
+      .putShort(0.toShort)                                     // the ExtRst block
+    b.putShort(1.toShort).put(0x00.toByte).put('q'.toByte)     // plain "q"
+    b.flip()
+    assert(Biff.readXlString(b) == "ab")
+    assert(Biff.readXlString(b) == "xyz")
+    assert(Biff.readXlString(b) == "q")
+  }
+
   test("xls dispatches through the chunking pipeline like xlsx (S13)") {
     val xls = Biff.writeXls(sheets)
     val xlsx = Ooxml.writeXlsx(sheets)
