@@ -38,6 +38,7 @@ object Biff {
   private val RecNumber = 0x0203
   private val RecRk = 0x027E
   private val RecMulRk = 0x00BD
+  private val RecContinue = 0x003C
 
   private def le(n: Int): ByteBuffer =
     ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
@@ -86,12 +87,25 @@ object Biff {
       total += 1
       sstIndex.getOrElseUpdate(c, sstIndex.size)
     }))
-    val sstPayload = {
+    // SST + CONTINUE framing: the 8224-byte record ceiling forces large
+    // string tables across CONTINUE records; this writer breaks at string
+    // boundaries only (each fixture string is far under one record), which
+    // is the spec's simplest legal layout
+    val sstRecords: Seq[Array[Byte]] = {
       val strings = sstIndex.keys.map(xlString).toSeq
-      val b = le(8 + strings.map(_.length).sum)
-      b.putInt(total.toInt).putInt(sstIndex.size)
-      strings.foreach(b.put)
-      b.array()
+      val batches = Seq.newBuilder[Array[Byte]]
+      val cur = new ByteArrayOutputStream()
+      val head = le(8)
+      head.putInt(total.toInt).putInt(sstIndex.size)
+      cur.write(head.array())
+      strings.foreach { s =>
+        require(s.length <= 8224, "single SST string exceeds one BIFF record")
+        if (cur.size() + s.length > 8224) { batches += cur.toByteArray; cur.reset() }
+        cur.write(s)
+      }
+      batches += cur.toByteArray
+      val all = batches.result()
+      record(RecSst, all.head) +: all.tail.map(record(RecContinue, _))
     }
     val sheetStreams = sheets.map { sh =>
       val out = new ByteArrayOutputStream()
@@ -124,7 +138,7 @@ object Biff {
           .put(payload)
         out.write(record(RecBoundSheet, b.array()))
       }
-      out.write(record(RecSst, sstPayload))
+      sstRecords.foreach(out.write)
       out.write(record(RecEof, Array.emptyByteArray))
       out.toByteArray
     }
@@ -153,14 +167,25 @@ object Biff {
   private def wrapCfb(streamName: String, data: Array[Byte]): Array[Byte] = {
     val padded = java.util.Arrays.copyOf(data, math.max(4096, (data.length + 511) / 512 * 512))
     val dataSectors = padded.length / 512
-    // sector map: 0 = FAT, 1 = directory, 2.. = stream data
-    val fat = le(512)
-    fat.putInt(SectFat) // sector 0: the FAT itself
-    fat.putInt(SectEnd) // sector 1: directory (single sector)
-    (0 until dataSectors).foreach { i =>
-      fat.putInt(if (i == dataSectors - 1) SectEnd else 3 + i)
+    // sector map: FAT sectors first, then one directory sector, then data.
+    // Each 512-byte FAT sector indexes 128 sectors, so solve for how many
+    // the whole file (including the FAT itself) needs.
+    var nFat = 1
+    while (nFat + 1 + dataSectors > nFat * 128) nFat += 1
+    // 109 header DIFAT slots × 128 entries ≈ 7 MB; enough for any fixture
+    require(nFat <= 109, s"stream of ${padded.length} bytes exceeds header-DIFAT capacity")
+    val dirSector = nFat
+    val dataStart = nFat + 1
+    val totalSectors = dataStart + dataSectors
+    val fat = le(nFat * 512)
+    (0 until totalSectors).foreach { s =>
+      fat.putInt(
+        if (s < nFat) SectFat
+        else if (s == dirSector) SectEnd
+        else if (s == totalSectors - 1) SectEnd
+        else s + 1)
     }
-    while (fat.position() < 512) fat.putInt(SectFree)
+    while (fat.position() < nFat * 512) fat.putInt(SectFree)
 
     def dirEntry(name: String, entryType: Int, child: Int, start: Int,
         size: Long): Array[Byte] = {
@@ -178,7 +203,8 @@ object Biff {
     }
     val dir = le(512)
     dir.put(dirEntry("Root Entry", 5, child = 1, start = SectEnd, size = 0L))
-    dir.put(dirEntry(streamName, 2, child = -1, start = 2, size = padded.length.toLong))
+    dir.put(dirEntry(streamName, 2, child = -1, start = dataStart,
+      size = padded.length.toLong))
     dir.put(dirEntry("", 0, -1, SectFree, 0L)) // unused entries
     dir.put(dirEntry("", 0, -1, SectFree, 0L))
 
@@ -189,15 +215,15 @@ object Biff {
       .putShort(0xFFFE.toShort)                              // little endian
       .putShort(9.toShort).putShort(6.toShort)               // sector shifts
     header.position(44)
-    header.putInt(1)        // FAT sector count
-    header.putInt(1)        // directory start sector
-    header.putInt(0)        // transaction signature
-    header.putInt(4096)     // mini stream cutoff
-    header.putInt(SectEnd)  // no miniFAT
+    header.putInt(nFat)       // FAT sector count
+    header.putInt(dirSector)  // directory start sector
+    header.putInt(0)          // transaction signature
+    header.putInt(4096)       // mini stream cutoff
+    header.putInt(SectEnd)    // no miniFAT
     header.putInt(0)
-    header.putInt(SectEnd)  // no DIFAT chain
+    header.putInt(SectEnd)    // no DIFAT chain
     header.putInt(0)
-    header.putInt(0)        // DIFAT[0] = FAT at sector 0
+    (0 until nFat).foreach(header.putInt) // DIFAT: FAT sectors 0..nFat-1
     while (header.position() < 512) header.putInt(SectFree)
 
     val out = new ByteArrayOutputStream()
@@ -323,6 +349,53 @@ object Biff {
     s
   }
 
+  /** Parse the shared string table from the SST record body plus its
+    * CONTINUE record bodies ([MS-XLS] 2.4.265 + 2.4.58): header fields
+    * never straddle a record break; character data that does is resumed
+    * after a RE-STATED compression flag byte at the start of the next
+    * part; formatting runs and ExtRst blocks continue raw.
+    */
+  private[formats] def parseSstParts(parts: IndexedSeq[Array[Byte]]): Seq[String] = {
+    if (parts.isEmpty || parts(0).length < 8) return Seq.empty
+    val unique = ByteBuffer.wrap(parts(0)).order(ByteOrder.LITTLE_ENDIAN).getInt(4)
+    var pi = 0
+    var off = 8 // past cstTotal + cstUnique
+    def hasMore: Boolean = off < parts(pi).length || pi < parts.length - 1
+    def hop(): Unit =
+      while (off >= parts(pi).length && pi < parts.length - 1) { pi += 1; off = 0 }
+    def u8: Int = { val v = parts(pi)(off) & 0xFF; off += 1; v }
+    def u16: Int = { val a = u8; a | (u8 << 8) }
+    def u32: Int = { val a = u16; a | (u16 << 16) }
+    val out = Seq.newBuilder[String]
+    var k = 0
+    while (k < unique && hasMore) {
+      hop()
+      if (parts(pi).length - off < 3) return out.result() // truncated table
+      val cch = u16
+      val flags = u8
+      val cRun = if ((flags & 0x08) != 0) u16 else 0
+      val cbExt = if ((flags & 0x04) != 0) u32 else 0
+      var wide = (flags & 0x01) != 0
+      val sb = new java.lang.StringBuilder(cch)
+      var rem = cch
+      while (rem > 0 && hasMore) {
+        if (off >= parts(pi).length) { hop(); wide = (u8 & 0x01) != 0 }
+        if (wide) { val lo = u8; sb.append(((u8 << 8) | lo).toChar) }
+        else sb.append(u8.toChar)
+        rem -= 1
+      }
+      var skip = cRun * 4 + cbExt
+      while (skip > 0 && hasMore) {
+        hop()
+        val t = math.min(skip, parts(pi).length - off)
+        if (t == 0) skip = 0 else { off += t; skip -= t }
+      }
+      out += sb.toString
+      k += 1
+    }
+    out.result()
+  }
+
   private def fmtNumber(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
@@ -352,9 +425,17 @@ object Biff {
       val body = ByteBuffer.wrap(stream, pos + 4, len).order(ByteOrder.LITTLE_ENDIAN)
       id match {
         case RecSst =>
-          body.getInt; val unique = body.getInt
-          var k = 0
-          while (k < unique && body.remaining() >= 3) { sst += readXlString(body); k += 1 }
+          // the table spans this record plus any directly-following
+          // CONTINUE records (the loop skips those ids when it meets them)
+          val sstParts = scala.collection.mutable.ArrayBuffer(
+            java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len))
+          var q = pos + 4 + len
+          while (q + 4 <= stream.length && (buf.getShort(q) & 0xFFFF) == RecContinue) {
+            val clen = buf.getShort(q + 2) & 0xFFFF
+            sstParts += java.util.Arrays.copyOfRange(stream, q + 4, q + 4 + clen)
+            q += 4 + clen
+          }
+          sst ++= parseSstParts(sstParts.toIndexedSeq)
         case RecBoundSheet =>
           val off = body.getInt
           body.get(); body.get() // hidden state, sheet type

@@ -33,7 +33,7 @@ object IncrementalIndexer {
     StructField("blocked", BooleanType)))
 
   private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists())
+    if (graft.core.Fs.exists(spark, dir))
       spark.read.parquet(dir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -127,7 +127,7 @@ object IncrementalIndexer {
       currentParents: DataFrame): Array[Long] = {
     // a not-yet-created index trivially has no leaks (same missing-table
     // tolerance as readOr above)
-    if (!new java.io.File(indexDir).exists()) return Array.empty
+    if (!graft.core.Fs.exists(spark, indexDir)) return Array.empty
     spark.read.parquet(indexDir).select(col("parent_id")).distinct()
       .join(currentParents.select(col(currentParents.columns.head).as("parent_id")),
         Seq("parent_id"), "left_anti")

@@ -342,12 +342,14 @@ object Multimodal {
     val bin = figures.schema.fieldIndex(binCol)
     val idIdx = figures.schema.fieldIndex(idCol)
     figures.foreachPartition { rows: Iterator[Row] =>
-      val dir = new java.io.File(outDir)
-      dir.mkdirs()
+      // Hadoop FS so the sink targets whatever store outDir names
+      // (file:/ locally, HDFS/S3/ABFS on a cluster)
+      val (fs, dir) = graft.core.Fs.executorFs(outDir)
+      fs.mkdirs(dir)
       rows.foreach { r =>
-        val f = new java.io.File(dir, r.getString(idIdx) + ext)
-        val os = new java.io.FileOutputStream(f)
-        try os.write(r.getAs[Array[Byte]](bin)) finally os.close()
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, r.getString(idIdx) + ext), true)
+        try out.write(r.getAs[Array[Byte]](bin)) finally out.close()
       }
     }
   }

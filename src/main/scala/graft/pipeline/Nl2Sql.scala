@@ -24,7 +24,7 @@ object Nl2Sql {
   def loadKind(spark: SparkSession, root: String, kind: String,
       textField: String): DataFrame = {
     val dir = s"$root/$kind"
-    if (!new java.io.File(dir).exists()) return spark.emptyDataFrame
+    if (!graft.core.Fs.exists(spark, dir)) return spark.emptyDataFrame
     val raw = spark.read.option("multiLine", "true").json(s"$dir/*.json")
       .withColumn("_path", input_file_name())
     raw.select(

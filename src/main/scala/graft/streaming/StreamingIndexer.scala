@@ -44,7 +44,7 @@ object StreamingIndexer {
               col("chunk_offset"), col("source"), col("lang"), col("contentVector"))
           val spark2 = batch.sparkSession
           val index =
-            if (new java.io.File(indexDir).exists()) spark2.read.parquet(indexDir)
+            if (graft.core.Fs.exists(spark2, indexDir)) spark2.read.parquet(indexDir)
             else spark2.createDataFrame(
               spark2.sparkContext.emptyRDD[org.apache.spark.sql.Row], newDocs.schema)
           ChunkIndexer.replaceParents(index, newDocs)

@@ -40,13 +40,7 @@ object StreamingIngest {
         batches += 1
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          // Hadoop FS resolution, not java.io.File: the index may live on
-          // HDFS/S3 where a local-file probe would always say "absent" and
-          // the first batch would clobber an existing index.
-          val indexPath = new org.apache.hadoop.fs.Path(indexDir)
-          val haveIndex = indexPath
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-            .exists(indexPath)
+          val haveIndex = graft.core.Fs.exists(s, indexDir)
           val indexFps =
             if (haveIndex) PartitionedUpsert.read(s, indexDir).select(col("_fp"))
             else s.emptyDataFrame.select(lit("").as("_fp")).filter(lit(false))

@@ -73,6 +73,22 @@ class BiffSpec extends AnyFunSuite {
     assert(Biff.readXlString(b) == "q")
   }
 
+  test("large string tables round-trip through SST + CONTINUE records") {
+    // ~3000 distinct ~30-char cells ≈ 100 KB of SST — far past the 8224-byte
+    // record ceiling, so both the writer's CONTINUE framing and the reader's
+    // cross-record cursor are exercised; mixed widths force the re-stated
+    // compression flag on some boundaries
+    val rows = (0 until 1500).map { i =>
+      Seq(s"row $i value alpha-beta-gamma-$i", s"wide-$i-値-${i * 7}")
+    }
+    val big = Seq(XlsxSheet("Big", rows))
+    val decoded = Biff.readXls(Biff.writeXls(big))
+    assert(decoded == big, {
+      val got = decoded.head.rows
+      s"first divergence: ${rows.indices.find(i => got.lift(i) != Some(rows(i)))}"
+    })
+  }
+
   test("xls dispatches through the chunking pipeline like xlsx (S13)") {
     val xls = Biff.writeXls(sheets)
     val xlsx = Ooxml.writeXlsx(sheets)
