@@ -143,7 +143,10 @@ object Multimodal {
     val h = img.getHeight
     val hist = new Array[Float](16)
     var sum = 0L
-    val gray = img.getRaster.getNumBands == 1
+    // true grayscale only — a palette-indexed image also has a 1-band
+    // raster, but its samples are palette INDEXES, not luma
+    val gray = img.getType == BufferedImage.TYPE_BYTE_GRAY ||
+      img.getType == BufferedImage.TYPE_USHORT_GRAY
     val raster = img.getRaster
     var y = 0
     while (y < h) {
@@ -238,6 +241,81 @@ object Multimodal {
       case None => Array.emptyByteArray
     }
   }
+
+  /** Deterministic animated GIF: one constant-gray frame per entry of
+    * `grays` — the JDK's one real multi-frame container, written through
+    * the ImageIO sequence API. Constant frames make palette quantization
+    * exact, so decoded per-frame luma sums are arithmetic (gray·w·h).
+    */
+  def synthGif(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive, got ${width}x$height")
+    require(grays.nonEmpty, "at least one frame")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        require(g >= 0 && g <= 255, s"gray must be a byte value, got $g")
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL frame extraction for multi-frame image containers (animated GIF;
+    * TIFF pages on modern JDKs): decode every `everyNth` stored frame and
+    * emit (frame_idx, width, height, luma_sum). This is the frame-sampling
+    * path with an actual codec behind it; [[sampleFrames]] remains the
+    * byte-frame stand-in for genuine video codecs the JDK lacks.
+    */
+  def imageFrames(bytes: Array[Byte], everyNth: Int): Seq[(Int, Int, Int, Long)] = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    if (bytes == null || bytes.length < 4) return Seq.empty
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          (0 until n by everyNth).map { i =>
+            val img = r.read(i)
+            (i, img.getWidth, img.getHeight, lumaStats(img)._2)
+          }
+        } catch { case _: java.io.IOException => Seq.empty }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  private val imageFramesUdf = udf((b: Array[Byte], n: Int) => imageFrames(b, n))
+
+  /** Explode real decoded frames: one row per sampled frame with
+    * (frame_idx, frame_width, frame_height, frame_luma).
+    */
+  def explodeImageFrames(df: DataFrame, binCol: String, everyNth: Int): DataFrame =
+    df.withColumn("_f", explode(imageFramesUdf(col(binCol), lit(everyNth))))
+      .withColumn("frame_idx", col("_f._1"))
+      .withColumn("frame_width", col("_f._2"))
+      .withColumn("frame_height", col("_f._3"))
+      .withColumn("frame_luma", col("_f._4"))
+      .drop("_f")
 
   /** Frame sampling as a one-to-many explode: treat the payload as
     * fixed-size frames, emit every `everyNth` frame with its index and a

@@ -298,6 +298,21 @@ object Coverage5 {
         .orderBy($"doc_id")
     }),
 
+    // M4: REAL multi-frame decode — animated GIFs (the JDK's multi-frame
+    // container) stand in for video: every 2nd stored frame is decoded and
+    // its dims + pixel-luma sum emitted. Constant-gray frames survive GIF
+    // palette quantization exactly, so the oracle recomputes everything.
+    "m4_media_frames" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.synthGif(
+        (10 + id % 6).toInt, 8,
+        (0 until (id % 5 + 2).toInt).map(i => ((id * 31 + i * 17) % 256).toInt)))
+      val docs = load(s, d, "documents").withColumn("media", mk($"doc_id"))
+      graft.pipeline.Multimodal.explodeImageFrames(docs, "media", everyNth = 2)
+        .select($"doc_id", $"frame_idx", $"frame_width", $"frame_height", $"frame_luma")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // §2.11 end-to-end: two incremental runs over unchanged input — run 2
     // must process nothing, skip everything, write no chunks and purge no
     // parents, leaving the index byte-identical (idempotent replace, the
@@ -419,6 +434,17 @@ object Coverage5 {
         | CAST(l.media_luma AS BIGINT) AS media_luma,
         | CAST(((m.len + 15) // 16 + 1) // 2 AS BIGINT) AS n_sampled
         |FROM m JOIN l USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    "m4_media_frames" ->
+      """WITH f AS (
+        | SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx
+        | FROM documents, LATERAL (SELECT unnest(range(doc_id % 5 + 2)) AS i) u
+        | WHERE u.i % 2 = 0)
+        |SELECT doc_id, frame_idx,
+        | CAST(10 + doc_id % 6 AS INTEGER) AS frame_width,
+        | CAST(8 AS INTEGER) AS frame_height,
+        | CAST((doc_id*31 + frame_idx*17) % 256 * (10 + doc_id % 6) * 8 AS BIGINT)
+        |   AS frame_luma
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "m3_media_resize" ->
       """SELECT doc_id, CAST(12 AS INTEGER) AS media_width,
         | CAST(9 AS INTEGER) AS media_height,

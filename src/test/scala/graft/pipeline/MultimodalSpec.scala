@@ -97,6 +97,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage("not an image".getBytes, 8, 8).isEmpty)
   }
 
+  test("real multi-frame decode: animated GIF frames with exact luma") {
+    val gif = Multimodal.synthGif(12, 8, Seq(10, 200, 77, 145, 33))
+    // a real GIF container
+    assert(new String(gif.take(4), "ISO-8859-1") == "GIF8")
+    val all = Multimodal.imageFrames(gif, everyNth = 1)
+    assert(all.map(_._1) == Seq(0, 1, 2, 3, 4))
+    all.zip(Seq(10, 200, 77, 145, 33)).foreach { case ((_, w, h, luma), g) =>
+      assert((w, h) == (12, 8))
+      assert(luma == g.toLong * 12 * 8, s"gray $g must survive palette quantization")
+    }
+    // every-2nd sampling keeps stored frame indices
+    assert(Multimodal.imageFrames(gif, everyNth = 2).map(_._1) == Seq(0, 2, 4))
+    // non-image payloads explode to nothing, not an error
+    assert(Multimodal.imageFrames("not media".getBytes, 2).isEmpty)
+    // DataFrame explode shape
+    import spark.implicits._
+    val df = Seq((1L, gif)).toDF("doc_id", "media")
+    val rows = Multimodal.explodeImageFrames(df, "media", 2)
+      .select("frame_idx", "frame_luma").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 2, 4))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L * 96, 77L * 96, 33L * 96))
+  }
+
   test("frame sampling: every Nth frame, correct count and checksums") {
     val bytes = Array.tabulate(100)(_.toByte) // 7 frames of 16 (last partial)
     val frames = Multimodal.sampleFrames(bytes, frameSize = 16, everyNth = 2)
