@@ -101,6 +101,33 @@ class PdfSpec extends AnyFunSuite {
       pages.map(_.mkString("\n")).mkString("\n"))
   }
 
+  test("split → per-part analysis → continuous page renumbering (C1 flow)") {
+    // the reference splits large PDFs, layout-analyzes each part (markers
+    // come back unnumbered per part), then renumbers with cumulative page
+    // offsets (file_utils.py:122-138). Drive the binary split + the
+    // renumbering together over a 7-page document in 3-page parts.
+    import graft.core.PageAttribution
+    val pages = (1 to 7).map(p => Seq(s"page $p body text"))
+    val parts = Pdf.splitByPages(Pdf.writePdfPages(pages), maxPages = 3)
+    // per-part "analysis": one unnumbered marker ahead of each page's text
+    val partMarkdown = parts.map { part =>
+      Pdf.extractText(part).split("\n").map(l =>
+        PageAttribution.RawMarker + "\n" + l).mkString("\n")
+    }
+    val whole = PageAttribution.renumberParts(partMarkdown)
+    // markers run 00001..00007 continuously across part boundaries
+    val numbers = """<!-- PageBreak(\d{5}) -->""".r
+      .findAllMatchIn(whole).map(_.group(1).toInt).toSeq
+    assert(numbers == (1 to 7), s"renumbering across parts broke: $numbers")
+    // each page's text still follows its own (renumbered) marker
+    (1 to 7).foreach { p =>
+      val at = whole.indexOf(f"<!-- PageBreak$p%05d -->")
+      val next = whole.indexOf("<!-- PageBreak", at + 1)
+      val segment = if (next < 0) whole.substring(at) else whole.substring(at, next)
+      assert(segment.contains(s"page $p body text"), s"page $p text not under its marker")
+    }
+  }
+
   test("xref offsets are self-consistent (external readers can seek)") {
     val pdf = new String(Pdf.writePdf(Seq("hi")), "ISO-8859-1")
     val xrefAt = pdf.lastIndexOf("startxref")
