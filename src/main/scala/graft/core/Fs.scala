@@ -18,12 +18,26 @@ object Fs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Executor-side FileSystem for a path (no SparkSession available inside
-    * foreachPartition; the default Configuration picks up core-site.xml
-    * from the executor classpath, which resolves the same filesystems).
+  /** Serializable carrier for the session's Hadoop configuration — the
+    * spark.hadoop.* settings (filesystem credentials, implementations)
+    * live ONLY in `sparkContext.hadoopConfiguration`, never in a default
+    * `new Configuration()`, so executor-side filesystem access must ship
+    * the driver's conf rather than hope core-site.xml matches.
     */
-  def executorFs(dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    (p.getFileSystem(new Configuration()), p)
+  final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
   }
+
+  /** Capture the session conf for use inside foreachPartition closures. */
+  def serializableConf(spark: SparkSession): SerializableHadoopConf =
+    new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 }

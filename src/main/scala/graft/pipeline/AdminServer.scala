@@ -41,12 +41,15 @@ object AdminServer {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
     server.createContext("/api/jobs", (ex: HttpExchange) => handle(ex) {
-      if (ex.getRequestMethod != "GET") (405, """{"error":"method not allowed"}""")
+      // the JDK server matches contexts by PREFIX; reject anything but the
+      // exact resource so /api/jobsanything is a 404, not a listing
+      if (ex.getRequestURI.getPath != "/api/jobs") (404, """{"error":"not found"}""")
+      else if (ex.getRequestMethod != "GET") (405, """{"error":"method not allowed"}""")
       else {
-        val runsDir = java.nio.file.Paths.get(logDir, "runs")
+        val runsDir = s"$logDir/runs"
         val df =
-          if (java.nio.file.Files.isDirectory(runsDir))
-            spark.read.schema(runSchema).json(runsDir.toString)
+          if (graft.core.Fs.exists(spark, runsDir))
+            spark.read.schema(runSchema).json(runsDir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], runSchema)
         listing(df, params(ex), defaultSort = "runId", tieBreak = "runId")
@@ -56,9 +59,11 @@ object AdminServer {
     server.createContext("/api/files", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
       handle(ex) {
-        if (path.startsWith("/api/files/unblock")) {
+        if (path == "/api/files/unblock") {
           if (ex.getRequestMethod != "POST") (405, """{"error":"method not allowed"}""")
           else unblock(spark, stateDir, params(ex))
+        } else if (path != "/api/files") {
+          (404, """{"error":"not found"}""")
         } else if (ex.getRequestMethod != "GET") {
           (405, """{"error":"method not allowed"}""")
         } else {
@@ -112,9 +117,11 @@ object AdminServer {
     val pageSize = p.getOrElse("pageSize", "20")
     val sortField = p.getOrElse("sortField", defaultSort)
     val sortOrder = p.getOrElse("sortOrder", "desc")
-    if (!page.matches("\\d+") || page.toInt < 1)
+    // bounded digit counts: a longer value is invalid CLIENT input and must
+    // 400, not overflow toInt into a 500
+    if (!page.matches("\\d{1,9}") || page.toInt < 1)
       return (400, """{"error":"page must be >= 1"}""")
-    if (!pageSize.matches("\\d+") || pageSize.toInt < 1 || pageSize.toInt > 100)
+    if (!pageSize.matches("\\d{1,9}") || pageSize.toInt < 1 || pageSize.toInt > 100)
       return (400, """{"error":"pageSize must be in [1, 100]"}""")
     if (!df.columns.contains(sortField))
       return (400, jsonObj(Seq("error" -> jsonStr(s"unknown sortField $sortField"))))
@@ -130,8 +137,11 @@ object AdminServer {
       case None => df
     }
     val key: Column = if (sortOrder == "desc") col(sortField).desc else col(sortField).asc
-    val total = searched.count()
-    val rows = searched
+    // one evaluation feeds both the total and the page slice (count +
+    // collect over the raw plan would scan the source twice)
+    val once = searched.localCheckpoint(true)
+    val total = once.count()
+    val rows = once
       .orderBy(key, col(tieBreak)) // deterministic pages under ties
       .offset((page.toInt - 1) * pageSize.toInt)
       .limit(pageSize.toInt)
@@ -151,7 +161,8 @@ object AdminServer {
       p: Map[String, String]): (Int, String) =
     p.get("parentId") match {
       case None => (400, """{"error":"parentId is required"}""")
-      case Some(s) if !s.matches("-?\\d+") => (400, """{"error":"parentId must be an integer"}""")
+      case Some(s) if !s.matches("-?\\d{1,18}") =>
+        (400, """{"error":"parentId must be an integer"}""")
       case Some(s) =>
         val id = s.toLong
         val state = IncrementalIndexer.readState(spark, stateDir)

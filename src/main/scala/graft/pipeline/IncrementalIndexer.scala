@@ -182,27 +182,31 @@ object IncrementalIndexer {
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     readOr(spark, stateDir, stateSchema)
 
+  /** One keyed state rewrite (block/unblock share it): tolerate a
+    * never-initialized stateDir (no-op, like readOr's missing-table
+    * tolerance) and rewrite only the flagged columns.
+    */
+  private def updateState(spark: SparkSession, stateDir: String, parentId: Long,
+      blocked: Boolean, resetAttempts: Boolean): Unit = {
+    if (!graft.core.Fs.exists(spark, stateDir)) return
+    val hit = col("parent_id") === parentId
+    var state = spark.read.parquet(stateDir)
+      .withColumn("blocked", when(hit, lit(blocked)).otherwise(col("blocked")))
+    if (resetAttempts)
+      state = state.withColumn("attempts", when(hit, lit(0)).otherwise(col("attempts")))
+    val out = state.localCheckpoint(true)
+    out.write.mode(SaveMode.Overwrite).parquet(stateDir)
+  }
+
   /** Admin unblock (api/admin.py:363-400 semantics): clear the blocked flag
     * AND reset the attempt counter, so the next run's F3 filter lets the
     * parent through with a full retry budget.
     */
-  def unblock(spark: SparkSession, stateDir: String, parentId: Long): Unit = {
-    val state = spark.read.parquet(stateDir)
-      .withColumn("blocked",
-        when(col("parent_id") === parentId, lit(false)).otherwise(col("blocked")))
-      .withColumn("attempts",
-        when(col("parent_id") === parentId, lit(0)).otherwise(col("attempts")))
-      .localCheckpoint(true)
-    state.write.mode(SaveMode.Overwrite).parquet(stateDir)
-  }
+  def unblock(spark: SparkSession, stateDir: String, parentId: Long): Unit =
+    updateState(spark, stateDir, parentId, blocked = false, resetAttempts = true)
 
   /** Manual block/unblock (the admin endpoint analog, api/admin.py:363-400). */
   def setBlocked(spark: SparkSession, stateDir: String, parentId: Long,
-      blocked: Boolean): Unit = {
-    val state = spark.read.parquet(stateDir)
-      .withColumn("blocked",
-        when(col("parent_id") === parentId, lit(blocked)).otherwise(col("blocked")))
-      .localCheckpoint(true)
-    state.write.mode(SaveMode.Overwrite).parquet(stateDir)
-  }
+      blocked: Boolean): Unit =
+    updateState(spark, stateDir, parentId, blocked, resetAttempts = false)
 }

@@ -145,15 +145,18 @@ object Multimodal {
     var sum = 0L
     // true grayscale only — a palette-indexed image also has a 1-band
     // raster, but its samples are palette INDEXES, not luma
-    val gray = img.getType == BufferedImage.TYPE_BYTE_GRAY ||
-      img.getType == BufferedImage.TYPE_USHORT_GRAY
+    val gray8 = img.getType == BufferedImage.TYPE_BYTE_GRAY
+    val gray16 = img.getType == BufferedImage.TYPE_USHORT_GRAY
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val l =
-          if (gray) math.min(255, raster.getSample(x, y, 0))
+          if (gray8) raster.getSample(x, y, 0)
+          // 16-bit samples SCALE to 8-bit luma; clamping would pin
+          // virtually every pixel of a real 16-bit image at 255
+          else if (gray16) raster.getSample(x, y, 0) >> 8
           else luma(img.getRGB(x, y))
         hist(l >> 4) += 1.0f
         sum += l
@@ -419,10 +422,12 @@ object Multimodal {
       ext: String = ".png"): Unit = {
     val bin = figures.schema.fieldIndex(binCol)
     val idIdx = figures.schema.fieldIndex(idCol)
+    // ship the session's Hadoop conf — executor-side credentials and fs
+    // implementations come from spark.hadoop.*, not from core-site.xml
+    val sconf = graft.core.Fs.serializableConf(figures.sparkSession)
     figures.foreachPartition { rows: Iterator[Row] =>
-      // Hadoop FS so the sink targets whatever store outDir names
-      // (file:/ locally, HDFS/S3/ABFS on a cluster)
-      val (fs, dir) = graft.core.Fs.executorFs(outDir)
+      val dir = new org.apache.hadoop.fs.Path(outDir)
+      val fs = dir.getFileSystem(sconf.value)
       fs.mkdirs(dir)
       rows.foreach { r =>
         val out = fs.create(

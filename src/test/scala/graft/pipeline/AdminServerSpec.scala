@@ -89,7 +89,13 @@ class AdminServerSpec extends AnyFunSuite {
       assert(get(client, port, "/api/jobs?pageSize=101").statusCode() == 400)
       assert(get(client, port, "/api/jobs?sortField=nope").statusCode() == 400)
       assert(get(client, port, "/api/jobs?sortOrder=sideways").statusCode() == 400)
+      // overflowing numbers are invalid input (400), never a 500
+      assert(get(client, port, "/api/jobs?page=99999999999").statusCode() == 400)
+      assert(get(client, port, "/api/jobs?pageSize=99999999999").statusCode() == 400)
       assert(post(client, port, "/api/jobs").statusCode() == 405)
+      // prefix matches of the context path are not the resource
+      assert(get(client, port, "/api/jobsgarbage").statusCode() == 404)
+      assert(get(client, port, "/api/files/other").statusCode() == 404)
     }
   }
 
@@ -114,8 +120,11 @@ class AdminServerSpec extends AnyFunSuite {
       val client = HttpClient.newHttpClient()
       assert(post(client, port, "/api/files/unblock").statusCode() == 400)
       assert(post(client, port, "/api/files/unblock?parentId=x").statusCode() == 400)
+      assert(post(client, port,
+        "/api/files/unblock?parentId=99999999999999999999").statusCode() == 400)
       assert(post(client, port, "/api/files/unblock?parentId=99").statusCode() == 404)
       assert(get(client, port, "/api/files/unblock?parentId=2").statusCode() == 405)
+      assert(post(client, port, "/api/files/unblocked?parentId=2").statusCode() == 404)
 
       // blocked parent 2 sits out a run even when its content changes
       // (parent 1 keeps run-c's text so only parent 2 counts as changed)

@@ -97,6 +97,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage("not an image".getBytes, 8, 8).isEmpty)
   }
 
+  test("16-bit grayscale decodes with scaled luma, not clamped") {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    // sample v<<8 corresponds to 8-bit luma v exactly
+    (0 until 4).foreach(y => (0 until 4).foreach(x =>
+      img.getRaster.setSample(x, y, 0, ((x + y * 4) * 17) << 8)))
+    val png = Multimodal.encodePng(img)
+    val (w, h, _, _, lsum) = Multimodal.decode(png)
+    assert((w, h) == (4, 4))
+    val expected = (0 until 16).map(_ * 17).sum.toLong
+    assert(lsum == expected, s"16-bit luma must scale (got $lsum, want $expected)")
+  }
+
   test("real multi-frame decode: animated GIF frames with exact luma") {
     val gif = Multimodal.synthGif(12, 8, Seq(10, 200, 77, 145, 33))
     // a real GIF container
