@@ -133,6 +133,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSeq == Seq(10L * 96, 77L * 96, 33L * 96))
   }
 
+  test("other ImageIO containers decode: BMP exactly, JPEG dims, TIFF pages") {
+    import javax.imageio.ImageIO
+    val src = Multimodal.decodeImage(Multimodal.synthPng(20, 14, 5L)).get._1
+    def encode(fmt: String): Option[Array[Byte]] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      if (ImageIO.write(src, fmt, bos)) Some(bos.toByteArray) else None
+    }
+    // BMP is lossless: dims AND luma round-trip
+    encode("bmp").foreach { bmp =>
+      val (w, h, fmt, _, lsum) = Multimodal.decode(bmp)
+      assert((w, h, fmt) == (20, 14, "bmp"))
+      assert(lsum == Multimodal.lumaSum(Multimodal.synthPng(20, 14, 5L)))
+    }
+    // JPEG is lossy: dims and format are the contract
+    encode("jpg").foreach { jpg =>
+      val (w, h, fmt, _, _) = Multimodal.decode(jpg)
+      assert((w, h) == (20, 14) && fmt.startsWith("jp"), fmt)
+    }
+    // multi-page TIFF rides the same frame path as animated GIF
+    val tiffWriters = ImageIO.getImageWritersByFormatName("tiff")
+    if (tiffWriters.hasNext) {
+      val writer = tiffWriters.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        Seq(40, 120, 250).foreach { g =>
+          val img = new java.awt.image.BufferedImage(6, 5,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          (0 until 5).foreach(y => (0 until 6).foreach(x =>
+            img.getRaster.setSample(x, y, 0, g)))
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      val frames = Multimodal.imageFrames(bos.toByteArray, everyNth = 1)
+      assert(frames.map(_._1) == Seq(0, 1, 2))
+      assert(frames.map(_._4) == Seq(40L * 30, 120L * 30, 250L * 30))
+    }
+  }
+
   test("frame sampling: every Nth frame, correct count and checksums") {
     val bytes = Array.tabulate(100)(_.toByte) // 7 frames of 16 (last partial)
     val frames = Multimodal.sampleFrames(bytes, frameSize = 16, everyNth = 2)
