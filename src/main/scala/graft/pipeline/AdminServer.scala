@@ -35,15 +35,58 @@ object AdminServer {
     StructField("indexSize", LongType)))
 
   /** Start serving on `port` (0 ⇒ ephemeral). Reads are per-request — the
-    * dashboard always sees the latest published state.
+    * dashboard always sees the latest published state. `runJob` (when
+    * given) backs `POST /api/jobs/run?runId=…`, the reference's HTTP
+    * trigger for an indexer run (main.py:276-330): the callback executes
+    * one run and its summary is returned AND visible in the next
+    * `/api/jobs` listing (the callback is expected to write the run log).
     */
-  def start(port: Int, spark: SparkSession, stateDir: String, logDir: String): HttpServer = {
+  def start(port: Int, spark: SparkSession, stateDir: String, logDir: String,
+      version: String = "dev",
+      runJob: Option[String => IncrementalIndexer.RunSummary] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+    // liveness/readiness + version (main.py:255-272, admin.py:193-199)
+    server.createContext("/healthz", (ex: HttpExchange) => handle(ex) {
+      if (ex.getRequestURI.getPath != "/healthz") (404, """{"error":"not found"}""")
+      else (200, """{"status":"ok"}""")
+    })
+    server.createContext("/readyz", (ex: HttpExchange) => handle(ex) {
+      if (ex.getRequestURI.getPath != "/readyz") (404, """{"error":"not found"}""")
+      else if (spark.sparkContext.isStopped) (503, """{"status":"not ready"}""")
+      else (200, """{"status":"ready"}""")
+    })
+    server.createContext("/api/version", (ex: HttpExchange) => handle(ex) {
+      if (ex.getRequestURI.getPath != "/api/version") (404, """{"error":"not found"}""")
+      else (200, jsonObj(Seq("version" -> jsonStr(version))))
+    })
+
     server.createContext("/api/jobs", (ex: HttpExchange) => handle(ex) {
+      val path = ex.getRequestURI.getPath
       // the JDK server matches contexts by PREFIX; reject anything but the
-      // exact resource so /api/jobsanything is a 404, not a listing
-      if (ex.getRequestURI.getPath != "/api/jobs") (404, """{"error":"not found"}""")
+      // exact resources so /api/jobsanything is a 404, not a listing
+      if (path == "/api/jobs/run") {
+        if (ex.getRequestMethod != "POST") (405, """{"error":"method not allowed"}""")
+        else runJob match {
+          case None => (404, """{"error":"no job runner configured"}""")
+          case Some(run) =>
+            val id = params(ex).getOrElse("runId", "")
+            if (id.isEmpty || id.length > 200)
+              (400, """{"error":"runId is required"}""")
+            else {
+              val s = run(id)
+              (200, jsonObj(Seq(
+                "runId" -> jsonStr(s.runId),
+                "sourceDocs" -> s.sourceDocs.toString,
+                "processed" -> s.processed.toString,
+                "skippedNoChange" -> s.skippedNoChange.toString,
+                "skippedBlocked" -> s.skippedBlocked.toString,
+                "purgedParents" -> s.purgedParents.toString,
+                "chunksWritten" -> s.chunksWritten.toString,
+                "indexSize" -> s.indexSize.toString)))
+            }
+        }
+      } else if (path != "/api/jobs") (404, """{"error":"not found"}""")
       else if (ex.getRequestMethod != "GET") (405, """{"error":"method not allowed"}""")
       else {
         val runsDir = s"$logDir/runs"

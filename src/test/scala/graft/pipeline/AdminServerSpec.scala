@@ -112,6 +112,38 @@ class AdminServerSpec extends AnyFunSuite {
     }
   }
 
+  test("health, version, and the HTTP-triggered run endpoint") {
+    val root = Files.createTempDirectory("graft-admin-run")
+    val (indexDir, stateDir, logDir) =
+      (root.resolve("index").toString, root.resolve("state").toString,
+        root.resolve("logs").toString)
+    val runner = (id: String) => {
+      val s = IncrementalIndexer.runOnce(spark, docs(base), indexDir, stateDir, id)
+      IncrementalIndexer.writeRunLog(s, logDir)
+      s
+    }
+    val server = AdminServer.start(0, spark, stateDir, logDir,
+      version = "0.6.0", runJob = Some(runner))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      assert(get(client, port, "/healthz").body().contains("ok"))
+      assert(get(client, port, "/readyz").statusCode() == 200)
+      val ver = get(client, port, "/api/version")
+      assert(ver.statusCode() == 200 && ver.body().contains("\"0.6.0\""))
+      // trigger a run over HTTP; its summary comes back and the run log
+      // appears in the jobs listing
+      assert(post(client, port, "/api/jobs/run").statusCode() == 400)
+      assert(get(client, port, "/api/jobs/run?runId=r-http").statusCode() == 405)
+      val run = post(client, port, "/api/jobs/run?runId=r-http")
+      assert(run.statusCode() == 200, run.body())
+      assert(run.body().contains("\"runId\":\"r-http\""))
+      assert(run.body().contains("\"processed\":3"))
+      val listed = get(client, port, "/api/jobs").body()
+      assert(listed.contains("r-http"))
+    } finally server.stop(0)
+  }
+
   test("unblock: validation, 404, and the unblock → reprocess integration") {
     val (indexDir, stateDir, logDir) = fixture()
     val server = AdminServer.start(0, spark, stateDir, logDir)
