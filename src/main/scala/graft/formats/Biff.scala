@@ -241,6 +241,14 @@ object Biff {
     */
   private[formats] def cfbStream(bytes: Array[Byte], names: Set[String]): Option[Array[Byte]] = {
     if (bytes.length < 512 || !bytes.take(8).sameElements(CfbMagic)) return None
+    // anything that passes the magic check can still be truncated or carry
+    // corrupt FAT/directory fields; degrade to None like non-CFB bytes do —
+    // an extract UDF over real-world files must never fail the task
+    try cfbStreamUnsafe(bytes, names)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def cfbStreamUnsafe(bytes: Array[Byte], names: Set[String]): Option[Array[Byte]] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sectorSize = 1 << buf.getShort(30)
     val miniSectorSize = 1 << buf.getShort(32)
@@ -271,14 +279,23 @@ object Biff {
       difat = buf.getInt(base + sectorSize - 4)
     }
     def fatAt(sector: Int): Int = {
-      val fs = fatSectors(sector / (sectorSize / 4))
-      buf.getInt(sectorOff(fs) + (sector % (sectorSize / 4)) * 4)
+      // a corrupt chain can point past the FAT's coverage or the file end;
+      // treat either as end-of-chain rather than reading out of bounds
+      val fi = sector / (sectorSize / 4)
+      if (fi >= fatSectors.length) return SectEnd
+      val at = sectorOff(fatSectors(fi)) + (sector % (sectorSize / 4)) * 4
+      if (at < 0 || at + 4 > bytes.length) SectEnd else buf.getInt(at)
     }
     def chain(start: Int, limit: Int = 1 << 20): Seq[Int] = {
       val out = Seq.newBuilder[Int]
       var s = start
       var n = 0
-      while (s >= 0 && n < limit) { out += s; s = fatAt(s); n += 1 }
+      while (s >= 0 && n < limit) {
+        // only sectors fully inside the file are readable (truncated tail)
+        if (sectorOff(s) + sectorSize <= bytes.length) out += s
+        s = fatAt(s)
+        n += 1
+      }
       out.result()
     }
     def readChain(start: Int): Array[Byte] = {
@@ -314,14 +331,18 @@ object Biff {
           var s = e.start
           var n = 0
           while (s >= 0 && n < (1 << 20)) {
-            val off = s * miniSectorSize
-            out.write(miniData, off, math.min(miniSectorSize, miniData.length - off))
-            s = mbuf.getInt(s * 4)
+            val off = s.toLong * miniSectorSize
+            if (off >= 0 && off < miniData.length)
+              out.write(miniData, off.toInt,
+                math.min(miniSectorSize, miniData.length - off.toInt))
+            s = if (s < 0 || s.toLong * 4 + 4 > miniFatBytes.length) SectEnd
+                else mbuf.getInt(s * 4)
             n += 1
           }
           out.toByteArray
         }
-      java.util.Arrays.copyOf(raw, math.min(raw.length, e.size).toInt)
+      java.util.Arrays.copyOf(raw,
+        math.max(0L, math.min(raw.length.toLong, e.size)).toInt)
     }
   }
 
@@ -409,8 +430,17 @@ object Biff {
     fmtNumber(if (div100) v / 100 else v)
   }
 
-  /** Decode an .xls payload into its sheets, workbook order preserved. */
+  /** Decode an .xls payload into its sheets, workbook order preserved.
+    * Total over corrupt input: truncated streams and lying record lengths
+    * degrade to empty/partial sheets, never an exception (the chunker
+    * dispatches real-world `*.xls` here inside an extract UDF).
+    */
   def readXls(bytes: Array[Byte]): Seq[XlsxSheet] = {
+    try readXlsUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  private def readXlsUnsafe(bytes: Array[Byte]): Seq[XlsxSheet] = {
     val stream = cfbStream(bytes, Set("Workbook", "Book")).getOrElse(return Seq.empty)
     val buf = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -421,7 +451,9 @@ object Biff {
     var inGlobals = true
     while (inGlobals && pos + 4 <= stream.length) {
       val id = buf.getShort(pos) & 0xFFFF
-      val len = buf.getShort(pos + 2) & 0xFFFF
+      // a declared length past the stream end is corruption; clamp so the
+      // last (truncated) record parses as far as the data goes
+      val len = math.min(buf.getShort(pos + 2) & 0xFFFF, stream.length - pos - 4)
       val body = ByteBuffer.wrap(stream, pos + 4, len).order(ByteOrder.LITTLE_ENDIAN)
       id match {
         case RecSst =>
@@ -431,7 +463,7 @@ object Biff {
             java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len))
           var q = pos + 4 + len
           while (q + 4 <= stream.length && (buf.getShort(q) & 0xFFFF) == RecContinue) {
-            val clen = buf.getShort(q + 2) & 0xFFFF
+            val clen = math.min(buf.getShort(q + 2) & 0xFFFF, stream.length - q - 4)
             sstParts += java.util.Arrays.copyOfRange(stream, q + 4, q + 4 + clen)
             q += 4 + clen
           }
@@ -459,12 +491,12 @@ object Biff {
     // pass 2 — each sheet substream
     bounds.map { case (name, off) =>
       val cells = scala.collection.mutable.HashMap.empty[(Int, Int), String]
-      var p = off
+      var p = math.max(0, off) // corrupt negative offsets → empty sheet
       var done = false
       def put(r: Int, c: Int, v: String): Unit = cells((r, c)) = v
       while (!done && p + 4 <= stream.length) {
         val id = buf.getShort(p) & 0xFFFF
-        val len = buf.getShort(p + 2) & 0xFFFF
+        val len = math.min(buf.getShort(p + 2) & 0xFFFF, stream.length - p - 4)
         val body = ByteBuffer.wrap(stream, p + 4, len).order(ByteOrder.LITTLE_ENDIAN)
         id match {
           case RecLabelSst =>

@@ -374,24 +374,107 @@ object Pdf {
     refRe.findAllMatchIn(scan).map(_.group(1).toInt).toSeq
   }
 
+  /** Root /Pages node referenced by the catalog, if any. */
+  private def rootPagesId(objs: Map[Int, PdfObj]): Option[Int] =
+    objs.collectFirst {
+      case (_, o) if "/Type\\s*/Catalog".r.findFirstIn(o.raw).isDefined =>
+        "/Pages\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(o.raw).map(_.group(1).toInt)
+    }.flatten
+
+  /** Kid object ids of a /Pages node, in array order. */
+  private def kidIds(o: PdfObj): Seq[Int] =
+    "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(o.raw).map(_.group(1))
+      .toSeq.flatMap(k => refRe.findAllMatchIn(k).map(_.group(1).toInt))
+
+  /** Dictionary portion of an object's raw text (stream payload excluded). */
+  private def dictOf(o: PdfObj): String = o.payload match {
+    case Some((a, _)) => o.raw.substring(0, a)
+    case None => o.raw
+  }
+
   /** Page object ids in document order (Kids arrays, depth-first through
     * nested /Pages nodes).
     */
   def pageIds(pdf: Array[Byte]): Seq[Int] = {
     val objs = parseObjects(new String(pdf, ISO_8859_1)).toMap
-    val root = objs.collectFirst {
-      case (_, o) if "/Type\\s*/Catalog".r.findFirstIn(o.raw).isDefined =>
-        "/Pages\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(o.raw).map(_.group(1).toInt)
-    }.flatten
     def walk(id: Int): Seq[Int] = objs.get(id) match {
       case Some(o) if "/Type\\s*/Pages".r.findFirstIn(o.raw).isDefined =>
-        val kids = "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(o.raw)
-          .map(_.group(1)).getOrElse("")
-        refRe.findAllMatchIn(kids).map(_.group(1).toInt).toSeq.flatMap(walk)
+        kidIds(o).flatMap(walk)
       case Some(_) => Seq(id)
       case None => Seq.empty
     }
-    root.map(walk).getOrElse(Seq.empty)
+    rootPagesId(objs).map(walk).getOrElse(Seq.empty)
+  }
+
+  /** Attributes a page may inherit from ancestor /Pages nodes instead of
+    * defining itself (PDF 32000-1 §7.7.3.4).
+    */
+  private val inheritableAttrs = Seq("Resources", "MediaBox", "CropBox", "Rotate")
+
+  /** Raw value of dictionary key `/name` in `dict`: a `<< >>` dict or `[ ]`
+    * array balanced over nesting, an `N 0 R` reference, or a single
+    * number/name token. None when the key is absent or malformed.
+    */
+  private def dictValue(dict: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("/" + name + "(?![A-Za-z0-9])").matcher(dict)
+    if (!m.find()) return None
+    var i = m.end
+    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
+    if (i >= dict.length) return None
+    val start = i
+    if (dict.charAt(i) == '[') {
+      var depth = 0
+      while (i < dict.length) {
+        dict.charAt(i) match {
+          case '[' => depth += 1
+          case ']' =>
+            depth -= 1
+            if (depth == 0) return Some(dict.substring(start, i + 1))
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    } else if (dict.startsWith("<<", i)) {
+      var depth = 0
+      while (i + 1 < dict.length) {
+        if (dict.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (dict.startsWith(">>", i)) {
+          depth -= 1; i += 2
+          if (depth == 0) return Some(dict.substring(start, i))
+        } else i += 1
+      }
+      None
+    } else {
+      val rest = dict.substring(start)
+      "^\\d+\\s+0\\s+R\\b".r.findFirstIn(rest)
+        .orElse("^/?[^\\s/\\[\\]<>]+".r.findFirstIn(rest))
+    }
+  }
+
+  /** For each page: the inheritable attributes it receives from its nearest
+    * defining ancestor but does not define itself. These must be copied onto
+    * the page when it is re-parented under a fresh /Pages node, or split
+    * parts lose their fonts and media boxes.
+    */
+  private def inheritedPageAttrs(
+      objs: Map[Int, PdfObj]): Map[Int, Seq[(String, String)]] = {
+    val out = Map.newBuilder[Int, Seq[(String, String)]]
+    def walk(id: Int, inh: Map[String, String]): Unit = objs.get(id) match {
+      case Some(o) if "/Type\\s*/Pages".r.findFirstIn(o.raw).isDefined =>
+        val d = dictOf(o)
+        val here = inh ++
+          inheritableAttrs.flatMap(k => dictValue(d, k).map(k -> _))
+        kidIds(o).foreach(walk(_, here))
+      case Some(o) =>
+        val d = dictOf(o)
+        out += id -> inheritableAttrs.flatMap(k =>
+          if (dictValue(d, k).isDefined) None else inh.get(k).map(k -> _))
+      case None =>
+    }
+    rootPagesId(objs).foreach(walk(_, Map.empty))
+    out.result()
   }
 
   /** Number of pages of the document. */
@@ -409,7 +492,27 @@ object Pdf {
     require(maxPages > 0, s"maxPages must be positive, got $maxPages")
     val ids = pageIds(pdf)
     if (ids.isEmpty || ids.length <= maxPages) return Seq(pdf)
-    val objs = parseObjects(new String(pdf, ISO_8859_1)).toMap
+    val parsed = parseObjects(new String(pdf, ISO_8859_1)).toMap
+    // The transitive copy below never visits the original /Pages tree, so
+    // attributes pages inherit from it (§7.7.3.4: /Resources, /MediaBox, …)
+    // would vanish — materialize them onto each page dict first. Values may
+    // be indirect refs; injecting them into `raw` lets refsOf/rewriteRefs
+    // carry the referenced objects into the part like any direct page ref.
+    val objs = {
+      val inh = inheritedPageAttrs(parsed)
+      parsed.map { case (n, o) =>
+        inh.getOrElse(n, Seq.empty) match {
+          case attrs if attrs.nonEmpty =>
+            val inject = attrs.map { case (k, v) => s"/$k $v" }.mkString(" ", " ", " ")
+            val at = o.raw.indexOf("<<")
+            if (at < 0) n -> o
+            else n -> PdfObj(
+              o.raw.substring(0, at + 2) + inject + o.raw.substring(at + 2),
+              o.payload.map { case (a, b) => (a + inject.length, b + inject.length) })
+          case _ => n -> o
+        }
+      }
+    }
     val pagesNodes = objs.collect {
       case (n, o) if "/Type\\s*/(Pages|Catalog)".r.findFirstIn(o.raw).isDefined => n
     }.toSet

@@ -124,7 +124,18 @@ object AdminServer {
       }
     })
 
-    server.setExecutor(null)
+    // a pool, NOT the default single dispatcher thread: the synchronous
+    // runJob callback (an entire indexer run) and the listings' Spark jobs
+    // must not block /healthz — a liveness probe that times out mid-run
+    // would restart the service (main.py keeps probes responsive the same
+    // way via the ASGI worker pool). Daemon threads: server.stop(0) leaves
+    // no JVM-pinning remnants.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "admin-http")
+        t.setDaemon(true)
+        t
+      }))
     server.start()
     server
   }
@@ -173,9 +184,11 @@ object AdminServer {
 
     val searched = p.get("search").filter(_.nonEmpty) match {
       case Some(q) =>
-        // the reference substring-matches the JSON dump of each item; the
-        // declarative analog is a lowercase scan over all columns
-        val hay = lower(concat_ws("", df.columns.map(c => col(c).cast("string")): _*))
+        // the reference substring-matches the JSON dump of each item, where
+        // keys/punctuation separate fields; the declarative analog is a
+        // lowercase scan over all columns joined by a \u0001 so a query never
+        // matches a substring spanning a column boundary
+        val hay = lower(concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
         df.filter(hay.contains(q.toLowerCase))
       case None => df
     }
@@ -196,8 +209,10 @@ object AdminServer {
     (200, jsonObj(Seq(
       "items" -> items.mkString("[", ",", "]"),
       "total" -> total.toString,
-      "page" -> page,
-      "pageSize" -> pageSize)))
+      // normalized, not echoed raw: "01" passes \d{1,9} but a leading-zero
+      // number is invalid JSON (RFC 8259)
+      "page" -> page.toInt.toString,
+      "pageSize" -> pageSize.toInt.toString)))
   }
 
   private def unblock(spark: SparkSession, stateDir: String,

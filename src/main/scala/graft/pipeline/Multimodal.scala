@@ -60,25 +60,46 @@ object Multimodal {
   def filterSmallFigures(figures: DataFrame, minAreaPct: Double = 4.0): DataFrame =
     figures.filter(areaPctUdf(col("polygon"), col("page_width"), col("page_height")) > minAreaPct)
 
+  /** Hard ceiling on decoded raster size. Dimensions come from a few header
+    * bytes the payload fully controls, and `ImageReader.read` allocates the
+    * raster eagerly — a 67-byte "30000×30000 PNG" would be a multi-GB
+    * allocation inside an executor. Past the cap the payload is treated as
+    * not-an-image rather than decoded.
+    */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   /** Decode any ImageIO-supported container (PNG/JPEG/BMP/GIF/WBMP; TIFF on
     * JDK 9+). Returns the raster plus the reader's format name, or None when
-    * no installed reader claims the payload (not an image).
+    * no installed reader claims the payload (not an image), the payload is
+    * malformed past the header, or the declared dimensions exceed
+    * [[MaxDecodePixels]]. Total over arbitrary bytes: a mixed binary column
+    * must never fail the task.
     */
   def decodeImage(bytes: Array[Byte]): Option[(BufferedImage, String)] = {
     if (bytes == null || bytes.length < 4) return None
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          Some((r.read(0), r.getFormatName.toLowerCase))
-        } catch { case _: java.io.IOException => None }
-        finally r.dispose()
-      }
-    } finally iis.close()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            // header-only dims; reject runaway declarations BEFORE read()
+            // allocates the raster
+            val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Some((r.read(0), r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      // ImageIO readers throw unchecked exceptions on malformed bodies
+      // (IllegalArgumentException, IndexOutOfBounds, CMMException, …), not
+      // just IOException — any failure means "not an image"
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Deterministic synthetic grayscale PNG: pixel (x, y) holds
@@ -288,23 +309,33 @@ object Multimodal {
   def imageFrames(bytes: Array[Byte], everyNth: Int): Seq[(Int, Int, Int, Long)] = {
     require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     if (bytes == null || bytes.length < 4) return Seq.empty
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Seq.empty
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          (0 until n by everyNth).map { i =>
-            val img = r.read(i)
-            (i, img.getWidth, img.getHeight, lumaStats(img)._2)
-          }
-        } catch { case _: java.io.IOException => Seq.empty }
-        finally r.dispose()
-      }
-    } finally iis.close()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            (0 until n by everyNth).flatMap { i =>
+              // same header-dims guard as decodeImage, per frame
+              val (w, h) = (r.getWidth(i).toLong, r.getHeight(i).toLong)
+              if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+              else {
+                val img = r.read(i)
+                Some((i, img.getWidth, img.getHeight, lumaStats(img)._2))
+              }
+            }
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      // same totality contract as decodeImage: malformed multi-frame
+      // payloads yield no frames, never a task failure
+      case scala.util.control.NonFatal(_) => Seq.empty
+    }
   }
 
   private val imageFramesUdf = udf((b: Array[Byte], n: Int) => imageFrames(b, n))

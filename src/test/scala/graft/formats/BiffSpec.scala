@@ -76,8 +76,9 @@ class BiffSpec extends AnyFunSuite {
   test("large string tables round-trip through SST + CONTINUE records") {
     // ~3000 distinct ~30-char cells ≈ 100 KB of SST — far past the 8224-byte
     // record ceiling, so both the writer's CONTINUE framing and the reader's
-    // cross-record cursor are exercised; mixed widths force the re-stated
-    // compression flag on some boundaries
+    // cross-record cursor are exercised. The writer only ever breaks between
+    // whole strings (the spec's simplest legal layout); the mid-string
+    // continuation path is covered by the hand-framed test below.
     val rows = (0 until 1500).map { i =>
       Seq(s"row $i value alpha-beta-gamma-$i", s"wide-$i-値-${i * 7}")
     }
@@ -87,6 +88,55 @@ class BiffSpec extends AnyFunSuite {
       val got = decoded.head.rows
       s"first divergence: ${rows.indices.find(i => got.lift(i) != Some(rows(i)))}"
     })
+  }
+
+  test("SST character data split MID-STRING across CONTINUE records") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // Excel routinely breaks SST character data mid-string; the next part
+    // then leads with a RE-STATED compression flag whose width can even
+    // differ from the string's opening flag ([MS-XLS] 2.5.293). Hand-frame
+    // all three shapes: compressed resume, wide resume, compressed→wide
+    // width switch at the break.
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val p0 = le(15) // header + "abcdefghij" opened compressed, 4 chars here
+    p0.putInt(3).putInt(3)
+    p0.putShort(10.toShort).put(0x00.toByte).put("abcd".getBytes("ISO-8859-1"))
+    val p1 = le(12) // restated compressed flag + tail; then wide "αβγ", 1 char
+    p1.put(0x00.toByte).put("efghij".getBytes("ISO-8859-1"))
+    p1.putShort(3.toShort).put(0x01.toByte).put("α".getBytes("UTF-16LE"))
+    val p2 = le(10) // restated wide flag + tail; then "hié!" opened compressed
+    p2.put(0x01.toByte).put("βγ".getBytes("UTF-16LE"))
+    p2.putShort(4.toShort).put(0x00.toByte).put("hi".getBytes("ISO-8859-1"))
+    val p3 = le(5)  // continuation switches the remaining chars to wide
+    p3.put(0x01.toByte).put("é!".getBytes("UTF-16LE"))
+    val parts = IndexedSeq(p0, p1, p2, p3).map(_.array())
+    assert(Biff.parseSstParts(parts) == Seq("abcdefghij", "αβγ", "hié!"))
+  }
+
+  test("corrupt and truncated workbooks degrade, never throw (extract UDF totality)") {
+    val xls = Biff.writeXls(sheets)
+    // truncation sweep across every structural region: header, FAT,
+    // directory, data sectors — a partial download must not fail the task
+    Seq(8, 100, 511, 513, 600, 1024, 1500, 2048, 4096,
+      xls.length - 700, xls.length - 1).foreach { n =>
+      Biff.readXls(xls.take(n)) // contract: no exception
+    }
+    // deterministic mutation fuzz over the whole container
+    val rnd = new scala.util.Random(42)
+    (0 until 60).foreach { _ =>
+      val mutated = xls.clone()
+      (0 until 20).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      Biff.readXls(mutated) // contract: no exception
+    }
+    // a FAT entry pointing far past the file end terminates the chain
+    val bad = xls.clone()
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(512 + 4, 1 << 29)
+    Biff.readXls(bad)
+    // and an untouched workbook still decodes exactly
+    assert(Biff.readXls(xls) == sheets)
   }
 
   test("xls dispatches through the chunking pipeline like xlsx (S13)") {

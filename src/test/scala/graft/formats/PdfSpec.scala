@@ -128,6 +128,51 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("splitByPages: attributes inherited from the /Pages node survive the split") {
+    // real-world generators commonly hoist /Resources and /MediaBox onto the
+    // /Pages node (PDF 32000-1 §7.7.3.4 inheritance); a split part that
+    // drops them has pages with no fonts and no page size. Hand-build such
+    // a document: pages define neither, one page overrides /Rotate.
+    val sb = new StringBuilder
+    def obj(n: Int, body: String): Unit =
+      sb.append(s"$n 0 obj\n$body\nendobj\n")
+    sb.append("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R 6 0 R] /Count 4 " +
+      "/MediaBox [0 0 612 792] /Rotate 0 " +
+      "/Resources << /Font << /F1 11 0 R >> >> >>")
+    (0 until 4).foreach { i =>
+      val rotate = if (i == 0) " /Rotate 90" else ""
+      obj(3 + i, s"<< /Type /Page /Parent 2 0 R /Contents ${7 + i} 0 R$rotate >>")
+    }
+    (0 until 4).foreach { i =>
+      val content = s"BT /F1 12 Tf (page ${i + 1}) Tj ET"
+      obj(7 + i, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    }
+    obj(11, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val whole = sb.toString.getBytes("ISO-8859-1")
+    assert(Pdf.pageCount(whole) == 4)
+
+    val parts = Pdf.splitByPages(whole, maxPages = 2)
+    assert(parts.map(Pdf.pageCount) == Seq(2, 2))
+    assert(parts.map(Pdf.extractText).mkString("\n") == Pdf.extractText(whole))
+    parts.zipWithIndex.foreach { case (part, pi) =>
+      val str = new String(part, "ISO-8859-1")
+      // every page carries the media box it used to inherit
+      assert("/MediaBox \\[0 0 612 792\\]".r.findAllIn(str).length == 2,
+        s"part $pi lost the inherited /MediaBox")
+      // the font referenced via the inherited /Resources was copied over
+      assert(str.contains("/BaseFont /Helvetica"), s"part $pi lost the font")
+      assert("/Resources".r.findAllIn(str).length == 2,
+        s"part $pi pages missing inherited /Resources")
+    }
+    // the page-level /Rotate 90 override wins over the tree's /Rotate 0
+    val first = new String(parts.head, "ISO-8859-1")
+    assert(first.contains("/Rotate 90"))
+    assert("/Rotate 0\\b".r.findAllIn(first).length == 1,
+      "page without override should inherit /Rotate 0 exactly once")
+  }
+
   test("xref offsets are self-consistent (external readers can seek)") {
     val pdf = new String(Pdf.writePdf(Seq("hi")), "ISO-8859-1")
     val xrefAt = pdf.lastIndexOf("startxref")

@@ -144,6 +144,67 @@ class AdminServerSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("leading-zero page params are normalized to valid JSON numbers") {
+    withServer { (port, client, _, _) =>
+      // "01"/"020" pass the digit validation; the echo must not reproduce
+      // them verbatim — {"page":01} is invalid JSON (RFC 8259)
+      val r = get(client, port, "/api/jobs?page=01&pageSize=020")
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("\"page\":1,\"pageSize\":20"), r.body())
+      assert(!r.body().contains(":01") && !r.body().contains(":020"))
+    }
+  }
+
+  test("search cannot match a substring spanning two adjacent columns") {
+    withServer { (port, client, _, _) =>
+      // /api/files columns include parent_id=1 rows; a query built from the
+      // END of one stringified column + the START of the next must miss
+      val within = get(client, port, "/api/files?search=1").body()
+      assert(!within.contains("\"total\":0")) // sanity: in-column match works
+      // no single column contains "1true" / "1false", but parent_id=1
+      // directly followed by a boolean column would match if unseparated
+      Seq("1true", "1false").foreach { q =>
+        val r = get(client, port, s"/api/files?search=$q").body()
+        assert(r.contains("\"total\":0"), s"cross-column '$q' leaked: $r")
+      }
+    }
+  }
+
+  test("/healthz stays live while a long job run occupies a handler") {
+    val root = Files.createTempDirectory("graft-admin-slow")
+    val (stateDir, logDir) =
+      (root.resolve("state").toString, root.resolve("logs").toString)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slowRunner = (id: String) => {
+      entered.countDown()
+      release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      IncrementalIndexer.RunSummary(id, 0, 0, 0, 0, 0, 0, 0)
+    }
+    val server = AdminServer.start(0, spark, stateDir, logDir,
+      runJob = Some(slowRunner))
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      // kick off the long-running job on a background thread
+      val job = new Thread(() => post(client, port, "/api/jobs/run?runId=slow"))
+      job.start()
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "job handler never entered")
+      // probes must answer while the run is in flight — with the default
+      // single dispatcher thread this would hang until the run finished
+      val health = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+      val r = health.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/healthz"))
+        .timeout(java.time.Duration.ofSeconds(5)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, "liveness probe blocked by the running job")
+      release.countDown()
+      job.join(10000)
+    } finally { release.countDown(); server.stop(0) }
+  }
+
   test("unblock: validation, 404, and the unblock → reprocess integration") {
     val (indexDir, stateDir, logDir) = fixture()
     val server = AdminServer.start(0, spark, stateDir, logDir)

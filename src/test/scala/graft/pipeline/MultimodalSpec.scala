@@ -75,6 +75,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.find(_.getLong(0) == 2L).get.getAs[String]("media_format") == "empty")
   }
 
+  test("decode is total over adversarial payloads: corrupt bodies and runaway dims") {
+    // valid PNG magic + garbage body: the PNG reader claims it, then throws
+    // an unchecked exception mid-decode — must be None, not a task failure
+    val good = Multimodal.synthPng(16, 16, seed = 3L)
+    val corrupt = good.take(24) ++ Array.fill[Byte](40)(0x5a)
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+    // truncated mid-stream
+    assert(Multimodal.decodeImage(good.take(good.length / 2)).isEmpty)
+    assert(Multimodal.imageFrames(corrupt, 1).isEmpty)
+    // a tiny payload declaring 30000x30000 in its IHDR (CRC recomputed so
+    // the header parses): the dims guard must refuse before read()
+    // eagerly allocates a multi-GB raster
+    val huge = good.clone()
+    def putInt(at: Int, v: Int): Unit = {
+      huge(at) = (v >>> 24).toByte; huge(at + 1) = (v >>> 16).toByte
+      huge(at + 2) = (v >>> 8).toByte; huge(at + 3) = v.toByte
+    }
+    putInt(16, 30000) // IHDR width (sig 8 + len 4 + "IHDR" 4)
+    putInt(20, 30000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(huge, 12, 17) // chunk type + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    assert(Multimodal.decodeImage(huge).isEmpty)
+    assert(Multimodal.imageFrames(huge, 1).isEmpty)
+    // and the Spark path stays total: adversarial rows degrade to "raw"
+    import spark.implicits._
+    val df = Seq((1L, corrupt), (2L, huge)).toDF("id", "payload")
+    val out = Multimodal.withMediaFeatures(df, "payload").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("media_format") == "raw"))
+  }
+
   test("real bilinear resize: output decodes at the target dims") {
     val png = Multimodal.synthPng(64, 48, seed = 7L)
     val resized = Multimodal.resizeImage(png, 16, 12)
