@@ -62,19 +62,6 @@ object Biff {
     record(RecBofGlobals, b.array())
   }
 
-  /** XLUnicodeString: u16 cch, u8 flags, then 8-bit (compressed) or
-    * UTF-16LE payload.
-    */
-  private def xlString(s: String): Array[Byte] = {
-    val compressed = s.forall(_ < 256)
-    val payload =
-      if (compressed) s.map(_.toByte).toArray
-      else s.getBytes("UTF-16LE")
-    val b = le(3 + payload.length)
-    b.putShort(s.length.toShort).put(if (compressed) 0.toByte else 1.toByte).put(payload)
-    b.array()
-  }
-
   /** Real BIFF8 .xls bytes for string-cell sheets (the [[XlsxSheet]] shape
     * the xlsx writer shares).
     */
@@ -87,21 +74,43 @@ object Biff {
       total += 1
       sstIndex.getOrElseUpdate(c, sstIndex.size)
     }))
-    // SST + CONTINUE framing: the 8224-byte record ceiling forces large
-    // string tables across CONTINUE records; this writer breaks at string
-    // boundaries only (each fixture string is far under one record), which
-    // is the spec's simplest legal layout
+    // SST + CONTINUE framing ([MS-XLS] 2.5.293): the 8224-byte record-data
+    // ceiling forces large string tables across CONTINUE records. Like Excel
+    // itself, character data may break MID-STRING — the continuation then
+    // leads with a re-stated compression flag — so a single string longer
+    // than one record is representable. Two invariants the reader (and any
+    // external one) relies on: the 3-byte string header never splits, and
+    // wide (UTF-16LE) character data breaks only on whole 2-byte characters.
     val sstRecords: Seq[Array[Byte]] = {
-      val strings = sstIndex.keys.map(xlString).toSeq
+      val Cap = 8224
       val batches = Seq.newBuilder[Array[Byte]]
-      val cur = new ByteArrayOutputStream()
+      var cur = new ByteArrayOutputStream()
       val head = le(8)
       head.putInt(total.toInt).putInt(sstIndex.size)
       cur.write(head.array())
-      strings.foreach { s =>
-        require(s.length <= 8224, "single SST string exceeds one BIFF record")
-        if (cur.size() + s.length > 8224) { batches += cur.toByteArray; cur.reset() }
-        cur.write(s)
+      def break(): Unit = { batches += cur.toByteArray; cur = new ByteArrayOutputStream() }
+      sstIndex.keys.foreach { s =>
+        require(s.length <= 0xFFFF, "SST string exceeds the u16 cch field")
+        val compressed = s.forall(_ < 256)
+        val width = if (compressed) 1 else 2
+        val flag: Byte = if (compressed) 0 else 1
+        val payload =
+          if (compressed) s.map(_.toByte).toArray else s.getBytes("UTF-16LE")
+        // header plus at least the first character must fit this record
+        if (cur.size() + 3 + width > Cap) break()
+        val h = le(3)
+        h.putShort(s.length.toShort).put(flag)
+        cur.write(h.array())
+        var off = 0
+        while (off < payload.length) {
+          val room = (Cap - cur.size()) / width * width
+          if (room <= 0) { break(); cur.write(flag.toInt) } // re-stated flag
+          else {
+            val n = math.min(room, payload.length - off)
+            cur.write(payload, off, n)
+            off += n
+          }
+        }
       }
       batches += cur.toByteArray
       val all = batches.result()

@@ -97,10 +97,17 @@ object Coverage5 {
       val pptx = graft.formats.Ooxml.writePptx(Seq(
         Seq("Agenda", "Q3 targets & risks"),
         Seq("Summary <slide>", "", "Next steps")))
-      // legacy BIFF8-in-CFB container, same spreadsheet chunker as xlsx
+      // legacy BIFF8-in-CFB container, same spreadsheet chunker as xlsx.
+      // The Bulk sheet's cells each exceed the 8224-byte BIFF record-data
+      // ceiling (one 8-bit, one UTF-16), so the SST writer must split their
+      // character data mid-string across CONTINUE records — the gate then
+      // covers the re-stated-flag framing, not just whole-string breaks.
       val xls = graft.formats.Biff.writeXls(Seq(
         graft.formats.Ooxml.XlsxSheet("Ledger", Seq(
-          Seq("account", "balance"), Seq("ops", "1200"), Seq("r&d", "980.25")))))
+          Seq("account", "balance"), Seq("ops", "1200"), Seq("r&d", "980.25"))),
+        graft.formats.Ooxml.XlsxSheet("Bulk", Seq(
+          Seq((0 until 2400).map(i => s"tok$i").mkString(" ")),
+          Seq((0 until 2400).map(i => s"値$i").mkString("·"))))))
       Seq(("table.xlsx", xlsx), ("notes.docx", docx),
         ("report.pdf", pdfZ), ("memo.pdf", pdfR),
         ("deck.pptx", pptx), ("ledger.xls", xls)).foreach { case (n, b) =>

@@ -75,10 +75,10 @@ class BiffSpec extends AnyFunSuite {
 
   test("large string tables round-trip through SST + CONTINUE records") {
     // ~3000 distinct ~30-char cells ≈ 100 KB of SST — far past the 8224-byte
-    // record ceiling, so both the writer's CONTINUE framing and the reader's
-    // cross-record cursor are exercised. The writer only ever breaks between
-    // whole strings (the spec's simplest legal layout); the mid-string
-    // continuation path is covered by the hand-framed test below.
+    // record ceiling, so both the writer's CONTINUE framing (which, like
+    // Excel, may break character data mid-string with a re-stated flag) and
+    // the reader's cross-record cursor are exercised; hand-framed shapes the
+    // writer never emits are covered by the test below.
     val rows = (0 until 1500).map { i =>
       Seq(s"row $i value alpha-beta-gamma-$i", s"wide-$i-値-${i * 7}")
     }
@@ -88,6 +88,23 @@ class BiffSpec extends AnyFunSuite {
       val got = decoded.head.rows
       s"first divergence: ${rows.indices.find(i => got.lift(i) != Some(rows(i)))}"
     })
+  }
+
+  test("single strings longer than one record round-trip (writer splits mid-string)") {
+    // one compressed and one wide string, each far past the 8224-byte record
+    // ceiling, so the WRITER must break their character data across CONTINUE
+    // records (wide chars only on 2-byte boundaries) — plus neighbors on both
+    // sides to prove the cross-record cursor lands back in sync
+    val longAscii = (0 until 3000).map(i => s"w$i").mkString(" ")   // ~17 KB
+    val longWide = (0 until 6000).map(i => s"値$i").mkString("、")  // ~12 K chars
+    val doc = Seq(XlsxSheet("Long", Seq(
+      Seq("before", longAscii), Seq(longWide, "after"))))
+    assert(Biff.readXls(Biff.writeXls(doc)) == doc)
+    // a string whose length cannot be framed at all is a writer error
+    val over = "x" * 0x10000
+    assertThrows[IllegalArgumentException] {
+      Biff.writeXls(Seq(XlsxSheet("S", Seq(Seq(over)))))
+    }
   }
 
   test("SST character data split MID-STRING across CONTINUE records") {
