@@ -30,6 +30,12 @@ object GraftFunctions {
     // hot-path: one sketch per document in every near-dup family → codegen'd
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSignature(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es(0)), "scala_udf")
+    // hot-path: per-doc shingle set + per-pair merge-loop Jaccard (the
+    // verify stage of d4/d8/d14) → codegen'd
+    reg.createOrReplaceTempFunction("graft_shingle_set",
+      es => ShingleHashSet(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_set_jaccard",
+      es => SortedSetJaccard(es(0), es(1)), "scala_udf")
 
     // Domain scalar/generator functions as UDFs (SURVEY §2.12).
     spark.udf.register("graft_title", (s: String) => TextKeys.titleFromFilename(s))
@@ -59,5 +65,7 @@ object GraftFunctions {
   def simhash(c: Column): Column = call_function("graft_simhash", c)
   def langid(c: Column): Column = call_function("graft_langid", c)
   def token_count(c: Column): Column = call_function("graft_token_count", c)
+  def shingle_set(c: Column): Column = call_function("graft_shingle_set", c)
+  def set_jaccard(a: Column, b: Column): Column = call_function("graft_set_jaccard", a, b)
   def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
 }

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions over text columns.
@@ -47,6 +47,40 @@ object HashKernels {
   def minhash(s: UTF8String): ArrayData =
     new GenericArrayData(Hashing.minhashSignature(s.toString))
   def simhash(s: UTF8String): Long = Hashing.simhash64(s.toString)
+
+  /** Sorted DISTINCT word-shingle hashes of one document — the set the
+    * exact-Jaccard verify stage compares. Computed once per document (one
+    * scan) instead of once per candidate pair: a doc in k pairs was
+    * previously re-tokenized k times inside the pair-level UDF.
+    */
+  def shingleSet(s: UTF8String): ArrayData = {
+    val sh = Hashing.shingles(s.toString)
+    java.util.Arrays.sort(sh)
+    var n = 0
+    var i = 0
+    while (i < sh.length) { // dedupe in place over the sorted run
+      if (n == 0 || sh(i) != sh(n - 1)) { sh(n) = sh(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (n == sh.length) sh else java.util.Arrays.copyOf(sh, n))
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays via a single merge
+    * loop — pure set arithmetic, no string work. Both-empty → 1.0 (the
+    * [[Hashing.ngramJaccard]] rule, so the rework is value-identical).
+    */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
 }
 
 case class MinHashSignature(child: Expression) extends UnaryExpression {
@@ -58,6 +92,30 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhash($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class ShingleHashSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleSet(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleSet($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SortedSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_set_jaccard"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

@@ -212,8 +212,6 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  private val jaccardUdf = udf((a: String, b: String) => Hashing.ngramJaccard(a, b))
-
   private val winnowUdf = udf((t: String, k: Int, w: Int) =>
     if (t == null) Array.empty[Long] else Hashing.winnowFingerprints(t, k, w))
 
@@ -364,18 +362,38 @@ object Dedup {
     keepRepresentatives(df, idCol, nearDupClusters(df.select(col(idCol)), pairs))
   }
 
-  /** Exact n-gram Jaccard verification of candidate pairs: joins the texts
-    * back (broadcast when small) and computes the true similarity.
+  /** Exact n-gram Jaccard verification of candidate pairs — pure set
+    * arithmetic. ONE scan computes each pair-participating doc's sorted
+    * distinct shingle-hash array (a doc in k pairs is tokenized once, not
+    * k times), the pairs join the ARRAYS back, and the Jaccard is a
+    * codegen'd merge-loop intersection over the two sorted arrays
+    * ([[graft.functions.SortedSetJaccard]]). Verify-stage CPU now grows
+    * with corpus size (set construction) + pair COUNT (cheap long-merge),
+    * no longer pair count × document length — the shape that survives a
+    * 100× corpus. Value-identical to [[Hashing.ngramJaccard]]: same
+    * shingle sets, same both-empty→1.0 rule.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
-    val t = docs.select(col(idCol).as("_vid"), col(textCol).as("_vtext"))
-    pairs
-      .join(t.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vtext", "text_a"), Seq("id_a"))
-      .join(t.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vtext", "text_b"), Seq("id_b"))
-      .withColumn("jaccard", round(jaccardUdf(col("text_a"), col("text_b")), 4))
+    // pairs feed two consumers (the participant-id set and the verify
+    // join); materialize so candidate mining runs once
+    val p = pairs.localCheckpoint(true)
+    val pairIds = p.select(col("id_a").as("_vid"))
+      .union(p.select(col("id_b").as("_vid"))).distinct()
+    // sets only for docs that actually appear in a pair (left_semi), and
+    // materialized once because the a-side and b-side joins both read it
+    val sets = docs
+      .select(col(idCol).cast("long").as("_vid"),
+        GraftFunctions.shingle_set(col(textCol)).as("_vset"))
+      .join(pairIds, Seq("_vid"), "left_semi")
+      .localCheckpoint(true)
+    p
+      .join(sets.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vset", "_set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vset", "_set_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(GraftFunctions.set_jaccard(col("_set_a"), col("_set_b")), 4))
       .filter(col("jaccard") >= threshold)
-      .drop("text_a", "text_b")
+      .drop("_set_a", "_set_b")
   }
 
   // Deterministic ±1 hyperplane components, cached per (planes, dim) so the
