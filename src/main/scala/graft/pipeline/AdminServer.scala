@@ -34,17 +34,36 @@ object AdminServer {
     StructField("chunksWritten", LongType),
     StructField("indexSize", LongType)))
 
+  /** Client input the handlers reject with a 400 (vs a 500 for real bugs). */
+  private final class BadRequest(val msg: String) extends RuntimeException(msg)
+
   /** Start serving on `port` (0 ⇒ ephemeral). Reads are per-request — the
     * dashboard always sees the latest published state. `runJob` (when
     * given) backs `POST /api/jobs/run?runId=…`, the reference's HTTP
     * trigger for an indexer run (main.py:276-330): the callback executes
     * one run and its summary is returned AND visible in the next
     * `/api/jobs` listing (the callback is expected to write the run log).
+    *
+    * Binds LOOPBACK by default — the mutating endpoints (run trigger,
+    * unblock) must not be reachable off-host unless the deployer opts in
+    * via `bindAddress`, and an off-host bind should come with `apiKey`:
+    * when set, POST endpoints require a matching `X-API-KEY` header (the
+    * reference guards its mutating admin routes the same way,
+    * api/admin.py X-API-KEY dependency).
     */
   def start(port: Int, spark: SparkSession, stateDir: String, logDir: String,
       version: String = "dev",
-      runJob: Option[String => IncrementalIndexer.RunSummary] = None): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+      runJob: Option[String => IncrementalIndexer.RunSummary] = None,
+      bindAddress: String = "127.0.0.1",
+      apiKey: Option[String] = None): HttpServer = {
+    val server = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getByName(bindAddress), port), 0)
+
+    // constant-time compare: a key check must not leak prefix length
+    def authorized(ex: HttpExchange): Boolean = apiKey.forall { k =>
+      Option(ex.getRequestHeaders.getFirst("X-API-KEY")).exists(h =>
+        java.security.MessageDigest.isEqual(h.getBytes(UTF_8), k.getBytes(UTF_8)))
+    }
 
     // liveness/readiness + version (main.py:255-272, admin.py:193-199)
     server.createContext("/healthz", (ex: HttpExchange) => handle(ex) {
@@ -67,6 +86,7 @@ object AdminServer {
       // exact resources so /api/jobsanything is a 404, not a listing
       if (path == "/api/jobs/run") {
         if (ex.getRequestMethod != "POST") (405, """{"error":"method not allowed"}""")
+        else if (!authorized(ex)) (401, """{"error":"unauthorized"}""")
         else runJob match {
           case None => (404, """{"error":"no job runner configured"}""")
           case Some(run) =>
@@ -104,6 +124,7 @@ object AdminServer {
       handle(ex) {
         if (path == "/api/files/unblock") {
           if (ex.getRequestMethod != "POST") (405, """{"error":"method not allowed"}""")
+          else if (!authorized(ex)) (401, """{"error":"unauthorized"}""")
           else unblock(spark, stateDir, params(ex))
         } else if (path != "/api/files") {
           (404, """{"error":"not found"}""")
@@ -146,7 +167,14 @@ object AdminServer {
     try {
       val (status, payload) =
         try body
-        catch { case t: Throwable => (500, jsonObj(Seq("error" -> jsonStr(t.toString)))) }
+        catch {
+          case b: BadRequest => (400, jsonObj(Seq("error" -> jsonStr(b.msg))))
+          case t: Throwable =>
+            // log server-side; the body must not echo internal class
+            // names/paths back to the client
+            System.err.println(s"[admin] 500 on ${ex.getRequestURI}: $t")
+            (500, """{"error":"internal error"}""")
+        }
       val bytes = payload.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(status, bytes.length)
@@ -157,8 +185,36 @@ object AdminServer {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     q.split("&").filter(_.contains("=")).map { kv =>
       val Array(k, v) = kv.split("=", 2)
-      java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      // malformed percent-encoding (?x=%zz) is invalid CLIENT input → 400
+      try java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      catch { case _: IllegalArgumentException =>
+        throw new BadRequest("malformed percent-encoding in query string") }
     }.toMap
+  }
+
+  /** The listing search predicate: a case-insensitive substring scan over
+    * ALL columns. The reference substring-matches the JSON dump of each
+    * item, where keys/punctuation separate fields; the declarative analog
+    * joins the stringified columns with a \u0001 so a query never matches
+    * a substring spanning a column boundary. Public because the oracle
+    * gate (`w8_admin_page`) runs the exact plan the HTTP handler serves.
+    */
+  def searchFilter(df: DataFrame, search: Option[String]): DataFrame =
+    search.filter(_.nonEmpty) match {
+      case Some(q) =>
+        val hay = lower(concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
+        df.filter(hay.contains(q.toLowerCase))
+      case None => df
+    }
+
+  /** The listing page plan: deterministic order by (sortField, tieBreak) +
+    * offset/limit slice — plans as TakeOrderedAndProject, never a full
+    * materialized sort. Shared by the HTTP handlers and the oracle gate.
+    */
+  def pageSlice(df: DataFrame, sortField: String, desc: Boolean,
+      tieBreak: String, offset: Int, pageSize: Int): DataFrame = {
+    val key: Column = if (desc) col(sortField).desc else col(sortField).asc
+    df.orderBy(key, col(tieBreak)).offset(offset).limit(pageSize)
   }
 
   /** Sort + slice one listing DataFrame per the reference's query contract:
@@ -181,27 +237,19 @@ object AdminServer {
       return (400, jsonObj(Seq("error" -> jsonStr(s"unknown sortField $sortField"))))
     if (sortOrder != "asc" && sortOrder != "desc")
       return (400, """{"error":"sortOrder must be asc or desc"}""")
+    // offset in Long: page=999999999&pageSize=100 passes the digit guards
+    // but overflows Int multiplication into a negative offset (a 500);
+    // anything past Int.MaxValue is beyond any real listing → clean 400
+    val offset = (page.toLong - 1L) * pageSize.toLong
+    if (offset > Int.MaxValue)
+      return (400, """{"error":"page out of range"}""")
 
-    val searched = p.get("search").filter(_.nonEmpty) match {
-      case Some(q) =>
-        // the reference substring-matches the JSON dump of each item, where
-        // keys/punctuation separate fields; the declarative analog is a
-        // lowercase scan over all columns joined by a \u0001 so a query never
-        // matches a substring spanning a column boundary
-        val hay = lower(concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
-        df.filter(hay.contains(q.toLowerCase))
-      case None => df
-    }
-    val key: Column = if (sortOrder == "desc") col(sortField).desc else col(sortField).asc
     // one evaluation feeds both the total and the page slice (count +
     // collect over the raw plan would scan the source twice)
-    val once = searched.localCheckpoint(true)
+    val once = searchFilter(df, p.get("search")).localCheckpoint(true)
     val total = once.count()
-    val rows = once
-      .orderBy(key, col(tieBreak)) // deterministic pages under ties
-      .offset((page.toInt - 1) * pageSize.toInt)
-      .limit(pageSize.toInt)
-      .collect()
+    val rows = pageSlice(once, sortField, desc = sortOrder == "desc",
+      tieBreak, offset.toInt, pageSize.toInt).collect()
     val fields = rows.headOption.map(_.schema.fields).getOrElse(Array.empty[StructField])
     val items = rows.map { r =>
       jsonObj(fields.indices.map(i => fields(i).name -> jsonVal(r.get(i))))

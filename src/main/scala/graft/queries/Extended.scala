@@ -138,6 +138,22 @@ object Extended {
         .offset(40).limit(20)
     }),
 
+    // W8: the admin listing envelope through the EXACT plan the HTTP
+    // handlers serve (AdminServer.searchFilter + pageSlice; admin.py
+    // 287-357): all-columns substring search, deterministic sort +
+    // tie-break, page 3 of 20, with the envelope's `total` riding along
+    // as a broadcast 1-row aggregate.
+    "w8_admin_page" -> ((s, d) => {
+      import s.implicits._
+      val orders = load(s, d, "orders")
+      val filtered = graft.pipeline.AdminServer.searchFilter(orders, Some("1-urgent"))
+      val total = filtered.agg(count(lit(1)).as("total"))
+      graft.pipeline.AdminServer.pageSlice(filtered, "o_totalprice",
+        desc = true, tieBreak = "o_orderkey", offset = 40, pageSize = 20)
+        .select($"o_orderkey", $"o_totalprice")
+        .crossJoin(broadcast(total))
+    }),
+
     // X11: ISO parse with invalid-value epoch fallback
     // (jobs/sharepoint_ingestion_config.py:76-86).
     "x11_ts_parse_fallback" -> ((s, d) => {
@@ -230,6 +246,15 @@ object Extended {
     "w6_sort_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+    "w8_admin_page" ->
+      """WITH hit AS (SELECT * FROM orders
+        | WHERE contains(lower(concat_ws(chr(1),
+        |   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |   o_orderstatus, CAST(o_totalprice AS VARCHAR),
+        |   CAST(o_orderdate AS VARCHAR), o_orderpriority)), '1-urgent'))
+        |SELECT o_orderkey, o_totalprice,
+        | (SELECT CAST(count(*) AS BIGINT) FROM hit) AS total
+        |FROM hit ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
     "x11_ts_parse_fallback" ->
       """SELECT event_id,
         | epoch_ms(coalesce(

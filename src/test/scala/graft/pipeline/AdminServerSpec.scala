@@ -92,6 +92,22 @@ class AdminServerSpec extends AnyFunSuite {
       // overflowing numbers are invalid input (400), never a 500
       assert(get(client, port, "/api/jobs?page=99999999999").statusCode() == 400)
       assert(get(client, port, "/api/jobs?pageSize=99999999999").statusCode() == 400)
+      // passes the per-field digit guards but page*pageSize overflows Int —
+      // must be a clean 400, not a negative-offset 500
+      assert(get(client, port,
+        "/api/jobs?page=999999999&pageSize=100").statusCode() == 400)
+      // malformed percent-encoding is client input → 400, not a 500
+      // (java.net.http refuses to even send %zz, so speak raw HTTP)
+      val sock = new java.net.Socket("localhost", port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("GET /api/jobs?search=%zz HTTP/1.1\r\n" +
+          s"Host: localhost:$port\r\nConnection: close\r\n\r\n").getBytes("US-ASCII"))
+        out.flush()
+        val status = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream)).readLine()
+        assert(status != null && status.contains("400"), s"got: $status")
+      } finally sock.close()
       assert(post(client, port, "/api/jobs").statusCode() == 405)
       // prefix matches of the context path are not the resource
       assert(get(client, port, "/api/jobsgarbage").statusCode() == 404)
@@ -203,6 +219,31 @@ class AdminServerSpec extends AnyFunSuite {
       release.countDown()
       job.join(10000)
     } finally { release.countDown(); server.stop(0) }
+  }
+
+  test("binds loopback by default; apiKey gates the mutating endpoints") {
+    val (_, stateDir, logDir) = fixture()
+    val server = AdminServer.start(0, spark, stateDir, logDir,
+      runJob = Some(id => IncrementalIndexer.RunSummary(id, 0, 0, 0, 0, 0, 0, 0)),
+      apiKey = Some("s3cret"))
+    try {
+      assert(server.getAddress.getAddress.isLoopbackAddress,
+        s"default bind must be loopback, was ${server.getAddress}")
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      // reads stay open; mutations need the header
+      assert(get(client, port, "/api/jobs").statusCode() == 200)
+      assert(post(client, port, "/api/jobs/run?runId=r1").statusCode() == 401)
+      assert(post(client, port, "/api/files/unblock?parentId=1").statusCode() == 401)
+      def postKeyed(pathQuery: String, key: String) =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port$pathQuery"))
+          .header("X-API-KEY", key)
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.ofString())
+      assert(postKeyed("/api/jobs/run?runId=r1", "wrong").statusCode() == 401)
+      assert(postKeyed("/api/jobs/run?runId=r1", "s3cret").statusCode() == 200)
+    } finally server.stop(0)
   }
 
   test("unblock: validation, 404, and the unblock → reprocess integration") {
