@@ -211,13 +211,106 @@ object Ooxml {
 
   // ---------------------------------------------------------------- docx read
 
-  /** Decode a docx payload into its paragraph texts. */
+  /** One body-order element of a word-processing part: free text or a
+    * table. The reference's layout-analysis path renders document tables
+    * to markdown before chunking (tools/doc_intelligence.py:88-198); the
+    * local decode path preserves the same structure instead of flattening
+    * cell text into paragraphs.
+    */
+  sealed trait DocBlock
+  final case class DocPara(text: String) extends DocBlock
+  final case class DocTable(rows: Seq[Seq[String]]) extends DocBlock
+
+  /** Walk one XML part into body-order blocks. WordprocessingML (w:) and
+    * DrawingML (a:, used by pptx slides and graphicFrame tables) share the
+    * local names p/tbl/tr/tc/t, so a single walker serves both formats.
+    * Nested tables (depth > 1) flatten into the enclosing cell's text;
+    * cell paragraphs join with newlines (markdown rendering collapses
+    * whitespace per cell anyway).
+    */
+  private def parseBlocks(part: Array[Byte]): Seq[DocBlock] = {
+    val r = reader(part)
+    val out = Seq.newBuilder[DocBlock]
+    var tblDepth = 0
+    var rows: scala.collection.mutable.ArrayBuffer[Seq[String]] = null
+    var row: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellParas: scala.collection.mutable.ArrayBuffer[String] = null
+    val cur = new StringBuilder
+    var inP = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "tbl" =>
+              tblDepth += 1
+              if (tblDepth == 1) rows = scala.collection.mutable.ArrayBuffer.empty
+            case "tr" if tblDepth == 1 =>
+              row = scala.collection.mutable.ArrayBuffer.empty
+            case "tc" if tblDepth == 1 =>
+              cellParas = scala.collection.mutable.ArrayBuffer.empty
+            case "p" => inP = true; cur.clear()
+            case "t" if inP => inT = true
+            case "tab" if inP => cur.append('\t')
+            case ("br" | "cr") if inP => cur.append('\n')
+            case _ =>
+          }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "t" => inT = false
+            case "p" if inP =>
+              inP = false
+              if (tblDepth == 0) out += DocPara(cur.toString)
+              else if (cellParas != null) cellParas += cur.toString
+            case "tc" if tblDepth == 1 && row != null && cellParas != null =>
+              row += cellParas.filter(_.nonEmpty).mkString("\n")
+              cellParas = null
+            case "tr" if tblDepth == 1 && rows != null && row != null =>
+              rows += row.toSeq; row = null
+            case "tbl" =>
+              if (tblDepth == 1 && rows != null) {
+                out += DocTable(rows.toSeq); rows = null
+              }
+              tblDepth -= 1
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Blocks → text: paragraphs verbatim, tables as GitHub markdown (first
+    * row is the header — the same renderer contract as the spreadsheet
+    * path, [[graft.pipeline.Spreadsheet.toMarkdown]] / x9_md_table).
+    */
+  private def renderBlocks(bs: Seq[DocBlock]): String =
+    bs.flatMap {
+      case DocPara(t) => if (t.nonEmpty) Some(t) else None
+      case DocTable(rows) =>
+        if (rows.isEmpty) None
+        else Some(graft.pipeline.Spreadsheet.toMarkdown(
+          graft.pipeline.Spreadsheet.Sheet("", rows.head, rows.drop(1))))
+    }.mkString("\n")
+
+  /** Decode a docx payload into its paragraph texts (tables flattened —
+    * cell paragraphs appear in document order; [[readDocxBlocks]] keeps
+    * the structure).
+    */
   def readDocxParagraphs(bytes: Array[Byte]): Seq[String] =
     groupedText(zipEntries(bytes)("word/document.xml"), "p", "t")
 
-  /** Full document text: paragraphs joined by newlines, blanks dropped. */
+  /** Decode a docx payload into body-order paragraph/table blocks. */
+  def readDocxBlocks(bytes: Array[Byte]): Seq[DocBlock] =
+    parseBlocks(zipEntries(bytes)("word/document.xml"))
+
+  /** Full document text: paragraphs joined by newlines, blanks dropped,
+    * tables rendered as markdown in body position.
+    */
   def docxText(bytes: Array[Byte]): String =
-    readDocxParagraphs(bytes).filter(_.nonEmpty).mkString("\n")
+    renderBlocks(readDocxBlocks(bytes))
 
   // ---------------------------------------------------------------- pptx read
 
@@ -229,7 +322,11 @@ object Ooxml {
     * Slide text lives in DrawingML `a:p`/`a:r`/`a:t`, the same local names
     * docx uses, so the shared StAX walker applies unchanged.
     */
-  def readPptxSlides(bytes: Array[Byte]): Seq[Seq[String]] = {
+  def readPptxSlides(bytes: Array[Byte]): Seq[Seq[String]] =
+    slidePartsInOrder(bytes).map(groupedText(_, "p", "t"))
+
+  /** Slide part payloads in presentation order (see [[readPptxSlides]]). */
+  private def slidePartsInOrder(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val parts = zipEntries(bytes)
     val orderedRids = parts.get("ppt/presentation.xml").map { p =>
       val r = reader(p)
@@ -268,22 +365,27 @@ object Ooxml {
       b.result()
     }.getOrElse(Map.empty)
     val slideRe = """ppt/slides/slide(\d+)\.xml""".r
-    val slideParts: Seq[Array[Byte]] =
-      if (orderedRids.nonEmpty)
-        // strict: a listed slide that fails to resolve must throw, not
-        // silently drop content (same contract as readXlsx's sheet lookup)
-        orderedRids.map(rid => rels.get(rid).flatMap(parts.get).getOrElse(
-          throw new IllegalArgumentException(s"slide part for '$rid' missing")))
-      else parts.keysIterator.collect { case k @ slideRe(n) => (n.toInt, k) }
-        .toSeq.sortBy(_._1).map(e => parts(e._2))
-    slideParts.map(groupedText(_, "p", "t"))
+    if (orderedRids.nonEmpty)
+      // strict: a listed slide that fails to resolve must throw, not
+      // silently drop content (same contract as readXlsx's sheet lookup)
+      orderedRids.map(rid => rels.get(rid).flatMap(parts.get).getOrElse(
+        throw new IllegalArgumentException(s"slide part for '$rid' missing")))
+    else parts.keysIterator.collect { case k @ slideRe(n) => (n.toInt, k) }
+      .toSeq.sortBy(_._1).map(e => parts(e._2))
   }
 
+  /** Decode a pptx payload into per-slide block lists: text-box paragraphs
+    * as [[DocPara]]s, `graphicFrame` DrawingML tables as [[DocTable]]s.
+    */
+  def readPptxSlideBlocks(bytes: Array[Byte]): Seq[Seq[DocBlock]] =
+    slidePartsInOrder(bytes).map(parseBlocks)
+
   /** Full deck text: paragraphs joined by newlines within a slide, slides
-    * separated by blank lines, empty paragraphs dropped.
+    * separated by blank lines, empty paragraphs dropped, tables rendered
+    * as markdown in slide position.
     */
   def pptxText(bytes: Array[Byte]): String =
-    readPptxSlides(bytes).map(_.filter(_.nonEmpty).mkString("\n"))
+    readPptxSlideBlocks(bytes).map(renderBlocks)
       .filter(_.nonEmpty).mkString("\n\n")
 
   // ------------------------------------------------------------ fixture write
@@ -364,12 +466,25 @@ object Ooxml {
     * per paragraph). The sldIdLst is written in the given slide order, so
     * round-trips exercise the rels-based ordering path of the reader.
     */
-  def writePptx(slides: Seq[Seq[String]]): Array[Byte] = {
-    val slideXml = slides.map { paras =>
-      val body = paras.map(p =>
-        s"""<a:p><a:r><a:t>${xmlEscape(p)}</a:t></a:r></a:p>""").mkString
+  def writePptx(slides: Seq[Seq[String]]): Array[Byte] =
+    writePptxBlocks(slides.map(_.map(DocPara(_): DocBlock)))
+
+  /** Block-level pptx writer: text boxes plus real `p:graphicFrame`
+    * DrawingML tables (ECMA-376 a:tbl/a:tr/a:tc), one shape per block.
+    */
+  def writePptxBlocks(slides: Seq[Seq[DocBlock]]): Array[Byte] = {
+    val slideXml = slides.map { blocks =>
+      val body = blocks.map {
+        case DocPara(p) =>
+          s"""<p:sp><p:txBody><a:p><a:r><a:t>${xmlEscape(p)}</a:t></a:r></a:p></p:txBody></p:sp>"""
+        case DocTable(rows) =>
+          val trs = rows.map(r => "<a:tr>" + r.map(c =>
+            s"""<a:tc><a:txBody><a:p><a:r><a:t>${xmlEscape(c)}</a:t></a:r></a:p></a:txBody></a:tc>""").mkString +
+            "</a:tr>").mkString
+          s"""<p:graphicFrame><a:graphic><a:graphicData uri="http://schemas.openxmlformats.org/drawingml/2006/table"><a:tbl>$trs</a:tbl></a:graphicData></a:graphic></p:graphicFrame>"""
+      }.mkString
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"><p:cSld><p:spTree><p:sp><p:txBody>$body</p:txBody></p:sp></p:spTree></p:cSld></p:sld>""".stripMargin
+         |<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"><p:cSld><p:spTree>$body</p:spTree></p:cSld></p:sld>""".stripMargin
     }
     val sldIds = slides.indices.map { i =>
       s"""<p:sldId id="${256 + i}" r:id="rId${i + 1}"/>"""
@@ -399,9 +514,23 @@ object Ooxml {
   }
 
   /** Minimal spec-conformant docx writer (one run per paragraph). */
-  def writeDocx(paragraphs: Seq[String]): Array[Byte] = {
-    val body = paragraphs.map(p =>
-      s"""<w:p><w:r><w:t xml:space="preserve">${xmlEscape(p)}</w:t></w:r></w:p>""").mkString
+  def writeDocx(paragraphs: Seq[String]): Array[Byte] =
+    writeDocxBlocks(paragraphs.map(DocPara))
+
+  private def docxTableXml(rows: Seq[Seq[String]]): String =
+    rows.map(r => "<w:tr>" + r.map(c =>
+      s"""<w:tc><w:p><w:r><w:t xml:space="preserve">${xmlEscape(c)}</w:t></w:r></w:p></w:tc>""").mkString +
+      "</w:tr>").mkString("<w:tbl>", "", "</w:tbl>")
+
+  /** Body-order docx writer: paragraphs and real `w:tbl` tables, so table
+    * fixtures exercise the structured read path end-to-end.
+    */
+  def writeDocxBlocks(blocks: Seq[DocBlock]): Array[Byte] = {
+    val body = blocks.map {
+      case DocPara(p) =>
+        s"""<w:p><w:r><w:t xml:space="preserve">${xmlEscape(p)}</w:t></w:r></w:p>"""
+      case DocTable(rows) => docxTableXml(rows)
+    }.mkString
     zip(Seq(
       "[Content_Types].xml" ->
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

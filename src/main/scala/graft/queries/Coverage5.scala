@@ -127,6 +127,40 @@ object Coverage5 {
         .orderBy($"name")
     }),
 
+    // S15: Office TABLE extraction — docx `w:tbl` and pptx `graphicFrame`
+    // DrawingML tables render as markdown in body position (the layout
+    // path's table→markdown contract, tools/doc_intelligence.py:88-198),
+    // through the same extractText dispatch as s13. One output row per
+    // extracted line pins the exact markdown the chunkers will see.
+    "s15_office_tables" -> ((s, _) => {
+      import s.implicits._
+      val root = tmpRoot("graft-s15-tables")
+      import graft.formats.Ooxml
+      val docx = Ooxml.writeDocxBlocks(Seq(
+        Ooxml.DocPara("Inventory report"),
+        Ooxml.DocTable(Seq(
+          Seq("item", "qty", "price"),
+          Seq("bolts", "12", "0.30"),
+          Seq("nuts & washers", "7", "0.10"))),
+        Ooxml.DocPara("End of report")))
+      val pptx = Ooxml.writePptxBlocks(Seq(
+        Seq(Ooxml.DocPara("Quarterly metrics"),
+          Ooxml.DocTable(Seq(
+            Seq("quarter", "revenue"), Seq("Q1", "1000"), Seq("Q2", "1250"))))))
+      Seq(("inventory.docx", docx), ("metrics.pptx", pptx)).foreach {
+        case (n, b) => writeBytes(root, n, b)
+      }
+      val extract = udf((path: String, bytes: Array[Byte]) =>
+        graft.pipeline.Chunkers.extractText(bytes,
+          path.substring(path.lastIndexOf('.') + 1)))
+      s.read.format("binaryFile").option("pathGlobFilter", "{*.docx,*.pptx}")
+        .load(root)
+        .select(element_at(split($"path", "/"), -1).as("name"),
+          extract($"path", $"content").as("text"))
+        .select($"name", posexplode(split($"text", "\n")).as(Seq("line_no", "line")))
+        .orderBy($"name", $"line_no")
+    }),
+
     // S14: binary PDF part-splitting — the reference splits large PDFs
     // into real sub-PDFs before analysis (utils/file_utils.py:71-138).
     // Per doc: build an n-page PDF (n from doc_id), split the object tree
@@ -397,6 +431,20 @@ object Coverage5 {
         |ORDER BY name""".stripMargin,
     "s7_recursive_walk" ->
       """SELECT CAST(3 AS BIGINT) AS n_files, CAST(9 AS BIGINT) AS total_bytes""",
+    "s15_office_tables" ->
+      """SELECT * FROM (VALUES
+        | ('inventory.docx', CAST(0 AS INTEGER), 'Inventory report'),
+        | ('inventory.docx', CAST(1 AS INTEGER), '| item | qty | price |'),
+        | ('inventory.docx', CAST(2 AS INTEGER), '| --- | --- | --- |'),
+        | ('inventory.docx', CAST(3 AS INTEGER), '| bolts | 12 | 0.30 |'),
+        | ('inventory.docx', CAST(4 AS INTEGER), '| nuts & washers | 7 | 0.10 |'),
+        | ('inventory.docx', CAST(5 AS INTEGER), 'End of report'),
+        | ('metrics.pptx', CAST(0 AS INTEGER), 'Quarterly metrics'),
+        | ('metrics.pptx', CAST(1 AS INTEGER), '| quarter | revenue |'),
+        | ('metrics.pptx', CAST(2 AS INTEGER), '| --- | --- |'),
+        | ('metrics.pptx', CAST(3 AS INTEGER), '| Q1 | 1000 |'),
+        | ('metrics.pptx', CAST(4 AS INTEGER), '| Q2 | 1250 |')
+        |) AS t(name, line_no, line) ORDER BY name, line_no""".stripMargin,
     "s14_pdf_split" ->
       """SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS n_pages,
         | CAST((doc_id % 6 + 4) // 3 AS INTEGER) AS n_parts,

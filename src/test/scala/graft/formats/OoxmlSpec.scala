@@ -123,6 +123,60 @@ class OoxmlSpec extends AnyFunSuite {
     assert(graft.pipeline.Chunkers.extractText(bytes, "pptx") == "Title\n\nPoint one")
   }
 
+  test("docx tables render as markdown in body position") {
+    val blocks = Seq(
+      Ooxml.DocPara("Intro paragraph"),
+      Ooxml.DocTable(Seq(
+        Seq("item", "qty"),
+        Seq("bolts", "12"),
+        Seq("nuts & washers", "7"))),
+      Ooxml.DocPara("Closing"))
+    val bytes = Ooxml.writeDocxBlocks(blocks)
+    // structured read preserves body order and table shape
+    assert(Ooxml.readDocxBlocks(bytes) == blocks)
+    assert(Ooxml.docxText(bytes) ==
+      "Intro paragraph\n" +
+      "| item | qty |\n| --- | --- |\n| bolts | 12 |\n| nuts & washers | 7 |\n" +
+      "Closing")
+    // the legacy flat reader still sees every paragraph, cells included
+    assert(Ooxml.readDocxParagraphs(bytes) ==
+      Seq("Intro paragraph", "item", "qty", "bolts", "12",
+        "nuts & washers", "7", "Closing"))
+  }
+
+  test("docx multi-paragraph cells and nested tables flatten into the cell") {
+    // hand-built: a cell with two paragraphs, and a nested table inside
+    // the second cell — nested structure flattens into that cell's text
+    val doc = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>
+      |<w:tbl><w:tr>
+      |<w:tc><w:p><w:r><w:t>line1</w:t></w:r></w:p><w:p><w:r><w:t>line2</w:t></w:r></w:p></w:tc>
+      |<w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>
+      |<w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+      |</w:tc>
+      |</w:tr></w:tbl>
+      |</w:body></w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zos.write(doc.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    assert(Ooxml.readDocxBlocks(bos.toByteArray) ==
+      Seq(Ooxml.DocTable(Seq(Seq("line1\nline2", "outer\ninner")))))
+  }
+
+  test("pptx graphicFrame tables round-trip and render as markdown") {
+    val slides = Seq(
+      Seq[Ooxml.DocBlock](Ooxml.DocPara("Metrics")),
+      Seq[Ooxml.DocBlock](
+        Ooxml.DocPara("Quarter summary"),
+        Ooxml.DocTable(Seq(Seq("q", "rev"), Seq("Q1", "10"), Seq("Q2", "12")))))
+    val bytes = Ooxml.writePptxBlocks(slides)
+    assert(Ooxml.readPptxSlideBlocks(bytes) == slides)
+    assert(Ooxml.pptxText(bytes) ==
+      "Metrics\n\nQuarter summary\n" +
+      "| q | rev |\n| --- | --- |\n| Q1 | 10 |\n| Q2 | 12 |")
+  }
+
   test("xlsx → chunking dispatch renders markdown tables per sheet") {
     val bytes = Ooxml.writeXlsx(Seq(Ooxml.XlsxSheet("T",
       Seq(Seq("h1", "h2"), Seq("v1", "v2")))))
