@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Record DuckDB wall-times for the headline TPC-H trio as an external
+performance anchor (driver-side tooling — the library itself never calls
+DuckDB).
+
+Runs each query's oracle SQL from a `graft.Verify` dump against the sf0.1
+parquet tables, warm + timed per query (the same discipline Bench.scala
+uses), and writes DUCKDB_ANCHOR.json at the repo root. Bench.scala reads
+that file and embeds it in target/bench_summary.json so "within 2x of
+baseline" has an external engine's number next to the Spark times.
+
+Usage: python3 scripts/duckdb_anchor.py <sfDir> <verifyOutDir>
+  (verifyOutDir must contain oracle_sql.json from `runMain graft.Verify`)
+"""
+import json, os, sys, time
+import duckdb
+
+QUERIES = ["q01_pricing_summary", "q02_filtered_revenue", "q05_regional_revenue"]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    times = {}
+    for q in QUERIES:
+        sql = oracle[q]
+        con.execute(sql).fetchall()  # warm: footers, casts, plan
+        t0 = time.monotonic()
+        n = len(con.execute(sql).fetchall())
+        times[q] = round(time.monotonic() - t0, 3)
+        print(f"{q}: {times[q]}s ({n} rows)")
+    anchor = {"engine": "duckdb", "version": duckdb.__version__,
+              "threads": os.cpu_count(), "sf": sf_dir, "queries": times}
+    with open("DUCKDB_ANCHOR.json", "w") as f:
+        json.dump(anchor, f, indent=1)
+    print("wrote DUCKDB_ANCHOR.json")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
