@@ -29,6 +29,7 @@ QUERIES = [
     "t3_langid_agreement",
     "c9_cdc_chunks",
     "d14_cluster_sizes",
+    "d15_incremental_neardup",
     "t5_bpe_tokens",
     "v6_embedding_neardup",
 ]

@@ -120,9 +120,17 @@ object Dedup {
     * numeric (cast to long) — the test tables and chunk index key by int64.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame =
+    minhashPairsFromSigs(df.select(col(idCol).cast("long").as("id"),
+      GraftFunctions.minhash(col(textCol)).as("sig")), threshold, maxBucketSize)
+
+  /** [[minhashNearDupPairs]] from an ALREADY-computed (id, sig) table —
+    * the entry point when signatures come from a persisted index or are
+    * shared with another stage (the incremental ingest gate), so the
+    * signature kernel never runs twice over the same rows.
+    */
+  def minhashPairsFromSigs(sigs: DataFrame,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-      GraftFunctions.minhash(col(textCol)).as("sig"))
     val bands = sigs
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
     // One aggregation materializes the buckets; the eager localCheckpoint
@@ -573,6 +581,88 @@ object Dedup {
     novel.join(keepers, Seq("_fp"))
       .filter(col("id") === col("_k.id") && col("p_idx") === col("_k.p_idx"))
       .select(col("id"), col("p_idx"), col("p_text"), col("_fp"))
+  }
+
+  private val estJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    Hashing.estimatedJaccard(a.toArray, b.toArray))
+
+  /** Banded LSH projection of a signature index: (band, bh, id). This is
+    * the PERSISTED form the incremental ingest gate probes — at corpus
+    * scale it is written once (and appended per batch), partitioned or
+    * bucketed by (band, bh) so a batch probe prunes to colliding buckets
+    * instead of rescanning the corpus ([[graft.pipeline.PartitionedUpsert]]
+    * is the append-friendly layout).
+    */
+  def minhashBandIndex(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("id"))
+
+  /** Ingest-time NEAR-duplicate gate against an existing corpus index —
+    * [[ingestNovelParagraphs]] generalized from exact fingerprints to
+    * MinHash similarity. `indexSigs` (id, sig) and `indexBands`
+    * ([[minhashBandIndex]]) are the persisted state the pipeline carries
+    * forward; the BATCH is the only thing scanned or signed per run.
+    *
+    * Shape, in batch-size — never corpus-size — work:
+    *  1. one scan signs the batch (signatures checkpointed, reused by
+    *     every later stage);
+    *  2. a Bloom filter over the index's (band, bh) keys drops batch
+    *     band rows with no possible collision — a batch of genuinely
+    *     novel content never shuffles against the index;
+    *  3. surviving bands join the banded index, candidates verify by
+    *     signature-estimated Jaccard against `indexSigs` (no text ever
+    *     leaves the index);
+    *  4. within-batch near-dups cluster via the same candidates →
+    *     verify → connected-components pipeline (signatures reused), and
+    *     each cluster keeps its min-id representative — unless the
+    *     cluster touches indexed content, in which case the index copy
+    *     is the representative and the whole cluster drops.
+    *
+    * Returns the surviving incoming rows. Append
+    * `minhashSignatures(survivors, …)` to `indexSigs` (and its
+    * [[minhashBandIndex]] to the band table) to carry the state forward —
+    * the idempotence property: re-ingesting the same batch after the
+    * append yields zero survivors.
+    */
+  def ingestNovelDocuments(incoming: DataFrame, idCol: String, textCol: String,
+      indexSigs: DataFrame, indexBands: DataFrame, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000, expectedBandKeys: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val batchSigs = incoming.select(col(idCol).cast("long").as("id"),
+      GraftFunctions.minhash(col(textCol)).as("sig")).localCheckpoint(true)
+    val batchBands = batchSigs
+      .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
+      .withColumn("bk", concat_ws(":", col("band"), col("bh")))
+    val idxKeyed = indexBands
+      .select(concat_ws(":", col("band"), col("bh")).as("bk"), col("id").as("idx_id"))
+    val dupIds =
+      if (indexBands.isEmpty) batchSigs.select(col("id")).limit(0)
+      else {
+        val bf = idxKeyed.stat.bloomFilter("bk", expectedBandKeys, fpp)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val might = udf((k: String) => k != null && bfB.value.mightContainString(k))
+        val cand = batchBands.filter(might(col("bk")))
+          .join(idxKeyed, Seq("bk"))
+          .select(col("id"), col("sig"), col("idx_id"))
+          .dropDuplicates("id", "idx_id")
+        cand
+          .join(indexSigs.select(col("id").as("idx_id"), col("sig").as("idx_sig")),
+            Seq("idx_id"))
+          .filter(estJaccardUdf(col("sig"), col("idx_sig")) >= threshold)
+          .select(col("id")).distinct()
+      }
+    // within-batch clustering over the SAME signatures (no recompute)
+    val clusters = nearDupClusters(batchSigs.select(col("id")),
+      minhashPairsFromSigs(batchSigs, threshold, maxBucketSize))
+      .localCheckpoint(true) // read twice: index-touch probe + survivor pick
+    val indexTouched = clusters.join(dupIds, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val survivorIds = clusters
+      .filter(col("id") === col("cluster")) // min-id representative
+      .join(indexTouched, Seq("cluster"), "left_anti")
+      .select(col("id").as(idCol))
+    incoming.join(survivorIds, Seq(idCol), "left_semi")
   }
 
   /** Corpus-level overlap estimation from mergeable MinHash sketches

@@ -199,6 +199,33 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // D15: incremental near-dup ingest against a persisted LSH index —
+    // the index holds the even doc_ids (signatures + banded projection,
+    // the state a daily pipeline carries forward), the odd doc_ids arrive
+    // as the batch. Only the batch is signed; the index is probed through
+    // a Bloom-gated band join. Survivors aggregate per source with a
+    // doc_id checksum pinning the exact surviving set. Snapshot-pinned
+    // (the banded probe + iterative CC is not SQL-expressible).
+    "d15_incremental_neardup" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docs = load(s, d, "documents")
+      val corpus = docs.filter($"doc_id" % 2 === 0)
+      val batch = docs.filter($"doc_id" % 2 === 1)
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+        .localCheckpoint(true) // gate scale: prod reads both persisted tables
+      val survivors = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
+        sigs, Dedup.minhashBandIndex(sigs), threshold = 0.5)
+      batch.groupBy($"source").agg(count(lit(1)).as("n_batch"))
+        .join(survivors.groupBy($"source").agg(
+            count(lit(1)).as("n_survivors"), sum($"doc_id").as("id_checksum")),
+          Seq("source"), "left")
+        .select($"source", $"n_batch",
+          coalesce($"n_survivors", lit(0L)).as("n_survivors"),
+          coalesce($"id_checksum", lit(0L)).as("id_checksum"))
+        .orderBy($"source")
+    }),
+
     // LSH candidates verified by exact n-gram Jaccard (rows-only).
     "d4_jaccard_verified" -> ((s, d) => {
       import s.implicits._

@@ -50,6 +50,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("v2_knn_top10").contains("TakeOrderedAndProject"))
   }
 
+  test("w8: the admin listing page is a bounded slice, not a full global sort") {
+    // the HTTP handler serves this exact plan (AdminServer.pageSlice);
+    // offset+limit over orderBy must stay a bounded top-(offset+limit)
+    // selection — CollectLimit/TakeOrderedAndProject — never a
+    // materialized whole-table Sort feeding the slice
+    val p = plan("w8_admin_page")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("CollectLimit"),
+      p.take(2000))
+  }
+
   test("j2: purge anti-join stays a single anti-join (no distinct/aggregate detour)") {
     val p = plan("j2_purge_anti")
     assert(p.contains("LeftAnti"), p.take(1500))
