@@ -597,6 +597,20 @@ object Dedup {
     sigs.select(col("id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
       .select(col("band"), col("bh"), col("id"))
 
+  private def bandKey: Column = concat_ws(":", col("band"), col("bh"))
+
+  /** Bloom filter over a band table's (band, bh) keys — the third piece of
+    * persisted ingest-gate state. Built ONCE over the corpus index (this
+    * is the only corpus-sized step; [[ingestNovelDocuments]] otherwise
+    * does batch-sized work), persisted via `BloomFilter.writeTo`, and
+    * extended per batch by `mergeInPlace(buildBandBloom(deltaBands, …))`
+    * with the SAME expectedBandKeys/fpp (merge requires identical bit
+    * layout) — never rebuilt from the full index.
+    */
+  def buildBandBloom(indexBands: DataFrame, expectedBandKeys: Long = 1L << 20,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    indexBands.select(bandKey.as("bk")).stat.bloomFilter("bk", expectedBandKeys, fpp)
+
   /** Ingest-time NEAR-duplicate gate against an existing corpus index —
     * [[ingestNovelParagraphs]] generalized from exact fingerprints to
     * MinHash similarity. `indexSigs` (id, sig) and `indexBands`
@@ -606,9 +620,11 @@ object Dedup {
     * Shape, in batch-size — never corpus-size — work:
     *  1. one scan signs the batch (signatures checkpointed, reused by
     *     every later stage);
-    *  2. a Bloom filter over the index's (band, bh) keys drops batch
-    *     band rows with no possible collision — a batch of genuinely
-    *     novel content never shuffles against the index;
+    *  2. a Bloom filter over the index's (band, bh) keys (pass the
+    *     persisted [[buildBandBloom]] state; the default rebuilds it from
+    *     `indexBands`, acceptable only at gate scale) drops batch band
+    *     rows with no possible collision — a batch of genuinely novel
+    *     content never shuffles against the index;
     *  3. surviving bands join the banded index, candidates verify by
     *     signature-estimated Jaccard against `indexSigs` (no text ever
     *     leaves the index);
@@ -627,19 +643,21 @@ object Dedup {
   def ingestNovelDocuments(incoming: DataFrame, idCol: String, textCol: String,
       indexSigs: DataFrame, indexBands: DataFrame, threshold: Double = 0.7,
       maxBucketSize: Int = 1000, expectedBandKeys: Long = 1L << 20,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val spark = incoming.sparkSession
     val batchSigs = incoming.select(col(idCol).cast("long").as("id"),
       GraftFunctions.minhash(col(textCol)).as("sig")).localCheckpoint(true)
     val batchBands = batchSigs
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
-      .withColumn("bk", concat_ws(":", col("band"), col("bh")))
-    val idxKeyed = indexBands
-      .select(concat_ws(":", col("band"), col("bh")).as("bk"), col("id").as("idx_id"))
+      .withColumn("bk", bandKey)
+    val idxKeyed = indexBands.select(bandKey.as("bk"), col("id").as("idx_id"))
     val dupIds =
       if (indexBands.isEmpty) batchSigs.select(col("id")).limit(0)
       else {
-        val bf = idxKeyed.stat.bloomFilter("bk", expectedBandKeys, fpp)
+        // prefer the caller's persisted Bloom (built once, merged per
+        // batch); deriving it here rescans the index — gate-scale only
+        val bf = bandBloom.getOrElse(buildBandBloom(indexBands, expectedBandKeys, fpp))
         val bfB = spark.sparkContext.broadcast(bf)
         val might = udf((k: String) => k != null && bfB.value.mightContainString(k))
         val cand = batchBands.filter(might(col("bk")))

@@ -62,4 +62,73 @@ object StreamingIngest {
     q.awaitTermination()
     batches
   }
+
+  /** One AvailableNow pass with the NEAR-duplicate gate
+    * ([[Dedup.ingestNovelDocuments]]): each micro-batch is signed, gated
+    * against the persisted signature index at `indexDir` (`sigs/` +
+    * `bands/`, both [[PartitionedUpsert]] tables keyed by id so replays
+    * REPLACE rather than duplicate), and the survivors' signatures and
+    * band rows grow the index. The band Bloom is driver-held derived
+    * state: built once from the persisted bands when the stream starts,
+    * merged with each batch's delta — never rebuilt from the corpus
+    * inside the loop (and safely reconstructible after a restart).
+    *
+    * Crash/replay safety: if a batch re-runs after its append, every one
+    * of its documents matches its own indexed signature (estimated
+    * Jaccard 1.0 ≥ threshold) and drops — the re-run appends nothing.
+    */
+  def runAvailableNowNearDup(spark: SparkSession, docsDir: String,
+      indexDir: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.7,
+      expectedBandKeys: Long = 1L << 20): Long = {
+    val sigsDir = s"$indexDir/sigs"
+    val bandsDir = s"$indexDir/bands"
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    var batches = 0L
+    var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val haveIndex = graft.core.Fs.exists(s, sigsDir)
+          def emptyTyped(cols: (String, String)*): DataFrame =
+            s.emptyDataFrame.select(cols.map { case (n, t) =>
+              lit(null).cast(t).as(n) }: _*).filter(lit(false))
+          val sigs =
+            if (haveIndex) PartitionedUpsert.read(s, sigsDir)
+            else emptyTyped("id" -> "long", "sig" -> "array<long>")
+          val bands =
+            if (haveIndex) PartitionedUpsert.read(s, bandsDir)
+            else emptyTyped("band" -> "int", "bh" -> "long", "id" -> "long")
+          if (bloom == null) bloom =
+            if (haveIndex) Dedup.buildBandBloom(bands, expectedBandKeys)
+            else org.apache.spark.util.sketch.BloomFilter
+              .create(expectedBandKeys, 0.01)
+          val novel = Dedup.ingestNovelDocuments(batch, idCol, textCol,
+              sigs, bands, threshold, bandBloom = Some(bloom))
+            .localCheckpoint(true) // feeds delta sigs AND the survivor count
+          if (!novel.isEmpty) {
+            val deltaSigs = Dedup.minhashSignatures(novel, idCol, textCol)
+              .localCheckpoint(true) // feeds sig upsert, band delta, bloom
+            val deltaBands = Dedup.minhashBandIndex(deltaSigs)
+            if (haveIndex) {
+              PartitionedUpsert.upsertByKey(s, sigsDir, deltaSigs, "id", Buckets)
+              PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands, "id", Buckets)
+            } else {
+              PartitionedUpsert.writeInitial(deltaSigs, sigsDir, "id", Buckets)
+              PartitionedUpsert.writeInitial(deltaBands, bandsDir, "id", Buckets)
+            }
+            bloom.mergeInPlace(Dedup.buildBandBloom(deltaBands, expectedBandKeys))
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
 }

@@ -84,6 +84,26 @@ class IngestNearDupSpec extends AnyFunSuite {
       s"re-ingest must be empty, got ${again.collect().mkString(",")}")
   }
 
+  test("persisted Bloom state: prebuilt + merged blooms gate identically") {
+    val batch = df(
+      80L -> prose("alpha"),              // dup of indexed 1
+      81L -> prose("omicron"))            // novel
+    val bloom = Dedup.buildBandBloom(indexBands)
+    val viaBloom = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
+      indexSigs, indexBands, threshold = 0.5, bandBloom = Some(bloom))
+    assert(viaBloom.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(81L))
+    // carry the state forward WITHOUT rebuilding: merge the delta bands'
+    // bloom (same layout params), then the appended content gates too
+    val survivorSigs = Dedup.minhashSignatures(viaBloom, "doc_id", "text")
+    val deltaBands = Dedup.minhashBandIndex(survivorSigs)
+    bloom.mergeInPlace(Dedup.buildBandBloom(deltaBands))
+    val sigs2 = indexSigs.unionByName(survivorSigs)
+    val bands2 = indexBands.unionByName(deltaBands)
+    val again = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
+      sigs2, bands2, threshold = 0.5, bandBloom = Some(bloom))
+    assert(again.isEmpty)
+  }
+
   test("survivors are pairwise below threshold (no surviving candidate pair)") {
     val batch = df((60L to 75L).map(i => i -> prose(s"m$i")): _*)
     val out = Dedup.ingestNovelDocuments(batch, "doc_id", "text",

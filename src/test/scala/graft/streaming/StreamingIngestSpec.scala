@@ -44,4 +44,40 @@ class StreamingIngestSpec extends AnyFunSuite {
     val after3 = PartitionedUpsert.read(spark, index).count()
     assert(after3 == 4L)
   }
+
+  private def prose(seed: String): String =
+    (1 to 40).map(i => s"$seed word$i token${i * 7}").mkString(" ")
+
+  test("near-dup ingest: signature index grows per batch, near-dups drop across batches") {
+    val root = Files.createTempDirectory("graft-ingest-nd").toString
+    val docs = s"$root/docs"; val index = s"$root/index"; val ckpt = s"$root/ckpt"
+
+    // batch 1: two distinct docs + one within-batch near-dup
+    writeBatch(docs, Seq(
+      (1L, prose("alpha")), (2L, prose("beta")),
+      (3L, prose("alpha") + " tail")))
+    StreamingIngest.runAvailableNowNearDup(spark, docs, index, ckpt,
+      threshold = 0.5)
+    val ids1 = PartitionedUpsert.read(spark, s"$index/sigs")
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == Seq(1L, 2L), "batch 1: 3 drops as within-batch near-dup of 1")
+
+    // batch 2: a near-dup of indexed content + a novel doc
+    writeBatch(docs, Seq(
+      (4L, prose("beta") + " extra"), (5L, prose("gamma"))))
+    StreamingIngest.runAvailableNowNearDup(spark, docs, index, ckpt,
+      threshold = 0.5)
+    val ids2 = PartitionedUpsert.read(spark, s"$index/sigs")
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == Seq(1L, 2L, 5L), "batch 2: only the novel doc appends")
+    // bands table tracks sigs exactly (16 band rows per indexed doc)
+    assert(PartitionedUpsert.read(spark, s"$index/bands").count() == 3 * 16L)
+
+    // fresh-checkpoint replay of everything: every doc now matches the
+    // index (its own signature included) — nothing appends, nothing dups
+    StreamingIngest.runAvailableNowNearDup(spark, docs, index,
+      s"$root/ckpt2", threshold = 0.5)
+    assert(PartitionedUpsert.read(spark, s"$index/sigs").count() == 3L,
+      "replayed batches must append nothing")
+  }
 }
