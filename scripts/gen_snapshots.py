@@ -30,6 +30,7 @@ QUERIES = [
     "c9_cdc_chunks",
     "d14_cluster_sizes",
     "d15_incremental_neardup",
+    "d16_incremental_embed",
     "t5_bpe_tokens",
     "v6_embedding_neardup",
 ]

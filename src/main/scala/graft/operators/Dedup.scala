@@ -435,6 +435,26 @@ object Dedup {
     }
   }
 
+  /** Exact cosine in double precision over raw float arrays — the verify
+    * kernel of every embedding near-dup path (in-bucket scoring and the
+    * ingest gate's index check share it so they can never disagree).
+    */
+  private[operators] def cosine(x: Array[Float], y: Array[Float]): Double = {
+    val m = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < m) {
+      val a = x(i).toDouble; val b = y(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+    cosine(a.toArray, b.toArray))
+
   /** In-bucket cosine scoring — survivors-only / star-expansion, with the
     * dot product in double precision over the raw float arrays. Pairs
     * colliding in several bands are scored only in their owner band (the
@@ -452,18 +472,6 @@ object Dedup {
       // O(bands·rowsPerBand·dim) work per bucket membership
       val sks = Array.tabulate(n)(i => members(i).getSeq[Long](2).toArray)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      def cosine(x: Array[Float], y: Array[Float]): Double = {
-        val m = math.min(x.length, y.length)
-        var dot = 0.0; var nx = 0.0; var ny = 0.0
-        var i = 0
-        while (i < m) {
-          val a = x(i).toDouble; val b = y(i).toDouble
-          dot += a * b; nx += a * a; ny += b * b
-          i += 1
-        }
-        val denom = math.sqrt(nx) * math.sqrt(ny)
-        if (denom == 0.0) 0.0 else dot / denom
-      }
       def ownerBand(i: Int, j: Int): Int = {
         var bd = 0
         while (bd < bands) {
@@ -497,12 +505,29 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, bands: Int = 8, rowsPerBand: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    embeddingPairsFromSketches(
+      embeddingSketches(df, idCol, vecCol, bands, rowsPerBand),
+      minCosine, bands, maxBucketSize)
+
+  /** (id, vec, sks) — one scan computes ALL band sketches per row; the
+    * embedding analog of [[minhashSignatures]] (and the persisted state
+    * of the embedding ingest gate).
+    */
+  def embeddingSketches(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
     val sketchAll = udf((v: Seq[Float]) => bandSketches(v.toArray, bands, rowsPerBand))
-    val withBands = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("sks", sketchAll(col("vec")))
-      .select(col("id"), col("vec"), col("sks"),
-        posexplode(col("sks")).as(Seq("band", "bits")))
+  }
+
+  /** [[embeddingNearDupPairs]] from an ALREADY-sketched (id, vec, sks)
+    * table — the entry point when sketches are shared or persisted.
+    */
+  def embeddingPairsFromSketches(sk: DataFrame, minCosine: Double,
+      bands: Int, maxBucketSize: Int = 1000): DataFrame = {
+    val withBands = sk.select(col("id"), col("vec"), col("sks"),
+      posexplode(col("sks")).as(Seq("band", "bits")))
     // single checkpointed aggregation — see minhashNearDupPairs
     val buckets = withBands.groupBy(col("band"), col("bits"))
       .agg(collect_list(struct(col("id"), col("vec"), col("sks"))).as("members"))
@@ -671,8 +696,18 @@ object Dedup {
           .select(col("id")).distinct()
       }
     // within-batch clustering over the SAME signatures (no recompute)
-    val clusters = nearDupClusters(batchSigs.select(col("id")),
-      minhashPairsFromSigs(batchSigs, threshold, maxBucketSize))
+    novelSurvivors(incoming, idCol, batchSigs.select(col("id")),
+      minhashPairsFromSigs(batchSigs, threshold, maxBucketSize), dupIds)
+  }
+
+  /** Shared survivor selection of both ingest gates: cluster the batch's
+    * near-dup pairs, keep each cluster's min-id representative — unless
+    * the cluster contains an index-matched id, in which case the indexed
+    * copy is the representative and the whole cluster drops.
+    */
+  private def novelSurvivors(incoming: DataFrame, idCol: String,
+      batchIds: DataFrame, batchPairs: DataFrame, dupIds: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(batchIds, batchPairs)
       .localCheckpoint(true) // read twice: index-touch probe + survivor pick
     val indexTouched = clusters.join(dupIds, Seq("id"), "left_semi")
       .select(col("cluster")).distinct()
@@ -681,6 +716,54 @@ object Dedup {
       .join(indexTouched, Seq("cluster"), "left_anti")
       .select(col("id").as(idCol))
     incoming.join(survivorIds, Seq(idCol), "left_semi")
+  }
+
+  /** Banded projection of an embedding-sketch index: (band, bh, id) —
+    * [[minhashBandIndex]] for the embedding gate ([[buildBandBloom]] and
+    * the persisted layout apply unchanged).
+    */
+  def embeddingBandIndex(sketches: DataFrame): DataFrame =
+    sketches.select(col("id"), posexplode(col("sks")).as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("id"))
+
+  /** [[ingestNovelDocuments]] in embedding space: the persisted state is
+    * (id, vec, sks) sketches plus their banded projection; the batch is
+    * sketched in one scan, Bloom-gated band collisions fetch candidate
+    * index ids, and the verify is the EXACT cosine against the index
+    * vectors (banding buys recall, the cosine check keeps precision —
+    * the same contract as [[embeddingNearDupPairs]]). Within-batch
+    * clusters follow the shared min-id / index-absorption rule.
+    */
+  def ingestNovelEmbeddings(incoming: DataFrame, idCol: String, vecCol: String,
+      indexSketches: DataFrame, indexBands: DataFrame,
+      minCosine: Double = 0.95, bands: Int = 8, rowsPerBand: Int = 8,
+      maxBucketSize: Int = 1000, expectedBandKeys: Long = 1L << 20,
+      fpp: Double = 0.01,
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val spark = incoming.sparkSession
+    val batchSk = embeddingSketches(incoming, idCol, vecCol, bands, rowsPerBand)
+      .localCheckpoint(true)
+    val batchBands = batchSk
+      .select(col("id"), col("vec"), posexplode(col("sks")).as(Seq("band", "bh")))
+      .withColumn("bk", bandKey)
+    val idxKeyed = indexBands.select(bandKey.as("bk"), col("id").as("idx_id"))
+    val dupIds =
+      if (indexBands.isEmpty) batchSk.select(col("id")).limit(0)
+      else {
+        val bf = bandBloom.getOrElse(buildBandBloom(indexBands, expectedBandKeys, fpp))
+        val bfB = spark.sparkContext.broadcast(bf)
+        val might = udf((k: String) => k != null && bfB.value.mightContainString(k))
+        batchBands.filter(might(col("bk")))
+          .join(idxKeyed, Seq("bk"))
+          .select(col("id"), col("vec"), col("idx_id"))
+          .dropDuplicates("id", "idx_id")
+          .join(indexSketches.select(col("id").as("idx_id"), col("vec").as("idx_vec")),
+            Seq("idx_id"))
+          .filter(cosineUdf(col("vec"), col("idx_vec")) >= minCosine)
+          .select(col("id")).distinct()
+      }
+    novelSurvivors(incoming, idCol, batchSk.select(col("id")),
+      embeddingPairsFromSketches(batchSk, minCosine, bands, maxBucketSize), dupIds)
   }
 
   /** Corpus-level overlap estimation from mergeable MinHash sketches

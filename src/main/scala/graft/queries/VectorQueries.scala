@@ -177,6 +177,27 @@ object VectorQueries {
       Dedup.embeddingNearDupPairs(load(s, d, "embeddings"), "vec_id", "embedding",
         minCosine = 0.4, bands = 8, rowsPerBand = 4)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // D16: incremental ingest in EMBEDDING space — even vec_ids are the
+    // persisted sketch index, odd vec_ids arrive as the batch; only the
+    // batch is sketched, candidates come through the Bloom-gated band
+    // join, and the verify is the exact cosine against index vectors.
+    // Same survivor rule as d15. Snapshot-pinned (banded probe + CC).
+    "d16_incremental_embed" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val corpus = emb.filter($"vec_id" % 2 === 0)
+      val batch = emb.filter($"vec_id" % 2 === 1)
+      val sk = Dedup.embeddingSketches(corpus, "vec_id", "embedding",
+        bands = 8, rowsPerBand = 4).localCheckpoint(true)
+      val survivors = Dedup.ingestNovelEmbeddings(batch, "vec_id", "embedding",
+        sk, Dedup.embeddingBandIndex(sk), minCosine = 0.4,
+        bands = 8, rowsPerBand = 4)
+      batch.agg(count(lit(1)).as("n_batch")).crossJoin(broadcast(
+        survivors.agg(count(lit(1)).as("n_survivors"),
+          sum($"vec_id").as("id_checksum"))))
     })
   )
 

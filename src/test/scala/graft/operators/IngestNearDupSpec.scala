@@ -104,6 +104,51 @@ class IngestNearDupSpec extends AnyFunSuite {
     assert(again.isEmpty)
   }
 
+  private def vdf(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // unit vectors: e(i) is orthogonal to e(j); tilt(i, eps) is e(i) nudged
+  // toward e(i+1) — cosine with e(i) ≈ 1/sqrt(1+eps²) ≈ 1
+  private def e(i: Int, dim: Int = 8): Seq[Float] =
+    Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+  private def tilt(i: Int, eps: Float, dim: Int = 8): Seq[Float] =
+    Seq.tabulate(dim)(j =>
+      if (j == i) 1.0f else if (j == (i + 1) % dim) eps else 0.0f)
+
+  test("embedding gate: near-dups of indexed vectors drop, orthogonal ones survive") {
+    val corpus = vdf(1L -> e(0), 2L -> e(1))
+    val sk = Dedup.embeddingSketches(corpus, "vec_id", "embedding",
+      bands = 8, rowsPerBand = 4).localCheckpoint(true)
+    val bandsIdx = Dedup.embeddingBandIndex(sk)
+    val batch = vdf(
+      10L -> tilt(0, 0.05f), // near-dup of indexed 1
+      11L -> e(2),           // orthogonal to everything indexed
+      12L -> tilt(2, 0.05f)) // within-batch near-dup of 11
+    val out = Dedup.ingestNovelEmbeddings(batch, "vec_id", "embedding",
+      sk, bandsIdx, minCosine = 0.9, bands = 8, rowsPerBand = 4)
+    assert(out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(11L))
+  }
+
+  test("embedding gate idempotence: appended sketches absorb a re-ingest") {
+    val corpus = vdf(1L -> e(0))
+    val sk = Dedup.embeddingSketches(corpus, "vec_id", "embedding",
+      bands = 8, rowsPerBand = 4).localCheckpoint(true)
+    val batch = vdf(20L -> e(3), 21L -> e(4))
+    val out = Dedup.ingestNovelEmbeddings(batch, "vec_id", "embedding",
+      sk, Dedup.embeddingBandIndex(sk), minCosine = 0.9,
+      bands = 8, rowsPerBand = 4)
+    assert(out.count() == 2)
+    val sk2 = sk.unionByName(Dedup.embeddingSketches(out, "vec_id", "embedding",
+      bands = 8, rowsPerBand = 4)).localCheckpoint(true)
+    val again = Dedup.ingestNovelEmbeddings(batch, "vec_id", "embedding",
+      sk2, Dedup.embeddingBandIndex(sk2), minCosine = 0.9,
+      bands = 8, rowsPerBand = 4)
+    assert(again.isEmpty)
+  }
+
   test("survivors are pairwise below threshold (no surviving candidate pair)") {
     val batch = df((60L to 75L).map(i => i -> prose(s"m$i")): _*)
     val out = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
