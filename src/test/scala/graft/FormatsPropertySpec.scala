@@ -62,6 +62,25 @@ class FormatsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("docx/pptx: arbitrary paragraph+table block sequences survive write → read") {
+    val cellText = textGen.map(_.take(12).replace("\r", " "))
+    val tableGen: Gen[Ooxml.DocTable] = for {
+      cols <- Gen.choose(1, 4)
+      nRows <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(cols, cellText))
+    } yield Ooxml.DocTable(rows.map(_.toSeq))
+    val paraGen: Gen[Ooxml.DocBlock] =
+      textGen.map(t => Ooxml.DocPara(t.replace("\r", " ").replace("\n", " ").replace("\t", " ")))
+    val blockGen: Gen[Ooxml.DocBlock] =
+      Gen.frequency((3, paraGen), (2, tableGen.map(t => t: Ooxml.DocBlock)))
+    val blocksGen = Gen.nonEmptyListOf(blockGen).map(_.take(8))
+    forAll(blocksGen) { blocks =>
+      assert(Ooxml.readDocxBlocks(Ooxml.writeDocxBlocks(blocks)) == blocks)
+      assert(Ooxml.readPptxSlideBlocks(Ooxml.writePptxBlocks(Seq(blocks))) ==
+        Seq(blocks))
+    }
+  }
+
   test("xlsx: arbitrary cell grids survive write → read modulo trailing blanks") {
     val cell = Gen.frequency(
       (6, textGen.map(_.take(12))),

@@ -221,6 +221,27 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { release.countDown(); server.stop(0) }
   }
 
+  test("corrupted run-log rows degrade to null fields, never a 500") {
+    val (_, stateDir, logDir) = fixture()
+    // drop a malformed line and a wrong-typed record next to the real logs
+    val runsDir = java.nio.file.Paths.get(logDir, "runs")
+    java.nio.file.Files.writeString(runsDir.resolve("corrupt-a.json"),
+      "{not json at all")
+    java.nio.file.Files.writeString(runsDir.resolve("corrupt-b.json"),
+      """{"runId": 42, "processed": "many"}""")
+    val server = AdminServer.start(0, spark, stateDir, logDir)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      val r = get(client, port, "/api/jobs?sortField=runId&sortOrder=asc")
+      assert(r.statusCode() == 200, r.body())
+      // the three real runs still list; corrupt rows surface as null-field
+      // items (schema'd permissive read), not as a handler failure
+      Seq("run-a", "run-b", "run-c").foreach(id =>
+        assert(r.body().contains(id), s"$id missing: ${r.body()}"))
+    } finally server.stop(0)
+  }
+
   test("binds loopback by default; apiKey gates the mutating endpoints") {
     val (_, stateDir, logDir) = fixture()
     val server = AdminServer.start(0, spark, stateDir, logDir,
