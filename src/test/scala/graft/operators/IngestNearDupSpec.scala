@@ -149,6 +149,33 @@ class IngestNearDupSpec extends AnyFunSuite {
     assert(again.isEmpty)
   }
 
+  test("soundness on the real corpus: every dropped doc has a witness at threshold") {
+    // even doc_ids indexed, odd ingested — then every batch doc the gate
+    // dropped must have SOME partner (indexed doc or fellow batch doc) at
+    // estimated Jaccard ≥ threshold, verified brute-force from the raw
+    // signatures: the gate may lose recall (LSH), but it must never drop
+    // without a witness
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf}/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val threshold = 0.5
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text").localCheckpoint(true)
+    val out = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
+      sigs, Dedup.minhashBandIndex(sigs), threshold = threshold)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.Hashing.minhashSignature(r.getString(1)))
+    val dropped = all.filter { case (id, _) => id % 2 == 1 && !kept.contains(id) }
+    assert(dropped.nonEmpty, "corpus should produce at least one drop at 0.5")
+    dropped.foreach { case (id, sig) =>
+      val witness = all.exists { case (oid, osig) =>
+        oid != id && graft.functions.Hashing.estimatedJaccard(sig, osig) >= threshold
+      }
+      assert(witness, s"doc $id dropped without any partner at >= $threshold")
+    }
+  }
+
   test("survivors are pairwise below threshold (no surviving candidate pair)") {
     val batch = df((60L to 75L).map(i => i -> prose(s"m$i")): _*)
     val out = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
