@@ -15,7 +15,10 @@ Usage: python3 scripts/duckdb_anchor.py <sfDir> <verifyOutDir>
 import json, os, sys, time
 import duckdb
 
-QUERIES = ["q01_pricing_summary", "q02_filtered_revenue", "q05_regional_revenue"]
+# the TPC-H trio plus one representative per operator family that has a
+# full DuckDB-expressible oracle (dedup, text analysis, dimension join)
+QUERIES = ["q01_pricing_summary", "q02_filtered_revenue", "q05_regional_revenue",
+           "d1_dedup_exact", "t1_token_counts", "j5_dim_join_revenue"]
 
 
 def main(sf_dir, out_dir):
