@@ -288,7 +288,8 @@ object Dedup {
     * cluster = min id of the component — the deterministic "keeper" rule
     * every dedup operator here uses.
     */
-  def nearDupClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def nearDupClusters(ids: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
+      driverEdgeCap: Long = 200000L): DataFrame = {
     val idsNorm = ids.select(col(ids.columns.head).cast("long").as("id"))
     // drop edges with an endpoint outside ids BEFORE the loop (the pre-
     // rewrite inner joins against an ids-based label table did this
@@ -298,6 +299,45 @@ object Dedup {
       .join(idsNorm.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(idsNorm.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint(true)
+    // Small-edge-set fast path: the near-dup EDGE set is vastly smaller
+    // than the corpus (it is the output of threshold-verified candidate
+    // mining, not the input), and below the cap the iterative relax/jump
+    // machinery costs more in per-round job scheduling than the whole
+    // component computation. Bounded driver state by the explicit cap —
+    // the same discipline as the hot-bucket key sets — with union-find +
+    // path compression, then min-id per component (identical labels to
+    // the distributed loop, proven by DedupClustersSpec equivalence).
+    if (edges.count() <= driverEdgeCap) {
+      val es = edges.collect().map(r =>
+        (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != root) {
+          val next = parent(cur); parent(cur) = root; cur = next
+        }
+        root
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+      verts.foreach { v =>
+        val r = find(v)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+      }
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val labeled = verts.toSeq.map(v => (v, minOfRoot(find(v)))).toDF("id", "cluster")
+      return labeled.unionByName(
+        idsNorm.join(labeled.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("cluster", col("id")))
+    }
     val vertices = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
     var labels = vertices.withColumn("cluster", col("id")).localCheckpoint(true)
     // exact decimal so the equality test can never alias through overflow

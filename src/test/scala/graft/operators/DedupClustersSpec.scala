@@ -10,12 +10,17 @@ class DedupClustersSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   import spark.implicits._
 
-  test("label propagation crosses a long chain (diameter > 1 round)") {
+  test("label propagation crosses a long chain (diameter > 1 round), both paths") {
     val ids = (1L to 6L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(ids, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L)
+    // driverEdgeCap = 0 forces the distributed relax+jump loop; the
+    // default takes the driver union-find fast path — labels must agree
+    Seq(0L, 200000L).foreach { cap =>
+      val got = Dedup.nearDupClusters(ids, pairs, driverEdgeCap = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"cap=$cap")
+    }
   }
 
   test("pair endpoints outside ids never become labels or output rows") {
@@ -24,16 +29,20 @@ class DedupClustersSpec extends AnyFunSuite {
     // outside ids would make keepRepresentatives drop the whole cluster)
     val ids = Seq(5L, 6L).toDF("id")
     val pairs = Seq((2L, 5L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(ids, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(5L -> 5L, 6L -> 5L))
+    Seq(0L, 200000L).foreach { cap =>
+      val got = Dedup.nearDupClusters(ids, pairs, driverEdgeCap = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(5L -> 5L, 6L -> 5L), s"cap=$cap")
+    }
   }
 
   test("pointer jumping converges a 60-node chain in O(log n) rounds") {
     // plain one-hop propagation would need ~60 rounds; relax+jump needs ~7
     val ids = (1L to 60L).toDF("id")
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(ids, pairs, maxRounds = 10).collect()
+    // cap 0: the distributed loop must converge within the round budget
+    val got = Dedup.nearDupClusters(ids, pairs, maxRounds = 10,
+      driverEdgeCap = 0L).collect()
     assert(got.forall(_.getLong(1) == 1L), "entire chain must label to the min id")
   }
 
@@ -56,10 +65,14 @@ class DedupClustersSpec extends AnyFunSuite {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val ids = docs.select($"doc_id")
-    val got = Dedup.nearDupClusters(ids, verified).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    got.foreach { case (id, cluster) =>
-      assert(cluster == find(id), s"doc $id: got $cluster want ${find(id)}")
+    // both the distributed loop (cap 0) and the fast path must reproduce
+    // the reference union-find labels exactly
+    Seq(0L, 200000L).foreach { cap =>
+      val got = Dedup.nearDupClusters(ids, verified, driverEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (id, cluster) =>
+        assert(cluster == find(id), s"cap=$cap doc $id: got $cluster want ${find(id)}")
+      }
     }
   }
 
