@@ -19,7 +19,8 @@ object ExplainAudit {
         "t12_corpus_profile,c9_cdc_chunks,sp7_epoch_shuffle,sp8_grouped_split," +
         "d13_corpus_overlap,sp9_token_budget,r1_bm25_topk,r2_hybrid_rrf," +
         "m1_multimodal_features,m4_media_frames,s14_pdf_split,v12_filtered_ann," +
-        "d4_jaccard_verified,d15_incremental_neardup,w8_admin_page")
+        "d4_jaccard_verified,d15_incremental_neardup,w8_admin_page," +
+        "d17_substring_spans")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

@@ -648,6 +648,88 @@ object Dedup {
       .select(col("id"), col("p_idx"), col("p_text"), col("_fp"))
   }
 
+  /** Exact substring-span dedup (Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): find token spans of ≥ `windowTokens` tokens that occur
+    * more than once anywhere in the corpus and cut every occurrence except
+    * the first from the rebuilt text. Distinct from [[dropDuplicateParagraphs]]
+    * (non-overlapping fixed windows, whole-window keeper): here windows
+    * slide with stride 1, so a duplicated region is detected at ANY token
+    * offset, and overlapping duplicated windows are merged into maximal
+    * spans before removal.
+    *
+    * The single-machine original builds a corpus-wide suffix array; that
+    * does not distribute. The Spark-shaped equivalent fingerprints every
+    * stride-1 window (md5 of the joined tokens — exact, not sketched) and
+    * reduces duplicate detection to one hash shuffle:
+    *
+    *  1. window scan — `posexplode` of the stride-1 windows; rows ≈ corpus
+    *     token count, linear, no shuffle.
+    *  2. keeper table — groupBy(fingerprint).agg(min(struct(id, pos)),
+    *     count). Boilerplate skew (one window in millions of docs) is
+    *     absorbed by map-side partial aggregation — the same discipline as
+    *     [[dropDuplicateParagraphs]]; a row_number window here would funnel
+    *     every hot fingerprint through one reducer. Only fingerprints with
+    *     count > 1 survive, so the join-back side is duplicate-sized, not
+    *     corpus-sized.
+    *  3. covered intervals — non-keeper occurrences of duplicated
+    *     fingerprints, i.e. [pos, pos + W − 1] per occurrence.
+    *  4. span merge — gaps-and-islands per document (running max(end) over
+    *     a doc-partitioned window; a new island starts when the next
+    *     interval opens past it). Per-doc work, one shuffle on id.
+    *  5. rebuild — spans collect to a per-doc array (bounded by the doc's
+    *     own length, never corpus-sized) and a codegen'd higher-order
+    *     filter drops covered token positions.
+    *
+    * Returns one row per input document: (id, n_spans, toks_removed,
+    * text_clean) — documents without duplicated spans keep their full
+    * (whitespace-normalized) token stream, fully-duplicated documents come
+    * back empty.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, sep: String = " "): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be at least 2")
+    val toks = filter(split(trim(col(textCol)), " "), t => length(t) > 0)
+    val base = df.select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .localCheckpoint(true) // tokenization feeds both the scan and the rebuild
+    val nW = greatest(size(col("toks")) - (windowTokens - 1), lit(0))
+    val wins = base.select(col("id"),
+        posexplode(when(nW === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), nW),
+            j => array_join(slice(col("toks"), j, lit(windowTokens)), " "))))
+          .as(Seq("p", "w")))
+      .select(col("id"), col("p"), md5(col("w")).as("_fp"))
+    val dupKeepers = wins.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("p"))).as("_k"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+    val covered = wins.join(dupKeepers, Seq("_fp"))
+      .filter(!(col("id") === col("_k.id") && col("p") === col("_k.p")))
+      .select(col("id"), col("p").as("s"),
+        (col("p") + (windowTokens - 1)).as("e"))
+    val byStart = Window.partitionBy(col("id")).orderBy(col("s"))
+    val prevMax = max(col("e"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = covered
+      .withColumn("_new",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_new"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).cast("long").as("toks_removed"),
+        collect_list(struct(col("ss"), col("se"))).as("_sps"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("toks_removed"), lit(0L)).as("toks_removed"),
+        array_join(when(col("_sps").isNull, col("toks")).otherwise(
+          filter(col("toks"), (t, i) => !exists(col("_sps"), sp =>
+            i >= sp.getField("ss") && i <= sp.getField("se")))),
+          sep).as("text_clean"))
+  }
+
   private val estJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
     Hashing.estimatedJaccard(a.toArray, b.toArray))
 

@@ -18,6 +18,7 @@ object Coverage8 {
 
   private val SemTau = 0.45 // d10: embeddings-table near-dup band is cos≈0.45-0.51
   private val ParaWords = 12 // d11/d12: tokens per pseudo-paragraph window
+  private val SpanWindow = 8 // d17: stride-1 window length (tokens)
 
   /** The gate corpus has no newlines, so "paragraphs" are non-overlapping
     * 12-token windows — same slicing the DuckDB oracle spells with list
@@ -349,6 +350,20 @@ object Coverage8 {
           countDistinct($"doc_id").as("docs_touched"),
           sum(length($"p_text")).as("chars_novel"))
         .orderBy($"lang")
+    }),
+
+    // D17: exact substring-span dedup (Lee et al. 2022 ExactSubstr) —
+    // stride-1 8-token windows; duplicated spans merged gaps-and-islands
+    // style and cut from every occurrence but the first. The md5 window
+    // fingerprints, the min-(doc,pos) keeper rule, and the island merge
+    // all reproduce exactly in SQL, so the full per-doc rebuilt corpus
+    // hash-matches.
+    "d17_substring_spans" -> ((s, d) => {
+      import s.implicits._
+      Dedup.removeDuplicateSpans(load(s, d, "documents"), "doc_id", "text",
+          windowTokens = SpanWindow)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
     })
   )
 
@@ -619,6 +634,49 @@ object Coverage8 {
          | QUALIFY row_number() OVER (PARTITION BY md5(p_text) ORDER BY doc_id, p_idx) = 1)
          |SELECT lang, count(*) AS paras_novel, count(DISTINCT doc_id) AS docs_touched,
          | CAST(sum(length(p_text)) AS BIGINT) AS chars_novel
-         |FROM novel GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM novel GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d17_substring_spans" ->
+      s"""WITH w AS (
+         | SELECT doc_id, list_filter(string_split(trim(text),' '), x -> len(x) > 0) AS toks
+         | FROM documents),
+         |win AS (
+         | SELECT w.doc_id, u.p AS p,
+         |  md5(array_to_string(w.toks[u.p+1 : u.p+$SpanWindow], ' ')) AS f
+         | FROM w JOIN (SELECT unnest(range(512)) AS p) u
+         |   ON u.p + $SpanWindow <= len(w.toks)),
+         |cov AS (
+         | SELECT doc_id, p AS s, p + $SpanWindow - 1 AS e
+         | FROM (SELECT doc_id, p, f,
+         |         row_number() OVER (PARTITION BY f ORDER BY doc_id, p) AS rn,
+         |         count(*) OVER (PARTITION BY f) AS cnt
+         |       FROM win)
+         | WHERE cnt > 1 AND rn > 1),
+         |isl AS (
+         | SELECT doc_id, s, e,
+         |  sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         | FROM (SELECT doc_id, s, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |       FROM cov)),
+         |spans AS (SELECT doc_id, g, min(s) AS ss, max(e) AS se FROM isl GROUP BY 1, 2),
+         |tok AS (
+         | SELECT w.doc_id, u.i AS i, w.toks[u.i+1] AS t
+         | FROM w JOIN (SELECT unnest(range(512)) AS i) u ON u.i < len(w.toks)),
+         |keptt AS (
+         | SELECT t.doc_id, t.i, t.t FROM tok t
+         | WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |   WHERE sp.doc_id = t.doc_id AND t.i BETWEEN sp.ss AND sp.se)),
+         |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_clean
+         |        FROM keptt GROUP BY 1),
+         |sp2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(se - ss + 1) AS BIGINT) AS toks_removed
+         |        FROM spans GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sp2.n_spans, 0) AS n_spans,
+         | coalesce(sp2.toks_removed, 0) AS toks_removed,
+         | coalesce(agg.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN sp2 USING (doc_id) LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }
