@@ -689,16 +689,8 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, sep: String = " "): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be at least 2")
-    val toks = filter(split(trim(col(textCol)), " "), t => length(t) > 0)
-    val base = df.select(col(idCol).cast("long").as("id"), toks.as("toks"))
-      .localCheckpoint(true) // tokenization feeds both the scan and the rebuild
-    val nW = greatest(size(col("toks")) - (windowTokens - 1), lit(0))
-    val wins = base.select(col("id"),
-        posexplode(when(nW === 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), nW),
-            j => array_join(slice(col("toks"), j, lit(windowTokens)), " "))))
-          .as(Seq("p", "w")))
-      .select(col("id"), col("p"), md5(col("w")).as("_fp"))
+    val base = tokenBase(df, idCol, textCol)
+    val wins = strideWindows(base, windowTokens)
     val dupKeepers = wins.groupBy(col("_fp"))
       .agg(min(struct(col("id"), col("p"))).as("_k"), count(lit(1)).as("_n"))
       .filter(col("_n") > 1)
@@ -706,6 +698,43 @@ object Dedup {
       .filter(!(col("id") === col("_k.id") && col("p") === col("_k.p")))
       .select(col("id"), col("p").as("s"),
         (col("p") + (windowTokens - 1)).as("e"))
+    cutCoveredSpans(base, covered, sep)
+  }
+
+  /** (id, toks) projection shared by the span-removal operators; eagerly
+    * checkpointed because the token array feeds both the window scan and
+    * the final rebuild.
+    */
+  private[operators] def tokenBase(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), " "), t => length(t) > 0)
+    df.select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .localCheckpoint(true)
+  }
+
+  /** Stride-1 fingerprinted windows of a [[tokenBase]]: (id, p, _fp) where
+    * _fp = md5 of the space-joined `w`-token window starting at 0-based
+    * token position p. Linear scan, no shuffle.
+    */
+  private[operators] def strideWindows(base: DataFrame, w: Int): DataFrame = {
+    val nW = greatest(size(col("toks")) - (w - 1), lit(0))
+    base.select(col("id"),
+        posexplode(when(nW === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), nW),
+            j => array_join(slice(col("toks"), j, lit(w)), " "))))
+          .as(Seq("p", "w")))
+      .select(col("id"), col("p"), md5(col("w")).as("_fp"))
+  }
+
+  /** Steps 4–5 of the span-removal shape: merge covered token intervals
+    * (id, s, e) gaps-and-islands into maximal spans, then rebuild each
+    * document with covered positions cut. Interval rows are match-sized
+    * (never corpus-sized), the island merge is per-doc window work, and
+    * the rebuild is a codegen'd higher-order filter over the doc's own
+    * span list.
+    */
+  private[operators] def cutCoveredSpans(base: DataFrame, covered: DataFrame,
+      sep: String): DataFrame = {
     val byStart = Window.partitionBy(col("id")).orderBy(col("s"))
     val prevMax = max(col("e"))
       .over(byStart.rowsBetween(Window.unboundedPreceding, -1))

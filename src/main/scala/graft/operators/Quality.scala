@@ -158,4 +158,35 @@ object Quality {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       .withColumn("is_contaminated", col("n_contaminated") > 0)
   }
+
+  /** Benchmark decontamination as a corpus TRANSFORM — the removal
+    * counterpart to [[contaminationCounts]]'s per-doc counters, the way the
+    * reference pipelines (and Llama/Dolma-style pretraining preps) actually
+    * consume it: every corpus token covered by a k-gram that appears in the
+    * benchmark is CUT, with overlapping matched windows first merged into
+    * maximal spans so a leaked passage disappears as one contiguous hole.
+    *
+    * Scale shape: the benchmark k-gram fingerprint table is distinct-ed and
+    * BROADCAST (benchmarks are tiny next to a pretraining corpus), so the
+    * corpus window scan is map-only — a left-semi broadcast-hash probe with
+    * no corpus-sized shuffle anywhere. Only MATCHED windows (contamination-
+    * sized, near-zero on a clean corpus) reach the per-doc island merge,
+    * which reuses the exact machinery of [[Dedup.removeDuplicateSpans]].
+    *
+    * Returns one row per corpus document: (id, n_spans, toks_removed,
+    * text_clean); clean documents keep their full (whitespace-normalized)
+    * token stream.
+    */
+  def removeContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int, sep: String = " "): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val base = Dedup.tokenBase(corpus, idCol, textCol)
+    val benchFps = Dedup.strideWindows(
+        Dedup.tokenBase(benchmark, idCol, textCol), k)
+      .select(col("_fp")).distinct()
+    val covered = Dedup.strideWindows(base, k)
+      .join(broadcast(benchFps), Seq("_fp"), "left_semi")
+      .select(col("id"), col("p").as("s"), (col("p") + (k - 1)).as("e"))
+    Dedup.cutCoveredSpans(base, covered, sep)
+  }
 }

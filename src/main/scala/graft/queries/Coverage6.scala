@@ -80,6 +80,28 @@ object Coverage6 {
         .orderBy($"doc_id")
     }),
 
+    // DC2: benchmark decontamination as a TRANSFORM — dc1's counters tell
+    // you WHICH docs leak; this cuts the leaked spans out. Same corpus
+    // construction as dc1 (bench = every 97th doc, its 12-word lead snippet
+    // appended to every 10th corpus doc), so the injected passage must come
+    // back out as one merged hole. Broadcast bench-gram probe: the corpus
+    // side never shuffles; only matched windows reach the island merge.
+    "dc2_decontam_spans" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val snip = bench.filter($"doc_id" === 0)
+        .select(concat_ws(" ", slice(split(trim($"text"), " +"), 1, 12)).as("snip"))
+      val corpus = docs.filter($"doc_id" % 97 =!= 0)
+        .crossJoin(broadcast(snip))
+        .withColumn("text", when($"doc_id" % 10 === 0,
+          concat($"text", lit(" "), $"snip")).otherwise($"text"))
+        .select($"doc_id", $"text")
+      Quality.removeContaminatedSpans(corpus, bench, "doc_id", "text", DecontamK)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // AJ1: as-of (point-in-time) join — every 20th event is a "reference
     // update"; each remaining event attaches the latest reference at-or-
     // before its timestamp for the same user. Single-window merge: ONE
@@ -192,6 +214,56 @@ object Coverage6 {
          |SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
          | (coalesce(h.n, 0) > 0) AS is_contaminated
          |FROM corpus c LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+    "dc2_decontam_spans" ->
+      s"""WITH w0 AS (
+         | SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS ws
+         | FROM documents),
+         |snip AS (
+         | SELECT array_to_string(list_slice(ws, 1, 12), ' ') AS s FROM w0 WHERE doc_id = 0),
+         |corpus AS (
+         | SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |   THEN text || ' ' || (SELECT s FROM snip) ELSE text END AS text
+         | FROM documents WHERE doc_id % 97 <> 0),
+         |cw AS (
+         | SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS toks
+         | FROM corpus),
+         |bg AS (
+         | SELECT DISTINCT unnest(list_transform(generate_series(0, len(ws)-$DecontamK),
+         |   i -> array_to_string(list_slice(ws, i+1, i+$DecontamK), ' '))) AS gram
+         | FROM w0 WHERE doc_id % 97 = 0 AND len(ws) >= $DecontamK),
+         |cov AS (
+         | SELECT doc_id, u.p AS s, u.p + $DecontamK - 1 AS e
+         | FROM cw JOIN (SELECT unnest(range(512)) AS p) u
+         |   ON u.p + $DecontamK <= len(cw.toks)
+         | WHERE array_to_string(cw.toks[u.p+1 : u.p+$DecontamK], ' ')
+         |       IN (SELECT gram FROM bg)),
+         |isl AS (
+         | SELECT doc_id, s, e,
+         |  sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         | FROM (SELECT doc_id, s, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |       FROM cov)),
+         |spans AS (SELECT doc_id, g, min(s) AS ss, max(e) AS se FROM isl GROUP BY 1, 2),
+         |tok AS (
+         | SELECT cw.doc_id, u.i AS i, cw.toks[u.i+1] AS t
+         | FROM cw JOIN (SELECT unnest(range(512)) AS i) u ON u.i < len(cw.toks)),
+         |keptt AS (
+         | SELECT t.doc_id, t.i, t.t FROM tok t
+         | WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |   WHERE sp.doc_id = t.doc_id AND t.i BETWEEN sp.ss AND sp.se)),
+         |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_clean
+         |        FROM keptt GROUP BY 1),
+         |sp2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(se - ss + 1) AS BIGINT) AS toks_removed
+         |        FROM spans GROUP BY 1)
+         |SELECT c.doc_id, coalesce(sp2.n_spans, 0) AS n_spans,
+         | coalesce(sp2.toks_removed, 0) AS toks_removed,
+         | coalesce(agg.text_clean, '') AS text_clean
+         |FROM corpus c LEFT JOIN sp2 USING (doc_id) LEFT JOIN agg USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "aj1_asof_join" ->
       """WITH r AS (
         | SELECT user_id, ts AS rts, event_id AS ref_event, value AS ref_value
