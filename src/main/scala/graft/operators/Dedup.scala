@@ -198,9 +198,17 @@ object Dedup {
     * mega-cluster buckets star-expand instead of dropping.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    hammingNearDupPairs(df.select(col(idCol).cast("long").as("id"),
+      GraftFunctions.simhash(col(textCol)).as("sh")), maxHamming, maxBucketSize)
+
+  /** Near-dup pairs for ANY 64-bit similarity-preserving sketch column —
+    * the blocking/verify engine behind [[simhashNearDupPairs]] (text) and
+    * perceptual-hash image dedup ([[graft.pipeline.Multimodal.phash64]]).
+    * Input must be (id: long, sh: long); returns (id_a, id_b, hamming).
+    */
+  def hammingNearDupPairs(sk: DataFrame,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val sk = df.select(col(idCol).cast("long").as("id"),
-      GraftFunctions.simhash(col(textCol)).as("sh"))
     val chunks = sk.select(col("id"), col("sh"), explode(array((0 until 4).map { i =>
       struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) % 65536).as("cv"))
     }: _*)).as("c")).select(col("id"), col("sh"), col("c.ci"), col("c.cv"))

@@ -142,6 +142,166 @@ object Multimodal {
     encodePng(img)
   }
 
+  /** Deterministic smooth "spectral" grayscale PNG: the image is a sum of
+    * the 63 low-frequency 2D-DCT basis functions, each weighted by a ±1
+    * sign drawn from an integer mix of (seed, u, v), rendered in CONTINUOUS
+    * coordinates (`cos(πu(x+½)/w)·cos(πv(y+½)/h)`) so the same seed painted
+    * at any pixel size carries the same normalized content. A perceptual
+    * hash of such an image recovers the planted sign pattern: [[phash64]]
+    * of two renders of one seed agree within a few bits at any size, while
+    * independent seeds disagree on ~half the bits — the exact
+    * invariance/discrimination contract image near-dup blocking needs, with
+    * the clustering predictable arithmetically from the seed alone.
+    * StrictMath keeps rendering bit-identical across JVMs.
+    */
+  def spectralPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive, got ${width}x$height")
+    val n = PhashLow
+    // per-(u,v) sign from a splitmix-style integer mix — no RNG state
+    def sign(u: Int, v: Int): Double = {
+      var z = seed + 0x9e3779b97f4a7c15L * (u * n + v + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val cw = Array.tabulate(n, width)((u, x) =>
+      StrictMath.cos(StrictMath.PI * u * (x + 0.5) / width))
+    val ch = Array.tabulate(n, height)((v, y) =>
+      StrictMath.cos(StrictMath.PI * v * (y + 0.5) / height))
+    // row-factor table m(v)(x) = Σu sign(u,v)·cw(u)(x): turns the pixel
+    // loop from 63 into n mults — the fixture render, not the hash, is
+    // the hot path when a whole corpus synthesizes payloads
+    val m = Array.tabulate(n, width) { (v, x) =>
+      var s = 0.0
+      var u = if (v == 0) 1 else 0
+      while (u < n) { s += sign(u, v) * cw(u)(x); u += 1 }
+      s
+    }
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var s = 0.0
+        var v = 0
+        while (v < n) { s += m(v)(x) * ch(v)(y); v += 1 }
+        // ±63 worst case but ~N(0,√63) typically; gentle scale, rare clamp
+        val px = StrictMath.round(127.5 + 4.0 * s).toInt
+        raster.setSample(x, y, 0, 0 max px min 255)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  private val PhashGrid = 32 // downsample grid; DCT input
+  private val PhashLow = 8   // low-frequency block kept from the DCT
+
+  // cos(π(2i+1)u / 2N) for the separable DCT-II — precomputed once per JVM
+  private lazy val phashCos: Array[Array[Double]] =
+    Array.tabulate(PhashLow, PhashGrid)((u, i) =>
+      StrictMath.cos(StrictMath.PI * (2 * i + 1) * u / (2.0 * PhashGrid)))
+
+  /** 64-bit perceptual hash (the classic DCT pHash): decode → area-average
+    * the luma plane onto a 32×32 grid → 2D DCT-II → keep the 8×8
+    * low-frequency block → threshold each AC coefficient against the
+    * median of the 63 AC values (bit 63, the DC slot, stays 0). Images
+    * that differ only by scale/re-encode/mild noise land within a few bits
+    * of Hamming distance; structurally different images land ~32 apart —
+    * which makes the SAME pigeonhole blocking used for SimHash text dedup
+    * ([[graft.operators.Dedup.simhashNearDupPairs]]) work unchanged for
+    * image near-dup. Returns None for undecodable payloads.
+    */
+  def phash64(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map {
+    case (img, _) =>
+      val n = PhashGrid
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray8 = img.getType == BufferedImage.TYPE_BYTE_GRAY
+      val gray16 = img.getType == BufferedImage.TYPE_USHORT_GRAY
+      val raster = img.getRaster
+      // area-average box resample onto the n×n grid (deterministic integer
+      // box bounds; every source pixel lands in exactly one cell)
+      val grid = new Array[Double](n * n)
+      val cnt = new Array[Int](n * n)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * n / h).toInt
+        var x = 0
+        while (x < w) {
+          val l =
+            if (gray8) raster.getSample(x, y, 0)
+            else if (gray16) raster.getSample(x, y, 0) >> 8
+            else luma(img.getRGB(x, y))
+          val c = gy * n + (x.toLong * n / w).toInt
+          grid(c) += l
+          cnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < n * n) {
+        // images smaller than the grid leave empty cells at 0 — still
+        // deterministic, and identical across equal inputs
+        if (cnt(i) > 0) grid(i) /= cnt(i)
+        i += 1
+      }
+      // separable DCT-II, only the PhashLow×PhashLow low-frequency corner
+      val rows = Array.ofDim[Double](n, PhashLow) // rows(y)(u) = Σx grid(y,x)·cos(u)
+      y = 0
+      while (y < n) {
+        var u = 0
+        while (u < PhashLow) {
+          var s = 0.0
+          var x = 0
+          while (x < n) { s += grid(y * n + x) * phashCos(u)(x); x += 1 }
+          rows(y)(u) = s
+          u += 1
+        }
+        y += 1
+      }
+      val ac = new Array[Double](PhashLow * PhashLow)
+      var v = 0
+      while (v < PhashLow) {
+        var u = 0
+        while (u < PhashLow) {
+          var s = 0.0
+          var yy = 0
+          while (yy < n) { s += rows(yy)(u) * phashCos(v)(yy); yy += 1 }
+          ac(v * PhashLow + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      // threshold against the AC MEAN (the mean-variant of pHash): for
+      // near-binary coefficient distributions the mean sits in the gap
+      // around zero, where the median would sit ON the positive cluster
+      // and turn near-tie bits into noise
+      var mean = 0.0
+      var maxAbs = 0.0
+      i = 1
+      while (i < PhashLow * PhashLow) {
+        mean += ac(i)
+        maxAbs = maxAbs max StrictMath.abs(ac(i))
+        i += 1
+      }
+      mean /= (PhashLow * PhashLow - 1)
+      // epsilon relative to the spectrum's own scale: a blank raster's AC
+      // values are pure float noise around zero — without the guard its
+      // bits would be noise too; with it every flat image hashes to 0
+      val eps = 1e-6 * (maxAbs + 1.0)
+      var bits = 0L
+      i = 1
+      while (i < PhashLow * PhashLow) {
+        if (ac(i) - mean > eps) bits |= 1L << (i - 1)
+        i += 1
+      }
+      bits
+  }
+
   /** Lossless PNG encode of a raster (figure crops, resizes). */
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -354,6 +354,37 @@ object Coverage5 {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // M5: perceptual-hash image near-dup — the image-side counterpart of
+    // d3's SimHash text dedup, sharing its pigeonhole blocking engine. Each
+    // doc renders its group's spectral pattern (seed = doc_id % 25) at a
+    // doc-specific pixel size, so every cluster mixes NINE different
+    // resolutions of the "same" image; DCT pHash over the real ImageIO
+    // decode must pull them back together (scale invariance) without ever
+    // merging different seeds (~32-bit Hamming apart). The oracle predicts
+    // the full clustering arithmetically from the planted group structure.
+    "m5_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.spectralPng(id % 25,
+        (48 + id % 3 * 16).toInt, (48 + (id / 3) % 3 * 16).toInt))
+      val ph = udf((b: Array[Byte]) => graft.pipeline.Multimodal.phash64(b))
+      val docs = load(s, d, "documents").select($"doc_id")
+      // the small parquet arrives as one split; spread the codec-heavy
+      // render/hash stage across the cluster before it runs
+      val sk = docs.repartition($"doc_id").withColumn("payload", mk($"doc_id"))
+        .select($"doc_id".as("id"), ph($"payload").as("sh"))
+      // low star-expansion cap: resolution-variant groups are mega-clusters
+      // of near-identical hashes, where all-pairs edges buy no connectivity
+      // the rep star doesn't already give
+      val pairs = graft.operators.Dedup.hammingNearDupPairs(sk,
+        maxHamming = 3, maxBucketSize = 64)
+      val clusters = graft.operators.Dedup.nearDupClusters(sk.select($"id"), pairs)
+      docs.select($"doc_id".as("id"))
+        .join(clusters, Seq("id"), "left")
+        .select($"id", coalesce($"cluster", $"id").as("rep_id"))
+        .groupBy($"rep_id").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"rep_id")
+    }),
+
     // §2.11 end-to-end: two incremental runs over unchanged input — run 2
     // must process nothing, skip everything, write no chunks and purge no
     // parents, leaving the index byte-identical (idempotent replace, the
@@ -500,6 +531,12 @@ object Coverage5 {
         | CAST((doc_id*31 + frame_idx*17) % 256 * (10 + doc_id % 6) * 8 AS BIGINT)
         |   AS frame_luma
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // m5's clustering is fully determined by the planted seed groups: the
+    // probe margins (in-group Hamming 0, cross-group ≥ 21 on these exact
+    // renders) leave τ=3 blocking no way to split or merge a group
+    "m5_phash_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS rep_id, count(*) AS n_docs
+        |FROM documents GROUP BY doc_id % 25 ORDER BY 1""".stripMargin,
     "m3_media_resize" ->
       """SELECT doc_id, CAST(12 AS INTEGER) AS media_width,
         | CAST(9 AS INTEGER) AS media_height,
