@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access helpers for the driver-generated test data
   * (`/root/testdata/sf*`; see TESTDATA.md). All queries take the sf
@@ -13,20 +13,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true: the events
-    * table stores TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-    * as a timestamp type. We read it as long and rebuild a microsecond
-    * TimestampType column (exact — the generator emits µs-aligned values).
+  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true: older
+    * generator runs stored the events table as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects as a timestamp type. We read it as
+    * long and rebuild a microsecond TimestampType column (exact — the
+    * generator emits µs-aligned values).
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  /** Normalize the `ts` column to session-local TimestampType regardless of
+    * how the generator wrote it: TIMESTAMP(NANOS) (read as long under the
+    * legacy flag), TIMESTAMP_NTZ (µs, no zone — current generator), or plain
+    * TIMESTAMP all become the same µs instants under the UTC session zone.
+    * Downstream epoch extractors (`unix_millis`/`unix_micros`) require
+    * TimestampType and reject NTZ, so this is the one place the difference
+    * is absorbed.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Register all tables as temp views (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

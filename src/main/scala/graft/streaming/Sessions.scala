@@ -193,11 +193,8 @@ object Sessions {
     // FileStreamSource needs a directory: stream the sf dir, glob one table
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    // same TIMESTAMP(NANOS) workaround as Tables.load (ts arrives as long ns)
-    val stream =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    // same ts normalization as Tables.load (long ns or NTZ µs → TimestampType)
+    val stream = graft.Tables.normalizeTs(raw)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
