@@ -21,6 +21,14 @@ object Tables {
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Checkpoint/broadcast/shuffle state is freed by the ContextCleaner,
+      // which only learns an RDD is dead after a GC collects its reference.
+      // A large-heap driver may not GC for the life of a mid-sized job, so
+      // eagerly-checkpointed blocks (the dedup family) accumulate until
+      // storage pressure evicts them mid-query. Spark's own periodic-GC
+      // escape hatch defaults to 30min; 2min bounds the accumulation
+      // window for long multi-query sessions at negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "2min")
 
   /** Normalize the `ts` column to session-local TimestampType regardless of
     * how the generator wrote it: TIMESTAMP(NANOS) (read as long under the
