@@ -22,13 +22,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A query that throws leaves no parquet, and the driver's compare then
+    // OMITS it from CORRECTNESS_r{N}.json rather than recording an error —
+    // round 8 lost two queries invisibly that way. Record every failure in
+    // errors.json (name → first exception line) so a shrunk query set is
+    // attributable, and repeat the count on stderr for the log tail.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val names = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    names.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = String.valueOf(e).linesIterator.nextOption().getOrElse("")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +53,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    System.err.println(
+      s"[verify] dumped ${names.size - errors.size}/${names.size}, failed ${errors.size}")
     spark.stop()
   }
 }
