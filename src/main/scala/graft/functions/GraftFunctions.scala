@@ -36,6 +36,9 @@ object GraftFunctions {
       es => ShingleHashSet(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_set_jaccard",
       es => SortedSetJaccard(es(0), es(1)), "scala_udf")
+    // hot-path: the corpus-overlap sketch's portable (sh, md5-prefix) pairs
+    reg.createOrReplaceTempFunction("graft_overlap_shingles",
+      es => OverlapShingles(es(0), es(1)), "scala_udf")
 
     // Domain scalar/generator functions as UDFs (SURVEY §2.12).
     spark.udf.register("graft_title", (s: String) => TextKeys.titleFromFilename(s))
@@ -66,6 +69,8 @@ object GraftFunctions {
   def langid(c: Column): Column = call_function("graft_langid", c)
   def token_count(c: Column): Column = call_function("graft_token_count", c)
   def shingle_set(c: Column): Column = call_function("graft_shingle_set", c)
+  def overlap_shingles(c: Column, k: Column): Column =
+    call_function("graft_overlap_shingles", c, k)
   def set_jaccard(a: Column, b: Column): Column = call_function("graft_set_jaccard", a, b)
   def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
 }

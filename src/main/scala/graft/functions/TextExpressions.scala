@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions over text columns.
@@ -65,6 +66,57 @@ object HashKernels {
     new GenericArrayData(if (n == sh.length) sh else java.util.Arrays.copyOf(sh, n))
   }
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Word k-gram shingles of one document with their 32-bit md5-prefix
+    * values, as (sh, v) structs — the integer-portable hash family of the
+    * corpus-overlap sketch ([[graft.operators.Dedup.corpusMinhashOverlap]]).
+    * One JVM pass replaces the five-operator SQL chain
+    * (split→filter→transform/slice/array_join→md5→conv) that dominated
+    * d13's runtime (2.8 s of its 3.8 s at sf0.1 was shingle
+    * materialization). Tokenization matches the SQL chain exactly:
+    * space-only trim (SQL `trim` touches only ' ', unlike String.trim),
+    * split on single spaces, empties dropped; v equals
+    * `conv(substring(md5(sh),1,8),16,10)` — the first four digest bytes as
+    * an unsigned 32-bit integer — so a SQL engine reproduces the sketch.
+    */
+  def overlapShingles(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    var lo = 0; var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    val toks0 = str.substring(lo, hi).split(" ")
+    val toks = new Array[String](toks0.length)
+    var n = 0
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(n) = toks0(i); n += 1 }
+      i += 1
+    }
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = Md5.get()
+    val sb = new java.lang.StringBuilder
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var t = 0
+      while (t < k) { if (t > 0) sb.append(' '); sb.append(toks(j + t)); t += 1 }
+      val sh = sb.toString
+      md.reset()
+      val dg = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+      out(j) = InternalRow(UTF8String.fromString(sh), v)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact Jaccard of two SORTED distinct long arrays via a single merge
     * loop — pure set arithmetic, no string work. Both-empty → 1.0 (the
     * [[Hashing.ngramJaccard]] rule, so the rework is value-identical).
@@ -114,6 +166,21 @@ case class SortedSetJaccard(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.HashKernels.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+case class OverlapShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sh", StringType, nullable = false),
+    StructField("v", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_overlap_shingles"
+  override def nullSafeEval(text: Any, k: Any): Any =
+    HashKernels.overlapShingles(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k) => s"graft.functions.HashKernels.overlapShingles($t, $k)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }

@@ -953,42 +953,55 @@ object Dedup {
     val P = 2147483647L
     def aOf(i: Int): Long = (i.toLong * 2654435761L) % 1073741824L + 1L
     def bOf(i: Int): Long = i.toLong * 40503L
-    val toks = filter(split(trim(col(textCol)), " "), t => length(t) > 0)
-    val nSh = greatest(size(toks) - (shingleWords - 1), lit(0))
-    val shingleArr = transform(sequence(lit(1), nSh),
-      j => array_join(slice(toks, j, lit(shingleWords)), " "))
+    // shingle + 32-bit md5-prefix in one codegen'd kernel (the SQL chain
+    // split→transform/slice/array_join→md5→conv was the dominant cost)
+    GraftFunctions.register(df.sparkSession)
     val shingles0 = df.select(inA.as("in_a"),
-        explode(when(nSh === 0, array().cast("array<string>"))
-          .otherwise(shingleArr)).as("sh"))
-      .withColumn("v", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
-    // the exact pass re-reads the shingle set; materialize it once so the
-    // tokenize+md5 scan doesn't run twice (sketch-only callers skip this)
-    val shingles = if (withExact) shingles0.localCheckpoint(true) else shingles0
-    val minCols = (0 until k).map(i =>
-      min((lit(aOf(i)) * col("v") + lit(bOf(i))) % P).as(s"m$i"))
-    val sigRows = shingles.groupBy(col("in_a"))
-      .agg(minCols.head, minCols.tail: _*).collect()
-    val sig = sigRows.map(r => r.getBoolean(0) ->
-      (1 to k).map(r.getLong).toVector).toMap
-    val matches =
-      if (sig.size < 2) 0
-      else sig(true).zip(sig(false)).count { case (x, y) => x == y }
+        explode(GraftFunctions.overlap_shingles(col(textCol), lit(shingleWords))).as("s"))
+      .select(col("in_a"), col("s.sh").as("sh"), col("s.v").as("v"))
     require((k & (k - 1)) == 0, "k must be a power of two (exact est_jaccard)")
     val spark = df.sparkSession
     import spark.implicits._
-    if (!withExact)
+    if (!withExact) {
+      // sketch-only (the 100 TB path): ONE pass, map-side-combined mins,
+      // no shingle shuffle — the corpus reduces to 2×k longs
+      val minCols = (0 until k).map(i =>
+        min((lit(aOf(i)) * col("v") + lit(bOf(i))) % P).as(s"m$i"))
+      val sigRows = shingles0.groupBy(col("in_a"))
+        .agg(minCols.head, minCols.tail: _*).collect()
+      val sig = sigRows.map(r => r.getBoolean(0) ->
+        (1 to k).map(r.getLong).toVector).toMap
+      val matches =
+        if (sig.size < 2) 0
+        else sig(true).zip(sig(false)).count { case (x, y) => x == y }
       return Seq((matches.toLong, matches.toDouble / k))
         .toDF("matches", "est_jaccard")
-    // gate-scale exact check: distinct shingles tagged by side membership
-    val byShingle = shingles.groupBy(col("sh"))
+    }
+    // gate-scale exact check: dedupe shingles by side membership once, then
+    // derive the per-side sketch mins AND the exact counts from that single
+    // frame in ONE global aggregate (min over distinct shingles equals min
+    // over occurrences — h_i depends only on v). One shuffle, one action,
+    // no checkpoint, versus the previous materialize + two aggregations.
+    val perShingle = shingles0.groupBy(col("sh"))
       .agg(max(when(col("in_a"), 1).otherwise(0)).as("a"),
-        max(when(!col("in_a"), 1).otherwise(0)).as("b"))
-      .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("inter"),
-        count(lit(1)).as("union_n"),
-        sum(col("a").cast("long")).as("n_a"), sum(col("b").cast("long")).as("n_b"))
-      .head()
-    Seq((byShingle.getLong(2), byShingle.getLong(3), byShingle.getLong(0),
-      byShingle.getLong(1), matches.toLong, matches.toDouble / k))
+        max(when(!col("in_a"), 1).otherwise(0)).as("b"),
+        first(col("v")).as("v")) // v is a pure function of sh
+    val hCols = (0 until k).flatMap { i =>
+      val h = (lit(aOf(i)) * col("v") + lit(bOf(i))) % P
+      Seq(min(when(col("a") === 1, h)).as(s"ma$i"),
+        min(when(col("b") === 1, h)).as(s"mb$i"))
+    }
+    val aggCols = hCols ++ Seq(
+      sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("inter"),
+      count(lit(1)).as("union_n"),
+      sum(col("a").cast("long")).as("n_a"), sum(col("b").cast("long")).as("n_b"))
+    val row = perShingle.agg(aggCols.head, aggCols.tail: _*).head()
+    val bothSides = !(0 until 2 * k).exists(row.isNullAt) // an all-null side = empty corpus half
+    val matches =
+      if (!bothSides) 0
+      else (0 until k).count(i => row.getLong(2 * i) == row.getLong(2 * i + 1))
+    Seq((row.getLong(2 * k + 2), row.getLong(2 * k + 3), row.getLong(2 * k),
+      row.getLong(2 * k + 1), matches.toLong, matches.toDouble / k))
       .toDF("n_a", "n_b", "inter", "union_n", "matches", "est_jaccard")
   }
 
