@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Table access helpers for the driver-generated test data
   * (`/root/testdata/sf*`; see TESTDATA.md). All queries take the sf
@@ -47,8 +47,32 @@ object Tables {
       case _ => df
     }
 
+  /** Key/count columns the whole query surface (and every DuckDB oracle's
+    * `CAST(… AS BIGINT)`) assumes are 64-bit. Today's generator writes them
+    * as int64; narrowing them in a future regeneration would silently flip
+    * ~100 result schemas (the ts encoding did exactly that at round 8), so
+    * widen any integral narrowing back to long at the source. Identity on
+    * current data.
+    */
+  private val LongColumns = Set(
+    "doc_id", "vec_id", "event_id", "user_id", "n_chars",
+    "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "c_custkey", "s_suppkey", "p_partkey")
+  // NOT listed: the columns that are int32 in the current parquet (label,
+  // l_linenumber, the nation/region keys, p_size) — both sides (our
+  // queries and the oracles reading the raw files) already agree on that
+  // width, and widening only our side breaks schema parity (measured:
+  // 3 oracle dtype mismatches). The guard covers exactly the columns
+  // whose int64-ness the oracles bake in via CAST(... AS BIGINT).
+
+  private def normalizeInts(df: DataFrame): DataFrame = {
+    val narrow = df.schema.filter(f => LongColumns(f.name) &&
+      (f.dataType == IntegerType || f.dataType == ShortType || f.dataType == ByteType))
+    narrow.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast("long")))
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    normalizeInts(normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet")))
 
   /** Register all tables as temp views (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -51,6 +51,17 @@ class TablesSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("narrowed integral key columns widen back to long; others untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-int").toString
+    Seq((7, 42, "x", 3.5f)).toDF("doc_id", "n_chars", "text", "score")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = Tables.load(spark, dir, "documents")
+    assert(df.schema("doc_id").dataType.typeName == "long")
+    assert(df.schema("n_chars").dataType.typeName == "long")
+    assert(df.schema("score").dataType.typeName == "float") // not a key column
+    assert(df.select(sum($"doc_id")).as[Long].head() == 7L)
+  }
+
   test("real sf0.001 events load with TimestampType ts and epoch extractors work") {
     val df = Tables.load(spark, TestSpark.sf, "events")
     assert(df.schema("ts").dataType == TimestampType)
