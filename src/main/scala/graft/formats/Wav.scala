@@ -114,11 +114,15 @@ object Wav {
     require(a.samples.forall(_.length == a.nFrames), "ragged channel planes")
     val bytesPerFrame = a.channels * (a.bitsPerSample / 8)
     val dataLen = a.nFrames * bytesPerFrame
-    val b = new Array[Byte](44 + dataLen)
+    // RIFF chunks are word-aligned: an odd-sized data chunk (8-bit mono,
+    // odd frame count) carries one zero pad byte. The pad is NOT part of
+    // the data chunk size but IS part of the RIFF size.
+    val pad = dataLen & 1
+    val b = new Array[Byte](44 + dataLen + pad)
     def putAscii(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { b(o + i) = s.charAt(i).toByte; i += 1 } }
     def put16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
     def put32(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte; b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte }
-    putAscii(0, "RIFF"); put32(4, 36 + dataLen); putAscii(8, "WAVE")
+    putAscii(0, "RIFF"); put32(4, 36 + dataLen + pad); putAscii(8, "WAVE")
     putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, a.channels)
     put32(24, a.sampleRate); put32(28, a.sampleRate * bytesPerFrame)
     put16(32, bytesPerFrame); put16(34, a.bitsPerSample)

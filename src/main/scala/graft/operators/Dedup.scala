@@ -419,7 +419,10 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard verification of candidate pairs — pure set
-    * arithmetic. ONE scan computes each pair-participating doc's sorted
+    * arithmetic. Requires `idCol` integral (cast to long, matching the
+    * `id_a`/`id_b` longs the candidate miners emit — same contract as
+    * [[minhashNearDupPairs]]); a non-numeric string id would cast to null
+    * and drop every pair at the join. ONE scan computes each pair-participating doc's sorted
     * distinct shingle-hash array (a doc in k pairs is tokenized once, not
     * k times), the pairs join the ARRAYS back, and the Jaccard is a
     * codegen'd merge-loop intersection over the two sorted arrays

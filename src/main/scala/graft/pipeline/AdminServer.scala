@@ -203,7 +203,9 @@ object AdminServer {
     search.filter(_.nonEmpty) match {
       case Some(q) =>
         val hay = lower(concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
-        df.filter(hay.contains(q.toLowerCase))
+        // Locale.ROOT matches Spark's locale-agnostic lower(): default-locale
+        // lowercasing on a Turkish JVM maps 'I' to dotless ı and never matches.
+        df.filter(hay.contains(q.toLowerCase(java.util.Locale.ROOT)))
       case None => df
     }
 

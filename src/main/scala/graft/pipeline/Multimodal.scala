@@ -207,7 +207,8 @@ object Multimodal {
   /** 64-bit perceptual hash (the classic DCT pHash): decode → area-average
     * the luma plane onto a 32×32 grid → 2D DCT-II → keep the 8×8
     * low-frequency block → threshold each AC coefficient against the
-    * median of the 63 AC values (bit 63, the DC slot, stays 0). Images
+    * MEAN of the 63 AC values (the mean-variant of pHash — see the inline
+    * note at the threshold loop; bit 63, the DC slot, stays 0). Images
     * that differ only by scale/re-encode/mild noise land within a few bits
     * of Hamming distance; structurally different images land ~32 apart —
     * which makes the SAME pigeonhole blocking used for SimHash text dedup

@@ -54,7 +54,8 @@ object HttpServiceClient {
       val hs = {
         import scala.jdk.CollectionConverters._
         conn.getHeaderFields.asScala.collect {
-          case (k, vs) if k != null && !vs.isEmpty => k.toLowerCase -> vs.get(0)
+          case (k, vs) if k != null && !vs.isEmpty =>
+            k.toLowerCase(java.util.Locale.ROOT) -> vs.get(0)
         }.toMap
       }
       Response(status, text, hs)

@@ -27,6 +27,18 @@ class WavSpec extends AnyFunSuite {
     assert(out.bitsPerSample == 8 && out.samples(0).sameElements(ch))
   }
 
+  test("odd-length 8-bit mono encode is RIFF word-aligned (pad byte counted)") {
+    val ch = tone(301, i => (i % 256) - 128) // odd data-chunk size
+    val bytes = Wav.encode(WavAudio(8000, 1, 8, Array(ch)))
+    assert(bytes.length % 2 == 0, "total file length must be even")
+    def u32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3).toLong & 0xff) << 24)
+    assert(u32(4) == bytes.length - 8, "RIFF size covers the pad byte")
+    assert(u32(40) == 301, "data chunk size excludes the pad byte")
+    val out = Wav.decode(bytes).get
+    assert(out.samples(0).sameElements(ch))
+  }
+
   test("javax.sound.sampled decodes our encoder's output to identical PCM") {
     val ch = tone(777, i => ((i * 131 + 17) % 65536) - 32768)
     val bytes = Wav.encode(WavAudio(22050, 1, 16, Array(ch)))
