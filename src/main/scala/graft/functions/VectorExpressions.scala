@@ -51,15 +51,22 @@ case class DotProductF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) =>
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      // All locals fresh-named: two of these expressions in one projection
+      // (multi-probe scoring does exactly that) would otherwise redefine
+      // the same Java locals and drop the WHOLE projection to interpreted
+      // mode (Janino "Redefinition of local variable").
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double)$x.getFloat(i) * (double)$y.getFloat(i);
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$x.getFloat($i) * (double)$y.getFloat($i);
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -73,18 +80,23 @@ case class CosineSimF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) =>
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val a = ctx.freshName("a")
+      val b = ctx.freshName("b"); val denom = ctx.freshName("denom")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double a = (double)$x.getFloat(i);
-         |  double b = (double)$y.getFloat(i);
-         |  dot += a * b; nx += a * a; ny += b * b;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = (double)$x.getFloat($i);
+         |  double $b = (double)$y.getFloat($i);
+         |  $dot += $a * $b; $nx += $a * $a; $ny += $b * $b;
          |}
-         |double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |${ev.value} = (denom == 0.0) ? 0.0 : dot / denom;
-       """.stripMargin)
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -116,18 +128,23 @@ case class CosineSimI8(left: Expression, right: Expression)
     if (denom == 0.0) 0.0 else dot / denom
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) =>
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val p = ctx.freshName("p"); val denom = ctx.freshName("denom")
       s"""
-         |int n = java.lang.Math.min($x.length, $y.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double c = (double)$x[i];
-         |  double p = (double)$y.getFloat(i);
-         |  dot += c * p; nx += c * c; ny += p * p;
+         |int $n = java.lang.Math.min($x.length, $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $c = (double)$x[$i];
+         |  double $p = (double)$y.getFloat($i);
+         |  $dot += $c * $p; $nx += $c * $c; $ny += $p * $p;
          |}
-         |double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |${ev.value} = (denom == 0.0) ? 0.0 : dot / denom;
-       """.stripMargin)
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -138,14 +155,17 @@ case class L2NormF32(child: Expression)
   override def prettyName: String = "l2norm_f32"
   override def nullSafeEval(a: Any): Any = VectorKernels.l2norm(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, x =>
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val a = ctx.freshName("a")
       s"""
-         |double acc = 0.0;
-         |int n = $x.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  double a = (double)$x.getFloat(i); acc += a * a;
+         |double $acc = 0.0;
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = (double)$x.getFloat($i); $acc += $a * $a;
          |}
-         |${ev.value} = java.lang.Math.sqrt(acc);
-       """.stripMargin)
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

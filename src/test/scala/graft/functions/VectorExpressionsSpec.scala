@@ -70,6 +70,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) == 0.0)
   }
 
+  test("multiple vector expressions in ONE projection still compile (fresh locals)") {
+    // Regression pin: fixed Java local names in doGenCode collide when two
+    // of these expressions share a codegen scope (multi-probe scoring does
+    // exactly that) and Janino's "Redefinition of local variable" silently
+    // drops the whole projection to interpreted mode. Generating the
+    // projection DIRECTLY (no interpreter fallback at this layer) makes a
+    // recurrence a hard test failure instead of a hidden perf cliff.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
+    val va = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val vb = BoundReference(1, ArrayType(FloatType), nullable = true)
+    val codes = BoundReference(2, BinaryType, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      CosineSimF32(va, vb), CosineSimF32(vb, va),
+      DotProductF32(va, vb), DotProductF32(vb, va),
+      L2NormF32(va), L2NormF32(vb), CosineSimI8(codes, va)))
+    val row = proj(InternalRow(
+      new GenericArrayData(Array(1.0f, 0.0f)),
+      new GenericArrayData(Array(0.0f, 2.0f)),
+      Array[Byte](1, 0)))
+    assert(row.getDouble(0) == 0.0 && row.getDouble(2) == 0.0)
+    assert(row.getDouble(4) == 1.0 && row.getDouble(5) == 2.0)
+    assert(row.getDouble(6) == 1.0) // codes [1,0] vs [1,0] direction
+  }
+
   test("expressions work from SQL too (function registry)") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
