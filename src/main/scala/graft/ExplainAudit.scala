@@ -20,7 +20,8 @@ object ExplainAudit {
         "d13_corpus_overlap,sp9_token_budget,r1_bm25_topk,r2_hybrid_rrf," +
         "m1_multimodal_features,m4_media_frames,s14_pdf_split,v12_filtered_ann," +
         "d4_jaccard_verified,d15_incremental_neardup,w8_admin_page," +
-        "d17_substring_spans,dc2_decontam_spans,m5_phash_dedup")
+        "d17_substring_spans,dc2_decontam_spans,m5_phash_dedup," +
+        "m10_video_frames,m11_video_neardup")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

@@ -28,7 +28,8 @@ object SparkEntry {
       (gq.Coverage6.queries, gq.Coverage6.oracles),
       (gq.Coverage7.queries, gq.Coverage7.oracles),
       (gq.Coverage8.queries, gq.Coverage8.oracles),
-      (gq.Coverage9.queries, gq.Coverage9.oracles)
+      (gq.Coverage9.queries, gq.Coverage9.oracles),
+      (gq.Coverage10.queries, gq.Coverage10.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -228,6 +228,85 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** In-bucket scoring for SLOT-QUALIFIED pigeonhole buckets: chunkIdx is
+    * `slot·4 + c`, so the owner rule and the hot set both live in the
+    * slot's own key space — slots never cross-talk.
+    */
+  private def votedBucketPairs(maxHamming: Int, maxFullExpand: Int,
+      hotBuckets: Set[(Int, Long)]) =
+    udf((chunkIdx: Int, members: Seq[org.apache.spark.sql.Row]) => {
+      val n = members.length
+      val ids = Array.tabulate(n)(i => members(i).getLong(0))
+      val shs = Array.tabulate(n)(i => members(i).getLong(1))
+      val base = chunkIdx & ~3 // slot * 4
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      def ownerChunk(a: Long, b: Long): Int = {
+        var c = 0
+        while (c < 4) {
+          val ca = (a >>> (c * 16)) & 0xffffL
+          if (ca == ((b >>> (c * 16)) & 0xffffL) && !hotBuckets.contains((base + c, ca)))
+            return base + c
+          c += 1
+        }
+        -1
+      }
+      expandPairs(n, ids, maxFullExpand, (i, j, checkOwner) =>
+        if (ids(i) != ids(j) &&
+            (!checkOwner || ownerChunk(shs(i), shs(j)) == chunkIdx)) {
+          val h = Hashing.hammingDistance(shs(i), shs(j))
+          if (h <= maxHamming) {
+            val (a, b) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += ((a, b, h))
+          }
+        })
+      out.toSeq
+    })
+
+  /** Multi-sketch VOTED near-dup pairs: each id carries one 64-bit sketch
+    * per `slot` (e.g. a perceptual hash per sampled video frame,
+    * [[graft.pipeline.Video.slotHashes]]), and a pair survives when at
+    * least `minVotes` slots independently verify within `maxHamming` —
+    * single-frame coincidences (title cards, black frames) cannot join
+    * two videos on their own. Input must be (id: long, slot: int, sh:
+    * long); returns (id_a, id_b, votes, min_hamming).
+    *
+    * Shape: the 4-chunk pigeonhole blocking of [[hammingNearDupPairs]]
+    * runs once over the slot-exploded frame, with the chunk index
+    * qualified by slot (`ci = slot·4 + c`) so each slot blocks in its own
+    * bucket space; one shuffle builds all buckets for all slots, per-slot
+    * verified pairs dedup on (pair, slot), and a count aggregation turns
+    * slot agreements into votes. Everything stays bounded by the same
+    * star-expansion cap as the text/image engines.
+    */
+  def hammingVotePairs(sk: DataFrame, maxHamming: Int = 3, minVotes: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val chunks = sk.select(col("id"), col("slot"), col("sh"),
+        explode(array((0 until 4).map { i =>
+          struct(lit(i).as("c"), (shiftrightunsigned(col("sh"), i * 16) % 65536).as("cv"))
+        }: _*)).as("p"))
+      .select(col("id"), col("sh"),
+        (col("slot") * 4 + col("p.c")).cast("int").as("ci"), col("p.cv"))
+    val buckets = chunks.groupBy(col("ci"), col("cv"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")) >= 2)
+      .localCheckpoint(true)
+    val hot: Set[(Int, Long)] = buckets
+      .filter(size(col("members")) > maxBucketSize)
+      .select(col("ci"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    buckets
+      .select((col("ci") / 4).cast("int").as("slot"),
+        explode(votedBucketPairs(maxHamming, maxBucketSize, hot)(
+          col("ci"), col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("slot"), col("p._3").as("hamming"))
+      .dropDuplicates("id_a", "id_b", "slot")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("votes"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("votes") >= minVotes)
+  }
+
   private val winnowUdf = udf((t: String, k: Int, w: Int) =>
     if (t == null) Array.empty[Long] else Hashing.winnowFingerprints(t, k, w))
 

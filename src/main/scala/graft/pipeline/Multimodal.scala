@@ -154,7 +154,14 @@ object Multimodal {
     * the clustering predictable arithmetically from the seed alone.
     * StrictMath keeps rendering bit-identical across JVMs.
     */
-  def spectralPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+  def spectralPng(seed: Long, width: Int, height: Int): Array[Byte] =
+    encodePng(spectralImage(seed, width, height))
+
+  /** The raster behind [[spectralPng]] — also rendered directly into raw
+    * video frames ([[graft.pipeline.Video]]), where the same
+    * invariance/discrimination contract drives frame-voted near-dup.
+    */
+  def spectralImage(seed: Long, width: Int, height: Int): BufferedImage = {
     require(width > 0 && height > 0, s"dims must be positive, got ${width}x$height")
     val n = PhashLow
     // per-(u,v) sign from a splitmix-style integer mix — no RNG state
@@ -193,7 +200,7 @@ object Multimodal {
       }
       y += 1
     }
-    encodePng(img)
+    img
   }
 
   private val PhashGrid = 32 // downsample grid; DCT input
@@ -216,7 +223,13 @@ object Multimodal {
     * image near-dup. Returns None for undecodable payloads.
     */
   def phash64(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map {
-    case (img, _) =>
+    case (img, _) => phashImage(img)
+  }
+
+  /** [[phash64]] over an already-decoded raster — the video path hashes
+    * container-decoded frames without a re-encode round-trip.
+    */
+  def phashImage(img: BufferedImage): Long = {
       val n = PhashGrid
       val w = img.getWidth
       val h = img.getHeight

@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.formats.Avi
+import graft.formats.Avi.AviVideo
+
+/** Video-column plumbing (SURVEY §2.9 C2 — the video leg of the
+  * multimodal family; builder brief "frame-sample" op). Payloads are
+  * opaque `binary` AVI columns; metadata probe / frame sampling /
+  * per-frame features / frame perceptual hashes run distributed with one
+  * container decode per row, the same mapPartitions shape as the image
+  * and audio paths. Unlike the previous byte-frame stand-in
+  * ([[Multimodal.sampleFrames]]), this is a REAL container walk
+  * ([[graft.formats.Avi]]): raw-DIB frames decode integer-exactly (so
+  * DuckDB oracles recompute pixel sums arithmetically) and MJPEG frames
+  * decode through `javax.imageio`.
+  *
+  * At 100 TB the decode CPU — not the scan — is the cost to spread:
+  * callers repartition by id before the codec stage, frame features
+  * explode one row per SAMPLED frame (a stride-`everyNth` walk never
+  * materializes unsampled pixels), and the near-dup path reduces each
+  * video to `slots` 64-bit hashes before anything shuffles.
+  */
+object Video {
+
+  /** Deterministic synthetic pixel channels — pure nonnegative integer
+    * arithmetic, EXACTLY mirrored by the m9/m10 oracle SQL (change one,
+    * change both). Returns packed 0xRRGGBB.
+    */
+  def synthRgb(seed: Long, f: Int, x: Int, y: Int): Int = {
+    val r = ((seed * 31 + f * 17 + x * 7L + y * 13L) % 256).toInt
+    val g = ((seed * 59 + f * 23 + x * 11L + y * 5L) % 256).toInt
+    val b = ((seed * 97 + f * 29 + x * 3L + y * 19L) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Raw-DIB AVI fixture payload for `seed`, through the real encoder. */
+  def synthAviBytes(seed: Long, nFrames: Int, w: Int, h: Int,
+      rate: Int = 25): Array[Byte] = {
+    require(nFrames >= 0 && w >= 1 && h >= 1, s"bad fixture geometry ${w}x$h×$nFrames")
+    val frames = IndexedSeq.tabulate(nFrames) { f =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, synthRgb(seed, f, x, y)); x += 1 }
+        y += 1
+      }
+      Avi.encodeDibFrame(img)
+    }
+    Avi.encode(AviVideo(w, h, 1, rate, Avi.CodecDib, frames))
+  }
+
+  /** Spectral-pattern fixture: frame `f` renders
+    * [[Multimodal.spectralImage]] with seed `groupSeed·131 + f`, so two
+    * videos with the same groupSeed carry the SAME normalized frame
+    * content at any pixel size — the scale-invariance contract frame
+    * perceptual hashes recover. DIB or MJPEG per the flag.
+    */
+  def synthSpectralAvi(groupSeed: Long, nFrames: Int, w: Int, h: Int,
+      mjpeg: Boolean = false, rate: Int = 25): Array[Byte] = {
+    val frames = IndexedSeq.tabulate(nFrames) { f =>
+      val img = Multimodal.spectralImage(groupSeed * 131 + f, w, h)
+      if (mjpeg) {
+        // JPEG writers reject TYPE_BYTE_GRAY in some configs — go RGB
+        val rgb = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        rgb.getGraphics.drawImage(img, 0, 0, null)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(rgb, "jpg", bos)
+        bos.toByteArray
+      } else Avi.encodeDibFrame(img)
+    }
+    Avi.encode(AviVideo(w, h, 1, rate,
+      if (mjpeg) Avi.CodecMjpg else Avi.CodecDib, frames))
+  }
+
+  /** ITU-R 601 integer luma — the same formula as the image path. */
+  private def luma(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+
+  private def lumaSumOf(img: BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum += luma(img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    sum
+  }
+
+  /** Container metadata probe — header walk only, frame payloads stay
+    * encoded. Appends video_w/video_h/video_frames/video_ms (long) and
+    * video_codec (string); non-AVI payloads degrade to all-zero/"" rows.
+    */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("video_w", LongType), StructField("video_h", LongType),
+      StructField("video_frames", LongType), StructField("video_ms", LongType),
+      StructField("video_codec", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = Avi.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some(v) => Seq(v.width.toLong, v.height.toLong,
+            v.nFrames.toLong, v.durationMs, v.codec.trim)
+          case None => Seq(0L, 0L, 0L, 0L, "")
+        }
+        Row.fromSeq(r.toSeq ++ m)
+      }
+    }(enc)
+  }
+
+  /** One row per SAMPLED frame (stride `everyNth` from frame 0): frame
+    * index, decoded dims, exact integer luma sum. Undecodable frames are
+    * skipped — a mixed binary column never fails the task.
+    */
+  def explodeVideoFrames(df: DataFrame, binCol: String, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, s"frame stride must be >= 1, got $everyNth")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("frame_w", IntegerType),
+      StructField("frame_h", IntegerType), StructField("frame_luma", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Avi.decode(r.getAs[Array[Byte]](idx)) match {
+          case None => Iterator.empty
+          case Some(v) =>
+            Iterator.range(0, v.nFrames, everyNth).flatMap { f =>
+              Avi.frameImage(v, f).map { img =>
+                // Seq[Any] pins element types: a bare Seq(int…, long) would
+                // unify to Seq[Long] and widen the int fields off-schema
+                Row.fromSeq(r.toSeq ++
+                  Seq[Any](f, img.getWidth, img.getHeight, lumaSumOf(img)))
+              }
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** `slots` evenly-spaced frame perceptual hashes per video — the
+    * 64-bit-per-slot sketch [[graft.operators.Dedup.hammingVotePairs]]
+    * votes over. Slot `s` samples frame `⌊s·n/slots⌋`; videos shorter
+    * than `slots` frames repeat frames (still deterministic). Undecodable
+    * payloads yield no slots.
+    */
+  def slotHashes(bytes: Array[Byte], slots: Int): Seq[(Int, Long)] =
+    Avi.decode(bytes) match {
+      case None => Seq.empty
+      case Some(v) if v.nFrames == 0 => Seq.empty
+      case Some(v) =>
+        (0 until slots).flatMap { s =>
+          val f = (s.toLong * v.nFrames / slots).toInt min (v.nFrames - 1)
+          Avi.frameImage(v, f).map(img => (s, Multimodal.phashImage(img)))
+        }
+    }
+
+  /** Near-dup pairs between videos: per-slot frame pHashes voted through
+    * the shared Hamming blocking engine. Returns (id_a, id_b, votes,
+    * min_hamming) — see [[graft.operators.Dedup.hammingVotePairs]].
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      slots: Int = 3, maxHamming: Int = 3, minVotes: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) => slotHashes(b, slots))
+    val sk = df.select(col(idCol).cast("long").as("id"),
+        explode(hashUdf(col(binCol))).as("sl"))
+      .select(col("id"), col("sl._1").as("slot"), col("sl._2").as("sh"))
+    graft.operators.Dedup.hammingVotePairs(sk, maxHamming, minVotes, maxBucketSize)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.pipeline.Video
+
+/** Video-modality coverage (SURVEY §2.9 C2 video leg; builder brief
+  * "frame-sample" op): real RIFF/AVI container decode distributed over
+  * binary columns — metadata probe, stride frame sampling with exact
+  * pixel-luma features, and frame-voted perceptual-hash near-dup.
+  * Fixtures synthesize through the REAL encoder
+  * ([[graft.pipeline.Video.synthAviBytes]]) with raw-DIB frames from pure
+  * integer arithmetic, so every oracle recomputes the features
+  * analytically without ever seeing an AVI byte — the video analog of the
+  * image family's luma pins and the audio family's sample pins.
+  *
+  * Payload synthesis is repartitioned by doc_id before the codec stage:
+  * the small parquet arrives as one split, and at 100 TB the decode CPU —
+  * not the scan — is the cost to spread.
+  */
+object Coverage10 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared fixture: raw-DIB AVI per doc — 4..7 frames at 25 fps, dims
+    * 16/20/24 × 12/16 varying with doc_id so no two geometry knobs are
+    * correlated with the frame count.
+    */
+  private def aviDocs(s: SparkSession, d: String) = {
+    import s.implicits._
+    val mk = udf((id: Long) => Video.synthAviBytes(
+      id, (4 + id % 4).toInt, (16 + id % 3 * 4).toInt, (12 + id % 2 * 4).toInt))
+    load(s, d, "documents").select($"doc_id")
+      .repartition($"doc_id")
+      .withColumn("avi", mk($"doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // M9: container metadata probe — header walk only (frame payloads are
+    // never pixel-decoded), gating the hdrl/strl/strf parse: geometry,
+    // frame count, rate/scale-derived duration, codec fourcc.
+    "m9_video_meta" -> ((s, d) => {
+      import s.implicits._
+      Video.withVideoMeta(aviDocs(s, d), "avi")
+        .select($"doc_id", $"video_w", $"video_h", $"video_frames",
+          $"video_ms", $"video_codec")
+        .orderBy($"doc_id")
+    }),
+
+    // M10: every-2nd-frame sampling with exact integer luma sums — the
+    // movi walk + bottom-up BGR DIB decode, pinned pixel-exactly: the
+    // oracle recomputes every frame's luma sum from the synth formula.
+    "m10_video_frames" -> ((s, d) => {
+      import s.implicits._
+      Video.explodeVideoFrames(aviDocs(s, d), "avi", everyNth = 2)
+        .select($"doc_id", $"frame_idx", $"frame_w", $"frame_h", $"frame_luma")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // M11: frame-voted video near-dup — each doc renders its group's
+    // spectral frame sequence (seed = doc_id % 20) at a doc-specific pixel
+    // size, so every cluster mixes NINE resolutions of the "same" video;
+    // per-slot frame pHashes must vote the group back together (≥2 of 3
+    // slots within Hamming ≤ 3) without ever merging different groups.
+    // The oracle predicts the full clustering from the planted groups.
+    "m11_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => Video.synthSpectralAvi(
+        id % 20, 4, (48 + id % 3 * 16).toInt, (48 + (id / 3) % 3 * 16).toInt))
+      val docs = load(s, d, "documents").select($"doc_id")
+      val vids = docs.repartition($"doc_id").withColumn("avi", mk($"doc_id"))
+      // low star-expansion cap, as in m5: resolution-variant groups are
+      // mega-clusters of near-identical hashes
+      val pairs = Video.videoNearDupPairs(vids, "doc_id", "avi",
+        slots = 3, maxHamming = 3, minVotes = 2, maxBucketSize = 64)
+      val clusters = graft.operators.Dedup.nearDupClusters(
+        docs.select($"doc_id".as("id")), pairs)
+      docs.select($"doc_id".as("id"))
+        .join(clusters, Seq("id"), "left")
+        .select($"id", coalesce($"cluster", $"id").as("rep_id"))
+        .groupBy($"rep_id").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"rep_id")
+    })
+  )
+
+  // the synth CASE below is the SQL image of Video.synthRgb — the two
+  // must change together
+  private val lumaV =
+    """(299*((doc_id*31 + f.f*17 + x.x*7 + y.y*13) % 256)
+      | + 587*((doc_id*59 + f.f*23 + x.x*11 + y.y*5) % 256)
+      | + 114*((doc_id*97 + f.f*29 + x.x*3 + y.y*19) % 256)) // 1000""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "m9_video_meta" ->
+      """SELECT doc_id,
+        | CAST(16 + doc_id % 3 * 4 AS BIGINT) AS video_w,
+        | CAST(12 + doc_id % 2 * 4 AS BIGINT) AS video_h,
+        | CAST(4 + doc_id % 4 AS BIGINT) AS video_frames,
+        | CAST((4 + doc_id % 4) * 40 AS BIGINT) AS video_ms,
+        | 'DIB' AS video_codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m10_video_frames" ->
+      s"""WITH d AS (
+         | SELECT doc_id, 16 + doc_id % 3 * 4 AS w, 12 + doc_id % 2 * 4 AS h,
+         |        4 + doc_id % 4 AS nf
+         | FROM documents),
+         |f AS (SELECT d.* , t.f FROM d JOIN generate_series(0, 6) t(f)
+         |        ON t.f < d.nf AND t.f % 2 = 0),
+         |p AS (
+         | SELECT f.doc_id, f.f, f.w, f.h, $lumaV AS l
+         | FROM f JOIN generate_series(0, 23) x(x) ON x.x < f.w
+         |        JOIN generate_series(0, 15) y(y) ON y.y < f.h)
+         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         | CAST(w AS INTEGER) AS frame_w, CAST(h AS INTEGER) AS frame_h,
+         | CAST(sum(l) AS BIGINT) AS frame_luma
+         |FROM p GROUP BY doc_id, f, w, h ORDER BY doc_id, f""".stripMargin,
+    // m11's clustering is fully determined by the planted seed groups: the
+    // per-slot probe margins (in-group ≤ 3 bits at every size pairing,
+    // cross-group ~32) leave the 2-of-3 vote no way to split or merge
+    "m11_video_neardup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS rep_id, count(*) AS n_docs
+        |FROM documents GROUP BY doc_id % 20 ORDER BY 1""".stripMargin
+  )
+}
