@@ -107,6 +107,20 @@ object Coverage8 {
         .orderBy($"doc_id")
     }),
 
+    // T13: CCNet-fidelity perplexity under a REAL bigram LM (explicit
+    // top-V vocabulary, reference-trained bigram table, stupid backoff) —
+    // unlike t11's hashed unigrams, token identity is exact and word ORDER
+    // matters. Full per-doc value set hash-matched at 4 dp against an
+    // oracle that rebuilds the identical model in SQL.
+    "t13_bigram_ppl" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      TextAnalysis.bigramPerplexity(docs, "doc_id", "text", $"lang" === "en",
+          vocabSize = 512, minBigramCount = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // T12: one-scan column profile (ANALYZE analog) — row count, per-column
     // non-null and exact distinct counts; the multi-distinct plans through
     // Expand so the whole profile is one shuffle.
@@ -407,6 +421,46 @@ object Coverage8 {
         | round(-sum(p.nb * ln((cref + 1.0) / (nref + 256.0))) / sum(p.nb), 4) AS nll
         |FROM per_doc p JOIN ref USING (bk) CROSS JOIN tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rebuilds the identical bigram LM in SQL: same vocab tiebreak, same
+    // pruning, same smoothing constants — change TextAnalysis.BigramLm,
+    // change this with it
+    "t13_bigram_ppl" ->
+      """WITH docs AS (
+        | SELECT doc_id, lang = 'en' AS is_r,
+        |   list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS ts
+        | FROM documents),
+        |toks AS (
+        | SELECT doc_id, is_r, i.i AS pos, ts[i.i] AS tok
+        | FROM docs, generate_series(1, 10000) i(i) WHERE i.i <= len(ts)),
+        |vocab AS (
+        | SELECT tok, count(*) AS c FROM toks WHERE is_r GROUP BY tok
+        | QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 512),
+        |consts AS (
+        | SELECT nr.nref, vc.v, nr.nref - vc.sc AS oov
+        | FROM (SELECT count(*) AS nref FROM toks WHERE is_r) nr,
+        |      (SELECT count(*) AS v, CAST(sum(c) AS BIGINT) AS sc FROM vocab) vc),
+        |big AS (
+        | SELECT a.tok AS w1, b.tok AS w2, count(*) AS cb
+        | FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        | JOIN vocab va ON va.tok = a.tok JOIN vocab vb ON vb.tok = b.tok
+        | WHERE a.is_r GROUP BY 1, 2 HAVING count(*) >= 2),
+        |scored AS (
+        | SELECT t.doc_id,
+        |   CASE
+        |     WHEN t.pos = 1 OR big.cb IS NULL
+        |       THEN (CASE WHEN t.pos = 1 THEN 0.0 ELSE ln(0.4) END)
+        |            + ln((coalesce(v.c, consts.oov) + 1.0) / (consts.nref + consts.v + 1.0))
+        |     ELSE ln(big.cb * 1.0 / vp.c)
+        |   END AS lp
+        | FROM toks t
+        | CROSS JOIN consts
+        | LEFT JOIN vocab v ON v.tok = t.tok
+        | LEFT JOIN toks p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+        | LEFT JOIN vocab vp ON vp.tok = p.tok
+        | LEFT JOIN big ON big.w1 = p.tok AND big.w2 = t.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(-sum(lp) / count(*), 4) AS nll
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "t12_corpus_profile" ->
       """SELECT * FROM (
         | SELECT 'doc_id' AS column_name, count(*) AS n_rows,
