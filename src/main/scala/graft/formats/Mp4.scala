@@ -1,0 +1,401 @@
+package graft.formats
+
+/** ISO Base Media File Format (MP4) container walker (SURVEY §2.9 C2 —
+  * the second dominant video container family next to RIFF/AVI
+  * ([[Avi]]); builder brief "multimodal metadata" op). Implemented from
+  * the public ISO/IEC 14496-12 box structure: big-endian `size|type`
+  * boxes (64-bit `largesize` when size==1, to-end-of-file when size==0),
+  * container boxes `moov/trak/mdia/minf/stbl`, and the sample tables
+  * that make frame-level access possible without any codec:
+  *
+  *  - `mvhd`/`mdhd` (v0 32-bit / v1 64-bit): movie + media timescale and
+  *    duration;
+  *  - `tkhd`: track id + 16.16 fixed-point presentation dims;
+  *  - `hdlr`: handler ('vide'/'soun');
+  *  - `stsd`: codec fourcc of the first sample entry;
+  *  - `stsz`: per-sample byte sizes; `stsc`: sample→chunk runs;
+  *    `stco`/`co64`: chunk file offsets; `stss`: sync (key) samples.
+  *
+  * [[sampleBytes]] resolves sample i through stsc/stco/stsz to its exact
+  * byte extent — the container-level "frame-sample" operation: a cluster
+  * job can shard samples across executors and hand the payloads to any
+  * decoder. Metadata probes ([[decode]]) never touch `mdat`.
+  *
+  * Decode is TOTAL: malformed payloads return None (mixed binary columns
+  * never fail the task). Same attacker-controlled-size ceilings as the
+  * other codecs.
+  */
+object Mp4 {
+
+  final case class Track(id: Long, handler: String, codec: String,
+      width: Int, height: Int, timescale: Long, duration: Long,
+      sampleSizes: IndexedSeq[Long],
+      // (firstChunk, samplesPerChunk) runs — 1-based firstChunk, as stored
+      sampleToChunk: IndexedSeq[(Long, Long)],
+      chunkOffsets: IndexedSeq[Long],
+      syncSamples: IndexedSeq[Long]) {
+    def nSamples: Int = sampleSizes.length
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+  }
+
+  final case class Mp4File(brand: String, timescale: Long, duration: Long,
+      tracks: IndexedSeq[Track]) {
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+    def videoTracks: IndexedSeq[Track] = tracks.filter(_.handler == "vide")
+  }
+
+  private val MaxSamples = 1 << 22  // 4M samples
+  private val MaxTracks = 64
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the child boxes of [from, until): calls f(type, bodyFrom,
+    * bodyUntil). Returns false on malformed structure.
+    */
+  private def walk(b: Array[Byte], from: Int, until: Int)
+      (f: (String, Int, Int) => Boolean): Boolean = {
+    var off = from
+    while (off + 8 <= until) {
+      val size32 = be32(b, off)
+      val tpe = fourcc(b, off + 4)
+      var body = off + 8
+      val size: Long =
+        if (size32 == 1L) {
+          if (body + 8 > until) return false
+          val s = be64(b, body); body += 8; s
+        } else if (size32 == 0L) (until - off).toLong
+        else size32
+      if (size < (body - off) || off + size > until) return false
+      if (!f(tpe, body, (off + size).toInt)) return false
+      off = (off + size).toInt
+    }
+    true
+  }
+
+  /** Total MP4 probe. None unless the payload has an `ftyp` and a `moov`
+    * with at least one parseable track.
+    */
+  def decode(bytes: Array[Byte]): Option[Mp4File] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (be32(bytes, 0) < 8 || fourcc(bytes, 4) != "ftyp") return None
+    val brand = fourcc(bytes, 8)
+
+    var timescale = 0L
+    var duration = 0L
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Track]
+
+    def parseMvhd(from: Int, until: Int): Boolean = {
+      if (from + 4 > until) return false
+      val version = bytes(from) & 0xff
+      if (version == 1) {
+        if (from + 28 > until) return false
+        timescale = be32(bytes, from + 20)
+        duration = be64(bytes, from + 24)
+      } else {
+        if (from + 20 > until) return false
+        timescale = be32(bytes, from + 12)
+        duration = be32(bytes, from + 16)
+      }
+      true
+    }
+
+    def parseTrak(from: Int, until: Int): Boolean = {
+      var id = 0L
+      var w = 0
+      var h = 0
+      var handler = ""
+      var codec = ""
+      var mTimescale = 0L
+      var mDuration = 0L
+      var sizes: IndexedSeq[Long] = IndexedSeq.empty
+      var stsc: IndexedSeq[(Long, Long)] = IndexedSeq.empty
+      var stco: IndexedSeq[Long] = IndexedSeq.empty
+      var stss: IndexedSeq[Long] = IndexedSeq.empty
+
+      def parseStbl(sf: Int, su: Int): Boolean = walk(bytes, sf, su) {
+        case ("stsd", f, u) =>
+          // fullbox header + entry_count, then first sample entry:
+          // size(4) + format fourcc(4)
+          if (f + 16 <= u && be32(bytes, f + 4) >= 1) codec = fourcc(bytes, f + 12)
+          true
+        case ("stsz", f, u) =>
+          if (f + 12 > u) false
+          else {
+            val uniform = be32(bytes, f + 4)
+            val n = be32(bytes, f + 8)
+            if (n > MaxSamples) false
+            else if (uniform != 0) { sizes = IndexedSeq.fill(n.toInt)(uniform); true }
+            else if (f + 12 + 4L * n > u) false
+            else { sizes = IndexedSeq.tabulate(n.toInt)(i => be32(bytes, f + 12 + 4 * i)); true }
+          }
+        case ("stsc", f, u) =>
+          if (f + 8 > u) false
+          else {
+            val n = be32(bytes, f + 4)
+            if (f + 8 + 12L * n > u || n > MaxSamples) false
+            else {
+              stsc = IndexedSeq.tabulate(n.toInt)(i =>
+                (be32(bytes, f + 8 + 12 * i), be32(bytes, f + 12 + 12 * i)))
+              true
+            }
+          }
+        case ("stco", f, u) =>
+          if (f + 8 > u) false
+          else {
+            val n = be32(bytes, f + 4)
+            if (f + 8 + 4L * n > u || n > MaxSamples) false
+            else { stco = IndexedSeq.tabulate(n.toInt)(i => be32(bytes, f + 8 + 4 * i)); true }
+          }
+        case ("co64", f, u) =>
+          if (f + 8 > u) false
+          else {
+            val n = be32(bytes, f + 4)
+            if (f + 8 + 8L * n > u || n > MaxSamples) false
+            else { stco = IndexedSeq.tabulate(n.toInt)(i => be64(bytes, f + 8 + 8 * i)); true }
+          }
+        case ("stss", f, u) =>
+          if (f + 8 > u) false
+          else {
+            val n = be32(bytes, f + 4)
+            if (f + 8 + 4L * n > u || n > MaxSamples) false
+            else { stss = IndexedSeq.tabulate(n.toInt)(i => be32(bytes, f + 8 + 4 * i)); true }
+          }
+        case _ => true
+      }
+
+      val ok = walk(bytes, from, until) {
+        case ("tkhd", f, u) =>
+          val version = bytes(f) & 0xff
+          // v0: id at +12, dims at +76/+80; v1: id at +20, dims at +88/+92
+          val (idOff, dimOff) = if (version == 1) (20, 88) else (12, 76)
+          if (f + dimOff + 8 > u) false
+          else {
+            id = be32(bytes, f + idOff)
+            w = (be32(bytes, f + dimOff) >> 16).toInt   // 16.16 fixed
+            h = (be32(bytes, f + dimOff + 4) >> 16).toInt
+            true
+          }
+        case ("mdia", f, u) => walk(bytes, f, u) {
+          case ("mdhd", mf, mu) =>
+            val version = bytes(mf) & 0xff
+            if (version == 1) {
+              if (mf + 28 > mu) false
+              else { mTimescale = be32(bytes, mf + 20); mDuration = be64(bytes, mf + 24); true }
+            } else {
+              if (mf + 20 > mu) false
+              else { mTimescale = be32(bytes, mf + 12); mDuration = be32(bytes, mf + 16); true }
+            }
+          case ("hdlr", mf, mu) =>
+            if (mf + 12 <= mu) handler = fourcc(bytes, mf + 8)
+            true
+          case ("minf", mf, mu) => walk(bytes, mf, mu) {
+            case ("stbl", sf, su) => parseStbl(sf, su)
+            case _ => true
+          }
+          case _ => true
+        }
+        case _ => true
+      }
+      if (!ok) return false
+      if (tracks.length >= MaxTracks) return false
+      tracks += Track(id, handler, codec, w, h, mTimescale, mDuration,
+        sizes, stsc, stco, stss)
+      true
+    }
+
+    val ok = walk(bytes, 0, bytes.length) {
+      case ("moov", f, u) => walk(bytes, f, u) {
+        case ("mvhd", mf, mu) => parseMvhd(mf, mu)
+        case ("trak", tf, tu) => parseTrak(tf, tu)
+        case _ => true
+      }
+      case _ => true // ftyp, mdat, free, …
+    }
+    if (!ok || tracks.isEmpty || timescale <= 0) return None
+    Some(Mp4File(brand, timescale, duration, tracks.toIndexedSeq))
+  }
+
+  /** Byte extent of sample i (0-based) of `t`: resolve the chunk through
+    * the stsc runs, then the offset inside the chunk by summing the
+    * preceding samples' sizes. None when the tables don't cover i.
+    */
+  def sampleExtent(t: Track, i: Int): Option[(Long, Long)] = {
+    if (i < 0 || i >= t.nSamples || t.sampleToChunk.isEmpty || t.chunkOffsets.isEmpty) return None
+    // walk stsc runs: run r covers chunks [firstChunk_r, firstChunk_{r+1})
+    var remaining = i
+    var r = 0
+    while (r < t.sampleToChunk.length) {
+      val (first, perChunk) = t.sampleToChunk(r)
+      if (perChunk <= 0) return None
+      val lastExclusive: Long =
+        if (r + 1 < t.sampleToChunk.length) t.sampleToChunk(r + 1)._1
+        else Long.MaxValue
+      val chunksInRun =
+        math.min(lastExclusive - first, t.chunkOffsets.length - (first - 1))
+      if (chunksInRun <= 0) return None
+      val samplesInRun = chunksInRun * perChunk
+      if (remaining < samplesInRun) {
+        val chunkIdx = (first - 1 + remaining / perChunk).toInt
+        if (chunkIdx >= t.chunkOffsets.length) return None
+        val firstSampleOfChunk = i - (remaining % perChunk).toInt
+        var off = t.chunkOffsets(chunkIdx)
+        var s = firstSampleOfChunk
+        while (s < i) { off += t.sampleSizes(s); s += 1 }
+        return Some((off, t.sampleSizes(i)))
+      }
+      remaining -= samplesInRun.toInt
+      r += 1
+    }
+    None
+  }
+
+  /** The bytes of sample i — the container-level frame fetch. */
+  def sampleBytes(bytes: Array[Byte], t: Track, i: Int): Option[Array[Byte]] =
+    sampleExtent(t, i).flatMap { case (off, len) =>
+      if (off < 0 || len < 0 || off + len > bytes.length) None
+      else Some(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt))
+    }
+
+  /** Minimal valid encode for fixtures and round-trip tests: `ftyp` +
+    * `mdat` (samples concatenated, `chunkSize` samples per chunk) +
+    * `moov` with one video track carrying real stsd/stts/stsz/stsc/stco
+    * (+stss marking every `keyEvery`-th sample). Timescale/duration in
+    * movie units; dims in 16.16 fixed.
+    */
+  def encode(samples: IndexedSeq[Array[Byte]], width: Int, height: Int,
+      timescale: Long, sampleDelta: Long, codec: String = "mp4v",
+      chunkSize: Int = 3, keyEvery: Int = 2): Array[Byte] = {
+    require(width >= 0 && height >= 0 && timescale >= 1 && sampleDelta >= 1)
+    require(chunkSize >= 1 && keyEvery >= 1 && codec.length == 4)
+    val out = new java.io.ByteArrayOutputStream()
+    def p8(x: Int): Unit = out.write(x & 0xff)
+    def p16(x: Int): Unit = { p8(x >> 8); p8(x) }
+    def p32(x: Long): Unit = { p16((x >> 16).toInt); p16(x.toInt) }
+    def fcc(s: String): Unit = { require(s.length == 4); s.foreach(c => p8(c.toInt)) }
+    def box(tpe: String)(body: => Unit): Unit = {
+      val sizeAt = out.size()
+      p32(0); fcc(tpe)
+      body
+      val end = out.size()
+      val arr = out.toByteArray // patch the size in place
+      val size = end - sizeAt
+      arr(sizeAt) = ((size >> 24) & 0xff).toByte
+      arr(sizeAt + 1) = ((size >> 16) & 0xff).toByte
+      arr(sizeAt + 2) = ((size >> 8) & 0xff).toByte
+      arr(sizeAt + 3) = (size & 0xff).toByte
+      out.reset(); out.write(arr, 0, arr.length)
+    }
+
+    box("ftyp") { fcc("isom"); p32(512); fcc("isom"); fcc("iso2") }
+    val mdatHeader = out.size()
+    // chunk offsets are known up front: mdat body starts after its header
+    val nChunks = (samples.length + chunkSize - 1) / chunkSize
+    val chunkOff = new Array[Long](nChunks)
+    var acc = mdatHeader + 8L
+    var ci = 0
+    var si = 0
+    while (si < samples.length) {
+      if (si % chunkSize == 0) { chunkOff(ci) = acc; ci += 1 }
+      acc += samples(si).length
+      si += 1
+    }
+    box("mdat") { samples.foreach(s => out.write(s)) }
+
+    val duration = samples.length * sampleDelta
+    box("moov") {
+      box("mvhd") {
+        p32(0) // version+flags
+        p32(0); p32(0) // times
+        p32(timescale); p32(duration)
+        p32(0x00010000L); p16(0x0100); p16(0) // rate, volume, reserved
+        p32(0); p32(0)
+        // unity matrix
+        p32(0x00010000L); p32(0); p32(0)
+        p32(0); p32(0x00010000L); p32(0)
+        p32(0); p32(0); p32(0x40000000L)
+        (0 until 6).foreach(_ => p32(0)) // pre_defined
+        p32(2) // next track id
+      }
+      box("trak") {
+        box("tkhd") {
+          p32(7) // version 0, flags: enabled+in-movie+in-preview
+          p32(0); p32(0)
+          p32(1) // track id
+          p32(0)
+          p32(duration)
+          p32(0); p32(0)
+          p16(0); p16(0); p16(0); p16(0) // layer, group, volume, reserved
+          p32(0x00010000L); p32(0); p32(0)
+          p32(0); p32(0x00010000L); p32(0)
+          p32(0); p32(0); p32(0x40000000L)
+          p32(width.toLong << 16); p32(height.toLong << 16)
+        }
+        box("mdia") {
+          box("mdhd") {
+            p32(0)
+            p32(0); p32(0)
+            p32(timescale); p32(duration)
+            p16(0x55c4); p16(0) // und language, pre_defined
+          }
+          box("hdlr") {
+            p32(0); p32(0)
+            fcc("vide")
+            p32(0); p32(0); p32(0)
+            p8(0) // empty name, null-terminated
+          }
+          box("minf") {
+            box("vmhd") { p32(1); p16(0); p16(0); p16(0); p16(0) }
+            box("stbl") {
+              box("stsd") {
+                p32(0); p32(1) // one entry
+                box(codec) {
+                  (0 until 6).foreach(_ => p8(0)); p16(1) // reserved, dref idx
+                  p16(0); p16(0); p32(0); p32(0); p32(0)  // pre/reserved
+                  p16(width); p16(height)
+                  p32(0x00480000L); p32(0x00480000L) // 72 dpi
+                  p32(0); p16(1) // frame count
+                  (0 until 32).foreach(_ => p8(0)) // compressor name
+                  p16(24); p16(0xffff) // depth, pre_defined
+                }
+              }
+              box("stts") { p32(0); p32(1); p32(samples.length); p32(sampleDelta) }
+              box("stss") {
+                val keys = (1 to samples.length).filter(s => (s - 1) % keyEvery == 0)
+                p32(0); p32(keys.length); keys.foreach(k => p32(k))
+              }
+              box("stsc") {
+                // one run if uniform; a closing short run otherwise
+                val full = samples.length / chunkSize
+                val rem = samples.length % chunkSize
+                if (rem == 0 || full == 0) {
+                  p32(0); p32(1)
+                  p32(1); p32(if (full == 0) rem else chunkSize); p32(1)
+                } else {
+                  p32(0); p32(2)
+                  p32(1); p32(chunkSize); p32(1)
+                  p32(full + 1); p32(rem); p32(1)
+                }
+              }
+              box("stsz") {
+                p32(0); p32(0); p32(samples.length)
+                samples.foreach(s => p32(s.length))
+              }
+              box("stco") { p32(0); p32(nChunks); chunkOff.foreach(o => p32(o)) }
+            }
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+}

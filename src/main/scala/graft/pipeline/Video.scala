@@ -163,6 +163,87 @@ object Video {
         }
     }
 
+  /** Deterministic MP4 sample payload byte — pure nonnegative integer
+    * arithmetic, EXACTLY mirrored by the m12/m13 oracle SQL.
+    */
+  def synthMp4Byte(seed: Long, f: Int, i: Int): Int =
+    ((seed * 13 + f * 7 + i) % 256).toInt
+
+  /** Minimal-MP4 fixture payload for `seed`, through the real encoder:
+    * `nSamples` opaque samples of 100 + (seed+f) % 50 bytes each, chunked
+    * 3-per-chunk, keyframe every 2nd — enough table structure that the
+    * stsc/stco/stsz resolution path is genuinely exercised.
+    */
+  def synthMp4Bytes(seed: Long, nSamples: Int, w: Int, h: Int,
+      timescale: Long = 1000, sampleDelta: Long = 40): Array[Byte] = {
+    val samples = IndexedSeq.tabulate(nSamples) { f =>
+      val len = (100 + (seed + f) % 50).toInt
+      Array.tabulate[Byte](len)(i => synthMp4Byte(seed, f, i).toByte)
+    }
+    graft.formats.Mp4.encode(samples, w, h, timescale, sampleDelta)
+  }
+
+  /** ISO-BMFF metadata probe — box walk only, `mdat` is never read.
+    * Appends mp4_brand (string), mp4_ms, mp4_w, mp4_h, mp4_codec
+    * (string), mp4_samples, mp4_keyframes (longs); non-MP4 payloads
+    * degrade to all-zero/"" rows.
+    */
+  def withMp4Meta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("mp4_brand", StringType), StructField("mp4_ms", LongType),
+      StructField("mp4_w", LongType), StructField("mp4_h", LongType),
+      StructField("mp4_codec", StringType), StructField("mp4_samples", LongType),
+      StructField("mp4_keyframes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = graft.formats.Mp4.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some(v) =>
+            val t = v.videoTracks.headOption
+            Seq[Any](v.brand, v.durationMs,
+              t.map(_.width.toLong).getOrElse(0L), t.map(_.height.toLong).getOrElse(0L),
+              t.map(_.codec).getOrElse(""), t.map(_.nSamples.toLong).getOrElse(0L),
+              t.map(_.syncSamples.length.toLong).getOrElse(0L))
+          case None => Seq[Any]("", 0L, 0L, 0L, "", 0L, 0L)
+        }
+        Row.fromSeq(r.toSeq ++ m)
+      }
+    }(enc)
+  }
+
+  /** One row per KEYFRAME sample of the first video track: sample index
+    * (0-based), byte length, exact byte sum — the stss-driven sample walk
+    * through stsc/stco/stsz, the container-level "sample the keyframes"
+    * operation a training pipeline shards across executors.
+    */
+  def explodeMp4Keyframes(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_idx", IntegerType), StructField("sample_len", LongType),
+      StructField("sample_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        graft.formats.Mp4.decode(bytes) match {
+          case None => Iterator.empty
+          case Some(v) =>
+            v.videoTracks.headOption.iterator.flatMap { t =>
+              t.syncSamples.iterator.flatMap { s1 =>
+                val i = (s1 - 1).toInt // stss is 1-based
+                graft.formats.Mp4.sampleBytes(bytes, t, i).map { payload =>
+                  var sum = 0L
+                  payload.foreach(b => sum += b & 0xff)
+                  Row.fromSeq(r.toSeq ++ Seq[Any](i, payload.length.toLong, sum))
+                }
+              }
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Near-dup pairs between videos: per-slot frame pHashes voted through
     * the shared Hamming blocking engine. Returns (id_a, id_b, votes,
     * min_hamming) — see [[graft.operators.Dedup.hammingVotePairs]].

@@ -57,6 +57,36 @@ object Coverage10 {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // M12: ISO-BMFF (MP4) metadata probe — ftyp/mvhd/tkhd/hdlr/stsd walk
+    // plus sample-table geometry (stsz count, stss keyframe count); mdat
+    // is never read. The oracle recomputes every field from the fixture
+    // formula.
+    "m12_mp4_probe" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => Video.synthMp4Bytes(
+        id, (5 + id % 6).toInt, (64 + id % 4 * 16).toInt, (48 + id % 3 * 16).toInt))
+      val v = load(s, d, "documents").select($"doc_id")
+        .repartition($"doc_id").withColumn("mp4", mk($"doc_id"))
+      Video.withMp4Meta(v, "mp4")
+        .select($"doc_id", $"mp4_brand", $"mp4_ms", $"mp4_w", $"mp4_h",
+          $"mp4_codec", $"mp4_samples", $"mp4_keyframes")
+        .orderBy($"doc_id")
+    }),
+
+    // M13: keyframe sample walk — stss picks the sync samples, stsc/stco/
+    // stsz resolve each to its exact byte extent (3-per-chunk layout, so
+    // mid-chunk offsets are genuinely summed); byte-exact payload pins.
+    "m13_mp4_keyframes" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => Video.synthMp4Bytes(
+        id, (5 + id % 6).toInt, (64 + id % 4 * 16).toInt, (48 + id % 3 * 16).toInt))
+      val v = load(s, d, "documents").select($"doc_id")
+        .repartition($"doc_id").withColumn("mp4", mk($"doc_id"))
+      Video.explodeMp4Keyframes(v, "mp4")
+        .select($"doc_id", $"sample_idx", $"sample_len", $"sample_sum")
+        .orderBy($"doc_id", $"sample_idx")
+    }),
+
     // M11: frame-voted video near-dup — each doc renders its group's
     // spectral frame sequence (seed = doc_id % 20) at a doc-specific pixel
     // size, so every cluster mixes NINE resolutions of the "same" video;
@@ -65,8 +95,10 @@ object Coverage10 {
     // The oracle predicts the full clustering from the planted groups.
     "m11_video_neardup" -> ((s, d) => {
       import s.implicits._
+      // 3 frames: with 3 slots the sampler hashes frames 0,1,2 — a 4th
+      // frame would be rendered and never hashed (pure fixture waste)
       val mk = udf((id: Long) => Video.synthSpectralAvi(
-        id % 20, 4, (48 + id % 3 * 16).toInt, (48 + (id / 3) % 3 * 16).toInt))
+        id % 20, 3, (48 + id % 3 * 16).toInt, (48 + (id / 3) % 3 * 16).toInt))
       val docs = load(s, d, "documents").select($"doc_id")
       val vids = docs.repartition($"doc_id").withColumn("avi", mk($"doc_id"))
       // low star-expansion cap, as in m5: resolution-variant groups are
@@ -114,6 +146,26 @@ object Coverage10 {
          | CAST(w AS INTEGER) AS frame_w, CAST(h AS INTEGER) AS frame_h,
          | CAST(sum(l) AS BIGINT) AS frame_luma
          |FROM p GROUP BY doc_id, f, w, h ORDER BY doc_id, f""".stripMargin,
+    "m12_mp4_probe" ->
+      """SELECT doc_id, 'isom' AS mp4_brand,
+        | CAST((5 + doc_id % 6) * 40 AS BIGINT) AS mp4_ms,
+        | CAST(64 + doc_id % 4 * 16 AS BIGINT) AS mp4_w,
+        | CAST(48 + doc_id % 3 * 16 AS BIGINT) AS mp4_h,
+        | 'mp4v' AS mp4_codec,
+        | CAST(5 + doc_id % 6 AS BIGINT) AS mp4_samples,
+        | CAST((5 + doc_id % 6 + 1) // 2 AS BIGINT) AS mp4_keyframes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the byte formula is the SQL image of Video.synthMp4Byte — the two
+    // must change together
+    "m13_mp4_keyframes" ->
+      """WITH d AS (SELECT doc_id, 5 + doc_id % 6 AS n FROM documents),
+        |f AS (SELECT d.doc_id, t.f, 100 + (d.doc_id + t.f) % 50 AS len
+        |      FROM d JOIN generate_series(0, 10) t(f) ON t.f < d.n AND t.f % 2 = 0),
+        |s AS (SELECT f.doc_id, f.f, f.len, (f.doc_id*13 + f.f*7 + i.i) % 256 AS b
+        |      FROM f JOIN generate_series(0, 149) i(i) ON i.i < f.len)
+        |SELECT doc_id, CAST(f AS INTEGER) AS sample_idx,
+        | CAST(len AS BIGINT) AS sample_len, CAST(sum(b) AS BIGINT) AS sample_sum
+        |FROM s GROUP BY doc_id, f, len ORDER BY doc_id, f""".stripMargin,
     // m11's clustering is fully determined by the planted seed groups: the
     // per-slot probe margins (in-group ≤ 3 bits at every size pairing,
     // cross-group ~32) leave the 2-of-3 vote no way to split or merge
