@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for hash-partitioned parquet tables (the storage
+  * side of K3/K7: every incremental upsert and streaming micro-batch
+  * appends task-sized files, and at 100 TB a table maintained by
+  * [[PartitionedUpsert]] or [[StreamingIngest]] accumulates thousands of
+  * small files per partition — scan task-launch overhead and NameNode/
+  * listing pressure grow with file COUNT, not bytes). Compaction is the
+  * maintenance pass every production lakehouse runs (Delta OPTIMIZE /
+  * Iceberg rewrite_data_files); here it is a surgical rewrite:
+  *
+  *  - the filesystem listing decides which partitions exceed
+  *    `maxFilesPerPartition` — data is never read to decide;
+  *  - ONE job reads just those partitions (PartitionFilters-pruned),
+  *    assigns each row a target-file slot (`hash(row) mod n_p` where
+  *    `n_p = ceil(partitionBytes / targetFileBytes)`), and rewrites them
+  *    via dynamic partition overwrite — a task holding rows of k
+  *    partitions writes k files, so each compacted partition ends with
+  *    ≤ n_p files and every healthy partition's files are untouched;
+  *  - content is preserved exactly (rows only move between files).
+  *
+  * The per-partition file-count map is bounded driver state (one entry
+  * per partition directory — the same order as the planner's own
+  * partition listing), not corpus-sized data.
+  */
+object Compaction {
+
+  final case class Report(partitionsScanned: Long, partitionsCompacted: Long,
+      filesBefore: Long, filesAfter: Long, rowsRewritten: Long)
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** (partition dir name → (file count, total bytes)) for `col=value`
+    * children of `dir`.
+    */
+  private def listPartitions(spark: SparkSession, dir: String,
+      partCol: String): Map[String, (Long, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    fs.listStatus(p).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).filter(f => f.isFile && isDataFile(f.getPath.getName))
+        d.getPath.getName -> (files.length.toLong, files.map(_.getLen).sum)
+      }
+      .toMap
+  }
+
+  /** Compact every partition of `dir` whose data-file count exceeds
+    * `maxFilesPerPartition`, bin-packing to `targetFileBytes`. Returns
+    * the before/after accounting. Idempotent: a second run finds nothing
+    * above the threshold and rewrites nothing.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String, partCol: String,
+      maxFilesPerPartition: Int, targetFileBytes: Long): Report = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
+    val before = listPartitions(spark, dir, partCol)
+    val oversized = before.filter(_._2._1 > maxFilesPerPartition)
+    val filesBefore = before.valuesIterator.map(_._1).sum
+    if (oversized.isEmpty)
+      return Report(before.size, 0, filesBefore, filesBefore, 0L)
+
+    // partition VALUE (the part after "col=") → target file count
+    val targets: Map[String, Int] = oversized.map { case (name, (_, bytes)) =>
+      name.substring(partCol.length + 1) ->
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }
+    val bTargets = spark.sparkContext.broadcast(targets)
+    val slotOf = udf((pv: String, h: Int) => {
+      val n = bTargets.value.getOrElse(pv, 1)
+      ((h % n) + n) % n
+    })
+    val affected = spark.read.parquet(dir)
+      .filter(col(partCol).cast("string").isin(targets.keys.toSeq: _*))
+    val dataCols = affected.columns.filterNot(_ == partCol).map(col)
+    val totalSlots = math.max(1, targets.valuesIterator.sum)
+    val packed = affected
+      .withColumn("_slot", slotOf(col(partCol).cast("string"), hash(dataCols: _*)))
+      .repartition(totalSlots, col(partCol), col("_slot"))
+      .drop("_slot")
+      // materialize before overwriting the very files being read — the
+      // PartitionedUpsert discipline
+      .localCheckpoint(true)
+    val rows = packed.count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try packed.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(dir)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      bTargets.destroy()
+    }
+    val after = listPartitions(spark, dir, partCol)
+    Report(before.size, oversized.size, filesBefore,
+      after.valuesIterator.map(_._1).sum, rows)
+  }
+}

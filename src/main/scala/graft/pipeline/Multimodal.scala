@@ -157,11 +157,34 @@ object Multimodal {
   def spectralPng(seed: Long, width: Int, height: Int): Array[Byte] =
     encodePng(spectralImage(seed, width, height))
 
+  /** Fixture-render memo: dedup corpora render the SAME (seed, size)
+    * pattern for every group member (m5: 225 distinct images for 5000
+    * docs; m11: 540 distinct frames), so each executor renders a distinct
+    * pattern once. Rendering is deterministic, cached rasters are only
+    * ever read, and the cap bounds executor memory; correctness is
+    * byte-identical with the cache off.
+    */
+  private val spectralCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), BufferedImage]()
+  private val SpectralCacheMax = 4096
+
   /** The raster behind [[spectralPng]] — also rendered directly into raw
     * video frames ([[graft.pipeline.Video]]), where the same
     * invariance/discrimination contract drives frame-voted near-dup.
+    * Callers must treat the returned raster as read-only (it is shared
+    * through the render memo).
     */
   def spectralImage(seed: Long, width: Int, height: Int): BufferedImage = {
+    val key = (seed, width, height)
+    val hit = spectralCache.get(key)
+    if (hit != null) return hit
+    val img = renderSpectral(seed, width, height)
+    if (spectralCache.size >= SpectralCacheMax) spectralCache.clear()
+    spectralCache.put(key, img)
+    img
+  }
+
+  private def renderSpectral(seed: Long, width: Int, height: Int): BufferedImage = {
     require(width > 0 && height > 0, s"dims must be positive, got ${width}x$height")
     val n = PhashLow
     // per-(u,v) sign from a splitmix-style integer mix — no RNG state

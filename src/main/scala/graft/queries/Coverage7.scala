@@ -151,6 +151,40 @@ object Coverage7 {
         .orderBy($"lang")
     }),
 
+    // K8: small-file compaction — the maintenance pass behind k7's layout:
+    // a 16-bucket table fragmented by per-slice appends is compacted back
+    // to one file per oversized bucket, healthy buckets untouched, content
+    // provably intact (count + full checksum compare against the source).
+    "k8_compaction" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-k8").toString
+      val base = load(s, d, "documents").select($"doc_id", $"lang", $"n_chars")
+      // fragment: eight appends, each shuffled wide — every bucket collects
+      // ~8 small files
+      (0 until 8).foreach { k =>
+        base.filter($"doc_id" % 8 === k)
+          .withColumn("_bucket", pmod(hash($"doc_id"), lit(16)))
+          .repartition(2)
+          .write.mode("append").partitionBy("_bucket")
+          .parquet(root)
+      }
+      val rpt = graft.pipeline.Compaction.compactPartitioned(
+        s, root, "_bucket", maxFilesPerPartition = 4,
+        targetFileBytes = Long.MaxValue)
+      val after = s.read.parquet(root).drop("_bucket")
+      // order-free content checksum: count + summed row hash on each side
+      // (one aggregate per side; the byte-exact compare lives in
+      // CompactionSpec)
+      def sig(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)), sum(hash($"doc_id", $"lang", $"n_chars").cast("long")))
+        .first()
+      val intact = sig(after) == sig(base)
+      Seq((rpt.partitionsScanned, rpt.partitionsCompacted,
+          rpt.filesAfter, rpt.filesBefore > rpt.filesAfter, intact))
+        .toDF("n_buckets", "buckets_compacted", "files_after",
+          "files_reduced", "content_intact")
+    }),
+
     // T8: HTML boilerplate strip over deterministically HTML-wrapped docs
     // (the synthetic corpus is plain text, so the wrapper injects tags, a
     // script block, and entities the stripper must remove/decode).
@@ -252,6 +286,14 @@ object Coverage7 {
         | CAST(sum(CASE WHEN doc_id % 17 = 0 THEN n_chars + 1000
         |               ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 16 hash buckets over 500+ docs: every bucket is non-empty and every
+    // bucket collects ≥ 8 append files > the 4-file threshold, so all 16
+    // compact down to one file each
+    "k8_compaction" ->
+      """SELECT CAST(16 AS BIGINT) AS n_buckets,
+        | CAST(16 AS BIGINT) AS buckets_compacted,
+        | CAST(16 AS BIGINT) AS files_after,
+        | true AS files_reduced, true AS content_intact""".stripMargin,
     "t8_html_strip" ->
       """WITH h AS (
         | SELECT doc_id,

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Small-file compaction: only oversized partitions are rewritten (healthy
+  * partitions' files byte-untouched), bin-packing honors the target size,
+  * content is preserved exactly, and a second run is a no-op.
+  */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+
+  /** A 4-bucket table where buckets 0..2 are written healthy (one file)
+    * and bucket 3 is fragmented into many small files via repeated
+    * appends.
+    */
+  private def fragmentedTable(dir: String): Long = {
+    import spark.implicits._
+    val base = (0 until 400).map(i => (i.toLong, s"payload-$i" * 10))
+      .toDF("id", "text")
+      .withColumn("_bucket", pmod(col("id"), lit(4)).cast("int"))
+    base.filter($"_bucket" < 3).coalesce(1)
+      .write.partitionBy("_bucket").parquet(dir)
+    // fragment bucket 3: ten single-file appends (ids ≡ 3 mod 4 split by
+    // their residue mod 40 — ten classes of ten ids each)
+    (0 until 10).foreach { k =>
+      base.filter($"_bucket" === 3 && pmod($"id", lit(40)) === 3 + 4 * k)
+        .coalesce(1).write.mode("append").partitionBy("_bucket").parquet(dir)
+    }
+    spark.read.parquet(dir).count()
+  }
+
+  private def partitionFiles(dir: String, part: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir, part)
+    if (!d.exists) Seq.empty
+    else d.listFiles.toSeq.filter(f => f.isFile && !f.getName.startsWith("_") &&
+      !f.getName.startsWith("."))
+  }
+
+  test("compacts only oversized partitions and preserves content exactly") {
+    import spark.implicits._
+    val dir = freshDir()
+    fragmentedTable(dir)
+    val beforeRows = spark.read.parquet(dir)
+      .select($"id", $"text").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val healthyBefore = partitionFiles(dir, "_bucket=1")
+      .map(f => (f.getName, f.lastModified, f.length))
+    val fragBefore = partitionFiles(dir, "_bucket=3").size
+    assert(fragBefore >= 5, s"fixture should fragment bucket 3, got $fragBefore files")
+
+    val rpt = Compaction.compactPartitioned(spark, dir, "_bucket",
+      maxFilesPerPartition = 4, targetFileBytes = Long.MaxValue)
+    assert(rpt.partitionsScanned == 4 && rpt.partitionsCompacted == 1)
+    assert(rpt.filesBefore == 3 + fragBefore)
+    assert(rpt.filesAfter == 4) // three healthy + bucket 3 packed to one
+    assert(partitionFiles(dir, "_bucket=3").size == 1)
+
+    // healthy partitions byte-untouched (same files, same mtimes)
+    val healthyAfter = partitionFiles(dir, "_bucket=1")
+      .map(f => (f.getName, f.lastModified, f.length))
+    assert(healthyAfter == healthyBefore)
+
+    // content identical
+    val afterRows = spark.read.parquet(dir)
+      .select($"id", $"text").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(afterRows.sameElements(beforeRows))
+
+    // idempotent: second run rewrites nothing
+    val rpt2 = Compaction.compactPartitioned(spark, dir, "_bucket",
+      maxFilesPerPartition = 4, targetFileBytes = Long.MaxValue)
+    assert(rpt2.partitionsCompacted == 0 && rpt2.filesAfter == rpt2.filesBefore)
+  }
+
+  test("bin-packing splits a partition into ~bytes/target files") {
+    import spark.implicits._
+    val dir = freshDir()
+    fragmentedTable(dir)
+    val bytes3 = partitionFiles(dir, "_bucket=3").map(_.length).sum
+    // target a third of the partition → expect 2..4 files (hash slots may
+    // under-fill but never exceed the ceiling)
+    val target = math.max(1L, bytes3 / 3)
+    val expectMax = ((bytes3 + target - 1) / target).toInt
+    Compaction.compactPartitioned(spark, dir, "_bucket",
+      maxFilesPerPartition = 4, targetFileBytes = target)
+    val n = partitionFiles(dir, "_bucket=3").size
+    assert(n >= 2 && n <= expectMax, s"got $n files, ceiling $expectMax")
+  }
+
+  test("empty and missing tables report zeros") {
+    val rpt = Compaction.compactPartitioned(spark, freshDir() + "/nope",
+      "_bucket", 4, 1L << 20)
+    assert(rpt == Compaction.Report(0, 0, 0, 0, 0))
+  }
+}
