@@ -92,6 +92,50 @@ object Quality {
     * non-overlapping shingles bound the exploded row count at
     * n_words/k per document.
     */
+  /** One named, declarative filter rule: `keep` is the predicate a
+    * SURVIVING document satisfies. Rules are plain Column expressions so
+    * the whole config stays inside Catalyst (codegen'd, pushdown-able) —
+    * the Spark form of a Dolma/RedPajama filter-config block.
+    */
+  final case class FilterRule(name: String, keep: Column)
+
+  /** Apply a filter config WITHOUT dropping rows: appends one boolean
+    * per rule (`pass_<name>`, null text treated as fail) and `keep_doc`
+    * (conjunction). The audit form every curation run wants first — "what
+    * would this config do" — and the input to [[filterSummary]] /
+    * [[applyFilterConfig]]; one scan, no shuffle, plan stays codegen'd.
+    */
+  def filterReport(df: DataFrame, rules: Seq[FilterRule]): DataFrame = {
+    require(rules.nonEmpty, "empty filter config")
+    require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
+    val flagged = rules.foldLeft(df) { (d, r) =>
+      d.withColumn(s"pass_${r.name}", coalesce(r.keep, lit(false)))
+    }
+    flagged.withColumn("keep_doc",
+      rules.map(r => col(s"pass_${r.name}")).reduce(_ && _))
+  }
+
+  /** Per-rule accounting over a [[filterReport]]: docs failing each rule
+    * (rules overlap — failures need not sum to drops), total docs, kept
+    * docs. One aggregation over the one-scan report.
+    */
+  def filterSummary(report: DataFrame, rules: Seq[FilterRule]): DataFrame = {
+    val aggs = rules.map(r =>
+      sum(when(!col(s"pass_${r.name}"), 1L).otherwise(0L)).as(s"fail_${r.name}")) ++
+      Seq(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_doc"), 1L).otherwise(0L)).as("n_kept"))
+    report.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The survivor corpus under a config. The raw conjunction (no
+    * null-coalescing) keeps the predicates translatable to data-source
+    * filters — a `coalesce(p, false)` wrapper would block pushdown, and
+    * WHERE semantics already drop null-evaluating rows, so the survivor
+    * set is identical to [[filterReport]]'s `keep_doc`.
+    */
+  def applyFilterConfig(df: DataFrame, rules: Seq[FilterRule]): DataFrame =
+    df.filter(rules.map(_.keep).reduce(_ && _))
+
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val ws = words(col(textCol))
     // sequence(0, n) flips to a DESCENDING sequence when n < 0, so short

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.Column
-import graft.operators.{Dedup, Sampling, Search, TextAnalysis}
+import graft.operators.{Dedup, Quality, Sampling, Search, TextAnalysis}
 
 /** Coverage wave 8 — semantic dedup, importance resampling, and domain
   * mixing: the remaining big-name training-corpus constructions. Sampling
@@ -119,6 +119,27 @@ object Coverage8 {
           vocabSize = 512, minBigramCount = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")
+    }),
+
+    // T14: declarative filter-config ensemble (the Dolma/RedPajama
+    // filter-block shape): named Column rules → one-scan audit report →
+    // per-language accounting. Rules overlap by construction, so the gate
+    // proves fail counts are per-rule, not partitioned.
+    "t14_filter_config" -> ((s, d) => {
+      import s.implicits._
+      val nWords = size(filter(split(trim($"text"), " "), t => length(t) > 0))
+      val rules = Seq(
+        Quality.FilterRule("min_chars", $"n_chars" >= 100),
+        Quality.FilterRule("max_words", nWords <= 80),
+        Quality.FilterRule("lang_allowed", $"lang".isin("en", "de", "fr", "es")))
+      Quality.filterReport(load(s, d, "documents"), rules)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!$"pass_min_chars", 1L).otherwise(0L)).as("fail_min_chars"),
+          sum(when(!$"pass_max_words", 1L).otherwise(0L)).as("fail_max_words"),
+          sum(when(!$"pass_lang_allowed", 1L).otherwise(0L)).as("fail_lang"),
+          sum(when($"keep_doc", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"lang")
     }),
 
     // T12: one-scan column profile (ANALYZE analog) — row count, per-column
@@ -461,6 +482,19 @@ object Coverage8 {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         | round(-sum(lp) / count(*), 4) AS nll
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t14_filter_config" ->
+      """WITH r AS (
+        | SELECT lang,
+        |  n_chars >= 100 AS p1,
+        |  len(list_filter(string_split(trim(text), ' '), x -> len(x) > 0)) <= 80 AS p2,
+        |  lang IN ('en', 'de', 'fr', 'es') AS p3
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_chars,
+        | CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_max_words,
+        | CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+        | CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "t12_corpus_profile" ->
       """SELECT * FROM (
         | SELECT 'doc_id' AS column_name, count(*) AS n_rows,

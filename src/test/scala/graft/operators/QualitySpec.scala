@@ -86,4 +86,40 @@ class QualitySpec extends AnyFunSuite {
       .select("gram").as[String].collect().toSeq
     assert(out == Seq("a b", "b c", "c d"))
   }
+
+  test("filter config: per-rule flags, overlap accounting, null-safe") {
+    val d = Seq((1L, "ok ok ok", 10L), (2L, "x", 2L),
+      (3L, null.asInstanceOf[String], 0L), (4L, "fine text here", 20L))
+      .toDF("doc_id", "text", "n_chars")
+    val rules = Seq(
+      Quality.FilterRule("chars", col("n_chars") >= 5),
+      Quality.FilterRule("nonnull", length(col("text")) > 1))
+    val rpt = Quality.filterReport(d, rules)
+      .select("doc_id", "pass_chars", "pass_nonnull", "keep_doc")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // doc 2 fails chars only; doc 3 fails BOTH (null text coalesces to
+    // fail, not null) — overlapping failures stay per-rule
+    assert(rpt == Map(
+      1L -> (true, true, true), 2L -> (false, false, false),
+      3L -> (false, false, false), 4L -> (true, true, true)))
+    val sums = Quality.filterSummary(Quality.filterReport(d, rules), rules).first()
+    assert(sums.getLong(0) == 2 && sums.getLong(1) == 2) // fail_chars, fail_nonnull
+    assert(sums.getLong(2) == 4 && sums.getLong(3) == 2) // n_docs, n_kept
+    assert(Quality.applyFilterConfig(d, rules).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("filter config pushes simple rules into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-filtercfg").toString + "/t"
+    docs((1L, "a"), (2L, "bb")).withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(dir)
+    val survivors = Quality.applyFilterConfig(spark.read.parquet(dir),
+      Seq(Quality.FilterRule("chars", col("n_chars") >= 2)))
+    val scan = survivors.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(n_chars,2)"),
+      s"rule did not reach the scan:\n$scan")
+    assert(survivors.count() == 1)
+  }
 }
