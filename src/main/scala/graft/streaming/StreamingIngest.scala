@@ -23,6 +23,31 @@ object StreamingIngest {
 
   private val Buckets = 64
 
+  /** Post-pass index maintenance: every [[PartitionedUpsert.upsertByKey]]
+    * rewrites a touched bucket with as many files as tasks held its rows,
+    * so a long-lived ingest index fragments at the rate of (touched
+    * buckets × shuffle width) per pass. Running
+    * [[graft.pipeline.Compaction]] between passes bounds file counts
+    * without touching healthy buckets; content (and therefore every
+    * dedup/replay invariant) is unchanged. The near-dup index compacts
+    * both of its tables (`sigs/`, `bands/`).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      maxFilesPerPartition: Int = 4,
+      targetFileBytes: Long = 128L << 20): graft.pipeline.Compaction.Report = {
+    import graft.pipeline.Compaction
+    val sub = Seq("sigs", "bands").map(n => s"$indexDir/$n")
+      .filter(graft.core.Fs.exists(spark, _))
+    val dirs = if (sub.nonEmpty) sub else Seq(indexDir)
+    dirs.map(Compaction.compactPartitioned(spark, _, "_bucket",
+        maxFilesPerPartition, targetFileBytes))
+      .reduce((a, b) => graft.pipeline.Compaction.Report(
+        a.partitionsScanned + b.partitionsScanned,
+        a.partitionsCompacted + b.partitionsCompacted,
+        a.filesBefore + b.filesBefore, a.filesAfter + b.filesAfter,
+        a.rowsRewritten + b.rowsRewritten))
+  }
+
   /** One AvailableNow pass over document files in `docsDir`: dedup each
     * micro-batch against the fingerprint index at `indexDir`, append the
     * novel paragraphs, and grow the index. Returns micro-batch count.

@@ -80,4 +80,36 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(PartitionedUpsert.read(spark, s"$index/sigs").count() == 3L,
       "replayed batches must append nothing")
   }
+
+  test("compactIndex bounds ingest fragmentation without changing behavior") {
+    val root = Files.createTempDirectory("graft-ingest-compact").toString
+    val docs = s"$root/docs"; val index = s"$root/index"; val ckpt = s"$root/ckpt"
+
+    // several passes, each upserting into the same hot buckets — every
+    // pass rewrites touched buckets shuffle-wide, so files accumulate
+    writeBatch(docs, Seq((1L, "p1|p2"), (2L, "p3|p4")))
+    StreamingIngest.runAvailableNow(spark, docs, index, ckpt, paras, 1000L)
+    (0 until 3).foreach { k =>
+      writeBatch(docs, Seq((10L + k, s"p1|q$k|r$k|s$k")))
+      StreamingIngest.runAvailableNow(spark, docs, index, ckpt, paras, 1000L)
+    }
+    val before = PartitionedUpsert.read(spark, index)
+      .select($"p_text", $"owner_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val rpt = StreamingIngest.compactIndex(spark, index,
+      maxFilesPerPartition = 1, targetFileBytes = Long.MaxValue)
+    assert(rpt.partitionsCompacted > 0, "fixture should have fragmented buckets")
+    assert(rpt.filesAfter < rpt.filesBefore)
+
+    // content identical, and the ingest invariants still hold: a replay
+    // pass over the same docs appends nothing to the compacted index
+    val after = PartitionedUpsert.read(spark, index)
+      .select($"p_text", $"owner_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    StreamingIngest.runAvailableNow(spark, docs, index, s"$root/ckpt2",
+      paras, 1000L)
+    assert(PartitionedUpsert.read(spark, index).count() == before.size.toLong)
+  }
 }
