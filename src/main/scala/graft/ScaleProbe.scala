@@ -43,7 +43,12 @@ object ScaleProbe {
     "v5_ann_ivf_recall",   // IVF ANN build+probe
     "sp5_greedy_pack",     // sequence packing
     "c7_chunk_recursive",  // recursive chunker
-    "st1_gap_sessions"     // sessionization window
+    "st1_gap_sessions",    // sessionization window
+    "t13_bigram_ppl",      // bigram LM train (ref shuffle) + broadcast score
+    "t14_filter_config",   // declarative filter scan
+    "m10_video_frames",    // AVI container decode + frame explode
+    "m13_mp4_keyframes",   // MP4 sample-table walk
+    "k8_compaction"        // small-file compaction rewrite
   )
 
   /** One replica of every table, keys shifted, text salted, vectors nudged. */
