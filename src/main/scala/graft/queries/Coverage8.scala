@@ -232,6 +232,22 @@ object Coverage8 {
         .orderBy($"epoch", $"shard")
     }),
 
+    // SP10: epoch shard export — the training-data final mile: epoch 1 of
+    // the corpus written as numbered shard dirs in deterministic training
+    // order, manifest (count, token sum, Σ pos·id order checksum)
+    // hash-matched, and the written files re-verified against the
+    // manifest from disk (verifyEpoch recomputes from the shard files).
+    "sp10_export_shards" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-sp10").toString
+      val docs = load(s, d, "documents").select($"doc_id", $"n_chars")
+      val manifest = graft.pipeline.ShardExport.exportEpoch(
+        docs, "doc_id", "n_chars", epoch = 1, nShards = 8, outDir = root)
+      val ok = graft.pipeline.ShardExport.verifyEpoch(
+        s, root, epoch = 1, "doc_id", "n_chars")
+      manifest.withColumn("verified", lit(ok)).orderBy($"shard")
+    }),
+
     // SP8: leakage-safe grouped split — the split hashes the SOURCE, so all
     // docs of a source share a fate and train/eval contamination through
     // within-source near-dups is structurally impossible. The oracle
@@ -570,6 +586,20 @@ object Coverage8 {
         | CAST(sum(mix_tokens) AS BIGINT) AS tok_total,
         | round(sum(mix_tokens) / ((max(bin_id) + 1) * 1024.0), 4) AS util
         |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sp10_export_shards" ->
+      """WITH h AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(('0x' || substr(md5(doc_id || ':1'), 1, 8)) AS UBIGINT) AS hh
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, n_chars, CAST(hh % 8 AS INTEGER) AS shard,
+        |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS pos
+        | FROM h)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+        | CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
+        | true AS verified
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "sp7_epoch_shuffle" ->
       """WITH e AS (
         | SELECT doc_id, CAST(u.epoch AS INTEGER) AS epoch
