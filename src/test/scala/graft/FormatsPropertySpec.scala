@@ -100,6 +100,79 @@ class FormatsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("avi: arbitrary DIB frame geometry round-trips pixel-exactly") {
+    import graft.formats.Avi
+    val geom = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 16)
+      n <- Gen.choose(0, 6); seed <- Gen.choose(0L, 1L << 40)
+    } yield (w, h, n, seed)
+    forAll(geom) { case (w, h, n, seed) =>
+      val bytes = graft.pipeline.Video.synthAviBytes(seed, n, w, h)
+      val v = Avi.decode(bytes).get
+      assert(v.width == w && v.height == h && v.nFrames == n)
+      (0 until n).foreach { f =>
+        val img = Avi.frameImage(v, f).get
+        // spot-check corners + center (full grids are covered by AviSpec)
+        for ((x, y) <- Seq((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1), (w / 2, h / 2)))
+          assert((img.getRGB(x, y) & 0xffffff) ==
+            graft.pipeline.Video.synthRgb(seed, f, x, y))
+      }
+    }
+  }
+
+  test("avi/mp4: random mutations of valid containers never throw") {
+    import graft.formats.{Avi, Mp4}
+    val avi = graft.pipeline.Video.synthAviBytes(5L, 3, 8, 8)
+    val mp4 = graft.pipeline.Video.synthMp4Bytes(5L, 6, 32, 32)
+    val mut = for {
+      which <- Gen.oneOf(0, 1)
+      base = if (which == 0) avi else mp4
+      nFlips <- Gen.choose(1, 8)
+      flips <- Gen.listOfN(nFlips,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(Byte.MinValue, Byte.MaxValue)))
+      cut <- Gen.choose(0, base.length)
+    } yield (which, flips, cut)
+    forAll(mut) { case (which, flips, cut) =>
+      val base = (if (which == 0) avi else mp4).clone()
+      flips.foreach { case (i, b) => base(i) = b }
+      val mutated = base.take(cut)
+      if (which == 0) {
+        Avi.decode(mutated).foreach { v =>     // decode may succeed or not —
+          (0 until v.nFrames).foreach(Avi.frameImage(v, _)) // but never throw
+        }
+      } else {
+        Mp4.decode(mutated).foreach { m =>
+          m.tracks.foreach { t =>
+            (0 until math.min(t.nSamples, 8)).foreach(Mp4.sampleBytes(mutated, t, _))
+          }
+        }
+      }
+    }
+  }
+
+  test("mp4: arbitrary sample sizes and chunkings resolve every extent") {
+    import graft.formats.Mp4
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 64))
+      chunk <- Gen.choose(1, 5)
+      key <- Gen.choose(1, 4)
+    } yield (sizes, chunk, key)
+    forAll(gen) { case (sizes, chunk, key) =>
+      val samples = sizes.zipWithIndex.map { case (len, f) =>
+        Array.tabulate[Byte](len)(i => ((f * 31 + i) % 256).toByte)
+      }.toIndexedSeq
+      val bytes = Mp4.encode(samples, 16, 16, 1000, 40, chunkSize = chunk, keyEvery = key)
+      val t = Mp4.decode(bytes).get.videoTracks.head
+      assert(t.nSamples == samples.length)
+      samples.indices.foreach { i =>
+        assert(Mp4.sampleBytes(bytes, t, i).get.sameElements(samples(i)),
+          s"sample $i of ${samples.length} chunk=$chunk")
+      }
+      assert(t.syncSamples == (1 to samples.length).filter(s => (s - 1) % key == 0).map(_.toLong))
+    }
+  }
+
   test("bpe: encoding is lossless for any trained table and any input") {
     val corpusCounts = Seq("the quick brown fox", "lazy dogs sleep all day")
       .flatMap(Bpe.preTokens).groupBy(identity).view.mapValues(_.size.toLong).toSeq
