@@ -311,13 +311,19 @@ object Similarity {
     * Deterministic init: subvectors of the first `codesPerSub` rows by id.
     */
   def trainPq(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
-      subspaces: Int, codesPerSub: Int, iters: Int = 3): PqCodebook = {
-    val normUdf = udf((v: Seq[Float]) => l2unit(v))
+      subspaces: Int, codesPerSub: Int, iters: Int = 3,
+      normalize: Boolean = true): PqCodebook = {
+    // normalize=false trains on the vectors AS GIVEN — the residual space
+    // of IVF-PQ ([[buildIvfPq]]), where unit-normalizing would destroy the
+    // centroid + residual decomposition
+    val prep: Seq[Float] => Array[Float] =
+      if (normalize) l2unit else (v => v.toArray)
+    val prepUdf = udf((v: Seq[Float]) => prep(v))
     val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).length
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces subspaces")
     val subDim = dim / subspaces
     val subsUdf = udf((v: Seq[Float]) => {
-      val u = l2unit(v)
+      val u = prep(v)
       (0 until subspaces).map(sc => u.slice(sc * subDim, (sc + 1) * subDim).toSeq)
     })
     val subRows = corpus
@@ -326,7 +332,7 @@ object Similarity {
 
     var book: Array[Array[Array[Float]]] = {
       val init = corpus.orderBy(col(idCol)).limit(codesPerSub)
-        .select(normUdf(col(vecCol))).collect().map(_.getSeq[Float](0).toArray)
+        .select(prepUdf(col(vecCol))).collect().map(_.getSeq[Float](0).toArray)
       Array.tabulate(subspaces, init.length)((sc, c) =>
         init(c).slice(sc * subDim, (sc + 1) * subDim))
     }
@@ -356,11 +362,12 @@ object Similarity {
     * compression. Returns (idCol, pq_codes).
     */
   def encodePq(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
-      book: PqCodebook): DataFrame = {
+      book: PqCodebook, normalize: Boolean = true,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val bc = spark.sparkContext.broadcast(book)
     val enc = udf((v: Seq[Float]) => {
       val b = bc.value
-      val u = l2unit(v)
+      val u = if (normalize) l2unit(v) else v.toArray
       val out = new Array[Byte](b.subspaces)
       var sc = 0
       while (sc < b.subspaces) {
@@ -370,7 +377,102 @@ object Similarity {
       }
       out
     })
-    corpus.select(col(idCol), enc(col(vecCol)).as("pq_codes"))
+    corpus.select(col(idCol) +: extraCols.map(col) :+
+      enc(col(vecCol)).as("pq_codes"): _*)
+  }
+
+  /** IVF-PQ: coarse cells + product-quantized RESIDUALS — the canonical
+    * billion-scale ANN layout (Jégou et al., TPAMI 2011 §IV): k-means
+    * cells bound which codes a probe scans (like [[buildIvf]]), and
+    * within a cell each vector stores only the PQ codes of `v̂ − c_cell`
+    * (residuals are far more compressible than raw vectors, so the same
+    * byte budget buys much lower quantization error). Cells are trained
+    * on UNIT vectors so `q̂·v̂ = q̂·c_cell + q̂·r` decomposes the cosine
+    * score into a per-cell constant plus an ADC table sum.
+    *
+    * Scale shape: one normalize scan feeds the (driver-bounded) k-means;
+    * residual PQ training is the same one-shuffle-per-iteration Lloyd as
+    * [[trainPq]]; the index is (id, cell, 8-byte codes) — the float
+    * corpus is never read again until the final rerank.
+    */
+  final case class IvfPqIndex(centroids: Array[(Int, Array[Float])],
+      book: PqCodebook, coded: DataFrame)
+
+  def buildIvfPq(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, subspaces: Int, codesPerSub: Int,
+      ivfIters: Int = 3, pqIters: Int = 3): IvfPqIndex = {
+    val normUdf = udf((v: Seq[Float]) => l2unit(v).toSeq)
+    val unitized = corpus
+      .select(col(idCol).as("id"), normUdf(col(vecCol)).as("vec"))
+    val ivf = buildIvf(spark, unitized, "id", "vec", nCells, ivfIters)
+    val bcC = spark.sparkContext.broadcast(ivf.centroids.toMap)
+    val residUdf = udf((cell: Int, v: Seq[Float]) => {
+      val c = bcC.value(cell)
+      (0 until v.length).map(i => v(i) - c(i))
+    })
+    val resid = ivf.assignments
+      .withColumn("resid", residUdf(col("cell"), col("vec")))
+      .select(col("id"), col("cell"), col("resid"))
+      .localCheckpoint(true) // feeds PQ training AND encoding
+    val book = trainPq(spark, resid, "id", "resid", subspaces, codesPerSub,
+      pqIters, normalize = false)
+    val coded = encodePq(spark, resid, "id", "resid", book,
+      normalize = false, extraCols = Seq("cell"))
+      .localCheckpoint(true)
+    IvfPqIndex(ivf.centroids, book, coded)
+  }
+
+  /** The cells a probe would scan — exposed so gates can assert the
+    * stage-1 scan is cell-bounded.
+    */
+  def probedCells(index: IvfPqIndex, probe: Array[Float], nprobe: Int): Seq[Int] =
+    nearestCells(index.centroids, l2unit(probe), nprobe)
+
+  /** ANN search over an IVF-PQ index: probe the nprobe nearest cells,
+    * ADC-score ONLY their codes (`q̂·c_cell` constant + residual table
+    * lookups), exact-rerank `k·rerankFactor` candidates against the float
+    * corpus. Stage 1 touches nprobe/nCells of the 8-byte codes and no
+    * float vector at all.
+    */
+  def searchIvfPq(spark: SparkSession, index: IvfPqIndex, corpus: DataFrame,
+      idCol: String, vecCol: String, probe: Array[Float], nprobe: Int,
+      k: Int, rerankFactor: Int = 4): DataFrame = {
+    val q = l2unit(probe)
+    val cells = nearestCells(index.centroids, q, nprobe)
+    val centroidOf = index.centroids.toMap
+    val cellConst: Map[Int, Float] = cells.map { ci =>
+      val c = centroidOf(ci)
+      var s = 0.0; var i = 0
+      while (i < q.length) { s += q(i) * c(i); i += 1 }
+      ci -> s.toFloat
+    }.toMap
+    val book = index.book
+    val table: Array[Array[Float]] = Array.tabulate(book.subspaces) { sc =>
+      book.centroids(sc).map { cent =>
+        var s = 0.0; var i = 0
+        while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
+        s.toFloat
+      }
+    }
+    val bcT = spark.sparkContext.broadcast((table, cellConst))
+    val adc = udf((cell: Int, cs: Array[Byte]) => {
+      val (t, const) = bcT.value
+      var s = const(cell)
+      var sc = 0
+      while (sc < cs.length) { s += t(sc)(cs(sc) & 0xff); sc += 1 }
+      s
+    })
+    val candidates = index.coded
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("approx_sim", adc(col("cell"), col("pq_codes")))
+      .select(col("id").as(idCol), col("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(k * rerankFactor)
+    corpus.join(broadcast(candidates.select(col(idCol))), Seq(idCol), "left_semi")
+      .withColumn("sim", GraftFunctions.cosine_f32(col(vecCol), typedLit(probe)))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Asymmetric-distance (ADC) search over PQ codes, exact rerank: the

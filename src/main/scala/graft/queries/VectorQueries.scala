@@ -166,6 +166,31 @@ object VectorQueries {
         .crossJoin(widthOk)
     }),
 
+    // V13: IVF-PQ — coarse cells + product-quantized residuals (the
+    // canonical billion-scale ANN layout). Gates: top-10 recall vs brute
+    // force, 8-byte code width, and the cell-bounded stage-1 (the probed
+    // cells must hold strictly fewer codes than the corpus).
+    "v13_ivfpq_recall" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val index = Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+        nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2, pqIters = 2)
+      val approx = Similarity.searchIvfPq(s, index, emb, "vec_id", "embedding",
+        probe, nprobe = 6, k = 10)
+        .select($"vec_id")
+      val widthOk = index.coded.agg(every(length($"pq_codes") === 8).as("width_ok"))
+      val bounded = Seq(index.coded.filter($"cell".isin(
+          Similarity.probedCells(index, probe, 6): _*)).count() <
+        index.coded.count()).toDF("cells_bounded")
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6).as("recall_ok"))
+        .crossJoin(widthOk).crossJoin(bounded)
+    }),
+
     // Embedding-cosine near-duplicate pairs via banded hyperplane LSH,
     // pinned by a snapshot VALUES oracle (the sketch is deterministic).
     // The recall properties themselves are asserted against an all-pairs
@@ -208,6 +233,8 @@ object VectorQueries {
     "v9_lsh_ann_recall" -> "SELECT true AS recall_ok",
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
+    "v13_ivfpq_recall" ->
+      "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
     "v1_cosine_scan" ->
       s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a, embeddings b WHERE a.vec_id = 0
