@@ -244,6 +244,47 @@ object Video {
     }(enc)
   }
 
+  /** Unified probe over a MIXED media column — real corpora put AVI, MP4,
+    * images, and junk in the SAME binary column, and every decoder here is
+    * total, so sniffing is just trying them in container order. Appends
+    * media_kind ('avi' | 'mp4' | 'image' | 'unknown') and normalized
+    * geometry: media_w/media_h, media_frames (1 for still images),
+    * media_ms (0 where the container has no timing). Header-only for the
+    * containers; the image fall-through decodes (ImageIO has no
+    * header-only probe and stills dominate neither CPU nor the 100 TB
+    * layout decision this column drives).
+    */
+  def withMediaProbe(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("media_kind", StringType),
+      StructField("media_w", LongType), StructField("media_h", LongType),
+      StructField("media_frames", LongType), StructField("media_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m: Seq[Any] = Avi.decode(bytes) match {
+          case Some(v) =>
+            Seq("avi", v.width.toLong, v.height.toLong, v.nFrames.toLong, v.durationMs)
+          case None => graft.formats.Mp4.decode(bytes) match {
+            case Some(v) =>
+              val t = v.videoTracks.headOption
+              Seq("mp4", t.map(_.width.toLong).getOrElse(0L),
+                t.map(_.height.toLong).getOrElse(0L),
+                t.map(_.nSamples.toLong).getOrElse(0L), v.durationMs)
+            case None => Multimodal.decodeImage(bytes) match {
+              case Some((img, _)) =>
+                Seq("image", img.getWidth.toLong, img.getHeight.toLong, 1L, 0L)
+              case None => Seq("unknown", 0L, 0L, 0L, 0L)
+            }
+          }
+        }
+        Row.fromSeq(r.toSeq ++ m)
+      }
+    }(enc)
+  }
+
   /** Near-dup pairs between videos: per-slot frame pHashes voted through
     * the shared Hamming blocking engine. Returns (id_a, id_b, votes,
     * min_hamming) — see [[graft.operators.Dedup.hammingVotePairs]].

@@ -87,6 +87,27 @@ object Coverage10 {
         .orderBy($"doc_id", $"sample_idx")
     }),
 
+    // M14: mixed-media probe — one binary column carrying AVI, MP4, PNG,
+    // and junk per doc_id mod 4; the unified probe must classify and
+    // normalize geometry for all four without any row failing. The
+    // capstone of the every-decoder-is-total discipline.
+    "m14_mixed_media" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => (id % 4) match {
+        case 0 => Video.synthAviBytes(id, (3 + id % 3).toInt, 16, 12)
+        case 1 => Video.synthMp4Bytes(id, (4 + id % 5).toInt, 64, 48)
+        case 2 => graft.pipeline.Multimodal.synthPng(
+          (10 + id % 6).toInt, (8 + id % 4).toInt, id)
+        case _ => Array.tabulate[Byte](32)(i => ((id * 7 + i) % 256).toByte)
+      })
+      val v = load(s, d, "documents").select($"doc_id")
+        .repartition($"doc_id").withColumn("media", mk($"doc_id"))
+      Video.withMediaProbe(v, "media")
+        .select($"doc_id", $"media_kind", $"media_w", $"media_h",
+          $"media_frames", $"media_ms")
+        .orderBy($"doc_id")
+    }),
+
     // M11: frame-voted video near-dup — each doc renders its group's
     // spectral frame sequence (seed = doc_id % 20) at a doc-specific pixel
     // size, so every cluster mixes NINE resolutions of the "same" video;
@@ -146,6 +167,20 @@ object Coverage10 {
          | CAST(w AS INTEGER) AS frame_w, CAST(h AS INTEGER) AS frame_h,
          | CAST(sum(l) AS BIGINT) AS frame_luma
          |FROM p GROUP BY doc_id, f, w, h ORDER BY doc_id, f""".stripMargin,
+    "m14_mixed_media" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4'
+        |                 WHEN 2 THEN 'image' ELSE 'unknown' END AS media_kind,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 64
+        |                      WHEN 2 THEN 10 + doc_id % 6 ELSE 0 END AS BIGINT) AS media_w,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 12 WHEN 1 THEN 48
+        |                      WHEN 2 THEN 8 + doc_id % 4 ELSE 0 END AS BIGINT) AS media_h,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 3 + doc_id % 3 WHEN 1 THEN 4 + doc_id % 5
+        |                      WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS media_frames,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN (3 + doc_id % 3) * 40
+        |                      WHEN 1 THEN (4 + doc_id % 5) * 40
+        |                      ELSE 0 END AS BIGINT) AS media_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m12_mp4_probe" ->
       """SELECT doc_id, 'isom' AS mp4_brand,
         | CAST((5 + doc_id % 6) * 40 AS BIGINT) AS mp4_ms,

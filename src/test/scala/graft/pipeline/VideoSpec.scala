@@ -140,4 +140,26 @@ class VideoSpec extends AnyFunSuite {
       slots = 3, maxHamming = 3, minVotes = 1, maxBucketSize = 64).collect()
     assert(loose.length == 1 && loose(0).getInt(2) == 1)
   }
+
+  test("mixed-media probe classifies AVI/MP4/image/junk in one column") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Video.synthAviBytes(0L, 4, 10, 8)),
+      (1L, Video.synthMp4Bytes(1L, 5, 32, 24)),
+      (2L, Multimodal.synthPng(7, 5, 3L)),
+      (3L, Array.fill[Byte](20)(0x5a)),
+      (4L, Array.empty[Byte]),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val out = Video.withMediaProbe(rows.toDF("id", "media"), "media")
+      .select("id", "media_kind", "media_w", "media_h", "media_frames", "media_ms")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out(0) == ((0L, "avi", 10L, 8L, 4L, 160L)))
+    assert(out(1) == ((1L, "mp4", 32L, 24L, 5L, 200L)))
+    assert(out(2) == ((2L, "image", 7L, 5L, 1L, 0L)))
+    assert(out(3) == ((3L, "unknown", 0L, 0L, 0L, 0L)))
+    assert(out(4) == ((4L, "unknown", 0L, 0L, 0L, 0L)))
+    assert(out(5) == ((5L, "unknown", 0L, 0L, 0L, 0L)))
+  }
 }
