@@ -21,7 +21,8 @@ object ExplainAudit {
         "m1_multimodal_features,m4_media_frames,s14_pdf_split,v12_filtered_ann," +
         "d4_jaccard_verified,d15_incremental_neardup,w8_admin_page," +
         "d17_substring_spans,dc2_decontam_spans,m5_phash_dedup," +
-        "m10_video_frames,m11_video_neardup")
+        "m10_video_frames,m11_video_neardup,m13_mp4_keyframes," +
+        "t13_bigram_ppl,t14_filter_config,sp10_export_shards,v13_ivfpq_recall")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

@@ -17,12 +17,13 @@ import graft.services.Summarizer
   * (PNG/JPEG/BMP/GIF, TIFF on modern JDKs — no external dependency): bytes
   * decode to a `BufferedImage`, features come from actual pixels, crops are
   * `getSubimage` rasters re-encoded as PNG — the same crop → store shape as
-  * the reference's figure extraction (multimodal_chunker.py:449-517). Only
-  * VIDEO frame extraction remains a byte-frame stand-in ([[sampleFrames]]):
-  * the JDK has no video codec, so the one-to-many explode shape is real and
-  * the frame decode is synthetic. The decode/feature stage runs as
-  * iterator-style mapPartitions — the JVM analog of `mapInPandas` batches —
-  * so one task amortizes codec init.
+  * the reference's figure extraction (multimodal_chunker.py:449-517). VIDEO
+  * containers decode for real too ([[graft.formats.Avi]] raw-DIB/MJPEG and
+  * [[graft.formats.Mp4]] sample tables, driven by [[Video]]); the generic
+  * fixed-stride byte chopper ([[sampleFrames]]) remains only for codec-less
+  * payloads. The decode/feature stage runs as iterator-style mapPartitions —
+  * the JVM analog of `mapInPandas` batches — so one task amortizes codec
+  * init.
   */
 object Multimodal {
 
@@ -500,8 +501,10 @@ object Multimodal {
   /** REAL frame extraction for multi-frame image containers (animated GIF;
     * TIFF pages on modern JDKs): decode every `everyNth` stored frame and
     * emit (frame_idx, width, height, luma_sum). This is the frame-sampling
-    * path with an actual codec behind it; [[sampleFrames]] remains the
-    * byte-frame stand-in for genuine video codecs the JDK lacks.
+    * path with an actual codec behind it; video CONTAINERS have their own
+    * real walk ([[Video.explodeVideoFrames]] over AVI,
+    * [[Video.explodeMp4Keyframes]] over MP4), and [[sampleFrames]] remains
+    * only as the generic chopper for codec-less payloads.
     */
   def imageFrames(bytes: Array[Byte], everyNth: Int): Seq[(Int, Int, Int, Long)] = {
     require(everyNth > 0, s"everyNth must be positive, got $everyNth")
