@@ -262,4 +262,26 @@ object Sampling {
       .filter(portableHash(col(idCol)) % M < col("thr"))
       .drop("thr")
   }
+
+  /** Materialized weighted UPSAMPLING — the "N epochs of Wikipedia" mixing
+    * primitive (LLaMA/Dolma-style data recipes quote per-source epoch
+    * counts > 1, which downsampling alone cannot express): each row is
+    * replicated `⌊w⌋` times plus one more iff its portable hash falls
+    * under `frac(w)` — so expected copies = w exactly, the realized corpus
+    * is deterministic (any engine reproduces the row multiset), and rows
+    * with w < 1 degrade to plain Bernoulli downsampling. Emits the input
+    * columns plus `rep` (1-based copy index, so downstream epoch shuffles
+    * can salt replicas apart). Scan + explode — no shuffle, no state;
+    * output size is Σw rows regardless of skew.
+    */
+  def upsampleByWeight(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val M = 1000000L
+    val frac = ((weight * M).cast("long") % M + M) % M // frac(w) in ppm
+    val copies = floor(weight).cast("long") +
+      when(portableHash(col(idCol)) % M < frac, 1L).otherwise(0L)
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") >= 1L)
+      .withColumn("rep", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
 }

@@ -248,6 +248,24 @@ object Coverage8 {
       manifest.withColumn("verified", lit(ok)).orderBy($"shard")
     }),
 
+    // SP11: materialized weighted upsampling — the "N epochs of wiki"
+    // mixing primitive: ⌊w⌋ copies + a portable-hash Bernoulli for the
+    // fraction; expected copies = w, realized multiset deterministic.
+    // Weights are exact binary fractions so the ppm threshold is
+    // bit-identical in any engine.
+    "sp11_upsample" -> ((s, d) => {
+      import s.implicits._
+      val w = when($"lang" === "en", 2.5).when($"lang" === "de", 1.5)
+        .when($"lang" === "zh", 0.25).when($"lang" === "fr", 1.0)
+        .otherwise(3.75)
+      Sampling.upsampleByWeight(load(s, d, "documents"), "doc_id", w)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"doc_id").as("n_docs"),
+          max($"rep").as("max_rep"))
+        .orderBy($"lang")
+    }),
+
     // SP8: leakage-safe grouped split — the split hashes the SOURCE, so all
     // docs of a source share a fate and train/eval contamination through
     // within-source near-dups is structurally impossible. The oracle
@@ -586,6 +604,23 @@ object Coverage8 {
         | CAST(sum(mix_tokens) AS BIGINT) AS tok_total,
         | round(sum(mix_tokens) / ((max(bin_id) + 1) * 1024.0), 4) AS util
         |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sp11_upsample" ->
+      """WITH w AS (
+        | SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.5 WHEN 'zh' THEN 0.25
+        |            WHEN 'fr' THEN 1.0 ELSE 3.75 END AS wt
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang,
+        |  CAST(floor(wt) AS BIGINT) +
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000000 <
+        |            ((CAST(wt * 1000000 AS BIGINT) % 1000000) + 1000000) % 1000000
+        |       THEN 1 ELSE 0 END AS copies
+        | FROM w)
+        |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+        | CAST(count(*) FILTER (copies >= 1) AS BIGINT) AS n_docs,
+        | CAST(max(copies) AS BIGINT) AS max_rep
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "sp10_export_shards" ->
       """WITH h AS (
         | SELECT doc_id, n_chars,

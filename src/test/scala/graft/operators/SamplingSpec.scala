@@ -196,4 +196,33 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getLong(1)).toSet
     assert(again == orders)
   }
+
+  test("upsampleByWeight: floor copies + hash Bernoulli, rep indexes 1..n") {
+    val docs = (0L until 400L).toDF("doc_id")
+    val out = Sampling.upsampleByWeight(docs, "doc_id", lit(2.5))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"), max($"rep").as("mx"),
+        min($"rep").as("mn")).collect()
+    assert(out.length == 400) // w >= 1: every doc survives
+    out.foreach { r =>
+      val id = r.getLong(0); val n = r.getLong(1)
+      val expected = 2 + (if ((id * 2654435761L) % 4294967296L % 1000000L < 500000L) 1 else 0)
+      assert(n == expected, s"doc $id copies $n != $expected")
+      assert(r.getLong(3) == 1L && r.getLong(2) == n) // rep is 1..n
+    }
+    // expectation: total within a few percent of 400·2.5
+    val total = out.map(_.getLong(1)).sum
+    assert(math.abs(total - 1000) < 60, s"total $total far from 1000")
+    // w < 1 degrades to Bernoulli downsampling: no duplicates, some drops
+    val down = Sampling.upsampleByWeight(docs, "doc_id", lit(0.25)).collect()
+    assert(down.length < 400 && down.length > 40)
+    assert(down.map(_.getLong(0)).distinct.length == down.length)
+    // exact-integer weights never take the Bernoulli branch
+    assert(Sampling.upsampleByWeight(docs, "doc_id", lit(3.0)).count() == 1200)
+    // deterministic under repartitioning
+    val a = Sampling.upsampleByWeight(docs.repartition(7), "doc_id", lit(1.5))
+      .groupBy($"doc_id").count().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Sampling.upsampleByWeight(docs.repartition(2), "doc_id", lit(1.5))
+      .groupBy($"doc_id").count().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
 }
