@@ -422,6 +422,49 @@ object Similarity {
     IvfPqIndex(ivf.centroids, book, coded)
   }
 
+  /** Contrastive training triplets mined from the corpus itself — the
+    * (anchor, positive, negative) stream embedding finetuning consumes
+    * (SimCSE/E5-style hard-positive mining): POSITIVES come from the
+    * banded-LSH near-dup candidate stream ([[graft.operators.Dedup
+    * .embeddingNearDupPairs]] — no all-pairs, exact-cosine verified ≥
+    * `posMin`, both orientations kept so each side anchors once);
+    * NEGATIVES are hash-assigned — the corpus buckets by a portable hash,
+    * each anchor deterministically picks a bucket and takes its min-id
+    * row — then VERIFIED below `negMax` (an accidental near-match is
+    * dropped, not emitted). Every join is on a key; the only non-keyed
+    * state is the ≤`negBuckets`-row negative table, broadcast.
+    *
+    * Emits (anchor, pos, neg, pos_sim, neg_sim), all ids distinct.
+    */
+  def contrastiveTriplets(corpus: DataFrame, idCol: String, vecCol: String,
+      posMin: Double = 0.9, negMax: Double = 0.5, negBuckets: Int = 64,
+      bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+    val pairs = graft.operators.Dedup.embeddingNearDupPairs(
+      corpus, idCol, vecCol, posMin, bands, rowsPerBand)
+    val anchors = pairs
+      .select(col("id_a").as("anchor"), col("id_b").as("pos"), col("cos").as("pos_sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("anchor"), col("id_a").as("pos"), col("cos").as("pos_sim")))
+    val emb = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nvec"))
+    // one representative per hash bucket: deterministic, tiny, broadcast
+    val negTable = emb
+      .withColumn("nb", (col("nid") * 2654435761L % 4294967296L % negBuckets).cast("int"))
+      .groupBy(col("nb")).agg(min(col("nid")).as("neg"))
+      .join(emb.withColumnRenamed("nid", "neg"), Seq("neg"))
+      .select(col("nb"), col("neg"), col("nvec").as("neg_vec"))
+    val withNeg = anchors
+      .withColumn("nb",
+        ((col("anchor") * 7919L + 13L) * 2654435761L % 4294967296L % negBuckets).cast("int"))
+      .join(broadcast(negTable), Seq("nb"))
+      .filter(col("neg") =!= col("anchor") && col("neg") =!= col("pos"))
+    withNeg
+      .join(emb.select(col("nid").as("anchor"), col("nvec").as("anchor_vec")), Seq("anchor"))
+      .withColumn("neg_sim",
+        round(GraftFunctions.cosine_f32(col("anchor_vec"), col("neg_vec")), 4))
+      .filter(col("neg_sim") <= negMax)
+      .select(col("anchor"), col("pos"), col("neg"), col("pos_sim"), col("neg_sim"))
+  }
+
   /** The cells a probe would scan — exposed so gates can assert the
     * stage-1 scan is cell-bounded.
     */

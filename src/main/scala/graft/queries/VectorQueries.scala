@@ -191,6 +191,28 @@ object VectorQueries {
         .crossJoin(widthOk).crossJoin(bounded)
     }),
 
+    // V14: contrastive triplet mining — LSH-stream positives (exact-cosine
+    // ≥ posMin), hash-assigned negatives verified ≤ negMax. Gates: the
+    // margin invariant holds on EVERY triplet, ids are distinct, and the
+    // stream is non-empty.
+    "v14_contrastive_triplets" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      // the synthetic embeddings are near-uniform on the sphere (max
+      // pairwise cosine ≈ 0.51 at sf0.01), so "positives" live at v6's
+      // low-threshold regime and negatives must verify further below
+      val t = Similarity.contrastiveTriplets(emb, "vec_id", "embedding",
+        posMin = 0.4, negMax = 0.25, rowsPerBand = 4)
+      t.agg(
+        (count(lit(1)) > 0).as("has_triplets"),
+        every($"pos_sim" >= 0.4).as("pos_ok"),
+        every($"neg_sim" <= 0.25).as("neg_ok"),
+        every($"pos_sim" > $"neg_sim").as("margin_ok"),
+        every($"anchor" =!= $"pos" && $"anchor" =!= $"neg" && $"pos" =!= $"neg")
+          .as("distinct_ok"))
+    }),
+
     // Embedding-cosine near-duplicate pairs via banded hyperplane LSH,
     // pinned by a snapshot VALUES oracle (the sketch is deterministic).
     // The recall properties themselves are asserted against an all-pairs
@@ -235,6 +257,9 @@ object VectorQueries {
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
+    "v14_contrastive_triplets" ->
+      """SELECT true AS has_triplets, true AS pos_ok, true AS neg_ok,
+        | true AS margin_ok, true AS distinct_ok""".stripMargin,
     "v1_cosine_scan" ->
       s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a, embeddings b WHERE a.vec_id = 0
