@@ -136,6 +136,35 @@ object Quality {
   def applyFilterConfig(df: DataFrame, rules: Seq[FilterRule]): DataFrame =
     df.filter(rules.map(_.keep).reduce(_ && _))
 
+  /** SEMANTIC decontamination — the embedding-space member of the family
+    * (dc1/dc2 catch verbatim n-gram leaks; paraphrased benchmark items
+    * share no 8-gram but sit next to the eval item in embedding space):
+    * a training row is flagged when its embedding is within cosine `tau`
+    * of ANY eval-set embedding. Eval sets are benchmark-sized by
+    * definition, so the eval matrix is bounded driver state broadcast to
+    * a MAP-ONLY scan — the corpus never shuffles, exactly like dc1's
+    * broadcast gram set. Emits (id, max_eval_sim@4dp, dropped), the
+    * audit-first shape of [[filterReport]].
+    */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    val evalVecs: Array[Array[Float]] = evalSet.select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(evalVecs.nonEmpty, "empty eval set")
+    val bc = corpus.sparkSession.sparkContext.broadcast(evalVecs)
+    val maxSim = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      var m = -1.0
+      bc.value.foreach { e =>
+        val c = Dedup.cosine(a, e)
+        if (c > m) m = c
+      }
+      m
+    })
+    corpus.select(col(idCol), round(maxSim(col(vecCol)), 4).as("max_eval_sim"))
+      .withColumn("dropped", col("max_eval_sim") >= tau)
+  }
+
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val ws = words(col(textCol))
     // sequence(0, n) flips to a DESCENDING sequence when n < 0, so short

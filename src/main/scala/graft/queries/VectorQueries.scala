@@ -191,6 +191,21 @@ object VectorQueries {
         .crossJoin(widthOk).crossJoin(bounded)
     }),
 
+    // DC3: SEMANTIC decontamination — dc1/dc2 catch verbatim n-gram
+    // leaks; this flags training rows whose EMBEDDING sits within cosine
+    // tau of any eval-set row (paraphrased benchmark items). Eval matrix
+    // broadcast, corpus map-only; full per-row (max_sim, dropped) set
+    // hash-matched.
+    "dc3_semantic_decontam" -> ((s, d) => {
+      import s.implicits._
+      val emb = load(s, d, "embeddings")
+      val evalSet = emb.filter($"vec_id" % 17 === 0)
+      val corpus = emb.filter($"vec_id" % 17 =!= 0)
+      graft.operators.Quality.semanticDecontam(corpus, evalSet,
+          "vec_id", "embedding", tau = 0.35)
+        .orderBy($"vec_id")
+    }),
+
     // V14: contrastive triplet mining — LSH-stream positives (exact-cosine
     // ≥ posMin), hash-assigned negatives verified ≤ negMax. Gates: the
     // margin invariant holds on EVERY triplet, ids are distinct, and the
@@ -260,6 +275,15 @@ object VectorQueries {
     "v14_contrastive_triplets" ->
       """SELECT true AS has_triplets, true AS pos_ok, true AS neg_ok,
         | true AS margin_ok, true AS distinct_ok""".stripMargin,
+    "dc3_semantic_decontam" ->
+      s"""WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 17 = 0),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+         |m AS (
+         | SELECT c.vec_id,
+         |  round(max(${sqlCos("c.embedding", "ev.embedding")}), 4) AS max_eval_sim
+         | FROM c CROSS JOIN ev GROUP BY 1)
+         |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS dropped
+         |FROM m ORDER BY vec_id""".stripMargin,
     "v1_cosine_scan" ->
       s"""SELECT b.vec_id, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a, embeddings b WHERE a.vec_id = 0

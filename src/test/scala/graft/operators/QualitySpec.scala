@@ -110,6 +110,26 @@ class QualitySpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("semantic decontam: planted near-eval rows drop; plan is map-only") {
+    def axis(dim: Int, a: Int, eps: Float): Array[Float] = {
+      val v = new Array[Float](dim); v(a) = 1f; v((a + 8) % dim) = eps; v
+    }
+    val evalSet = Seq((100L, axis(16, 0, 0f)), (101L, axis(16, 1, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, axis(16, 0, 0.1f)),  // near eval 100 → dropped
+      (2L, axis(16, 5, 0.1f)),  // orthogonal to both → kept
+      (3L, axis(16, 1, 0.05f))) // near eval 101 → dropped
+      .toDF("vec_id", "embedding")
+    val out = Quality.semanticDecontam(corpus, evalSet, "vec_id", "embedding",
+      tau = 0.9)
+    val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
+    // broadcast eval, map-only corpus side: no shuffle exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decontam scan must not shuffle:\n$plan")
+  }
+
   test("filter config pushes simple rules into the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filtercfg").toString + "/t"
     docs((1L, "a"), (2L, "bb")).withColumn("n_chars", length($"text").cast("long"))
