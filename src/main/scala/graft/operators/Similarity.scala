@@ -448,13 +448,18 @@ object Similarity {
     val emb = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nvec"))
     // one representative per hash bucket: deterministic, tiny, broadcast
     val negTable = emb
-      .withColumn("nb", (col("nid") * 2654435761L % 4294967296L % negBuckets).cast("int"))
+      // same overflow-safe reduce-then-multiply as the anchor bucket
+      .withColumn("nb", (pmod(col("nid"), lit(1000003L)) * 2654435761L
+        % 4294967296L % negBuckets).cast("int"))
       .groupBy(col("nb")).agg(min(col("nid")).as("neg"))
       .join(emb.withColumnRenamed("nid", "neg"), Seq("neg"))
       .select(col("nb"), col("neg"), col("nvec").as("neg_vec"))
     val withNeg = anchors
+      // reduce mod a prime BEFORE the Knuth multiply: the raw chain
+      // (anchor·7919)·2654435761 overflows int64 for ids ≥ ~450k
       .withColumn("nb",
-        ((col("anchor") * 7919L + 13L) * 2654435761L % 4294967296L % negBuckets).cast("int"))
+        (pmod(col("anchor") * 31L + 17L, lit(1000003L)) * 2654435761L
+          % 4294967296L % negBuckets).cast("int"))
       .join(broadcast(negTable), Seq("nb"))
       .filter(col("neg") =!= col("anchor") && col("neg") =!= col("pos"))
     withNeg
