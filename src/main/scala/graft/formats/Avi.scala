@@ -34,7 +34,8 @@ object Avi {
     * [[frameImage]] — so metadata probes never touch pixel data).
     */
   final case class AviVideo(width: Int, height: Int, scale: Int, rate: Int,
-      codec: String, frames: IndexedSeq[Array[Byte]]) {
+      codec: String, frames: IndexedSeq[Array[Byte]],
+      topDown: Boolean = false) {
     def nFrames: Int = frames.length
     def durationMs: Long =
       if (rate <= 0) 0L else frames.length.toLong * 1000L * scale / rate
@@ -67,6 +68,7 @@ object Avi {
 
     var width = 0
     var height = 0
+    var topDown = false
     var scale = 0
     var rate = 0
     var codec: String = null
@@ -94,7 +96,12 @@ object Avi {
             }
           case "strf" if isVids && size >= 40 && body + 40 <= bytes.length =>
             width = le32(bytes, body + 4)
-            height = math.abs(le32(bytes, body + 8)) // negative = top-down
+            // negative biHeight = top-down row order (rows stored first-to-
+            // last); the sign must survive to frameImage or top-down files
+            // decode vertically flipped
+            val rawH = le32(bytes, body + 8)
+            height = math.abs(rawH)
+            topDown = rawH < 0
             val comp = le32(bytes, body + 16)
             codec =
               if (comp == 0) CodecDib
@@ -187,7 +194,7 @@ object Avi {
     if (vidStream < 0 || codec == null) return None
     if (width < 1 || width > MaxDim || height < 1 || height > MaxDim) return None
     if (scale < 1 || rate < 1) return None
-    Some(AviVideo(width, height, scale, rate, codec, frames.toIndexedSeq))
+    Some(AviVideo(width, height, scale, rate, codec, frames.toIndexedSeq, topDown))
   }
 
   /** Decode one frame's pixels. Raw DIB frames decode here (bottom-up
@@ -204,7 +211,7 @@ object Avi {
         val img = new BufferedImage(v.width, v.height, BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < v.height) {
-          val row = (v.height - 1 - y) * stride // bottom-up storage
+          val row = (if (v.topDown) y else v.height - 1 - y) * stride
           var x = 0
           while (x < v.width) {
             val o = row + x * 3

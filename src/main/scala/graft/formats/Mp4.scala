@@ -14,7 +14,10 @@ package graft.formats
   *  - `hdlr`: handler ('vide'/'soun');
   *  - `stsd`: codec fourcc of the first sample entry;
   *  - `stsz`: per-sample byte sizes; `stsc`: sample→chunk runs;
-  *    `stco`/`co64`: chunk file offsets; `stss`: sync (key) samples.
+  *    `stco`/`co64`: chunk file offsets; `stss`: sync (key) samples;
+  *    `stts`: (count, delta) decode-time runs — [[sampleTs]] resolves
+  *    per-sample timestamps from them, correct for VFR files;
+  *  - audio ('soun') sample entries: channelcount + 16.16 samplerate.
   *
   * [[sampleBytes]] resolves sample i through stsc/stco/stsz to its exact
   * byte extent — the container-level "frame-sample" operation: a cluster
@@ -33,7 +36,12 @@ object Mp4 {
       // (firstChunk, samplesPerChunk) runs — 1-based firstChunk, as stored
       sampleToChunk: IndexedSeq[(Long, Long)],
       chunkOffsets: IndexedSeq[Long],
-      syncSamples: IndexedSeq[Long]) {
+      syncSamples: IndexedSeq[Long],
+      // stts (count, delta) runs in media-timescale units — the per-sample
+      // decode-time table; empty when the file carries no stts
+      timeToSample: IndexedSeq[(Long, Long)] = IndexedSeq.empty,
+      // audio ('soun') sample-entry fields; 0 for video tracks
+      channels: Int = 0, sampleRate: Int = 0) {
     def nSamples: Int = sampleSizes.length
     def durationMs: Long =
       if (timescale <= 0) 0L else duration * 1000L / timescale
@@ -44,6 +52,7 @@ object Mp4 {
     def durationMs: Long =
       if (timescale <= 0) 0L else duration * 1000L / timescale
     def videoTracks: IndexedSeq[Track] = tracks.filter(_.handler == "vide")
+    def audioTracks: IndexedSeq[Track] = tracks.filter(_.handler == "soun")
   }
 
   private val MaxSamples = 1 << 22  // 4M samples
@@ -62,7 +71,8 @@ object Mp4 {
   /** Walk the child boxes of [from, until): calls f(type, bodyFrom,
     * bodyUntil). Returns false on malformed structure.
     */
-  private def walk(b: Array[Byte], from: Int, until: Int)
+  private def walk(b: Array[Byte], from: Int, until: Int,
+      lenientTail: Boolean = false)
       (f: (String, Int, Int) => Boolean): Boolean = {
     var off = from
     while (off + 8 <= until) {
@@ -71,11 +81,20 @@ object Mp4 {
       var body = off + 8
       val size: Long =
         if (size32 == 1L) {
-          if (body + 8 > until) return false
+          if (body + 8 > until) return lenientTail
           val s = be64(b, body); body += 8; s
         } else if (size32 == 0L) (until - off).toLong
         else size32
-      if (size < (body - off) || off + size > until) return false
+      if (size < (body - off)) return false
+      if (off + size > until) {
+        // A final box that overruns the buffer is how crawl-truncated
+        // files present (typically a faststart MP4 whose trailing mdat was
+        // cut): at the top level, stop the walk and keep what parsed —
+        // ftyp/moov metadata must survive a lost tail, matching the
+        // lenient-tail AVI/WAV paths. Inside moov the strict path stays:
+        // a truncated sample table is structural damage, not a lost tail.
+        return lenientTail
+      }
       if (!f(tpe, body, (off + size).toInt)) return false
       off = (off + size).toInt
     }
@@ -121,13 +140,30 @@ object Mp4 {
       var stsc: IndexedSeq[(Long, Long)] = IndexedSeq.empty
       var stco: IndexedSeq[Long] = IndexedSeq.empty
       var stss: IndexedSeq[Long] = IndexedSeq.empty
+      var stts: IndexedSeq[(Long, Long)] = IndexedSeq.empty
+      var stsdEntry = -1 // offset of the first sample entry; handler-
+      var stsdEnd = -1   // dependent fields decode after the trak walk
 
       def parseStbl(sf: Int, su: Int): Boolean = walk(bytes, sf, su) {
         case ("stsd", f, u) =>
           // fullbox header + entry_count, then first sample entry:
           // size(4) + format fourcc(4)
-          if (f + 16 <= u && be32(bytes, f + 4) >= 1) codec = fourcc(bytes, f + 12)
+          if (f + 16 <= u && be32(bytes, f + 4) >= 1) {
+            codec = fourcc(bytes, f + 12)
+            stsdEntry = f + 8; stsdEnd = u
+          }
           true
+        case ("stts", f, u) =>
+          if (f + 8 > u) false
+          else {
+            val n = be32(bytes, f + 4)
+            if (f + 8 + 8L * n > u || n > MaxSamples) false
+            else {
+              stts = IndexedSeq.tabulate(n.toInt)(i =>
+                (be32(bytes, f + 8 + 8 * i), be32(bytes, f + 12 + 8 * i)))
+              true
+            }
+          }
         case ("stsz", f, u) =>
           if (f + 12 > u) false
           else {
@@ -208,12 +244,21 @@ object Mp4 {
       }
       if (!ok) return false
       if (tracks.length >= MaxTracks) return false
+      // the audio sample entry (ISO 14496-12 AudioSampleEntry) carries
+      // channelcount/samplerate at fixed offsets past the shared header;
+      // only meaningful once hdlr said 'soun', so decode after the walk
+      var channels = 0
+      var sampleRate = 0
+      if (handler == "soun" && stsdEntry >= 0 && stsdEntry + 36 <= stsdEnd) {
+        channels = be16(bytes, stsdEntry + 24)
+        sampleRate = (be32(bytes, stsdEntry + 32) >> 16).toInt // 16.16 fixed
+      }
       tracks += Track(id, handler, codec, w, h, mTimescale, mDuration,
-        sizes, stsc, stco, stss)
+        sizes, stsc, stco, stss, stts, channels, sampleRate)
       true
     }
 
-    val ok = walk(bytes, 0, bytes.length) {
+    val ok = walk(bytes, 0, bytes.length, lenientTail = true) {
       case ("moov", f, u) => walk(bytes, f, u) {
         case ("mvhd", mf, mu) => parseMvhd(mf, mu)
         case ("trak", tf, tu) => parseTrak(tf, tu)
@@ -259,6 +304,35 @@ object Mp4 {
     None
   }
 
+  /** Decode time of sample i (0-based) in media-timescale units, resolved
+    * through the stts (count, delta) runs — the authoritative per-sample
+    * clock, correct for variable-frame-rate files where the old
+    * mdhd-duration division was not. Files with no stts fall back to the
+    * uniform mdhd-derived spacing. None when i is out of range or the
+    * runs don't cover it.
+    */
+  def sampleTs(t: Track, i: Int): Option[Long] = {
+    if (i < 0 || i >= t.nSamples) return None
+    if (t.timeToSample.isEmpty)
+      return Some(if (t.nSamples == 0) 0L else t.duration * i / t.nSamples)
+    var acc = 0L
+    var rem = i.toLong
+    var r = 0
+    while (r < t.timeToSample.length) {
+      val (count, delta) = t.timeToSample(r)
+      if (count < 0 || delta < 0) return None
+      if (rem < count) return Some(acc + rem * delta)
+      acc += count * delta
+      rem -= count
+      r += 1
+    }
+    None
+  }
+
+  /** [[sampleTs]] converted to milliseconds via the track timescale. */
+  def sampleTsMs(t: Track, i: Int): Option[Long] =
+    sampleTs(t, i).map(ts => if (t.timescale <= 0) 0L else ts * 1000L / t.timescale)
+
   /** The bytes of sample i — the container-level frame fetch. */
   def sampleBytes(bytes: Array[Byte], t: Track, i: Int): Option[Array[Byte]] =
     sampleExtent(t, i).flatMap { case (off, len) =>
@@ -270,13 +344,22 @@ object Mp4 {
     * `mdat` (samples concatenated, `chunkSize` samples per chunk) +
     * `moov` with one video track carrying real stsd/stts/stsz/stsc/stco
     * (+stss marking every `keyEvery`-th sample). Timescale/duration in
-    * movie units; dims in 16.16 fixed.
+    * movie units; dims in 16.16 fixed. `sampleDeltas` (when non-empty,
+    * one entry per sample) writes a run-length-encoded stts — the
+    * variable-frame-rate case [[sampleTs]] resolves; otherwise every
+    * sample gets the uniform `sampleDelta`.
     */
   def encode(samples: IndexedSeq[Array[Byte]], width: Int, height: Int,
       timescale: Long, sampleDelta: Long, codec: String = "mp4v",
-      chunkSize: Int = 3, keyEvery: Int = 2): Array[Byte] = {
+      chunkSize: Int = 3, keyEvery: Int = 2,
+      sampleDeltas: IndexedSeq[Long] = IndexedSeq.empty): Array[Byte] = {
     require(width >= 0 && height >= 0 && timescale >= 1 && sampleDelta >= 1)
     require(chunkSize >= 1 && keyEvery >= 1 && codec.length == 4)
+    require(sampleDeltas.isEmpty || sampleDeltas.length == samples.length,
+      s"sampleDeltas must be empty or per-sample")
+    val deltas =
+      if (sampleDeltas.nonEmpty) sampleDeltas
+      else IndexedSeq.fill(samples.length)(sampleDelta)
     val out = new java.io.ByteArrayOutputStream()
     def p8(x: Int): Unit = out.write(x & 0xff)
     def p16(x: Int): Unit = { p8(x >> 8); p8(x) }
@@ -311,7 +394,17 @@ object Mp4 {
     }
     box("mdat") { samples.foreach(s => out.write(s)) }
 
-    val duration = samples.length * sampleDelta
+    val duration = deltas.sum
+    // RLE the per-sample deltas into stts (count, delta) runs
+    val sttsRuns = {
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      deltas.foreach { d =>
+        if (runs.nonEmpty && runs.last._2 == d)
+          runs(runs.length - 1) = (runs.last._1 + 1, d)
+        else runs += ((1L, d))
+      }
+      runs.toIndexedSeq
+    }
     box("moov") {
       box("mvhd") {
         p32(0) // version+flags
@@ -368,13 +461,139 @@ object Mp4 {
                   p16(24); p16(0xffff) // depth, pre_defined
                 }
               }
-              box("stts") { p32(0); p32(1); p32(samples.length); p32(sampleDelta) }
+              box("stts") {
+                p32(0); p32(sttsRuns.length)
+                sttsRuns.foreach { case (c, dl) => p32(c); p32(dl) }
+              }
               box("stss") {
                 val keys = (1 to samples.length).filter(s => (s - 1) % keyEvery == 0)
                 p32(0); p32(keys.length); keys.foreach(k => p32(k))
               }
               box("stsc") {
                 // one run if uniform; a closing short run otherwise
+                val full = samples.length / chunkSize
+                val rem = samples.length % chunkSize
+                if (rem == 0 || full == 0) {
+                  p32(0); p32(1)
+                  p32(1); p32(if (full == 0) rem else chunkSize); p32(1)
+                } else {
+                  p32(0); p32(2)
+                  p32(1); p32(chunkSize); p32(1)
+                  p32(full + 1); p32(rem); p32(1)
+                }
+              }
+              box("stsz") {
+                p32(0); p32(0); p32(samples.length)
+                samples.foreach(s => p32(s.length))
+              }
+              box("stco") { p32(0); p32(nChunks); chunkOff.foreach(o => p32(o)) }
+            }
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Audio-only encode ('soun' handler, `smhd`, an ISO 14496-12
+    * AudioSampleEntry carrying channelcount + 16.16 samplerate): the
+    * fixture for the audio-track sample walk. Audio samples are all sync,
+    * so no `stss` is written; timing is one uniform stts run of
+    * `sampleDelta` media units per sample (e.g. 1024 for AAC frames).
+    */
+  def encodeAudio(samples: IndexedSeq[Array[Byte]], channels: Int,
+      sampleRate: Int, timescale: Long, sampleDelta: Long,
+      codec: String = "mp4a", chunkSize: Int = 3): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1 && timescale >= 1 && sampleDelta >= 1)
+    require(chunkSize >= 1 && codec.length == 4)
+    val out = new java.io.ByteArrayOutputStream()
+    def p8(x: Int): Unit = out.write(x & 0xff)
+    def p16(x: Int): Unit = { p8(x >> 8); p8(x) }
+    def p32(x: Long): Unit = { p16((x >> 16).toInt); p16(x.toInt) }
+    def fcc(s: String): Unit = { require(s.length == 4); s.foreach(c => p8(c.toInt)) }
+    def box(tpe: String)(body: => Unit): Unit = {
+      val sizeAt = out.size()
+      p32(0); fcc(tpe)
+      body
+      val arr = out.toByteArray
+      val size = arr.length - sizeAt
+      arr(sizeAt) = ((size >> 24) & 0xff).toByte
+      arr(sizeAt + 1) = ((size >> 16) & 0xff).toByte
+      arr(sizeAt + 2) = ((size >> 8) & 0xff).toByte
+      arr(sizeAt + 3) = (size & 0xff).toByte
+      out.reset(); out.write(arr, 0, arr.length)
+    }
+
+    box("ftyp") { fcc("M4A "); p32(512); fcc("isom"); fcc("iso2") }
+    val mdatHeader = out.size()
+    val nChunks = (samples.length + chunkSize - 1) / chunkSize
+    val chunkOff = new Array[Long](nChunks)
+    var acc = mdatHeader + 8L
+    var ci = 0
+    var si = 0
+    while (si < samples.length) {
+      if (si % chunkSize == 0) { chunkOff(ci) = acc; ci += 1 }
+      acc += samples(si).length
+      si += 1
+    }
+    box("mdat") { samples.foreach(s => out.write(s)) }
+
+    val duration = samples.length * sampleDelta
+    box("moov") {
+      box("mvhd") {
+        p32(0)
+        p32(0); p32(0)
+        p32(timescale); p32(duration)
+        p32(0x00010000L); p16(0x0100); p16(0)
+        p32(0); p32(0)
+        p32(0x00010000L); p32(0); p32(0)
+        p32(0); p32(0x00010000L); p32(0)
+        p32(0); p32(0); p32(0x40000000L)
+        (0 until 6).foreach(_ => p32(0))
+        p32(2)
+      }
+      box("trak") {
+        box("tkhd") {
+          p32(7)
+          p32(0); p32(0)
+          p32(1)
+          p32(0)
+          p32(duration)
+          p32(0); p32(0)
+          p16(0); p16(0); p16(0x0100); p16(0) // layer, group, volume=1.0
+          p32(0x00010000L); p32(0); p32(0)
+          p32(0); p32(0x00010000L); p32(0)
+          p32(0); p32(0); p32(0x40000000L)
+          p32(0); p32(0) // audio: zero presentation dims
+        }
+        box("mdia") {
+          box("mdhd") {
+            p32(0)
+            p32(0); p32(0)
+            p32(timescale); p32(duration)
+            p16(0x55c4); p16(0)
+          }
+          box("hdlr") {
+            p32(0); p32(0)
+            fcc("soun")
+            p32(0); p32(0); p32(0)
+            p8(0)
+          }
+          box("minf") {
+            box("smhd") { p32(0); p16(0); p16(0) } // balance, reserved
+            box("stbl") {
+              box("stsd") {
+                p32(0); p32(1)
+                box(codec) {
+                  (0 until 6).foreach(_ => p8(0)); p16(1) // reserved, dref idx
+                  p16(0); p16(0); p32(0)      // version, revision, vendor
+                  p16(channels); p16(16)      // channelcount, samplesize
+                  p16(0); p16(0)              // pre_defined, reserved
+                  p32(sampleRate.toLong << 16) // 16.16 fixed
+                }
+              }
+              box("stts") { p32(0); p32(1); p32(samples.length); p32(sampleDelta) }
+              box("stsc") {
                 val full = samples.length / chunkSize
                 val rem = samples.length % chunkSize
                 if (rem == 0 || full == 0) {

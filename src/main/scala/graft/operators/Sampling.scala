@@ -181,6 +181,27 @@ object Sampling {
     withEpoch.withColumn("pos", row_number().over(w)).drop("_h")
   }
 
+  /** One epoch of [[epochShuffle]] without materializing the others: the
+    * identical md5("id:epoch") hash with the epoch as a literal, so the
+    * corpus is projected and window-sorted exactly ONCE regardless of the
+    * epoch index — [[graft.pipeline.ShardExport]] exports epoch 50 at the
+    * cost of epoch 0, where filtering the exploded form would hash and
+    * shuffle 51 copies. Same (shard, pos) assignment as the exploded form
+    * for that epoch (the sp7/sp10 oracle convention).
+    */
+  def singleEpochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(epoch >= 0 && nShards > 0, "epoch must be >= 0, nShards positive")
+    val withHash = df
+      .withColumn("_h",
+        conv(substring(md5(concat_ws(":",
+          col(idCol).cast("string"), lit(epoch).cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("shard", (col("_h") % nShards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    withHash.withColumn("pos", row_number().over(w)).drop("_h")
+  }
+
   /** Leakage-safe train/val/test split: the decision hashes the GROUP key
     * (source, domain, url-host — whatever shares contamination), never the
     * row, so every document of a group lands in the same split and

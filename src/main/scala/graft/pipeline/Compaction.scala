@@ -67,18 +67,29 @@ object Compaction {
     if (oversized.isEmpty)
       return Report(before.size, 0, filesBefore, filesBefore, 0L)
 
-    // partition VALUE (the part after "col=") → target file count
+    // partition VALUE (the part after "col=") → target file count. The
+    // directory name is Hive path-ESCAPED (spaces, colons → %XX; null →
+    // __HIVE_DEFAULT_PARTITION__) while col(partCol) carries the unescaped
+    // value, so the raw name must be unescaped before it can ever match —
+    // comparing raw names silently skips every escaped partition.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val defaultPart = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     val targets: Map[String, Int] = oversized.map { case (name, (_, bytes)) =>
-      name.substring(partCol.length + 1) ->
+      ExternalCatalogUtils.unescapePathName(name.substring(partCol.length + 1)) ->
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     }
+    val hasNullPart = targets.contains(defaultPart)
     val bTargets = spark.sparkContext.broadcast(targets)
     val slotOf = udf((pv: String, h: Int) => {
-      val n = bTargets.value.getOrElse(pv, 1)
+      val n = bTargets.value.getOrElse(if (pv == null) defaultPart else pv, 1)
       ((h % n) + n) % n
     })
-    val affected = spark.read.parquet(dir)
-      .filter(col(partCol).cast("string").isin(targets.keys.toSeq: _*))
+    val nonNullKeys = targets.keys.filterNot(_ == defaultPart).toSeq
+    // isin never matches NULL — the null partition needs its own disjunct
+    val partPred =
+      if (hasNullPart) col(partCol).cast("string").isin(nonNullKeys: _*) || col(partCol).isNull
+      else col(partCol).cast("string").isin(nonNullKeys: _*)
+    val affected = spark.read.parquet(dir).filter(partPred)
     val dataCols = affected.columns.filterNot(_ == partCol).map(col)
     val totalSlots = math.max(1, targets.valuesIterator.sum)
     val packed = affected
@@ -99,8 +110,14 @@ object Compaction {
       }
       bTargets.destroy()
     }
+    // Count the partitions the job actually rewrote (distinct partition
+    // values present in the rewritten data — groupBy counts the null
+    // group too), not the partitions the listing MEANT to rewrite: a
+    // target that matched no rows was not compacted and must not be
+    // reported as such. packed is checkpointed, so this is a cheap pass.
+    val rewritten = packed.groupBy(col(partCol)).count().count()
     val after = listPartitions(spark, dir, partCol)
-    Report(before.size, oversized.size, filesBefore,
+    Report(before.size, rewritten, filesBefore,
       after.valuesIterator.map(_._1).sum, rows)
   }
 }

@@ -33,11 +33,11 @@ object ShardExport {
     require(epoch >= 0, "epoch must be >= 0")
     val spark = df.sparkSession
     val epochDir = s"$outDir/epoch=$epoch"
-    // epochShuffle emits every epoch up to `epochs`; keep the one asked for
+    // the single-epoch shuffle hashes "id:<epoch>" directly — exporting
+    // epoch 50 costs the same one projection + window sort as epoch 0
+    // (the exploded epochShuffle would materialize and hash 51 copies)
     val ordered = graft.operators.Sampling
-      .epochShuffle(df, idCol, epochs = epoch + 1, nShards = nShards)
-      .filter(col("epoch") === epoch)
-      .drop("epoch")
+      .singleEpochShuffle(df, idCol, epoch, nShards = nShards)
       .localCheckpoint(true) // one evaluation feeds the write AND the manifest
     ordered
       .repartition(nShards, col("shard"))

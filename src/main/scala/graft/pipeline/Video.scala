@@ -183,6 +183,35 @@ object Video {
     graft.formats.Mp4.encode(samples, w, h, timescale, sampleDelta)
   }
 
+  /** Variable-frame-rate MP4 fixture: sample f lasts `30 + (seed+f) % 25`
+    * media units (timescale 1000 → ms), so the stts runs genuinely vary
+    * and a duration-division stand-in would get every timestamp wrong.
+    * EXACTLY mirrored by the m16 oracle SQL.
+    */
+  def synthVfrMp4Bytes(seed: Long, nSamples: Int, w: Int, h: Int): Array[Byte] = {
+    val samples = IndexedSeq.tabulate(nSamples) { f =>
+      val len = (80 + (seed + f) % 40).toInt
+      Array.tabulate[Byte](len)(i => synthMp4Byte(seed, f, i).toByte)
+    }
+    val deltas = IndexedSeq.tabulate(nSamples)(f => 30L + (seed + f) % 25)
+    graft.formats.Mp4.encode(samples, w, h, timescale = 1000, sampleDelta = 40,
+      sampleDeltas = deltas)
+  }
+
+  /** Audio-only MP4 (M4A) fixture through the real encoder: AAC-shaped
+    * timing (delta 1024 at the sample-rate timescale), byte formula
+    * EXACTLY mirrored by the m15 oracle SQL.
+    */
+  def synthM4aBytes(seed: Long, nSamples: Int): Array[Byte] = {
+    val samples = IndexedSeq.tabulate(nSamples) { f =>
+      val len = (60 + (seed + f) % 30).toInt
+      Array.tabulate[Byte](len)(i => ((seed * 11 + f * 5 + i) % 256).toInt.toByte)
+    }
+    val rate = 8000 << (seed % 3).toInt // 8/16/32 kHz — all divide 1024000
+    graft.formats.Mp4.encodeAudio(samples, channels = (1 + seed % 2).toInt,
+      sampleRate = rate, timescale = rate, sampleDelta = 1024)
+  }
+
   /** ISO-BMFF metadata probe — box walk only, `mdat` is never read.
     * Appends mp4_brand (string), mp4_ms, mp4_w, mp4_h, mp4_codec
     * (string), mp4_samples, mp4_keyframes (longs); non-MP4 payloads
@@ -213,14 +242,15 @@ object Video {
   }
 
   /** One row per KEYFRAME sample of the first video track: sample index
-    * (0-based), byte length, exact byte sum — the stss-driven sample walk
-    * through stsc/stco/stsz, the container-level "sample the keyframes"
-    * operation a training pipeline shards across executors.
+    * (0-based), stts-resolved decode time in ms, byte length, exact byte
+    * sum — the stss-driven sample walk through stts/stsc/stco/stsz, the
+    * container-level "sample the keyframes" operation a training pipeline
+    * shards across executors.
     */
   def explodeMp4Keyframes(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
-      StructField("sample_idx", IntegerType), StructField("sample_len", LongType),
-      StructField("sample_sum", LongType)))
+      StructField("sample_idx", IntegerType), StructField("sample_ts", LongType),
+      StructField("sample_len", LongType), StructField("sample_sum", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
@@ -235,7 +265,70 @@ object Video {
                 graft.formats.Mp4.sampleBytes(bytes, t, i).map { payload =>
                   var sum = 0L
                   payload.foreach(b => sum += b & 0xff)
-                  Row.fromSeq(r.toSeq ++ Seq[Any](i, payload.length.toLong, sum))
+                  val ts = graft.formats.Mp4.sampleTsMs(t, i).getOrElse(0L)
+                  Row.fromSeq(r.toSeq ++ Seq[Any](i, ts, payload.length.toLong, sum))
+                }
+              }
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** One row per sample of the first VIDEO track (keyframe or not) with
+    * its stts-resolved decode time — the walk that makes variable-frame-
+    * rate timing visible: uniform files get `i·delta`, VFR files get the
+    * true cumulative run sums the old duration-division could not produce.
+    */
+  def explodeMp4Samples(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_idx", IntegerType), StructField("sample_ts", LongType),
+      StructField("sample_len", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        graft.formats.Mp4.decode(r.getAs[Array[Byte]](idx)) match {
+          case None => Iterator.empty
+          case Some(v) =>
+            v.videoTracks.headOption.iterator.flatMap { t =>
+              Iterator.range(0, t.nSamples).map { i =>
+                val ts = graft.formats.Mp4.sampleTs(t, i).getOrElse(0L)
+                Row.fromSeq(r.toSeq ++
+                  Seq[Any](i, ts, t.sampleSizes(i)))
+              }
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** One row per sample of the first AUDIO ('soun') track: index, stts
+    * decode time in ms, byte length, exact byte sum, plus the
+    * AudioSampleEntry channel count and sample rate — the audio leg of
+    * the sample walk (audio has no stss; every sample is sync).
+    */
+  def explodeMp4AudioSamples(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_idx", IntegerType), StructField("sample_ts", LongType),
+      StructField("sample_len", LongType), StructField("sample_sum", LongType),
+      StructField("audio_channels", IntegerType), StructField("audio_rate", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        graft.formats.Mp4.decode(bytes) match {
+          case None => Iterator.empty
+          case Some(v) =>
+            v.audioTracks.headOption.iterator.flatMap { t =>
+              Iterator.range(0, t.nSamples).flatMap { i =>
+                graft.formats.Mp4.sampleBytes(bytes, t, i).map { payload =>
+                  var sum = 0L
+                  payload.foreach(b => sum += b & 0xff)
+                  val ts = graft.formats.Mp4.sampleTsMs(t, i).getOrElse(0L)
+                  Row.fromSeq(r.toSeq ++ Seq[Any](i, ts, payload.length.toLong,
+                    sum, t.channels, t.sampleRate))
                 }
               }
             }

@@ -83,7 +83,38 @@ object Coverage10 {
       val v = load(s, d, "documents").select($"doc_id")
         .repartition($"doc_id").withColumn("mp4", mk($"doc_id"))
       Video.explodeMp4Keyframes(v, "mp4")
-        .select($"doc_id", $"sample_idx", $"sample_len", $"sample_sum")
+        .select($"doc_id", $"sample_idx", $"sample_ts", $"sample_len", $"sample_sum")
+        .orderBy($"doc_id", $"sample_idx")
+    }),
+
+    // M15: audio-track sample walk — 'soun' handler, smhd, an
+    // AudioSampleEntry (channels + 16.16 samplerate), AAC-shaped stts
+    // (delta 1024 at the sample-rate timescale); every sample resolved to
+    // its exact byte extent and decode time. Audio has no stss — every
+    // sample is sync — so the walk covers all of them.
+    "m15_audio_samples" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => Video.synthM4aBytes(id, (4 + id % 5).toInt))
+      val v = load(s, d, "documents").select($"doc_id")
+        .repartition($"doc_id").withColumn("m4a", mk($"doc_id"))
+      Video.explodeMp4AudioSamples(v, "m4a")
+        .select($"doc_id", $"sample_idx", $"sample_ts", $"sample_len",
+          $"sample_sum", $"audio_channels", $"audio_rate")
+        .orderBy($"doc_id", $"sample_idx")
+    }),
+
+    // M16: variable-frame-rate sample walk — per-sample stts deltas
+    // (30 + (id+f) % 25 media units), so timestamps are true cumulative
+    // run sums; a duration-division stand-in would get every mid-stream
+    // timestamp wrong. The oracle recomputes the prefix sums analytically.
+    "m16_mp4_vfr" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => Video.synthVfrMp4Bytes(
+        id, (5 + id % 6).toInt, 64, 48))
+      val v = load(s, d, "documents").select($"doc_id")
+        .repartition($"doc_id").withColumn("mp4", mk($"doc_id"))
+      Video.explodeMp4Samples(v, "mp4")
+        .select($"doc_id", $"sample_idx", $"sample_ts", $"sample_len")
         .orderBy($"doc_id", $"sample_idx")
     }),
 
@@ -199,8 +230,35 @@ object Coverage10 {
         |s AS (SELECT f.doc_id, f.f, f.len, (f.doc_id*13 + f.f*7 + i.i) % 256 AS b
         |      FROM f JOIN generate_series(0, 149) i(i) ON i.i < f.len)
         |SELECT doc_id, CAST(f AS INTEGER) AS sample_idx,
+        | CAST(f * 40 AS BIGINT) AS sample_ts,
         | CAST(len AS BIGINT) AS sample_len, CAST(sum(b) AS BIGINT) AS sample_sum
         |FROM s GROUP BY doc_id, f, len ORDER BY doc_id, f""".stripMargin,
+    // byte formula mirrors Video.synthM4aBytes; ts = f·1024·1000/rate with
+    // rate = 8000·2^(id%3), so ts = f·(128 >> (id%3)) exactly
+    "m15_audio_samples" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n FROM documents),
+        |f AS (SELECT d.doc_id, t.f, 60 + (d.doc_id + t.f) % 30 AS len
+        |      FROM d JOIN generate_series(0, 8) t(f) ON t.f < d.n),
+        |s AS (SELECT f.doc_id, f.f, f.len, (f.doc_id*11 + f.f*5 + i.i) % 256 AS b
+        |      FROM f JOIN generate_series(0, 89) i(i) ON i.i < f.len)
+        |SELECT doc_id, CAST(f AS INTEGER) AS sample_idx,
+        | CAST(f * (128 >> (doc_id % 3)) AS BIGINT) AS sample_ts,
+        | CAST(len AS BIGINT) AS sample_len, CAST(sum(b) AS BIGINT) AS sample_sum,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS audio_channels,
+        | CAST(8000 * (1 << (doc_id % 3)) AS INTEGER) AS audio_rate
+        |FROM s GROUP BY doc_id, f, len ORDER BY doc_id, f""".stripMargin,
+    // delta formula mirrors Video.synthVfrMp4Bytes; ts(f) is the prefix
+    // sum of the deltas of samples 0..f-1
+    "m16_mp4_vfr" ->
+      """WITH d AS (SELECT doc_id, 5 + doc_id % 6 AS n FROM documents),
+        |f AS (SELECT d.doc_id, t.f, 80 + (d.doc_id + t.f) % 40 AS len,
+        |             30 + (d.doc_id + t.f) % 25 AS delta
+        |      FROM d JOIN generate_series(0, 10) t(f) ON t.f < d.n)
+        |SELECT doc_id, CAST(f AS INTEGER) AS sample_idx,
+        | CAST(COALESCE(sum(delta) OVER (PARTITION BY doc_id ORDER BY f
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sample_ts,
+        | CAST(len AS BIGINT) AS sample_len
+        |FROM f ORDER BY doc_id, f""".stripMargin,
     // m11's clustering is fully determined by the planted seed groups: the
     // per-slot probe margins (in-group ≤ 3 bits at every size pairing,
     // cross-group ~32) leave the 2-of-3 vote no way to split or merge

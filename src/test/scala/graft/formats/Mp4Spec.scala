@@ -93,4 +93,68 @@ class Mp4Spec extends AnyFunSuite {
     val shifted = v.copy(chunkOffsets = v.chunkOffsets.map(_ + good.length))
     assert(Mp4.sampleBytes(good, shifted, 0).isEmpty)
   }
+
+  test("a final overrunning box is a lenient tail, not a decode failure") {
+    // crawl-truncated faststart shape: intact ftyp/moov, then an mdat
+    // whose declared size overruns the captured bytes
+    val good = Mp4.encode(samples(5L, 4), 32, 32, 1000, 40)
+    val tail = new java.io.ByteArrayOutputStream()
+    tail.write(good)
+    tail.write(Array[Byte](0, 0, 4, 0)) // size 1024...
+    tail.write("mdat".getBytes("US-ASCII"))
+    tail.write(Array.fill[Byte](10)(7)) // ...but only 10 body bytes present
+    val v = Mp4.decode(tail.toByteArray)
+    assert(v.nonEmpty, "intact moov must survive a truncated trailing box")
+    assert(v.get.videoTracks.head.nSamples == 4)
+    // structurally broken moov content still fails: truncate INSIDE moov
+    assert(Mp4.decode(good.take(good.length - 40)).isEmpty)
+  }
+
+  test("stts: uniform encode carries one run; sampleTs is i*delta") {
+    val bytes = Mp4.encode(samples(7L, 6), 64, 48, timescale = 1000, sampleDelta = 40)
+    val t = Mp4.decode(bytes).get.videoTracks.head
+    assert(t.timeToSample == IndexedSeq((6L, 40L)))
+    for (i <- 0 until 6) {
+      assert(Mp4.sampleTs(t, i).contains(i * 40L))
+      assert(Mp4.sampleTsMs(t, i).contains(i * 40L)) // timescale 1000 = ms
+    }
+    assert(Mp4.sampleTs(t, 6).isEmpty && Mp4.sampleTs(t, -1).isEmpty)
+  }
+
+  test("stts: VFR deltas round-trip as RLE runs and prefix-sum timestamps") {
+    val deltas = IndexedSeq(33L, 33L, 50L, 33L, 33L, 33L, 100L)
+    val bytes = Mp4.encode(samples(9L, 7), 64, 48, timescale = 1000,
+      sampleDelta = 40, sampleDeltas = deltas)
+    val v = Mp4.decode(bytes).get
+    val t = v.videoTracks.head
+    assert(t.timeToSample == IndexedSeq((2L, 33L), (1L, 50L), (3L, 33L), (1L, 100L)))
+    assert(v.duration == deltas.sum && t.duration == deltas.sum)
+    var acc = 0L
+    for (i <- 0 until 7) {
+      assert(Mp4.sampleTs(t, i).contains(acc), s"sample $i")
+      acc += deltas(i)
+    }
+    // the mdhd-division stand-in would be wrong here: pin one divergence
+    val naive = t.duration * 2 / t.nSamples
+    assert(Mp4.sampleTs(t, 2).get != naive)
+  }
+
+  test("audio track: encodeAudio round-trips handler/entry/samples/timing") {
+    val ss = IndexedSeq.tabulate(5)(f =>
+      Array.tabulate[Byte](64 + f)(i => ((f * 31 + i) % 256).toByte))
+    val bytes = Mp4.encodeAudio(ss, channels = 2, sampleRate = 16000,
+      timescale = 16000, sampleDelta = 1024)
+    val v = Mp4.decode(bytes).get
+    assert(v.brand == "M4A ")
+    assert(v.videoTracks.isEmpty && v.audioTracks.length == 1)
+    val t = v.audioTracks.head
+    assert(t.handler == "soun" && t.codec == "mp4a")
+    assert(t.channels == 2 && t.sampleRate == 16000)
+    assert(t.syncSamples.isEmpty) // audio: every sample is sync
+    assert(t.nSamples == 5)
+    for (i <- 0 until 5) {
+      assert(Mp4.sampleBytes(bytes, t, i).get.sameElements(ss(i)))
+      assert(Mp4.sampleTsMs(t, i).contains(i * 1024L * 1000 / 16000))
+    }
+  }
 }

@@ -197,6 +197,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == orders)
   }
 
+  test("singleEpochShuffle matches the exploded form's epoch without materializing the others") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+      .select($"doc_id")
+    val exploded = Sampling.epochShuffle(docs, "doc_id", epochs = 4, nShards = 4)
+    // epoch 0 AND a later epoch: the single form must reproduce (shard,
+    // pos) exactly for any index, not just the base case
+    for (e <- Seq(0, 3)) {
+      val want = exploded.filter($"epoch" === e)
+        .select($"doc_id", $"shard", $"pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+      val got = Sampling.singleEpochShuffle(docs, "doc_id", e, nShards = 4)
+        .select($"doc_id", $"shard", $"pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+      assert(got.sameElements(want), s"epoch $e diverges from the exploded form")
+    }
+  }
+
   test("upsampleByWeight: floor copies + hash Bernoulli, rep indexes 1..n") {
     val docs = (0L until 400L).toDF("doc_id")
     val out = Sampling.upsampleByWeight(docs, "doc_id", lit(2.5))

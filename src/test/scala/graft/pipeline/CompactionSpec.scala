@@ -96,4 +96,36 @@ class CompactionSpec extends AnyFunSuite {
       "_bucket", 4, 1L << 20)
     assert(rpt == Compaction.Report(0, 0, 0, 0, 0))
   }
+
+  test("escaped partition values (spaces, colons) and nulls still compact") {
+    import spark.implicits._
+    val dir = freshDir()
+    // string partition values that Hive path-escapes in directory names,
+    // plus a null partition (__HIVE_DEFAULT_PARTITION__)
+    val vals = Seq("plain", "has space", "a:colon", null)
+    val rows = (0 until 200).map(i => (i.toLong, vals(i % 4)))
+    val df = rows.toDF("id", "cat")
+    // fragment every partition: five single-file appends each
+    (0 until 5).foreach { k =>
+      df.filter(pmod($"id", lit(5)) === k)
+        .coalesce(1).write.mode("append").partitionBy("cat").parquet(dir)
+    }
+    val beforeRows = spark.read.parquet(dir)
+      .select($"id", $"cat").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.contains("%")), s"fixture should escape a name: ${dirs.toSeq}")
+    assert(dirs.exists(_.contains("__HIVE_DEFAULT_PARTITION__")), dirs.toSeq.toString)
+
+    val rpt = Compaction.compactPartitioned(spark, dir, "cat",
+      maxFilesPerPartition = 2, targetFileBytes = Long.MaxValue)
+    // every partition was fragmented to 5 files; ALL four must compact —
+    // including the escaped and null ones the raw-name match used to skip
+    assert(rpt.partitionsCompacted == 4, rpt.toString)
+    assert(rpt.filesAfter == 4, rpt.toString)
+    val afterRows = spark.read.parquet(dir)
+      .select($"id", $"cat").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(afterRows.sameElements(beforeRows))
+  }
 }
