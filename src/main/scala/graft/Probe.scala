@@ -15,7 +15,11 @@ object Probe {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_GC=1 reproduces the Bench inter-query System.gc()
+    // so warm-defeat hypotheses can be tested in isolation
+    val gcBetween = sys.env.get("SPARK_GRAFT_PROBE_GC").contains("1")
     for (r <- 1 to reps; n <- names) {
+      if (gcBetween) System.gc()
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, sfDir).count()
       println(f"PROBE $n rep=$r rows=$cnt t=${(System.nanoTime() - t0) / 1e9}%.2f")
