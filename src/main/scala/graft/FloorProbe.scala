@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Attribution probe for the TPC-H constant factor vs the DuckDB anchor
+  * (VERDICT r9 "what's wrong" #2): times q05's plan piecewise — scan
+  * only, scan+agg, partial join chains, full query, AQE off — so the
+  * floor can be attributed to scan / broadcast rounds / shuffle
+  * scheduling instead of guessed at. Each variant runs `reps` warm reps;
+  * report the min.
+  */
+object FloorProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def li = Tables.load(spark, sfDir, "lineitem")
+    def orders = Tables.load(spark, sfDir, "orders")
+    def customer = Tables.load(spark, sfDir, "customer")
+    def supplier = Tables.load(spark, sfDir, "supplier")
+    def nation = Tables.load(spark, sfDir, "nation")
+    def region = Tables.load(spark, sfDir, "region")
+
+    val dateLo = to_timestamp(lit("1996-01-01"))
+    val dateHi = to_timestamp(lit("1998-01-01"))
+
+    val variants: Seq[(String, () => Long)] = Seq(
+      "noop_empty_job" -> (() => spark.range(1).count()),
+      "li_scan_count" -> (() => li.count()),
+      "li_scan_2col_agg" -> (() =>
+        li.agg(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).count()),
+      "li_join_supp_nation_region" -> (() =>
+        li.join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+          .count()),
+      "orders_cust_join" -> (() =>
+        orders.filter($"o_orderdate" >= dateLo && $"o_orderdate" < dateHi)
+          .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+          .count()),
+      "q05_full" -> (() =>
+        SparkEntry.queries("q05_regional_revenue")(spark, sfDir).count()),
+      "j5_full" -> (() =>
+        SparkEntry.queries("j5_dim_join_revenue")(spark, sfDir).count()),
+      "d1_full" -> (() =>
+        SparkEntry.queries("d1_dedup_exact")(spark, sfDir).count()),
+      // repeated at the end: how much of the first noop was session warmup
+      "noop_empty_job_warm" -> (() => spark.range(1).count()),
+      "bcast_customer_only" -> (() =>
+        spark.range(1).join(broadcast(customer), lit(true), "left").count()),
+      // one fully-reused DataFrame: planning/analysis cost excluded
+      "q05_reused_df" -> {
+        val df = SparkEntry.queries("q05_regional_revenue")(spark, sfDir)
+        () => df.count()
+      }
+    )
+
+    val mins = variants.map { case (name, thunk) =>
+      var best = Double.MaxValue
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        thunk()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"FLOOR $name%-28s min=${best}%.3f")
+      name -> best
+    }.toMap
+
+    // AQE-off comparison for the full query
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var bestNoAqe = Double.MaxValue
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q05_regional_revenue")(spark, sfDir).count()
+      bestNoAqe = math.min(bestNoAqe, (System.nanoTime() - t0) / 1e9)
+    }
+    println(f"FLOOR q05_full_noAQE             min=${bestNoAqe}%.3f")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    println(f"FLOOR summary: scan=${mins("li_scan_count")}%.3f bcast3=${mins("li_join_supp_nation_region") - mins("li_scan_2col_agg")}%.3f full=${mins("q05_full")}%.3f")
+    spark.stop()
+  }
+}

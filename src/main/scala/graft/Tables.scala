@@ -71,8 +71,31 @@ object Tables {
     narrow.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast("long")))
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeInts(normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet")))
+  // Memoized per (session, sfDir, table): `spark.read.parquet` performs
+  // file listing + footer schema read + analysis on EVERY call, and the
+  // multi-table queries pay it 4-6x per execution — measured ~0.42s of
+  // q05's ~1.0s wall at sf0.1 (FloorProbe: fresh-build 0.98s vs reused-
+  // DataFrame 0.56s). Production engines hold this in a catalog; here the
+  // analyzed DataFrame is the catalog entry. Safe because every load
+  // target is driver-generated read-only testdata (mutable job outputs go
+  // through spark.read directly, never through load). WeakHashMap keyed
+  // on the session so stopped sessions don't pin their plans.
+  private val loadCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = loadCache.synchronized {
+      var m = loadCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        loadCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, name),
+      normalizeInts(normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))))
+  }
 
   /** Register all tables as temp views (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
