@@ -111,6 +111,103 @@ object Bpe {
     */
   def trainOnCorpus(df: DataFrame, textCol: String, numMerges: Int): BpeTokenizer =
     new BpeTokenizer(train(wordCounts(df, textCol).sortBy(p => (p._1)), numMerges))
+
+  // ---- deployment seam: load a merges table from a file ----------------
+  //
+  // The tiktoken cl100k merges artifact is MIT-licensed but not present in
+  // this sandbox (COVERAGE.md §2.8); the seam below lets a deployment drop
+  // the file next to the jar and get exact cl100k token counts with ZERO
+  // code change (set -Dgraft.bpe.mergesPath=... or GRAFT_BPE_MERGES=...;
+  // see Tokenize.default).
+
+  /** One greedy merge pass over `syms` under `rank` — the same
+    * lowest-rank-first order as [[BpeTokenizer.encodePreToken]].
+    */
+  private def applyMerges(syms: scala.collection.mutable.ArrayBuffer[String],
+      rank: scala.collection.Map[(String, String), Int]): Unit = {
+    var improved = true
+    while (improved && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) improved = false
+      else {
+        syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+        syms.remove(bestAt + 1)
+      }
+    }
+  }
+
+  /** Reconstruct pair merges from a tiktoken-style rank table
+    * ("&lt;base64-token&gt; &lt;rank&gt;" per line). BPE invariant: every
+    * multi-byte token was created by merging two tokens of lower rank, so
+    * walking tokens in rank order and greedy-encoding each one's bytes
+    * with the merges recovered so far leaves exactly its two parents —
+    * that pair IS the merge. Tokens that don't reduce to two symbols
+    * (special tokens outside the merge lattice) are skipped.
+    */
+  def ranksToMerges(lines: Iterator[String]): IndexedSeq[(String, String)] = {
+    val dec = java.util.Base64.getDecoder
+    val toks = lines.map(_.trim).filter(_.nonEmpty).map { ln =>
+      val sp = ln.split(" ")
+      require(sp.length == 2, s"bad rank line: '$ln'")
+      (new String(dec.decode(sp(0)), ISO_8859_1), sp(1).toInt)
+    }.toIndexedSeq.sortBy(_._2)
+    val rank = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    toks.foreach { case (tok, _) =>
+      if (tok.length > 1) {
+        val syms = scala.collection.mutable.ArrayBuffer.tabulate(tok.length)(
+          i => tok.substring(i, i + 1))
+        applyMerges(syms, rank)
+        if (syms.length == 2) {
+          val pair = (syms(0), syms(1))
+          rank(pair) = rank.size
+          merges += pair
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Serialize a merges table as a tiktoken-style rank file: the 256
+    * single-byte tokens, then each merge's joined token, in rank order.
+    * [[ranksToMerges]] inverts this exactly (spec-pinned).
+    */
+  def mergesToRankLines(merges: IndexedSeq[(String, String)]): Seq[String] = {
+    val enc = java.util.Base64.getEncoder
+    val singles = (0 until 256).map(b => new String(Array(b.toByte), ISO_8859_1))
+    (singles ++ merges.map { case (a, b) => a + b }).zipWithIndex.map {
+      case (tok, r) => enc.encodeToString(tok.getBytes(ISO_8859_1)) + " " + r
+    }
+  }
+
+  /** Load a merges table from a tiktoken-style rank file
+    * ("&lt;base64-token&gt; &lt;rank&gt;" per line, `#`-comment lines
+    * skipped) — the format of the public cl100k artifact. A plain "A B"
+    * pair format is deliberately NOT supported: the byte symbols here can
+    * contain literal spaces, which that format cannot carry, and GPT-2
+    * merges.txt files assume a byte-to-unicode remap this encoder doesn't
+    * use. Malformed content THROWS — a deployment silently falling back
+    * to a different tokenizer would shift every chunk boundary
+    * downstream.
+    */
+  def loadMerges(path: String): IndexedSeq[(String, String)] = {
+    val all = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), ISO_8859_1)
+    val data = scala.jdk.CollectionConverters.ListHasAsScala(all).asScala
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toIndexedSeq
+    require(data.nonEmpty, s"empty merges file: $path")
+    val merges = ranksToMerges(data.iterator)
+    require(merges.nonEmpty, s"no reconstructible merges in: $path")
+    merges
+  }
 }
 
 /** Greedy byte-level BPE encoder over a ranked merges table. */

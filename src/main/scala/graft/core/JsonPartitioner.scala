@@ -18,7 +18,7 @@ object JsonPartitioner {
   private val mapper = new ObjectMapper()
 
   def partition(json: String, maxTokens: Int,
-      tok: Tokenizer = RegexTokenizer): Seq[String] = {
+      tok: Tokenizer = Tokenize.default): Seq[String] = {
     val root = mapper.readTree(json)
     partitionNode(root, maxTokens, tok).map(pretty)
   }

@@ -55,7 +55,7 @@ object TextKeys {
   /** X6: iterative token-bounded truncation — trim by a shrinking character
     * step until within maxTokens (cap 100 iterations like the reference).
     */
-  def truncateToTokens(s: String, maxTokens: Int, tok: Tokenizer = RegexTokenizer): String = {
+  def truncateToTokens(s: String, maxTokens: Int, tok: Tokenizer = Tokenize.default): String = {
     if (s == null || tok.count(s) <= maxTokens) return s
     var cur = s
     var step = math.max(1, cur.length / 2)

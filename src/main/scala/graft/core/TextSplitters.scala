@@ -18,7 +18,7 @@ final case class SplitParams(
     maxTokens: Int = 2048,
     overlapTokens: Int = 200,
     minChunkTokens: Int = 100,
-    tokenizer: Tokenizer = RegexTokenizer)
+    tokenizer: Tokenizer = Tokenize.default)
 
 object TextSplitters {
 

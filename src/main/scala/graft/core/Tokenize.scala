@@ -37,3 +37,26 @@ object WhitespaceTokenizer extends Tokenizer {
   override def tokens(s: String): Array[String] =
     if (s == null || s.trim.isEmpty) Array.empty else s.trim.split("\\s+")
 }
+
+/** The deployment seam for exact-BPE token counting (SURVEY §7.4,
+  * COVERAGE.md §2.8): when `-Dgraft.bpe.mergesPath=<file>` (or env
+  * `GRAFT_BPE_MERGES`) points at a tiktoken-style rank file — e.g. the
+  * public MIT cl100k artifact dropped next to the jar — every chunker and
+  * truncation path that defaults to [[Tokenize.default]] counts with that
+  * real BPE table, zero code change. Unset (this sandbox has no copy of
+  * the artifact and no egress), the regex approximation stands in.
+  *
+  * Resolved ONCE on the driver (default parameters evaluate at the call
+  * site); the tokenizer itself is Serializable, so executors receive the
+  * table in the task closure and never read the file. A bad path or
+  * malformed file throws at first use — a silent fallback would shift
+  * every chunk boundary downstream.
+  */
+object Tokenize {
+  lazy val default: Tokenizer =
+    sys.props.get("graft.bpe.mergesPath")
+      .orElse(sys.env.get("GRAFT_BPE_MERGES")) match {
+      case Some(path) => new BpeTokenizer(Bpe.loadMerges(path))
+      case None => RegexTokenizer
+    }
+}

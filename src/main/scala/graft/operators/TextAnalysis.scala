@@ -306,7 +306,8 @@ object TextAnalysis {
     */
   def trainBigramLm(df: DataFrame, textCol: String, isRef: Column,
       vocabSize: Int = 4096, minBigramCount: Int = 2,
-      alpha: Double = 0.4): BigramLm = {
+      alpha: Double = 0.4, maxBigramTable: Int = 2000000): BigramLm = {
+    require(maxBigramTable >= 1, "maxBigramTable must be >= 1")
     val spark = df.sparkSession
     val toks = df.filter(isRef).select(
       explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
@@ -335,10 +336,18 @@ object TextAnalysis {
         }
         out.toSeq
       })
+      // The pruned table is bounded by vocab² in principle but only by
+      // total bigram OCCURRENCES / minBigramCount in practice, which for
+      // a large vocab over a large ref slice can exceed driver memory.
+      // The collect is therefore capped: deterministic top-K by count
+      // (count desc, key asc) — the same "keep the head of the
+      // distribution" pruning KenLM applies, and a no-op below the cap.
       val bigrams: Map[Long, Long] = df.filter(isRef)
         .select(explode(pairsUdf(col(textCol))).as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= minBigramCount)
+        .orderBy(col("cb").desc, col("pk").asc)
+        .limit(maxBigramTable)
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       bVocab.destroy()

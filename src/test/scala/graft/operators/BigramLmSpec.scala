@@ -52,6 +52,25 @@ class BigramLmSpec extends AnyFunSuite {
     assert(lm.oovCount == 2) // the two z occurrences share UNK
   }
 
+  test("maxBigramTable caps the driver table at the top-K by (count desc, key asc)") {
+    import spark.implicits._
+    // bigram counts: (a,b):4 (b,a):3 (b,c):1 (c,a):1 — cap 2 must keep
+    // (a,b) and (b,a); below-cap training is byte-identical to uncapped
+    val d = df(Seq((1L, "a b a b a b c a b a", true)))
+    val full = TextAnalysis.trainBigramLm(d, "text", $"is_ref",
+      vocabSize = 10, minBigramCount = 1)
+    val capped = TextAnalysis.trainBigramLm(d, "text", $"is_ref",
+      vocabSize = 10, minBigramCount = 1, maxBigramTable = 2)
+    assert(full.bigrams.size == 4)
+    assert(capped.bigrams.size == 2)
+    val topTwo = full.bigrams.toSeq.sortBy { case (k, c) => (-c, k) }.take(2).toMap
+    assert(capped.bigrams == topTwo)
+    // a cap larger than the table is a no-op
+    val loose = TextAnalysis.trainBigramLm(d, "text", $"is_ref",
+      vocabSize = 10, minBigramCount = 1, maxBigramTable = 1000)
+    assert(loose.bigrams == full.bigrams && loose.vocab == full.vocab)
+  }
+
   test("word order changes the score; hashed unigrams would not see it") {
     import spark.implicits._
     // ref has a strong "the cat sat" pattern; a permuted doc must score
