@@ -57,6 +57,13 @@ object FloorProbe {
         SparkEntry.queries("j5_dim_join_revenue")(spark, sfDir).count()),
       "d1_full" -> (() =>
         SparkEntry.queries("d1_dedup_exact")(spark, sfDir).count()),
+      // dc3 at scale: 8x corpus vs a 10k-row eval set — the flat scan
+      // against the exact cell-pruned path (VERDICT r9 next-round #5)
+      // filter on `dropped` so column pruning can't elide the scan UDF
+      "dc3_brute_32x_10k" -> (() =>
+        dc3At(spark, sfDir, Int.MaxValue).filter(col("dropped")).count()),
+      "dc3_pruned_32x_10k" -> (() =>
+        dc3At(spark, sfDir, 0).filter(col("dropped")).count()),
       // repeated at the end: how much of the first noop was session warmup
       "noop_empty_job_warm" -> (() => spark.range(1).count()),
       "bcast_customer_only" -> (() =>
@@ -79,6 +86,10 @@ object FloorProbe {
       name -> best
     }.toMap
 
+    def ratio(a: String, b: String): String =
+      f"${mins(a) / mins(b)}%.1fx"
+    println(s"FLOOR dc3 pruned speedup: ${ratio("dc3_brute_32x_10k", "dc3_pruned_32x_10k")}")
+
     // AQE-off comparison for the full query
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     var bestNoAqe = Double.MaxValue
@@ -91,5 +102,34 @@ object FloorProbe {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     println(f"FLOOR summary: scan=${mins("li_scan_count")}%.3f bcast3=${mins("li_join_supp_nation_region") - mins("li_scan_2col_agg")}%.3f full=${mins("q05_full")}%.3f")
     spark.stop()
+  }
+
+  /** Scaled dc3: corpus = embeddings x32 (jittered copies, ~64k rows —
+    * large enough that the per-row scan dominates the session floor, the
+    * regime a 100 TB sweep lives in), eval = 10k jittered rows.
+    * Fixtures are built and checkpointed ONCE so the timed region is the
+    * decontam scan itself, not fixture synthesis; `bruteMax` selects the
+    * flat scan vs the cell-pruned path.
+    */
+  private var dc3Fix: Option[(org.apache.spark.sql.DataFrame,
+    org.apache.spark.sql.DataFrame)] = None
+  private def dc3At(spark: SparkSession, sfDir: String,
+      bruteMax: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (corpus, evalBig) = dc3Fix.getOrElse {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val jitter = udf((v: Seq[Float], r: Int) =>
+        v.zipWithIndex.map { case (x, i) => x + 0.01f * ((r * 31 + i) % 7 - 3) })
+      def copies(n: Int) = emb
+        .select(explode(sequence(lit(0), lit(n - 1))).as("r"), $"vec_id", $"embedding")
+        .select(($"vec_id" * n + $"r").as("vec_id"),
+          jitter($"embedding", $"r").as("embedding"))
+      val f = (copies(32).repartition(32).localCheckpoint(true),
+        copies(5).localCheckpoint(true))
+      dc3Fix = Some(f)
+      f
+    }
+    graft.operators.Quality.semanticDecontam(corpus, evalBig,
+      "vec_id", "embedding", tau = 0.35, bruteForceMax = bruteMax)
   }
 }

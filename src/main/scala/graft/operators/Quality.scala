@@ -147,22 +147,206 @@ object Quality {
     * audit-first shape of [[filterReport]].
     */
   def semanticDecontam(corpus: DataFrame, evalSet: DataFrame, idCol: String,
-      vecCol: String, tau: Double): DataFrame = {
+      vecCol: String, tau: Double, pruneCells: Int = 64,
+      bruteForceMax: Int = 256): DataFrame = {
     val evalVecs: Array[Array[Float]] = evalSet.select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
     require(evalVecs.nonEmpty, "empty eval set")
-    val bc = corpus.sparkSession.sparkContext.broadcast(evalVecs)
-    val maxSim = udf((v: Seq[Float]) => {
-      val a = v.toArray
-      var m = -1.0
-      bc.value.foreach { e =>
-        val c = Dedup.cosine(a, e)
-        if (c > m) m = c
+    val spark = corpus.sparkSession
+    val maxSim: org.apache.spark.sql.expressions.UserDefinedFunction =
+      if (evalVecs.length <= bruteForceMax) {
+        // benchmark-sized eval set: the flat scan is already cheap
+        val bc = spark.sparkContext.broadcast(evalVecs)
+        udf((v: Seq[Float]) => {
+          val a = v.toArray
+          var m = -1.0
+          bc.value.foreach { e =>
+            val c = Dedup.cosine(a, e)
+            if (c > m) m = c
+          }
+          m
+        })
+      } else {
+        // Large eval set (aggregated benchmark suites reach 10^4-10^5
+        // rows): spherical k-means cells over the eval vectors with an
+        // EXACT angular pruning bound — for unit vectors the triangle
+        // inequality on angles gives cos(a,e) ≤ cos(max(0, θ(a,c) − φ))
+        // where φ is the cell's max member-to-centroid angle, so a cell
+        // whose bound cannot beat the running max is skipped without
+        // touching its members. Unlike an LSH prefilter this loses NO
+        // recall: the reported max is bit-identical to the flat scan
+        // (the exact member cosines still come from Dedup.cosine on the
+        // RAW vectors; spec-pinned equivalence). Driver state stays
+        // bounded: the eval matrix (already collected above) plus
+        // pruneCells centroids.
+        val cells = buildDecontamCells(evalVecs, pruneCells)
+        val bc = spark.sparkContext.broadcast((evalVecs, cells))
+        udf((v: Seq[Float]) => {
+          val (evs, cs) = bc.value
+          prunedMaxSim(v.toArray, evs, cs)
+        })
       }
-      m
-    })
     corpus.select(col(idCol), round(maxSim(col(vecCol)), 4).as("max_eval_sim"))
       .withColumn("dropped", col("max_eval_sim") >= tau)
+  }
+
+  /** Per cell: unit centroid, max member angle, member indices SORTED by
+    * their angle to the centroid (parallel `angles` array) — the sort is
+    * what lets [[prunedMaxSim]] binary-search the annulus of members that
+    * can still beat the running max. `zeroNorm` holds eval vectors whose
+    * cosine is 0.0 by definition (handled as a floor, not a cell).
+    */
+  private[operators] final case class DecontamCells(
+      centroids: Array[Array[Double]], maxAngle: Array[Double],
+      members: Array[Array[Int]], angles: Array[Array[Double]],
+      zeroNorm: Array[Int], dim: Int)
+      extends Serializable
+
+  private[operators] def buildDecontamCells(evalVecs: Array[Array[Float]],
+      pruneCells: Int): DecontamCells = {
+    require(pruneCells >= 1, "pruneCells must be >= 1")
+    val dim = evalVecs.map(_.length).max
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val norms = evalVecs.map(norm)
+    val nonZero = evalVecs.indices.filter(i => norms(i) > 0.0).toArray
+    val zero = evalVecs.indices.filterNot(i => norms(i) > 0.0).toArray
+    // unit copies padded to the common dim (a shorter vector behaves as
+    // zero-extended in the dot product, matching Dedup.cosine's
+    // min-length loop when the OTHER side is full-length)
+    val units = nonZero.map { i =>
+      val u = new Array[Double](dim)
+      var j = 0
+      while (j < evalVecs(i).length) { u(j) = evalVecs(i)(j) / norms(i); j += 1 }
+      u
+    }
+    val k = math.max(1, math.min(pruneCells, units.length))
+    def assignTo(cents: Array[Array[Double]], u: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { d += u(j) * cents(c)(j); j += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // Train on a stride subsample (standard IVF practice — centroids
+    // stabilize long before the full set is seen) so the driver-side
+    // build stays O(iters·sample·k·dim), then assign everything once.
+    val sampleN = math.min(units.length, math.max(k * 16, 1024))
+    val sample = Array.tabulate(sampleN)(i =>
+      units((i.toLong * units.length / sampleN).toInt))
+    var cents = Array.tabulate(k)(c => sample((c.toLong * sampleN / k).toInt).clone())
+    val sAssign = new Array[Int](sampleN)
+    for (_ <- 0 until 4) {
+      var i = 0
+      while (i < sampleN) { sAssign(i) = assignTo(cents, sample(i)); i += 1 }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < sampleN) {
+        val c = sAssign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          var s = 0.0; var j = 0
+          while (j < dim) { s += sums(c)(j) * sums(c)(j); j += 1 }
+          val n = math.sqrt(s)
+          if (n == 0.0) cents(c) else sums(c).map(_ / n)
+        }
+      }
+    }
+    val assign = Array.tabulate(units.length)(i => assignTo(cents, units(i)))
+    val pairs = Array.fill(k)(
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Int)])
+    var i = 0
+    while (i < units.length) {
+      val c = assign(i)
+      var d = 0.0; var j = 0
+      while (j < dim) { d += units(i)(j) * cents(c)(j); j += 1 }
+      val ang = math.acos(math.max(-1.0, math.min(1.0, d)))
+      pairs(c) += ((ang, nonZero(i)))
+      i += 1
+    }
+    val sorted = pairs.map(_.sortBy(_._1).toArray)
+    DecontamCells(cents,
+      sorted.map(p => if (p.isEmpty) 0.0 else p.last._1),
+      sorted.map(_.map(_._2)), sorted.map(_.map(_._1)), zero, dim)
+  }
+
+  /** Exact max cosine against the eval set via cell pruning — always the
+    * same value as the flat Dedup.cosine scan.
+    */
+  private[operators] def prunedMaxSim(a: Array[Float],
+      evalVecs: Array[Array[Float]], cells: DecontamCells): Double = {
+    var m = -1.0
+    if (cells.zeroNorm.nonEmpty && m < 0.0) m = 0.0 // zero-norm eval → cos 0.0
+    var na = 0.0
+    var i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+    if (na == 0.0) return math.max(m, 0.0) // zero row → every cosine is 0.0
+    if (a.length != cells.dim) {
+      // mismatched dims void the angular bound (Dedup.cosine truncates to
+      // the shorter vector) — fall back to the flat scan for this row
+      evalVecs.foreach { e => val c = Dedup.cosine(a, e); if (c > m) m = c }
+      return m
+    }
+    val inv = 1.0 / math.sqrt(na)
+    val k = cells.centroids.length
+    val bounds = new Array[Double](k)
+    val thetas = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var d = 0.0; var j = 0
+      while (j < cells.dim) { d += a(j) * inv * cells.centroids(c)(j); j += 1 }
+      val theta = math.acos(math.max(-1.0, math.min(1.0, d)))
+      thetas(c) = theta
+      bounds(c) = if (theta <= cells.maxAngle(c)) 1.0
+        else math.cos(theta - cells.maxAngle(c))
+      c += 1
+    }
+    val order = (0 until k).sortBy(c => -bounds(c))
+    val eps = 1e-9 // absorbs double rounding in the bounds, never the max
+    order.foreach { c =>
+      if (bounds(c) + eps > m) {
+        // annulus refinement: member e can only beat m when
+        // |θ(a,c) − θ(c,e)| < acos(m) (angular triangle inequality), and
+        // members are sorted by θ(c,e) — binary-search the eligible band
+        // instead of dotting the whole cell. Once one tight match raises
+        // m, acos(m) collapses and later cells contribute a handful of
+        // candidates each.
+        val thetaAc = thetas(c)
+        val band = math.acos(math.max(-1.0, math.min(1.0, m - eps)))
+        val angs = cells.angles(c)
+        val lo = lowerBound(angs, thetaAc - band)
+        var idx = lo
+        while (idx < angs.length && angs(idx) < thetaAc + band) {
+          val cos = Dedup.cosine(a, evalVecs(cells.members(c)(idx)))
+          if (cos > m) m = cos
+          idx += 1
+        }
+      }
+    }
+    m
+  }
+
+  /** First index in sorted `xs` with xs(i) >= x. */
+  private def lowerBound(xs: Array[Double], x: Double): Int = {
+    var lo = 0; var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

@@ -130,6 +130,34 @@ class QualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"decontam scan must not shuffle:\n$plan")
   }
 
+  test("semantic decontam: cell-pruned path is bit-identical to the flat scan") {
+    val rnd = new scala.util.Random(42)
+    def vec(dim: Int): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val dim = 24
+    // eval set large enough for several cells, plus adversarial members:
+    // a zero vector, a short vector, and near-duplicates of corpus rows
+    val evalRows = (0 until 400).map(i => (1000L + i, vec(dim))) ++
+      Seq((2000L, new Array[Float](dim)), (2001L, vec(7)))
+    val evalSet = evalRows.toDF("vec_id", "embedding")
+    val corpusRows = (0 until 150).map(i => (i.toLong, vec(dim))) ++
+      Seq((900L, evalRows(3)._2.map(x => x * 2f)),   // exact direction match
+        (901L, new Array[Float](dim)),               // zero corpus row
+        (902L, vec(30)))                             // longer than eval dim
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    def run(bruteMax: Int) =
+      Quality.semanticDecontam(corpus, evalSet, "vec_id", "embedding",
+        tau = 0.5, pruneCells = 16, bruteForceMax = bruteMax)
+        .orderBy($"vec_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val brute = run(Int.MaxValue)
+    val pruned = run(0)
+    assert(pruned.sameElements(brute),
+      "cell-pruned max_eval_sim must be bit-identical to the flat scan")
+    // sanity: the planted direction-match is flagged at full similarity
+    val m = brute.map { case (id, s, dr) => id -> ((s, dr)) }.toMap
+    assert(m(900L)._1 == 1.0 && m(900L)._2)
+  }
+
   test("filter config pushes simple rules into the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filtercfg").toString + "/t"
     docs((1L, "a"), (2L, "bb")).withColumn("n_chars", length($"text").cast("long"))
