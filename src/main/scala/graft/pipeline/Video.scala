@@ -338,14 +338,17 @@ object Video {
   }
 
   /** Unified probe over a MIXED media column — real corpora put AVI, MP4,
-    * images, and junk in the SAME binary column, and every decoder here is
-    * total, so sniffing is just trying them in container order. Appends
-    * media_kind ('avi' | 'mp4' | 'image' | 'unknown') and normalized
-    * geometry: media_w/media_h, media_frames (1 for still images),
-    * media_ms (0 where the container has no timing). Header-only for the
-    * containers; the image fall-through decodes (ImageIO has no
-    * header-only probe and stills dominate neither CPU nor the 100 TB
-    * layout decision this column drives).
+    * FLAC, MP3, images, and junk in the SAME binary column, and every
+    * decoder here is total, so sniffing is just trying them in container
+    * order (strong-magic containers first; the MP3 frame-header sniff
+    * runs after them because its 11-bit sync is the weakest signature).
+    * Appends media_kind ('avi' | 'mp4' | 'flac' | 'mp3' | 'image' |
+    * 'unknown') and normalized geometry: media_w/media_h (0 for audio),
+    * media_frames (1 for still images; MPEG frames for mp3; total PCM
+    * samples for flac), media_ms (0 where the container has no timing).
+    * Header-only for the containers; the image fall-through decodes
+    * (ImageIO has no header-only probe and stills dominate neither CPU
+    * nor the 100 TB layout decision this column drives).
     */
   def withMediaProbe(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
@@ -366,10 +369,18 @@ object Video {
               Seq("mp4", t.map(_.width.toLong).getOrElse(0L),
                 t.map(_.height.toLong).getOrElse(0L),
                 t.map(_.nSamples.toLong).getOrElse(0L), v.durationMs)
-            case None => Multimodal.decodeImage(bytes) match {
-              case Some((img, _)) =>
-                Seq("image", img.getWidth.toLong, img.getHeight.toLong, 1L, 0L)
-              case None => Seq("unknown", 0L, 0L, 0L, 0L)
+            case None => graft.formats.Flac.decode(bytes) match {
+              case Some(f) =>
+                Seq("flac", 0L, 0L, f.totalSamples, f.durationMs)
+              case None => graft.formats.Mp3.decode(bytes) match {
+                case Some(a) =>
+                  Seq("mp3", 0L, 0L, a.nFrames.toLong, a.durationMs)
+                case None => Multimodal.decodeImage(bytes) match {
+                  case Some((img, _)) =>
+                    Seq("image", img.getWidth.toLong, img.getHeight.toLong, 1L, 0L)
+                  case None => Seq("unknown", 0L, 0L, 0L, 0L)
+                }
+              }
             }
           }
         }
