@@ -33,6 +33,7 @@ QUERIES = [
     "d16_incremental_embed",
     "t5_bpe_tokens",
     "v6_embedding_neardup",
+    "r3_mmr_rerank",
 ]
 
 SQL_TYPE = {

@@ -80,4 +80,77 @@ object Search {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversification pass a RAG retriever runs between
+    * top-N retrieval and the context window: greedily select k
+    * candidates maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} cos(d,s),
+    * so near-duplicate passages don't crowd out coverage.
+    *
+    * Scale shape: `candidates` is the OUTPUT of a bounded top-N
+    * retrieval per query — (queryId, id, vec, sim) rows, ≤ maxCandidates
+    * per query — so the inherently sequential greedy runs inside one
+    * executor task per query via groupByKey/mapGroups, and the operator
+    * distributes ACROSS queries (the batch-retrieval axis a serving
+    * pipeline actually scales on). Deterministic: ties break on id; the
+    * per-group candidate cap keeps by (sim desc, id). Emits
+    * (query_id, rank, id, mmr_score@4dp), rank 0-based in selection
+    * order; the first pick's penalty term is zero by convention.
+    */
+  def mmrRerank(candidates: DataFrame, queryCol: String, idCol: String,
+      vecCol: String, simCol: String, k: Int, lambda: Double,
+      maxCandidates: Int = 4096): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0 && maxCandidates >= 1)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("rank", IntegerType),
+      StructField("id", LongType), StructField("mmr_score", DoubleType)))
+    val norm = candidates.select(
+      col(queryCol).cast("long").as("q"), col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"), col(simCol).cast("double").as("sim"))
+    norm.groupByKey(r => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (q: Long, rows: Iterator[Row]) =>
+        val cand = rows.map(r => (r.getLong(1),
+            r.getSeq[Float](2).toArray, r.getDouble(3)))
+          .toArray.sortBy { case (id, _, sim) => (-sim, id) }
+          .take(maxCandidates)
+        val n = cand.length
+        val picked = new Array[Boolean](n)
+        // running max cos to the selected set, updated per pick — the
+        // greedy is O(k·n) dot products, bounded by maxCandidates
+        val maxSel = new Array[Double](n)
+        val out = Seq.newBuilder[Row]
+        var rank = 0
+        while (rank < math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.MinValue
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val s = lambda * cand(i)._3 -
+                (if (rank == 0) 0.0 else (1 - lambda) * maxSel(i))
+              if (s > bestScore + 1e-15 ||
+                  (math.abs(s - bestScore) <= 1e-15 && best >= 0 && cand(i)._1 < cand(best)._1)) {
+                bestScore = s; best = i
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += Row(q, rank, cand(best)._1,
+            math.rint(bestScore * 10000) / 10000)
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val c = Dedup.cosine(cand(j)._2, cand(best)._2)
+              if (c > maxSel(j)) maxSel(j) = c
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        out.result()
+      }(Encoders.row(outSchema))
+  }
 }

@@ -342,10 +342,11 @@ object Video {
     * decoder here is total, so sniffing is just trying them in container
     * order (strong-magic containers first; the MP3 frame-header sniff
     * runs after them because its 11-bit sync is the weakest signature).
-    * Appends media_kind ('avi' | 'mp4' | 'flac' | 'mp3' | 'image' |
-    * 'unknown') and normalized geometry: media_w/media_h (0 for audio),
-    * media_frames (1 for still images; MPEG frames for mp3; total PCM
-    * samples for flac), media_ms (0 where the container has no timing).
+    * Appends media_kind ('avi' | 'mp4' | 'wav' | 'flac' | 'mp3' |
+    * 'image' | 'unknown') and normalized geometry: media_w/media_h (0
+    * for audio), media_frames (1 for still images; MPEG frames for mp3;
+    * PCM frames/samples for wav/flac), media_ms (0 where the container
+    * has no timing).
     * Header-only for the containers; the image fall-through decodes
     * (ImageIO has no header-only probe and stills dominate neither CPU
     * nor the 100 TB layout decision this column drives).
@@ -369,6 +370,9 @@ object Video {
               Seq("mp4", t.map(_.width.toLong).getOrElse(0L),
                 t.map(_.height.toLong).getOrElse(0L),
                 t.map(_.nSamples.toLong).getOrElse(0L), v.durationMs)
+            case None => graft.formats.Wav.decode(bytes) match {
+              case Some(wv) =>
+                Seq("wav", 0L, 0L, wv.nFrames.toLong, wv.durationMs)
             case None => graft.formats.Flac.decode(bytes) match {
               case Some(f) =>
                 Seq("flac", 0L, 0L, f.totalSamples, f.durationMs)
@@ -383,6 +387,7 @@ object Video {
               }
             }
           }
+        }
         }
         Row.fromSeq(r.toSeq ++ m)
       }

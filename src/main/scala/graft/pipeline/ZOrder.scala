@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout for multi-column scan pruning — the
+  * lakehouse maintenance op (Delta `OPTIMIZE ZORDER BY`, Iceberg
+  * `rewrite_data_files(strategy => 'sort', sort_order => zorder(...))`)
+  * that makes file-level min/max statistics selective on SEVERAL lookup
+  * columns at once. Sorting by one column gives perfect pruning on it
+  * and none on the others; interleaving the columns' bucket bits gives
+  * every column ~(1/2^(bits_shared)) of the global span per file, so a
+  * 100 TB table pruned by EITHER key skips most files.
+  *
+  * Scale shape: one cheap global min/max aggregate (2·k values to the
+  * driver), then a MAP-ONLY projection computes each row's z-value with
+  * codegen'd integer arithmetic (no UDF), and one shuffle on the
+  * z-slot writes slot-contiguous files. Buckets are VALUE-range based
+  * (integer-exact, engine-reproducible) rather than rank-based — rank
+  * bucketing needs a global sort, and the quantile variant trades
+  * determinism for skew resistance; callers with pathological value
+  * skew should pre-transform the column (log, hash-prefix) instead.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` of `buckets` round-robin: bit j of
+    * buckets(c) lands at position j·k + (k−1−c), so column 0 owns the
+    * highest bit of each group — all codegen'd shift/mask arithmetic.
+    */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty && bits >= 1 && bits * buckets.length <= 62)
+    val k = buckets.length
+    val terms = for (j <- 0 until bits; c <- 0 until k) yield
+      shiftleft(shiftright(buckets(c), j).bitwiseAND(lit(1L)),
+        j * k + (k - 1 - c))
+    terms.reduce(_ + _)
+  }
+
+  /** Append `zval` for the given integral columns: per-column value-range
+    * buckets of 2^bits, bit-interleaved. The min/max aggregate is the
+    * only non-map work. Constant columns (min == max) bucket to 0.
+    */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one z-order column")
+    val aggCols = cols.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
+      max(col(c)).cast("long").as(s"mx_$c")))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getLong(2 * i)
+      val mx = stats.getLong(2 * i + 1)
+      val range = mx - mn + 1
+      // integer-exact: (v − min)·2^bits div range — reproducible by any
+      // engine with 64-bit integer arithmetic (the k9 oracle mirrors it)
+      expr(s"((cast(`$c` as bigint) - ${mn}L) * ${1L << bits}L) div ${range}L")
+    }
+    df.withColumn("zval", interleave(buckets, bits))
+  }
+
+  /** Rewrite `df` as `nSlots` slot-contiguous parquet directories under
+    * `dir` (slot = the top log2(nSlots) z-bits, a deterministic
+    * range-contiguous split — no sampling, unlike repartitionByRange),
+    * rows z-sorted within each slot. Returns the slotted frame.
+    */
+  def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int,
+      nSlots: Int, dir: String): DataFrame = {
+    require(nSlots >= 1 && Integer.bitCount(nSlots) == 1, "nSlots must be a power of two")
+    val slotBits = 31 - Integer.numberOfLeadingZeros(nSlots)
+    val z = withZValue(df, cols, bits)
+      .withColumn("_slot",
+        shiftright(col("zval"), bits * cols.length - slotBits).cast("int"))
+    z.repartition(nSlots, col("_slot"))
+      .sortWithinPartitions(col("_slot"), col("zval"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_slot").parquet(dir)
+    z
+  }
+}

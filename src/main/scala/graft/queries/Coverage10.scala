@@ -119,14 +119,14 @@ object Coverage10 {
     }),
 
     // M14: mixed-media probe — one binary column carrying AVI, MP4, PNG,
-    // junk, FLAC, and MP3 per doc_id mod 6; the unified probe must
-    // classify and normalize geometry for all six without any row
+    // junk, FLAC, MP3, and WAV per doc_id mod 7; the unified probe must
+    // classify and normalize geometry for all seven without any row
     // failing. The capstone of the every-decoder-is-total discipline.
     // The MP3 rows alternate a leading ID3v2 tag (id % 2) so the tag
     // skip is genuinely exercised.
     "m14_mixed_media" -> ((s, d) => {
       import s.implicits._
-      val mk = udf((id: Long) => (id % 6) match {
+      val mk = udf((id: Long) => (id % 7) match {
         case 0 => Video.synthAviBytes(id, (3 + id % 3).toInt, 16, 12)
         case 1 => Video.synthMp4Bytes(id, (4 + id % 5).toInt, 64, 48)
         case 2 => graft.pipeline.Multimodal.synthPng(
@@ -136,9 +136,11 @@ object Coverage10 {
           sampleRate = 16000 * (1 + id % 3).toInt, channels = (1 + id % 2).toInt,
           bitsPerSample = 16,
           totalSamples = (1 + id % 5) * 4000L * (1 + id % 3)))
-        case _ => graft.formats.Mp3.encode((3 + id % 5).toInt, mpegVersion = 1,
+        case 5 => graft.formats.Mp3.encode((3 + id % 5).toInt, mpegVersion = 1,
           rateIdx = 2, brIdx = 9, mono = id % 2 == 0, seed = id,
           id3Bytes = if (id % 2 == 0) 17 else 0)
+        case _ => graft.pipeline.Audio.synthWavBytes(
+          id, ((1 + id % 4) * 400).toInt, 8000)
       })
       val v = load(s, d, "documents").select($"doc_id")
         .repartition($"doc_id").withColumn("media", mk($"doc_id"))
@@ -209,24 +211,27 @@ object Coverage10 {
          |FROM p GROUP BY doc_id, f, w, h ORDER BY doc_id, f""".stripMargin,
     // flac: rate 16000·(1+id%3), samples (1+id%5)·4000·(1+id%3) → ms =
     // (1+id%5)·250; mp3: 3+id%5 frames of 1152 samples at 32 kHz → ms =
-    // nFrames·36
+    // nFrames·36; wav: (1+id%4)·400 frames at 8 kHz → ms = (1+id%4)·50
     "m14_mixed_media" ->
       """SELECT doc_id,
-        | CASE doc_id % 6 WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4'
+        | CASE doc_id % 7 WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4'
         |                 WHEN 2 THEN 'image' WHEN 3 THEN 'unknown'
-        |                 WHEN 4 THEN 'flac' ELSE 'mp3' END AS media_kind,
-        | CAST(CASE doc_id % 6 WHEN 0 THEN 16 WHEN 1 THEN 64
+        |                 WHEN 4 THEN 'flac' WHEN 5 THEN 'mp3'
+        |                 ELSE 'wav' END AS media_kind,
+        | CAST(CASE doc_id % 7 WHEN 0 THEN 16 WHEN 1 THEN 64
         |                      WHEN 2 THEN 10 + doc_id % 6 ELSE 0 END AS BIGINT) AS media_w,
-        | CAST(CASE doc_id % 6 WHEN 0 THEN 12 WHEN 1 THEN 48
+        | CAST(CASE doc_id % 7 WHEN 0 THEN 12 WHEN 1 THEN 48
         |                      WHEN 2 THEN 8 + doc_id % 4 ELSE 0 END AS BIGINT) AS media_h,
-        | CAST(CASE doc_id % 6 WHEN 0 THEN 3 + doc_id % 3 WHEN 1 THEN 4 + doc_id % 5
+        | CAST(CASE doc_id % 7 WHEN 0 THEN 3 + doc_id % 3 WHEN 1 THEN 4 + doc_id % 5
         |                      WHEN 2 THEN 1 WHEN 3 THEN 0
         |                      WHEN 4 THEN (1 + doc_id % 5) * 4000 * (1 + doc_id % 3)
-        |                      ELSE 3 + doc_id % 5 END AS BIGINT) AS media_frames,
-        | CAST(CASE doc_id % 6 WHEN 0 THEN (3 + doc_id % 3) * 40
+        |                      WHEN 5 THEN 3 + doc_id % 5
+        |                      ELSE (1 + doc_id % 4) * 400 END AS BIGINT) AS media_frames,
+        | CAST(CASE doc_id % 7 WHEN 0 THEN (3 + doc_id % 3) * 40
         |                      WHEN 1 THEN (4 + doc_id % 5) * 40
         |                      WHEN 4 THEN (1 + doc_id % 5) * 250
         |                      WHEN 5 THEN (3 + doc_id % 5) * 36
+        |                      WHEN 6 THEN (1 + doc_id % 4) * 50
         |                      ELSE 0 END AS BIGINT) AS media_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m12_mp4_probe" ->

@@ -151,6 +151,26 @@ object Coverage7 {
         .orderBy($"lang")
     }),
 
+    // K9: z-order (Morton) layout — value-range buckets of both order
+    // keys bit-interleaved into a z-value; the per-slot min/max spans
+    // SHOW the multi-column clustering (every slot pins the top two
+    // bits of BOTH keys, so each key's span per slot is ~1/4 of global
+    // — the file-skipping property single-column sorting can't give).
+    // Integer-exact arithmetic; the oracle recomputes bucket, interleave
+    // and slot bit-for-bit.
+    "k9_zorder_layout" -> ((s, d) => {
+      import s.implicits._
+      val z = graft.pipeline.ZOrder.withZValue(
+        load(s, d, "orders").select($"o_orderkey", $"o_custkey"),
+        Seq("o_custkey", "o_orderkey"), bits = 8)
+        .withColumn("slot", shiftright($"zval", 12).cast("int"))
+      z.groupBy($"slot")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"o_custkey").as("min_ck"), max($"o_custkey").as("max_ck"),
+          min($"o_orderkey").as("min_ok"), max($"o_orderkey").as("max_ok"))
+        .orderBy($"slot")
+    }),
+
     // K8: small-file compaction — the maintenance pass behind k7's layout:
     // a 16-bucket table fragmented by per-slice appends is compacted back
     // to one file per oversized bucket, healthy buckets untouched, content
@@ -286,6 +306,31 @@ object Coverage7 {
         | CAST(sum(CASE WHEN doc_id % 17 = 0 THEN n_chars + 1000
         |               ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bucket_c = (v − min)·256 // range; z interleaves bucket bits with
+    // o_custkey on the odd (higher) positions — the SQL image of
+    // ZOrder.interleave, term by term
+    "k9_zorder_layout" ->
+      """WITH s AS (SELECT min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+        |                  min(o_orderkey) AS mno, max(o_orderkey) AS mxo FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |        (o_custkey - s.mnc) * 256 // (s.mxc - s.mnc + 1) AS bc,
+        |        (o_orderkey - s.mno) * 256 // (s.mxo - s.mno + 1) AS bo
+        |      FROM orders, s),
+        |z AS (SELECT o_orderkey, o_custkey,
+        |        ((bc >> 0) & 1) * 2     + ((bo >> 0) & 1) * 1
+        |      + ((bc >> 1) & 1) * 8     + ((bo >> 1) & 1) * 4
+        |      + ((bc >> 2) & 1) * 32    + ((bo >> 2) & 1) * 16
+        |      + ((bc >> 3) & 1) * 128   + ((bo >> 3) & 1) * 64
+        |      + ((bc >> 4) & 1) * 512   + ((bo >> 4) & 1) * 256
+        |      + ((bc >> 5) & 1) * 2048  + ((bo >> 5) & 1) * 1024
+        |      + ((bc >> 6) & 1) * 8192  + ((bo >> 6) & 1) * 4096
+        |      + ((bc >> 7) & 1) * 32768 + ((bo >> 7) & 1) * 16384 AS zval
+        |      FROM b)
+        |SELECT CAST(zval // 4096 AS INTEGER) AS slot,
+        | count(*) AS n_rows,
+        | CAST(min(o_custkey) AS BIGINT) AS min_ck, CAST(max(o_custkey) AS BIGINT) AS max_ck,
+        | CAST(min(o_orderkey) AS BIGINT) AS min_ok, CAST(max(o_orderkey) AS BIGINT) AS max_ok
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // 16 hash buckets over 500+ docs: every bucket is non-empty and every
     // bucket collects ≥ 8 append files > the 4-file threshold, so all 16
     // compact down to one file each

@@ -353,6 +353,30 @@ object Coverage8 {
         .select($"doc_id", $"rrf")
     }),
 
+    // R3: MMR diversified rerank (Carbonell & Goldstein 1998) — top-40
+    // cosine candidates per 3 probe queries, greedily diversified
+    // (λ=0.7, k=8) so near-duplicate passages don't crowd the context
+    // window. Snapshot-pinned (the greedy recursion isn't
+    // SQL-expressible); the diversity properties are spec-asserted
+    // structurally in MmrSpec.
+    "r3_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val cands = (0 to 2).map { qi =>
+        val p = emb.filter($"vec_id" === qi.toLong)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        emb.filter($"vec_id" > 2L)
+          .select(lit(qi.toLong).as("query_id"), $"vec_id".as("id"),
+            $"embedding".as("vec"),
+            round(GraftFunctions.cosine_f32($"embedding", typedLit(p)), 6).as("sim"))
+          .orderBy($"sim".desc, $"id").limit(40)
+      }.reduce(_.unionByName(_))
+      Search.mmrRerank(cands, "query_id", "id", "vec", "sim",
+          k = 8, lambda = 0.7)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // D13: corpus-overlap estimation — mergeable MinHash sketches of the
     // even/odd doc_id halves; the sketch (64 elementwise mins), the match
     // count, and the exact intersection/union all reproduce exactly in
