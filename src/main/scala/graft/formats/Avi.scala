@@ -35,7 +35,10 @@ object Avi {
     */
   final case class AviVideo(width: Int, height: Int, scale: Int, rate: Int,
       codec: String, frames: IndexedSeq[Array[Byte]],
-      topDown: Boolean = false) {
+      topDown: Boolean = false,
+      // 'auds' stream metadata (first audio stream's WAVEFORMATEX);
+      // zeros when the container carries no audio
+      audioStreams: Int = 0, audioChannels: Int = 0, audioRate: Int = 0) {
     def nFrames: Int = frames.length
     def durationMs: Long =
       if (rate <= 0) 0L else frames.length.toLong * 1000L * scale / rate
@@ -73,6 +76,9 @@ object Avi {
     var rate = 0
     var codec: String = null
     var vidStream = -1 // index of the 'vids' strl within hdrl
+    var audioStreams = 0
+    var audioChannels = 0
+    var audioRate = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var frameBytes = 0L
 
@@ -81,6 +87,7 @@ object Avi {
     def walkStrl(from: Int, until: Int, streamIdx: Int): Boolean = {
       var off = from
       var isVids = false
+      var isAuds = false
       while (off + 8 <= until) {
         val id = fourcc(bytes, off)
         val size = le32(bytes, off + 4)
@@ -93,6 +100,16 @@ object Avi {
               isVids = true
               scale = le32(bytes, body + 20)
               rate = le32(bytes, body + 24)
+            } else if (fourcc(bytes, body) == "auds") {
+              isAuds = true
+              audioStreams += 1
+            }
+          case "strf" if isAuds && size >= 16 && body + 16 <= bytes.length =>
+            // first audio stream's WAVEFORMATEX: wFormatTag(2)
+            // nChannels(2) nSamplesPerSec(4)
+            if (audioChannels == 0) {
+              audioChannels = le16(bytes, body + 2)
+              audioRate = le32(bytes, body + 4)
             }
           case "strf" if isVids && size >= 40 && body + 40 <= bytes.length =>
             width = le32(bytes, body + 4)
@@ -194,7 +211,8 @@ object Avi {
     if (vidStream < 0 || codec == null) return None
     if (width < 1 || width > MaxDim || height < 1 || height > MaxDim) return None
     if (scale < 1 || rate < 1) return None
-    Some(AviVideo(width, height, scale, rate, codec, frames.toIndexedSeq, topDown))
+    Some(AviVideo(width, height, scale, rate, codec, frames.toIndexedSeq,
+      topDown, audioStreams, audioChannels, audioRate))
   }
 
   /** Decode one frame's pixels. Raw DIB frames decode here (bottom-up

@@ -144,6 +144,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN — MANY probes against one IVF index in a single
+    * candidate join, the shape a serving/eval pipeline actually runs
+    * (one query at a time multiplies the index scan by |queries|). Each
+    * probe resolves its nprobe cells against the BROADCAST centroids
+    * (probe-side projection, no driver loop), explodes to (probe, cell)
+    * rows, and ONE equi-join on `cell` yields exactly the candidates an
+    * individual [[searchIvf]] would rerank — each index row is read once
+    * per probing query OF ITS CELL, never once per query overall. The
+    * per-probe top-k uses the bounded-heap aggregator ([[topKPerProbe]]
+    * discipline): partial aggregates keep ≤ k rows, nothing sorts the
+    * candidate set globally. Per-probe results are row-identical to the
+    * single-probe path (spec-pinned).
+    */
+  def searchIvfBatch(index: IvfIndex, probes: DataFrame, probeId: String,
+      probeVec: String, nprobe: Int, k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val cellsOf = udf((v: Seq[Float]) =>
+      nearestCells(bc.value, v.toArray, nprobe))
+    val probeCells = probes.select(col(probeId).as("probe_id"),
+        col(probeVec).as("probe_vec"))
+      .withColumn("cell", explode(cellsOf(col("probe_vec"))))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    index.assignments
+      .join(probeCells, Seq("cell"))
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), col("probe_vec")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("id").cast("long"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
+  }
+
   /** LSH-bucketed ANN (the brief's second scale path next to IVF): the
     * corpus explodes into the same b×r random-hyperplane band buckets the
     * near-dup operator uses ([[Dedup.bandSketches]] — one shared kernel, so

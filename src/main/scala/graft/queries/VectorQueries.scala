@@ -88,6 +88,35 @@ object VectorQueries {
         .agg((count(lit(1)) >= 5).as("recall_ok"))
     }),
 
+    // V15: BATCH ANN — many probes through one IVF candidate join (the
+    // serving/eval shape; a per-query loop multiplies the index scan by
+    // |queries|). Gate: per-probe results are row-identical to the
+    // single-probe searchIvf path, every probe fills k.
+    "v15_batch_ann" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16, iters = 2)
+      val probes = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val batch = Similarity.searchIvfBatch(index, probes, "probe_id",
+          "probe_vec", nprobe = 6, k = 10)
+        .select($"probe_id", $"id", round($"sim", 6).as("sim"))
+      val singles = (0L until 5L).map { q =>
+        val p = emb.filter($"vec_id" === q)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        Similarity.searchIvf(index, p, nprobe = 6, k = 10)
+          .select(lit(q).as("probe_id"), $"id", round($"sim", 6).as("sim"))
+      }.reduce(_.unionByName(_))
+      val onlyB = batch.exceptAll(singles).agg(count(lit(1)).as("only_batch"))
+      val onlyS = singles.exceptAll(batch).agg(count(lit(1)).as("only_single"))
+      batch.groupBy($"probe_id").count()
+        .agg(count(lit(1)).as("n_probes"), min($"count").as("min_k"))
+        .crossJoin(onlyB).crossJoin(onlyS)
+        .select($"n_probes", ($"min_k" === 10).as("all_k10"),
+          ($"only_batch" === 0 && $"only_single" === 0).as("matches_single"))
+    }),
+
     // Multi-probe exact top-k: broadcast probes × corpus, ranked by the
     // bounded-heap aggregator — no window, nothing sorts the corpus
     // (reference top-k retrieval, tools/aisearch.py:162-212).
@@ -267,6 +296,8 @@ object VectorQueries {
     // the IVF recall floor is an invariant, not a value the oracle can
     // derive — but the boolean gate makes a recall collapse fail loudly
     "v5_ann_ivf_recall" -> "SELECT true AS recall_ok",
+    "v15_batch_ann" ->
+      "SELECT CAST(5 AS BIGINT) AS n_probes, true AS all_k10, true AS matches_single",
     "v9_lsh_ann_recall" -> "SELECT true AS recall_ok",
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",

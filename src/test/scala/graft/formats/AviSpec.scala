@@ -195,6 +195,46 @@ class AviSpec extends AnyFunSuite {
     assert(d.nFrames == 2 && d.width == 4 && d.height == 4)
     assert(d.frames(0).sameElements(vidFrames(0)))
     assert(d.frames(1).sameElements(vidFrames(1)))
+    // the 'auds' stream is counted (its fixture strl carries no strf, so
+    // channel/rate metadata stays zero)
+    assert(d.audioStreams == 1 && d.audioChannels == 0 && d.audioRate == 0)
+  }
+
+  test("audio stream WAVEFORMATEX metadata is captured") {
+    val v = dibVideo(4, 4, 1)
+    def mkChunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII"))
+      b.write(Array[Byte]((body.length & 0xff).toByte, ((body.length >> 8) & 0xff).toByte,
+        ((body.length >> 16) & 0xff).toByte, ((body.length >> 24) & 0xff).toByte))
+      b.write(body)
+      if ((body.length & 1) == 1) b.write(0)
+      b.toByteArray
+    }
+    def mkList(tpe: String, parts: Array[Byte]*): Array[Byte] =
+      mkChunk("LIST", tpe.getBytes("US-ASCII") ++ parts.flatten)
+    val strhVid = new Array[Byte](56)
+    "vids".getBytes("US-ASCII").copyToArray(strhVid, 0)
+    strhVid(20) = 1; strhVid(24) = 25
+    val strfVid = new Array[Byte](40)
+    strfVid(0) = 40; strfVid(4) = 4; strfVid(8) = 4
+    strfVid(12) = 1; strfVid(14) = 24
+    val strhAud = new Array[Byte](56)
+    "auds".getBytes("US-ASCII").copyToArray(strhAud, 0)
+    val strfAud = new Array[Byte](16) // WAVEFORMATEX prefix
+    strfAud(0) = 1                    // wFormatTag = PCM
+    strfAud(2) = 2                    // nChannels = 2
+    strfAud(4) = 0x40.toByte; strfAud(5) = 0x1f // 8000 Hz (0x1f40)
+    val avih = new Array[Byte](56)
+    avih(24) = 2; avih(32) = 4; avih(36) = 4
+    val hdrl = mkList("hdrl", mkChunk("avih", avih),
+      mkList("strl", mkChunk("strh", strhVid), mkChunk("strf", strfVid)),
+      mkList("strl", mkChunk("strh", strhAud), mkChunk("strf", strfAud)))
+    val movi = mkList("movi", mkChunk("00db", v.frames(0)))
+    val bytes = mkChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+    val d = Avi.decode(bytes).get
+    assert(d.nFrames == 1)
+    assert(d.audioStreams == 1 && d.audioChannels == 2 && d.audioRate == 8000)
   }
 
   test("hostile inputs decode to None, never throw") {
