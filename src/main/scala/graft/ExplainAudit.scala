@@ -22,7 +22,9 @@ object ExplainAudit {
         "d4_jaccard_verified,d15_incremental_neardup,w8_admin_page," +
         "d17_substring_spans,dc2_decontam_spans,m5_phash_dedup," +
         "m10_video_frames,m11_video_neardup,m13_mp4_keyframes," +
-        "t13_bigram_ppl,t14_filter_config,sp10_export_shards,v13_ivfpq_recall")
+        "t13_bigram_ppl,t14_filter_config,sp10_export_shards,v13_ivfpq_recall," +
+        "r3_mmr_rerank,k9_zorder_layout,v15_batch_ann,m15_audio_samples," +
+        "m16_mp4_vfr,m14_mixed_media,dc3_semantic_decontam")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

@@ -150,6 +150,50 @@ class FormatsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("flac/mp3: random mutations of valid audio headers never throw") {
+    import graft.formats.{Flac, Mp3}
+    val flac = Flac.encode(Flac.FlacInfo(44100, 2, 16, 441000))
+    val mp3 = Mp3.encode(4, 1, 2, 9, mono = true, seed = 5L, id3Bytes = 12)
+    val mut = for {
+      which <- Gen.oneOf(0, 1)
+      base = if (which == 0) flac else mp3
+      nFlips <- Gen.choose(1, 8)
+      flips <- Gen.listOfN(nFlips,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(Byte.MinValue, Byte.MaxValue)))
+      cut <- Gen.choose(0, base.length)
+    } yield (which, flips, cut)
+    forAll(mut) { case (which, flips, cut) =>
+      val base = (if (which == 0) flac else mp3).clone()
+      flips.foreach { case (i, b) => base(i) = b }
+      val mutated = base.take(cut)
+      // decode may succeed or not — but never throws, and any reported
+      // geometry is internally consistent
+      if (which == 0) Flac.decode(mutated).foreach { f =>
+        assert(f.sampleRate > 0 && f.channels >= 1 && f.durationMs >= 0)
+      } else Mp3.decode(mutated).foreach { m =>
+        assert(m.nFrames >= 0 && m.sampleRate > 0 && m.durationMs >= 0)
+      }
+    }
+  }
+
+  test("mp3: arbitrary CBR parameter grids round-trip the frame count") {
+    import graft.formats.Mp3
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      v <- Gen.oneOf(1, 2)
+      rateIdx <- Gen.choose(0, 2)
+      brIdx <- Gen.choose(1, 14)
+      mono <- Gen.oneOf(true, false)
+      id3 <- Gen.oneOf(0, 1, 40)
+    } yield (n, v, rateIdx, brIdx, mono, id3)
+    forAll(gen) { case (n, v, rateIdx, brIdx, mono, id3) =>
+      val d = Mp3.decode(Mp3.encode(n, v, rateIdx, brIdx, mono, seed = 3L,
+        id3Bytes = id3)).get
+      assert(d.nFrames == n && d.mpegVersion == v)
+      assert(d.channels == (if (mono) 1 else 2))
+    }
+  }
+
   test("mp4: arbitrary sample sizes and chunkings resolve every extent") {
     import graft.formats.Mp4
     val gen = for {
