@@ -95,6 +95,16 @@ object PipelineQueries {
         .orderBy($"w_start")
     }),
 
+    // §2.11: stream-stream interval join run END TO END as a streaming
+    // query (file source → watermarked legs → joined pairs → memory
+    // sink); the oracle is the equivalent batch interval join, so the
+    // streaming execution path itself is hash-gated.
+    "st5_stream_join" -> ((s, d) => {
+      import s.implicits._
+      Sessions.streamingClickAttribution(s, d, joinWindowSec = 21600)
+        .orderBy($"user_id", $"view_ms", $"click_ms")
+    }),
+
     // Full chunk+embed index build (flagship §7.2) — per-source summary with
     // vector sanity (avg L2 norm ≈ 1.0 for the hashing embedder). Rows-only.
     "p1_chunk_index_build" -> ((s, d) => {
@@ -152,6 +162,13 @@ object PipelineQueries {
         |SELECT CAST(w_start AS BIGINT) AS w_start, count(*) AS n,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st5_stream_join" ->
+      """SELECT v.user_id, epoch_ms(v.ts) AS view_ms, epoch_ms(c.ts) AS click_ms
+        |FROM events v JOIN events c
+        | ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 21600 SECOND
+        |ORDER BY 1, 2, 3""".stripMargin,
     "st1_gap_sessions" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id, value,

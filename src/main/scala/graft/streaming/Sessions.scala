@@ -210,6 +210,50 @@ object Sessions {
       .select(col("user_id"), col("session.start").as("session_start"), col("n_events"))
   }
 
+  private val attribRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming view→click attribution over the events table — the
+    * stream-stream interval join run END TO END as a streaming query
+    * (the [[intervalJoin]] shape, driven by the real file source rather
+    * than a MemoryStream): the event stream splits into watermarked
+    * view and click legs, and the join emits every click within
+    * `joinWindowSec` after a same-user view. Both legs watermarked +
+    * both event times bounded in the join condition, so buffered state
+    * ages out — the unbounded-stream analog of the batch interval join,
+    * and the st5 gate's oracle is exactly that batch join in DuckDB.
+    * Memory-sink query names are uniquified per invocation so warm +
+    * timed bench runs coexist in one session.
+    */
+  def streamingClickAttribution(spark: SparkSession, sfDir: String,
+      joinWindowSec: Long): DataFrame = {
+    val name = s"graft_attrib_${attribRuns.incrementAndGet()}"
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val stream = graft.Tables.normalizeTs(raw)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", s"$joinWindowSec seconds")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$joinWindowSec seconds")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(col("v_user").as("user_id"),
+        unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+  }
+
   final case class KeyProfile(user_id: Long, n_events: Long, last_ts_ms: Long,
       recent_ts: Seq[Long])
 
