@@ -187,12 +187,26 @@ object Sessions {
     * Reads the events parquet as a stream (Trigger.AvailableNow analog for
     * tests via processAllAvailable) and counts events per (user, session).
     */
+  /** Stream the events table whether it is a single parquet FILE (the
+    * driver-generated testdata layout) or a parquet DIRECTORY of part
+    * files (every Spark-written layout, e.g. the ScaleProbe replicas).
+    * A bare `pathGlobFilter=events.parquet` over the parent matches only
+    * the single-file case — against a directory it filters on the PART
+    * file names and silently streams zero rows (caught by the x2+ scale
+    * probe reading 0 pairs).
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = spark.read.parquet(path.toString).schema
+    val reader = spark.readStream.schema(schema)
+    if (fs.getFileStatus(path).isDirectory) reader.parquet(path.toString)
+    else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+  }
+
   def streamingSessionCounts(spark: SparkSession, sfDir: String,
       gap: String = "30 minutes", queryName: String = "graft_sessions"): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // FileStreamSource needs a directory: stream the sf dir, glob one table
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val raw = eventsStream(spark, sfDir)
     // same ts normalization as Tables.load (long ns or NTZ µs → TimestampType)
     val stream = graft.Tables.normalizeTs(raw)
     val agg = stream
@@ -227,10 +241,7 @@ object Sessions {
   def streamingClickAttribution(spark: SparkSession, sfDir: String,
       joinWindowSec: Long): DataFrame = {
     val name = s"graft_attrib_${attribRuns.incrementAndGet()}"
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    val stream = graft.Tables.normalizeTs(raw)
+    val stream = graft.Tables.normalizeTs(eventsStream(spark, sfDir))
     val views = stream.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", s"$joinWindowSec seconds")
