@@ -259,6 +259,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch search against a PERSISTED cell-partitioned index — the full
+    * 100 TB serving shape: the probe batch's union of probed cells is a
+    * bounded int list (≤ nCells), pushed as a PartitionFilter so
+    * unprobed cell directories are never read, then ONE equi-join on
+    * cell scopes each probe to exactly its own cells' candidates and the
+    * bounded-heap aggregator takes per-probe top-k. Row-identical to
+    * running [[searchIvfPartitioned]] per probe (spec-pinned).
+    */
+  def searchIvfPartitionedBatch(spark: SparkSession, dir: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellsOf = udf((v: Seq[Float]) => nearestCells(bc.value, v.toArray, nprobe))
+    val probeCells = probes.select(col(probeId).as("probe_id"),
+        col(probeVec).as("probe_vec"))
+      .withColumn("cell", explode(cellsOf(col("probe_vec"))))
+    // the distinct probed-cell list is bounded driver state (≤ nCells
+    // ints) and is what turns the scan into a partition-pruned read
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell").isin(cells: _*))
+      .join(probeCells, Seq("cell"))
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), col("probe_vec")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("id").cast("long"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
+  }
+
   private val quantizeUdf = udf((v: Seq[Float]) =>
     if (v == null) null
     else {

@@ -48,6 +48,38 @@ class BatchAnnSpec extends AnyFunSuite {
       s"batch ANN must join on cell, not cross:\n$plan")
   }
 
+  test("persisted batch search: partition-pruned scan, row-identical to per-probe") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfbatch")
+    try {
+      Similarity.writeIvf(index, dir.toString)
+      val probes = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val batch = Similarity.searchIvfPartitionedBatch(spark, dir.toString,
+        probes, "probe_id", "probe_vec", nprobe = 3, k = 6)
+      // the union of probed cells must land in PartitionFilters
+      val p = batch.queryExecution.explainString(FormattedMode)
+      val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(pf.contains("cell") && pf.contains(" IN "),
+        "probed-cell union not pushed to PartitionFilters:\n" + p.take(2000))
+      // row-identical to the per-probe persisted path
+      val got = batch.select($"probe_id", $"id", round($"sim", 6).as("sim"), $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      val want = (0L until 8L).flatMap { q =>
+        val pv = emb.filter($"vec_id" === q)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        Similarity.searchIvfPartitioned(spark, dir.toString, pv, nprobe = 3, k = 6)
+          .select($"id", round($"sim", 6).as("sim"))
+          .collect().zipWithIndex
+          .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1) }
+      }.sortBy(t => (t._1, t._4))
+      assert(got.sameElements(want))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("ranks are dense 1..k per probe; sims non-increasing") {
     val probes = emb.filter($"vec_id" < 6)
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
