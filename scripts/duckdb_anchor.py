@@ -19,7 +19,8 @@ import duckdb
 # full DuckDB-expressible oracle (dedup, text analysis, dimension join)
 QUERIES = ["q01_pricing_summary", "q02_filtered_revenue", "q05_regional_revenue",
            "d1_dedup_exact", "t1_token_counts", "j5_dim_join_revenue",
-           "t13_bigram_ppl", "t14_filter_config", "m10_video_frames"]
+           "t13_bigram_ppl", "t14_filter_config", "m10_video_frames",
+           "k9_zorder_layout"]
 
 
 def main(sf_dir, out_dir):
