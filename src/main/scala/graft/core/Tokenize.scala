@@ -46,11 +46,23 @@ object WhitespaceTokenizer extends Tokenizer {
   * real BPE table, zero code change. Unset (this sandbox has no copy of
   * the artifact and no egress), the regex approximation stands in.
   *
-  * Resolved ONCE on the driver (default parameters evaluate at the call
-  * site); the tokenizer itself is Serializable, so executors receive the
-  * table in the task closure and never read the file. A bad path or
-  * malformed file throws at first use — a silent fallback would shift
-  * every chunk boundary downstream.
+  * Resolution happens in whichever JVM first touches the lazy val. Two
+  * patterns keep driver and executors consistent:
+  *  - PREFERRED: evaluate `Tokenize.default` in driver code and capture
+  *    the instance in the closure (the tokenizer is Serializable, so
+  *    executors receive the table in the task binary and never read the
+  *    file) — `GraftFunctions.register` does exactly this for the SQL
+  *    surface;
+  *  - default-parameter call sites INSIDE closures resolve on each
+  *    executor, so the deployment contract there is the standard
+  *    node-local-artifact one (GeoIP-db style): the file AND the
+  *    property/env must be present on EVERY node
+  *    (`spark.executor.extraJavaOptions=-Dgraft.bpe.mergesPath=…` or
+  *    `spark.executorEnv.GRAFT_BPE_MERGES=…`).
+  * A SET-but-unreadable or malformed path throws at first use on
+  * whichever node hits it — a silent fallback would shift every chunk
+  * boundary downstream; an UNSET seam resolves to the regex
+  * approximation everywhere.
   */
 object Tokenize {
   lazy val default: Tokenizer =

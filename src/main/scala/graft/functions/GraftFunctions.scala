@@ -48,14 +48,20 @@ object GraftFunctions {
     spark.udf.register("graft_utf8_truncate",
       (s: String, maxBytes: Int) => TextKeys.utf8SafeTruncate(s, maxBytes))
     spark.udf.register("graft_fingerprint", (s: String) => TextKeys.rollingFingerprint(s))
+    // Resolve the tokenizer seam HERE, on the driver, and capture it in
+    // the closures: a default-parameter call inside the lambda would
+    // resolve graft.bpe.mergesPath on each EXECUTOR, where the property
+    // may not be set — the driver-captured instance serializes into the
+    // task closure instead, so every node tokenizes identically.
+    val tok = graft.core.Tokenize.default
     spark.udf.register("graft_split_recursive",
       (s: String, maxTokens: Int, overlap: Int) =>
-        TextSplitters.recursiveSplit(s, SplitParams(maxTokens, overlap)))
+        TextSplitters.recursiveSplit(s, SplitParams(maxTokens, overlap, tokenizer = tok)))
     spark.udf.register("graft_split_markdown",
       (s: String, maxTokens: Int, overlap: Int) =>
-        TextSplitters.markdownSplit(s, SplitParams(maxTokens, overlap)))
+        TextSplitters.markdownSplit(s, SplitParams(maxTokens, overlap, tokenizer = tok)))
     spark.udf.register("graft_json_partition",
-      (s: String, maxTokens: Int) => JsonPartitioner.partition(s, maxTokens))
+      (s: String, maxTokens: Int) => JsonPartitioner.partition(s, maxTokens, tok))
     spark.udf.register("graft_langid", (s: String) => LangId.detect(s))
   }
 
