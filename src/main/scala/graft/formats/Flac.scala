@@ -51,6 +51,7 @@ object Flac {
     require(info.channels >= 1 && info.channels <= 8)
     require(info.bitsPerSample >= 4 && info.bitsPerSample <= 32)
     require(info.totalSamples >= 0 && info.totalSamples < (1L << 36))
+    require(paddingBytes >= 0 && paddingBytes < (1 << 24), "padding must fit 24 bits")
     val out = new java.io.ByteArrayOutputStream()
     def p8(x: Int): Unit = out.write(x & 0xff)
     out.write("fLaC".getBytes("US-ASCII"))

@@ -223,6 +223,11 @@ object Quality {
       while (j < evalVecs(i).length) { u(j) = evalVecs(i)(j) / norms(i); j += 1 }
       u
     }
+    // degenerate eval set (every vector zero-norm): no cells — the scan
+    // falls through to the zeroNorm floor in prunedMaxSim
+    if (units.isEmpty)
+      return DecontamCells(Array.empty, Array.empty, Array.empty,
+        Array.empty, zero, dim)
     val k = math.max(1, math.min(pruneCells, units.length))
     def assignTo(cents: Array[Array[Double]], u: Array[Double]): Int = {
       var best = 0; var bestDot = Double.MinValue

@@ -45,6 +45,9 @@ object ZOrder {
     val aggCols = cols.flatMap(c => Seq(min(col(c)).cast("long").as(s"mn_$c"),
       max(col(c)).cast("long").as(s"mx_$c")))
     val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    // empty input (or all-null key columns): no range exists — emit a
+    // constant z so the schema holds and zero rows flow through
+    if (stats.isNullAt(0)) return df.withColumn("zval", lit(0L))
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       val mn = stats.getLong(2 * i)
       val mx = stats.getLong(2 * i + 1)

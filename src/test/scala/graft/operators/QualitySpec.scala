@@ -156,6 +156,15 @@ class QualitySpec extends AnyFunSuite {
     // sanity: the planted direction-match is flagged at full similarity
     val m = brute.map { case (id, s, dr) => id -> ((s, dr)) }.toMap
     assert(m(900L)._1 == 1.0 && m(900L)._2)
+    // degenerate pruned path: an eval set of only zero vectors still
+    // reports the 0.0 floor instead of crashing the cell build
+    val zeros = (0 until 300).map(i => (5000L + i, new Array[Float](8)))
+      .toDF("vec_id", "embedding")
+    val tiny = Seq((1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val zOut = Quality.semanticDecontam(tiny, zeros, "vec_id", "embedding",
+      tau = 0.5, bruteForceMax = 0).collect()
+    assert(zOut.length == 1 && zOut.head.getDouble(1) == 0.0 && !zOut.head.getBoolean(2))
   }
 
   test("filter config pushes simple rules into the parquet scan") {

@@ -51,6 +51,12 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ySpans.forall(_ > 3000), "sorted-by-x slots must NOT cluster y")
   }
 
+  test("empty input yields zero rows with the zval column present") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val z = ZOrder.withZValue(empty, Seq("x", "y"), bits = 8)
+    assert(z.columns.contains("zval") && z.count() == 0)
+  }
+
   test("zOrderWrite: slot directories are z-contiguous and content-complete") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
     val df = (0 until 1000).map(i =>
