@@ -106,9 +106,11 @@ object Search {
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("rank", IntegerType),
       StructField("id", LongType), StructField("mmr_score", DoubleType)))
-    val norm = candidates.select(
-      col(queryCol).cast("long").as("q"), col(idCol).cast("long").as("id"),
-      col(vecCol).as("vec"), col(simCol).cast("double").as("sim"))
+    val norm = candidates
+      .filter(col(vecCol).isNotNull && col(simCol).isNotNull) // null rows can't rank
+      .select(
+        col(queryCol).cast("long").as("q"), col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"), col(simCol).cast("double").as("sim"))
     norm.groupByKey(r => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroups { (q: Long, rows: Iterator[Row]) =>
         val cand = rows.map(r => (r.getLong(1),

@@ -163,8 +163,8 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(index.centroids)
     val cellsOf = udf((v: Seq[Float]) =>
       nearestCells(bc.value, v.toArray, nprobe))
-    val probeCells = probes.select(col(probeId).as("probe_id"),
-        col(probeVec).as("probe_vec"))
+    val probeCells = probes.filter(col(probeVec).isNotNull)
+      .select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))
       .withColumn("cell", explode(cellsOf(col("probe_vec"))))
     val topk = udaf(new graft.functions.TopKByScore(k))
     index.assignments
@@ -274,8 +274,8 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val bc = spark.sparkContext.broadcast(centroids)
     val cellsOf = udf((v: Seq[Float]) => nearestCells(bc.value, v.toArray, nprobe))
-    val probeCells = probes.select(col(probeId).as("probe_id"),
-        col(probeVec).as("probe_vec"))
+    val probeCells = probes.filter(col(probeVec).isNotNull)
+      .select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))
       .withColumn("cell", explode(cellsOf(col("probe_vec"))))
     // the distinct probed-cell list is bounded driver state (≤ nCells
     // ints) and is what turns the scan into a partition-pruned read
