@@ -55,6 +55,101 @@ object ShardExport {
     manifest
   }
 
+  /** WebDataset-style delivery: one epoch materialized as numbered
+    * `.tar` shard files ([[graft.formats.Tar]] — byte-deterministic
+    * USTAR), members named `<pos>-<id>.txt` in training order. The tar
+    * bytes are a pure function of membership + order + content, so the
+    * returned manifest's (n_docs, tar_bytes, tar_md5) pins all three —
+    * tar_bytes is plain arithmetic over member sizes
+    * ([[graft.formats.Tar.archiveBytes]]), which is what lets the sp12
+    * SQL oracle recompute it without ever building a tar.
+    *
+    * Scale shape: the same single-epoch shuffle as [[exportEpoch]], one
+    * repartition on shard, and each task STREAMS its shards' members in
+    * (shard, pos) order into the archive on the task-local filesystem
+    * API — one shard's members live in memory while its tar assembles
+    * (size a shard accordingly via nShards, as every WebDataset writer
+    * does).
+    */
+  def exportTarShards(df: DataFrame, idCol: String, textCol: String,
+      epoch: Int, nShards: Int, outDir: String): DataFrame = {
+    require(epoch >= 0 && nShards >= 1)
+    val spark = df.sparkSession
+    val epochDir = s"$outDir/epoch=$epoch"
+    val epochPath = new Path(epochDir)
+    epochPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(epochPath)
+    val ordered = graft.operators.Sampling
+      .singleEpochShuffle(df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")), "id", epoch, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("shard", IntegerType), StructField("n_docs", LongType),
+      StructField("tar_bytes", LongType), StructField("tar_md5", StringType)))
+    val manifest = ordered.mapPartitions { rows =>
+      val done = Seq.newBuilder[Row]
+      var shard = -1
+      var entries = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      def flush(): Unit = if (shard >= 0) {
+        val tar = graft.formats.Tar.archive(entries.toSeq)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(tar).map(b => f"$b%02x").mkString
+        val path = new Path(f"$epochDir/shard-$shard%05d.tar")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        try out.write(tar) finally out.close()
+        done += Row(shard, entries.length.toLong, tar.length.toLong, md5)
+        entries = scala.collection.mutable.ArrayBuffer.empty
+      }
+      rows.foreach { r =>
+        val s = r.getAs[Int]("shard")
+        if (s != shard) { flush(); shard = s }
+        val text = Option(r.getAs[String]("text")).getOrElse("")
+        entries += ((f"${r.getAs[Int]("pos")}%08d-${r.getAs[Long]("id")}.txt",
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      flush()
+      done.result().iterator
+    }(Encoders.row(outSchema))
+    manifest.orderBy(col("shard"))
+  }
+
+  /** Recompute every tar shard's manifest row from the written files —
+    * membership, order, AND bytes verified without trusting either side.
+    */
+  def verifyTarEpoch(spark: SparkSession, outDir: String, epoch: Int,
+      manifest: DataFrame): Boolean = {
+    val epochDir = s"$outDir/epoch=$epoch"
+    val rows = manifest.collect()
+    rows.forall { m =>
+      // ANY read failure is a verification failure, not an exception —
+      // on a checksummed filesystem a corrupted shard surfaces as a
+      // ChecksumException before the bytes even reach the md5 compare
+      try {
+        val path = new Path(f"$epochDir/shard-${m.getInt(0)}%05d.tar")
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(path)) false
+        else {
+          val bytes = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+          val in = fs.open(path)
+          try in.readFully(0, bytes) finally in.close()
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map(b => f"$b%02x").mkString
+          graft.formats.Tar.list(bytes) match {
+            case Some(members) =>
+              members.length.toLong == m.getLong(1) &&
+                bytes.length.toLong == m.getLong(2) && md5 == m.getString(3) &&
+                members.map(_._1) == members.map(_._1).sorted // pos-prefixed names
+            case None => false
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
+
   /** Read one shard back in training order. */
   def readShard(spark: SparkSession, outDir: String, epoch: Int,
       shard: Int): DataFrame =

@@ -248,6 +248,24 @@ object Coverage8 {
       manifest.withColumn("verified", lit(ok)).orderBy($"shard")
     }),
 
+    // SP12: WebDataset-style tar shard export — one epoch as
+    // byte-deterministic USTAR archives, members in training order. The
+    // oracle recomputes shard membership (the sp10 md5 convention) AND
+    // the exact tar byte size (512-byte header + 512-padded content per
+    // member + 1024 trailer) without ever building a tar; verifyTarEpoch
+    // re-reads every archive and checks membership, order, bytes, md5.
+    "sp12_tar_export" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-sp12").toString
+      val docs = load(s, d, "documents").select($"doc_id", $"text")
+      val manifest = graft.pipeline.ShardExport.exportTarShards(
+        docs, "doc_id", "text", epoch = 1, nShards = 8, outDir = root)
+        .localCheckpoint(true) // one evaluation writes the files
+      val ok = graft.pipeline.ShardExport.verifyTarEpoch(s, root, 1, manifest)
+      manifest.select($"shard", $"n_docs", $"tar_bytes")
+        .withColumn("verified", lit(ok)).orderBy($"shard")
+    }),
+
     // SP11: materialized weighted upsampling — the "N epochs of wiki"
     // mixing primitive: ⌊w⌋ copies + a portable-hash Bernoulli for the
     // fraction; expected copies = w, realized multiset deterministic.
@@ -645,6 +663,18 @@ object Coverage8 {
         | CAST(count(*) FILTER (copies >= 1) AS BIGINT) AS n_docs,
         | CAST(max(copies) AS BIGINT) AS max_rep
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tar_bytes mirrors Tar.archiveBytes term by term
+    "sp12_tar_export" ->
+      """WITH h AS (
+        | SELECT doc_id, text,
+        |  CAST(('0x' || substr(md5(doc_id || ':1'), 1, 8)) AS UBIGINT) AS hh
+        | FROM documents),
+        |s AS (SELECT doc_id, text, CAST(hh % 8 AS INTEGER) AS shard FROM h)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(512 + ((octet_length(encode(text)) + 511) // 512) * 512)
+        |      + 1024 AS BIGINT) AS tar_bytes,
+        | true AS verified
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "sp10_export_shards" ->
       """WITH h AS (
         | SELECT doc_id, n_chars,
