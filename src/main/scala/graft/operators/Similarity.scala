@@ -590,6 +590,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF-PQ search — the billion-scale serving tier's batch form:
+    * probes resolve cells against the broadcast centroids and join the
+    * 8-byte code table on cell exactly like [[searchIvfBatch]]; the
+    * per-probe ADC lookup tables (subspaces × codesPerSub floats) that
+    * make PQ scanning cheap are built ONCE per probe inside the task —
+    * candidates are repartitioned by probe first, so each table
+    * amortizes over every candidate of its probe, preserving the
+    * read-8-bytes-score-by-table structure of the single-probe path.
+    * Stage-2 exact rerank joins the top k·rerankFactor survivors back to
+    * their float vectors per probe. Per-probe results are row-identical
+    * to [[searchIvfPq]] (spec-pinned).
+    */
+  def searchIvfPqBatch(spark: SparkSession, index: IvfPqIndex,
+      corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val bc = spark.sparkContext.broadcast((index.centroids, index.book))
+    val unitUdf = udf((v: Seq[Float]) => l2unit(v).toSeq)
+    val cellsUdf = udf((q: Seq[Float]) =>
+      nearestCells(bc.value._1, q.toArray, nprobe))
+    val probeCells = probes.filter(col(probeVec).isNotNull)
+      .select(col(probeId).cast("long").as("probe_id"),
+        col(probeVec).as("probe_vec"))
+      .withColumn("qunit", unitUdf(col("probe_vec")))
+      .withColumn("cell", explode(cellsUdf(col("qunit"))))
+    val joined = index.coded
+      .join(probeCells.select(col("probe_id"), col("qunit"), col("cell")), Seq("cell"))
+      .repartition(col("probe_id")) // one ADC table build per probe per task
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val approxSchema = StructType(Seq(
+      StructField("probe_id", LongType), StructField("id", LongType),
+      StructField("approx_sim", FloatType)))
+    val cellIdx = joined.schema.fieldIndex("cell")
+    val idIdx = joined.schema.fieldIndex("id")
+    val codesIdx = joined.schema.fieldIndex("pq_codes")
+    val pidIdx = joined.schema.fieldIndex("probe_id")
+    val qIdx = joined.schema.fieldIndex("qunit")
+    val approx = joined.mapPartitions { rows =>
+      val (cents, book) = bc.value
+      val centroidOf = cents.toMap
+      // per-probe ADC table + per-(probe, cell) q·centroid constant,
+      // built lazily and cached for the life of the task
+      val tables = scala.collection.mutable.LongMap.empty[Array[Array[Float]]]
+      val consts = scala.collection.mutable.HashMap.empty[(Long, Int), Float]
+      rows.map { r =>
+        val pid = r.getLong(pidIdx)
+        val q = r.getSeq[Float](qIdx).toArray
+        val t = tables.getOrElseUpdate(pid, Array.tabulate(book.subspaces) { sc =>
+          book.centroids(sc).map { cent =>
+            var s = 0.0; var i = 0
+            while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
+            s.toFloat
+          }
+        })
+        val cell = r.getInt(cellIdx)
+        val const = consts.getOrElseUpdate((pid, cell), {
+          val c = centroidOf(cell)
+          var s = 0.0; var i = 0
+          while (i < q.length) { s += q(i) * c(i); i += 1 }
+          s.toFloat
+        })
+        val cs = r.getAs[Array[Byte]](codesIdx)
+        var s = const
+        var sc = 0
+        while (sc < cs.length) { s += t(sc)(cs(sc) & 0xff); sc += 1 }
+        Row(pid, r.getLong(idIdx), s)
+      }
+    }(Encoders.row(approxSchema))
+    val stage1 = udaf(new graft.functions.TopKByScore(k * rerankFactor))
+    val survivors = approx
+      .groupBy(col("probe_id"))
+      .agg(stage1(col("id"), col("approx_sim").cast("double")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("p"))
+      .select(col("probe_id"), col("p._1").as("id"))
+    val stage2 = udaf(new graft.functions.TopKByScore(k))
+    survivors
+      .join(corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")), Seq("id"))
+      .join(broadcast(probes.select(col(probeId).cast("long").as("probe_id"),
+        col(probeVec).as("probe_vec"))), Seq("probe_id"))
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), col("probe_vec")))
+      .groupBy(col("probe_id"))
+      .agg(stage2(col("id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
+  }
+
   /** Asymmetric-distance (ADC) search over PQ codes, exact rerank: the
     * driver precomputes the (subspaces × codes) table of query-subvector ·
     * centroid inner products, stage 1 scores the WHOLE corpus by table

@@ -92,4 +92,25 @@ class IvfPqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("batch search is row-identical to the single-probe path") {
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val batch = Similarity.searchIvfPqBatch(spark, index, emb, "vec_id",
+        "embedding", probes, "probe_id", "probe_vec", nprobe = 4, k = 5)
+      .select($"probe_id", $"id", round($"sim", 6).as("sim"), $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val singles = (0L until 10L).flatMap { q =>
+      val pv = emb.filter($"vec_id" === q)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      Similarity.searchIvfPq(spark, index, emb, "vec_id", "embedding",
+          pv, nprobe = 4, k = 5)
+        .select($"vec_id", round($"sim", 6).as("sim"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(batch.length == singles.length)
+    assert(batch.sameElements(singles))
+  }
 }
