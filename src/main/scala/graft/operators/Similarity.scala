@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -206,6 +206,45 @@ object Similarity {
       .select(col("id"), col("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+  }
+
+  /** Batch form of [[lshSearch]]: every probe hashes to its b band keys
+    * (same shared [[Dedup.bandSketches]] kernel) in a probe-side
+    * projection, and ONE equi-join on the band key yields each probe's
+    * bucket-collided candidates — one corpus sketch scan serves the
+    * whole batch instead of |probes| `isInCollection` scans. Duplicate
+    * (probe, candidate) collisions across bands dedup before the exact
+    * rerank; per-probe top-k via the bounded-heap aggregator. Per-probe
+    * results are row-identical to the single-probe path (spec-pinned).
+    */
+  def lshSearchBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeId: String, probeVec: String, k: Int,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val sketchAll = udf((v: Seq[Float]) =>
+      Dedup.bandSketches(v.toArray, bands, rowsPerBand))
+    def bkey(band: Column, bits: Column): Column =
+      band.cast("long") * (1L << 32) + bits
+    val keyed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(sketchAll(col(vecCol))).as(Seq("band", "bits")))
+      .withColumn("bkey", bkey(col("band"), col("bits")))
+      .select(col("id"), col("vec"), col("bkey"))
+    val probeKeyed = probes.filter(col(probeVec).isNotNull)
+      .select(col(probeId).cast("long").as("probe_id"),
+        col(probeVec).as("probe_vec"))
+      .select(col("probe_id"), col("probe_vec"),
+        posexplode(sketchAll(col("probe_vec"))).as(Seq("band", "bits")))
+      .withColumn("bkey", bkey(col("band"), col("bits")))
+      .select(col("probe_id"), col("probe_vec"), col("bkey"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    keyed.join(probeKeyed, Seq("bkey"))
+      .dropDuplicates("probe_id", "id") // one rerank per collided pair
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), col("probe_vec")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("id").cast("long"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
   }
 
   /** Persist the index with the assignments PARTITIONED BY CELL — the layout

@@ -80,6 +80,27 @@ class BatchAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh batch search is row-identical to the single-probe path") {
+    graft.functions.GraftFunctions.register(spark)
+    val probes = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val batch = Similarity.lshSearchBatch(emb, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 6)
+      .select($"probe_id", $"id", round($"sim", 6).as("sim"), $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val singles = (0L until 8L).flatMap { q =>
+      val pv = emb.filter($"vec_id" === q)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      Similarity.lshSearch(emb, "vec_id", "embedding", pv, k = 6)
+        .select($"id", round($"sim", 6).as("sim"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(batch.length == singles.length)
+    assert(batch.sameElements(singles))
+  }
+
   test("ranks are dense 1..k per probe; sims non-increasing") {
     val probes = emb.filter($"vec_id" < 6)
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
