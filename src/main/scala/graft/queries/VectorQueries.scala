@@ -117,6 +117,36 @@ object VectorQueries {
           ($"only_batch" === 0 && $"only_single" === 0).as("matches_single"))
     }),
 
+    // V16: batch IVF-PQ — the PQ serving tier's batch form (per-probe
+    // ADC tables built once per task); gate pins row-identity with the
+    // single-probe searchIvfPq across 4 probes.
+    "v16_pq_batch" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+        nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2, pqIters = 2)
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val batch = Similarity.searchIvfPqBatch(s, index, emb, "vec_id",
+          "embedding", probes, "probe_id", "probe_vec", nprobe = 4, k = 8)
+        .select($"probe_id", $"id", round($"sim", 6).as("sim"))
+      val singles = (0L until 4L).map { q =>
+        val p = emb.filter($"vec_id" === q)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        Similarity.searchIvfPq(s, index, emb, "vec_id", "embedding",
+            p, nprobe = 4, k = 8)
+          .select(lit(q).as("probe_id"), $"vec_id".as("id"), round($"sim", 6).as("sim"))
+      }.reduce(_.unionByName(_))
+      val onlyB = batch.exceptAll(singles).agg(count(lit(1)).as("only_batch"))
+      val onlyS = singles.exceptAll(batch).agg(count(lit(1)).as("only_single"))
+      batch.groupBy($"probe_id").count()
+        .agg(count(lit(1)).as("n_probes"), min($"count").as("min_k"))
+        .crossJoin(onlyB).crossJoin(onlyS)
+        .select($"n_probes", ($"min_k" === 8).as("all_k8"),
+          ($"only_batch" === 0 && $"only_single" === 0).as("matches_single"))
+    }),
+
     // Multi-probe exact top-k: broadcast probes × corpus, ranked by the
     // bounded-heap aggregator — no window, nothing sorts the corpus
     // (reference top-k retrieval, tools/aisearch.py:162-212).
@@ -298,6 +328,8 @@ object VectorQueries {
     "v5_ann_ivf_recall" -> "SELECT true AS recall_ok",
     "v15_batch_ann" ->
       "SELECT CAST(5 AS BIGINT) AS n_probes, true AS all_k10, true AS matches_single",
+    "v16_pq_batch" ->
+      "SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k8, true AS matches_single",
     "v9_lsh_ann_recall" -> "SELECT true AS recall_ok",
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
