@@ -39,6 +39,98 @@ object SkewProbe {
     dir
   }
 
+  /** Batch-ANN probe-axis skew (VERDICT r10 next-round #1) — the one
+    * bucketed family the r10 study didn't cover. Two plants over a
+    * replicated sf embedding corpus:
+    *
+    *  - MEGA-PROBE: half the corpus replaced by ONE repeated vector, so
+    *    the probe pointing at it owns ~50% of all candidate rows (the
+    *    shape that serialized on one task under the retired r10
+    *    `repartition(probe_id)` layout in searchIvfPqBatch).
+    *  - HOT PROBES: 90% of a 64-probe batch is that same vector —
+    *    concentrates the candidate equi-join on one cell key.
+    *
+    * Timed (index builds + fixtures localCheckpointed OUTSIDE the timed
+    * region): searchIvfBatch (v15), searchIvfPqBatch in both the r11
+    * default (no candidate shuffle) and the retired repartition(probe_id)
+    * layout, and lshSearchBatch. Pass bar: no skewed run of a shipped
+    * path exceeds 2x its uniform time.
+    */
+  private def runAnnStudy(spark: SparkSession, base: String, reps: Int,
+      time: (() => Long) => (Double, Long)): Unit = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, base, "embeddings")
+      .select($"vec_id", $"embedding")
+    // Replicate until candidate SCORING (not the per-stage scheduler
+    // floor) is the dominant cost — at R=16 every ratio reads 1.0 because
+    // a 0.7s floor hides a <50ms scoring stage. R=256 → 512k vectors at
+    // sf0.1; the mega cell then holds ~460k candidate rows.
+    val R = sys.env.getOrElse("SPARK_GRAFT_SKEW_ANN_R", "256").toInt
+    val repC = (0 until R).map(i => emb.select(
+        ($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"), $"embedding"))
+      .reduce(_.unionByName(_))
+    val corpusU = repC.repartition(32).localCheckpoint(true)
+    val v0 = emb.orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Float](0).toArray
+    // 90% clone share: the mega-probe's cells own ~0.9 of the corpus, the
+    // worst case short of a constant column
+    val corpusS = repC.withColumn("embedding",
+        when($"vec_id" % 10 =!= 0, typedLit(v0.toSeq)).otherwise($"embedding"))
+      .repartition(32).localCheckpoint(true)
+
+    def mkProbes(hot: Int, total: Int) = {
+      val distinct = emb.filter($"vec_id" < (total - hot))
+        .select($"vec_id".cast("long").as("probe_id"),
+          $"embedding".as("probe_vec"))
+      val hotDf = spark.range(hot)
+        .select(($"id" + 1000L).as("probe_id"),
+          typedLit(v0.toSeq).cast("array<float>").as("probe_vec"))
+      distinct.unionByName(hotDf).localCheckpoint(true)
+    }
+    val probesU = mkProbes(0, 64)
+    val probesHot = mkProbes(58, 64)
+
+    val ivfU = Similarity.buildIvf(spark, corpusU, "vec_id", "embedding", 16, 2)
+    val ivfS = Similarity.buildIvf(spark, corpusS, "vec_id", "embedding", 16, 2)
+    val pqU = Similarity.buildIvfPq(spark, corpusU, "vec_id", "embedding",
+      16, 16, 16, 2, 2)
+    val pqS = Similarity.buildIvfPq(spark, corpusS, "vec_id", "embedding",
+      16, 16, 16, 2, 2)
+
+    case class Case(name: String, uni: () => Long, skew: () => Long)
+    def v15(ix: Similarity.IvfIndex, p: org.apache.spark.sql.DataFrame)() =
+      Similarity.searchIvfBatch(ix, p, "probe_id", "probe_vec", 4, 10).count()
+    def v16(ix: Similarity.IvfPqIndex, c: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.DataFrame, oldLayout: Boolean)() =
+      Similarity.searchIvfPqBatch(spark, ix, c, "vec_id", "embedding",
+        p, "probe_id", "probe_vec", 4, 8,
+        repartitionByProbe = oldLayout).count()
+    def lsh(c: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.DataFrame)() =
+      Similarity.lshSearchBatch(c, "vec_id", "embedding",
+        p, "probe_id", "probe_vec", 10).count()
+
+    val cases = Seq(
+      Case("ann_v15_mega_probe", v15(ivfU, probesU), v15(ivfS, probesU)),
+      Case("ann_v15_hot_probes", v15(ivfU, probesU), v15(ivfU, probesHot)),
+      Case("ann_v16_mega_probe", v16(pqU, corpusU, probesU, false),
+        v16(pqS, corpusS, probesU, false)),
+      Case("ann_v16_hot_probes", v16(pqU, corpusU, probesU, false),
+        v16(pqU, corpusU, probesHot, false)),
+      Case("ann_v16_mega_R10LAYOUT", v16(pqU, corpusU, probesU, true),
+        v16(pqS, corpusS, probesU, true)),
+      Case("ann_lsh_mega_probe", lsh(corpusU, probesU), lsh(corpusS, probesU)),
+      Case("ann_lsh_hot_probes", lsh(corpusU, probesU), lsh(corpusU, probesHot)))
+    println(f"SKEW ${"case"}%-24s uniform  skewed   ratio  rows_u -> rows_s")
+    cases.foreach { c =>
+      val (tu, ru) = time(c.uni)
+      val (ts, rs) = time(c.skew)
+      println(f"SKEW ${c.name}%-24s $tu%-8.2f $ts%-8.2f ${ts / tu}%-6.2f $ru%d -> $rs%d")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SKEW_BASE", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "/tmp/graft_skew")
@@ -54,7 +146,9 @@ object SkewProbe {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
 
-    val skewDir = buildSkewDir(spark, base, out)
+    // "text" = the r10 study (d2/d7/d11 + k7); "ann" = the r11 batch-ANN
+    // probe-axis study; "all" runs both.
+    val family = sys.env.getOrElse("SPARK_GRAFT_SKEW_FAMILY", "all")
 
     def time(thunk: () => Long): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L
@@ -66,6 +160,11 @@ object SkewProbe {
       }
       (best, rows)
     }
+
+    if (family == "all" || family == "ann") runAnnStudy(spark, base, reps, time)
+    if (family != "all" && family != "text") { spark.stop(); return }
+
+    val skewDir = buildSkewDir(spark, base, out)
 
     val textQueries = Seq("d2_minhash_pairs", "d7_winnow_pairs", "d11_paragraph_dedup")
     val rows = textQueries.map { q =>
