@@ -64,6 +64,37 @@ object FloorProbe {
         dc3At(spark, sfDir, Int.MaxValue).filter(col("dropped")).count()),
       "dc3_pruned_32x_10k" -> (() =>
         dc3At(spark, sfDir, 0).filter(col("dropped")).count()),
+      // k9/t14 attribution (VERDICT r10 next-round #5): which stage floors
+      // compose the anchor-visible constant factor. k9 = a driver-blocking
+      // min/max stats job at plan-build time + the grouped agg job; t14 =
+      // one documents scan + one 20-group shuffle.
+      "orders_scan_count" -> (() =>
+        Tables.load(spark, sfDir, "orders").count()),
+      "k9_minmax_stats_job" -> (() => {
+        val o = Tables.load(spark, sfDir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        o.agg(min($"o_custkey"), max($"o_custkey"),
+          min($"o_orderkey"), max($"o_orderkey")).head()
+        1L
+      }),
+      "k9_full" -> (() =>
+        SparkEntry.queries("k9_zorder_layout")(spark, sfDir).count()),
+      "docs_scan_count" -> (() =>
+        Tables.load(spark, sfDir, "documents").count()),
+      "t14_full" -> (() =>
+        SparkEntry.queries("t14_filter_config")(spark, sfDir).count()),
+      // st5 partition-count floor (VERDICT r10 next-round #7): a stream-
+      // stream join sets up one state store per shuffle partition per
+      // side per microbatch — the wall at gate scale should track the
+      // partition count, attributing the ~2s entry to store setup
+      "st5_parts2" -> (() => graft.streaming.Sessions
+        .streamingClickAttribution(spark, sfDir, 21600, partitions = 2).count()),
+      "st5_parts4" -> (() => graft.streaming.Sessions
+        .streamingClickAttribution(spark, sfDir, 21600, partitions = 4).count()),
+      "st5_parts8" -> (() => graft.streaming.Sessions
+        .streamingClickAttribution(spark, sfDir, 21600, partitions = 8).count()),
+      "st5_parts16" -> (() => graft.streaming.Sessions
+        .streamingClickAttribution(spark, sfDir, 21600, partitions = 16).count()),
       // repeated at the end: how much of the first noop was session warmup
       "noop_empty_job_warm" -> (() => spark.range(1).count()),
       "bcast_customer_only" -> (() =>

@@ -265,6 +265,25 @@ object VectorQueries {
         .orderBy($"vec_id")
     }),
 
+    // DC4: the CELL-PRUNED exact path of semanticDecontam. dc3's
+    // benchmark-sized eval set (≤ bruteForceMax = 256 rows) always takes
+    // the flat broadcast scan, so the r10 spherical-cell pruning branch
+    // (exact angular bound + annulus refinement, SCALING.md §1b) was
+    // spec-covered but never oracle-gated. Here the eval set is 2/3 of
+    // the embeddings table (333 rows at sf0.01, 1333 at sf0.1 — above
+    // the threshold at every sf), so this entry executes the pruned
+    // branch and the DuckDB cross-join recompute proves its max cosine
+    // is bit-identical to the flat definition.
+    "dc4_decontam_pruned" -> ((s, d) => {
+      import s.implicits._
+      val emb = load(s, d, "embeddings")
+      val evalSet = emb.filter($"vec_id" % 3 =!= 1)
+      val corpus = emb.filter($"vec_id" % 3 === 1)
+      graft.operators.Quality.semanticDecontam(corpus, evalSet,
+          "vec_id", "embedding", tau = 0.35)
+        .orderBy($"vec_id")
+    }),
+
     // V14: contrastive triplet mining — LSH-stream positives (exact-cosine
     // ≥ posMin), hash-assigned negatives verified ≤ negMax. Gates: the
     // margin invariant holds on EVERY triplet, ids are distinct, and the
@@ -341,6 +360,15 @@ object VectorQueries {
     "dc3_semantic_decontam" ->
       s"""WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 17 = 0),
          |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+         |m AS (
+         | SELECT c.vec_id,
+         |  round(max(${sqlCos("c.embedding", "ev.embedding")}), 4) AS max_eval_sim
+         | FROM c CROSS JOIN ev GROUP BY 1)
+         |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS dropped
+         |FROM m ORDER BY vec_id""".stripMargin,
+    "dc4_decontam_pruned" ->
+      s"""WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 3 <> 1),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1),
          |m AS (
          | SELECT c.vec_id,
          |  round(max(${sqlCos("c.embedding", "ev.embedding")}), 4) AS max_eval_sim
