@@ -41,11 +41,25 @@ object Mp4 {
       // decode-time table; empty when the file carries no stts
       timeToSample: IndexedSeq[(Long, Long)] = IndexedSeq.empty,
       // audio ('soun') sample-entry fields; 0 for video tracks
-      channels: Int = 0, sampleRate: Int = 0) {
+      channels: Int = 0, sampleRate: Int = 0,
+      // H.264 decoder configuration ('avc1' sample entries); None for
+      // other codecs or a malformed avcC box
+      avc: Option[AvcConfig] = None) {
     def nSamples: Int = sampleSizes.length
     def durationMs: Long =
       if (timescale <= 0) 0L else duration * 1000L / timescale
   }
+
+  /** AVCDecoderConfigurationRecord essentials (ISO 14496-15 §5.3.3.1,
+    * the `avcC` box inside an 'avc1' sample entry): the first thing a
+    * video pipeline reads after keyframe byte extents — profile/level
+    * decide decoder capability routing, `nalLengthSize` is the framing
+    * every AVCC-packed sample uses, and the parameter-set NALs (SPS/PPS)
+    * are what a transcoder or bitstream filter re-emits in Annex-B.
+    */
+  final case class AvcConfig(profile: Int, profileCompat: Int, level: Int,
+      nalLengthSize: Int, sps: IndexedSeq[Array[Byte]],
+      pps: IndexedSeq[Array[Byte]])
 
   final case class Mp4File(brand: String, timescale: Long, duration: Long,
       tracks: IndexedSeq[Track]) {
@@ -253,8 +267,25 @@ object Mp4 {
         channels = be16(bytes, stsdEntry + 24)
         sampleRate = (be32(bytes, stsdEntry + 32) >> 16).toInt // 16.16 fixed
       }
+      // 'avc1' VisualSampleEntry: 8 (size+fourcc) + 78 fixed fields, then
+      // child boxes — scan them for avcC. A malformed record degrades to
+      // avc = None, never to a failed track (the container metadata is
+      // still good)
+      var avc: Option[AvcConfig] = None
+      if (handler == "vide" && codec == "avc1" && stsdEntry >= 0 &&
+          stsdEntry + 8 <= stsdEnd) {
+        val entrySize = be32(bytes, stsdEntry)
+        if (entrySize >= 86) {
+          val entryEnd = math.min(stsdEnd.toLong, stsdEntry + entrySize).toInt
+          if (stsdEntry + 86 <= entryEnd)
+            walk(bytes, stsdEntry + 86, entryEnd) {
+              case ("avcC", cf, cu) => avc = parseAvcC(bytes, cf, cu); true
+              case _ => true
+            }
+        }
+      }
       tracks += Track(id, handler, codec, w, h, mTimescale, mDuration,
-        sizes, stsc, stco, stss, stts, channels, sampleRate)
+        sizes, stsc, stco, stss, stts, channels, sampleRate, avc)
       true
     }
 
@@ -268,6 +299,38 @@ object Mp4 {
     }
     if (!ok || tracks.isEmpty || timescale <= 0) return None
     Some(Mp4File(brand, timescale, duration, tracks.toIndexedSeq))
+  }
+
+  /** AVCDecoderConfigurationRecord body at [f, u): version must be 1;
+    * the parameter-set loops are bounds-checked step by step so a
+    * truncated record yields None rather than a partial config.
+    */
+  private def parseAvcC(b: Array[Byte], f: Int, u: Int): Option[AvcConfig] = {
+    if (f + 7 > u || (b(f) & 0xff) != 1) return None
+    val profile = b(f + 1) & 0xff
+    val compat = b(f + 2) & 0xff
+    val level = b(f + 3) & 0xff
+    val nalLen = (b(f + 4) & 0x03) + 1
+    var off = f + 5
+    def nalSets(count: Int): Option[IndexedSeq[Array[Byte]]] = {
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < count) {
+        if (off + 2 > u) return None
+        val len = be16(b, off); off += 2
+        if (off + len > u) return None
+        out += java.util.Arrays.copyOfRange(b, off, off + len)
+        off += len
+        i += 1
+      }
+      Some(out.result())
+    }
+    val nSps = b(off) & 0x1f; off += 1
+    for {
+      sps <- nalSets(nSps)
+      nPps <- if (off < u) { val n = b(off) & 0xff; off += 1; Some(n) } else None
+      pps <- nalSets(nPps)
+    } yield AvcConfig(profile, compat, level, nalLen, sps, pps)
   }
 
   /** Byte extent of sample i (0-based) of `t`: resolve the chunk through
@@ -352,7 +415,8 @@ object Mp4 {
   def encode(samples: IndexedSeq[Array[Byte]], width: Int, height: Int,
       timescale: Long, sampleDelta: Long, codec: String = "mp4v",
       chunkSize: Int = 3, keyEvery: Int = 2,
-      sampleDeltas: IndexedSeq[Long] = IndexedSeq.empty): Array[Byte] = {
+      sampleDeltas: IndexedSeq[Long] = IndexedSeq.empty,
+      avcC: Option[AvcConfig] = None): Array[Byte] = {
     require(width >= 0 && height >= 0 && timescale >= 1 && sampleDelta >= 1)
     require(chunkSize >= 1 && keyEvery >= 1 && codec.length == 4)
     require(sampleDeltas.isEmpty || sampleDeltas.length == samples.length,
@@ -459,6 +523,20 @@ object Mp4 {
                   p32(0); p16(1) // frame count
                   (0 until 32).foreach(_ => p8(0)) // compressor name
                   p16(24); p16(0xffff) // depth, pre_defined
+                  // optional AVCDecoderConfigurationRecord child box —
+                  // callers pass it with codec = "avc1"
+                  avcC.foreach { c =>
+                    box("avcC") {
+                      p8(1); p8(c.profile); p8(c.profileCompat); p8(c.level)
+                      p8(0xfc | (c.nalLengthSize - 1))
+                      p8(0xe0 | c.sps.length)
+                      c.sps.foreach { s =>
+                        p16(s.length); s.foreach(x => p8(x.toInt)) }
+                      p8(c.pps.length)
+                      c.pps.foreach { s =>
+                        p16(s.length); s.foreach(x => p8(x.toInt)) }
+                    }
+                  }
                 }
               }
               box("stts") {

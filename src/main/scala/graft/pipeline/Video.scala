@@ -183,6 +183,39 @@ object Video {
     graft.formats.Mp4.encode(samples, w, h, timescale, sampleDelta)
   }
 
+  /** Deterministic H.264 decoder configuration for `seed` — pure integer
+    * arithmetic, EXACTLY mirrored by the m17 oracle SQL: profile cycles
+    * Baseline/Main/High (66/77/100), level 3.0–3.3 (30 + seed%4), NAL
+    * length framing 4 or 2 bytes, 1–2 SPS of 5+i bytes and 1–3 PPS of
+    * 3+i bytes (payload bytes seeded but NOT surfaced by the gate — the
+    * Mp4Spec round-trip pins them instead).
+    */
+  def synthAvcConfig(seed: Long): graft.formats.Mp4.AvcConfig =
+    graft.formats.Mp4.AvcConfig(
+      profile = Seq(66, 77, 100)((seed % 3).toInt),
+      profileCompat = (seed % 2).toInt * 64,
+      level = 30 + (seed % 4).toInt,
+      nalLengthSize = if (seed % 2 == 0) 4 else 2,
+      sps = IndexedSeq.tabulate((1 + seed % 2).toInt)(i =>
+        Array.tabulate[Byte](5 + i)(j =>
+          (if (j == 0) 0x67 else (seed * 7 + i * 3 + j) % 256).toByte)),
+      pps = IndexedSeq.tabulate((1 + seed % 3).toInt)(i =>
+        Array.tabulate[Byte](3 + i)(j =>
+          (if (j == 0) 0x68 else (seed * 11 + i * 5 + j) % 256).toByte)))
+
+  /** Minimal 'avc1' MP4 for `seed`: [[synthMp4Bytes]]' sample structure
+    * with an avcC decoder-configuration box from [[synthAvcConfig]].
+    */
+  def synthAvcMp4(seed: Long): Array[Byte] = {
+    val nSamples = (2 + seed % 3).toInt
+    val samples = IndexedSeq.tabulate(nSamples) { f =>
+      val len = (60 + (seed + f) % 30).toInt
+      Array.tabulate[Byte](len)(i => synthMp4Byte(seed, f, i).toByte)
+    }
+    graft.formats.Mp4.encode(samples, 64, 48, 1000, 40, codec = "avc1",
+      avcC = Some(synthAvcConfig(seed)))
+  }
+
   /** Variable-frame-rate MP4 fixture: sample f lasts `30 + (seed+f) % 25`
     * media units (timescale 1000 → ms), so the stts runs genuinely vary
     * and a duration-division stand-in would get every timestamp wrong.

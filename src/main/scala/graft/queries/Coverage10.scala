@@ -179,6 +179,35 @@ object Coverage10 {
         .select($"id", coalesce($"cluster", $"id").as("rep_id"))
         .groupBy($"rep_id").agg(count(lit(1)).as("n_docs"))
         .orderBy($"rep_id")
+    }),
+
+    // M17: H.264 avcC decoder-configuration probe (r11; VERDICT r10
+    // next-round #8) — 'avc1' sample entries carry the
+    // AVCDecoderConfigurationRecord a real video pipeline reads right
+    // after keyframe extents: profile/level for capability routing, NAL
+    // length framing, and the SPS/PPS parameter sets. Fixtures go
+    // through the real encoder (Mp4.encode with an avcC child box); the
+    // oracle recomputes every surfaced field arithmetically from
+    // Video.synthAvcConfig's seed formulas. Header-only: the probe never
+    // touches sample payloads.
+    "m17_avcc_probe" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => Video.synthAvcMp4(id))
+      val probe = udf((b: Array[Byte]) =>
+        graft.formats.Mp4.decode(b)
+          .flatMap(_.videoTracks.headOption).flatMap(_.avc)
+          .map(c => (c.profile, c.profileCompat, c.level, c.nalLengthSize,
+            c.sps.length, c.pps.length,
+            c.sps.map(_.length).sum, c.pps.map(_.length).sum)))
+      load(s, d, "documents").select($"doc_id")
+        .repartition($"doc_id")
+        .withColumn("a", probe(mk($"doc_id")))
+        .select($"doc_id",
+          $"a._1".as("avc_profile"), $"a._2".as("profile_compat"),
+          $"a._3".as("avc_level"), $"a._4".as("nal_length_size"),
+          $"a._5".as("n_sps"), $"a._6".as("n_pps"),
+          $"a._7".as("sps_bytes"), $"a._8".as("pps_bytes"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -290,6 +319,21 @@ object Coverage10 {
     // cross-group ~32) leave the 2-of-3 vote no way to split or merge
     "m11_video_neardup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS rep_id, count(*) AS n_docs
-        |FROM documents GROUP BY doc_id % 20 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY doc_id % 20 ORDER BY 1""".stripMargin,
+    // the SQL image of Video.synthAvcConfig: sps i has 5+i bytes, pps i
+    // has 3+i bytes, so the byte sums collapse to CASE over the counts
+    "m17_avcc_probe" ->
+      """SELECT doc_id,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+        |                      ELSE 100 END AS INTEGER) AS avc_profile,
+        | CAST((doc_id % 2) * 64 AS INTEGER) AS profile_compat,
+        | CAST(30 + doc_id % 4 AS INTEGER) AS avc_level,
+        | CAST(CASE doc_id % 2 WHEN 0 THEN 4 ELSE 2 END AS INTEGER) AS nal_length_size,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS n_sps,
+        | CAST(1 + doc_id % 3 AS INTEGER) AS n_pps,
+        | CAST(CASE doc_id % 2 WHEN 0 THEN 5 ELSE 11 END AS INTEGER) AS sps_bytes,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 7
+        |                      ELSE 12 END AS INTEGER) AS pps_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

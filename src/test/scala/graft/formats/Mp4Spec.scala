@@ -157,4 +157,64 @@ class Mp4Spec extends AnyFunSuite {
       assert(Mp4.sampleTsMs(t, i).contains(i * 1024L * 1000 / 16000))
     }
   }
+
+  test("avcC: decoder configuration round-trips through an avc1 entry") {
+    val cfg = Mp4.AvcConfig(profile = 100, profileCompat = 64, level = 41,
+      nalLengthSize = 4,
+      sps = IndexedSeq(Array[Byte](0x67, 0x64, 0x00, 0x29),
+        Array[Byte](0x67, 0x4d, 0x40, 0x1f, 0x2a)),
+      pps = IndexedSeq(Array[Byte](0x68, 0x0b), Array[Byte](0x68, 0x0c, 0x0d),
+        Array[Byte](0x68)))
+    val ss = IndexedSeq.tabulate(3)(f =>
+      Array.tabulate[Byte](40)(i => ((f * 17 + i) % 256).toByte))
+    val bytes = Mp4.encode(ss, 64, 48, 1000, 40, codec = "avc1",
+      avcC = Some(cfg))
+    val t = Mp4.decode(bytes).get.videoTracks.head
+    assert(t.codec == "avc1")
+    val a = t.avc.get
+    assert(a.profile == 100 && a.profileCompat == 64 && a.level == 41)
+    assert(a.nalLengthSize == 4)
+    assert(a.sps.length == 2 && a.pps.length == 3)
+    (a.sps zip cfg.sps).foreach { case (x, y) => assert(x.sameElements(y)) }
+    (a.pps zip cfg.pps).foreach { case (x, y) => assert(x.sameElements(y)) }
+    // samples are untouched by the avcC child box
+    for (i <- 0 until 3)
+      assert(Mp4.sampleBytes(bytes, t, i).get.sameElements(ss(i)))
+  }
+
+  test("avcC: 2-byte NAL framing and the synth fixture formulas hold") {
+    val seed = 7L
+    val v = Mp4.decode(graft.pipeline.Video.synthAvcMp4(seed)).get
+    val a = v.videoTracks.head.avc.get
+    assert(a.profile == 77 && a.level == 33 && a.nalLengthSize == 2)
+    assert(a.sps.length == 2 && a.pps.length == 2)
+    assert(a.sps.map(_.length) == Seq(5, 6) && a.pps.map(_.length) == Seq(3, 4))
+    assert(a.sps.forall(s => (s(0) & 0xff) == 0x67))
+    assert(a.pps.forall(p => (p(0) & 0xff) == 0x68))
+  }
+
+  test("avcC: malformed records degrade to avc=None, not decode failure") {
+    val cfg = Mp4.AvcConfig(66, 0, 30, 4,
+      IndexedSeq(Array[Byte](0x67, 1, 2)), IndexedSeq(Array[Byte](0x68)))
+    val ss = IndexedSeq(Array.tabulate[Byte](24)(_.toByte))
+    val good = Mp4.encode(ss, 32, 24, 1000, 40, codec = "avc1",
+      avcC = Some(cfg))
+    // find the avcC payload and corrupt the version byte
+    def find(pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      good.indices.find(i => i + p.length <= good.length &&
+        p.indices.forall(j => good(i + j) == p(j))).get
+    }
+    val vOff = find("avcC") + 4
+    val badVersion = good.clone(); badVersion(vOff) = 2
+    val dv = Mp4.decode(badVersion).get.videoTracks.head
+    assert(dv.avc.isEmpty) // container still parses
+    // truncate the SPS length so the loop runs out of bounds: shrink the
+    // declared SPS byte count past the box end
+    val badLen = good.clone(); badLen(vOff + 6) = 0x7f
+    assert(Mp4.decode(badLen).get.videoTracks.head.avc.isEmpty)
+    // a non-avc1 entry never probes for avcC
+    val mp4v = Mp4.encode(ss, 32, 24, 1000, 40)
+    assert(Mp4.decode(mp4v).get.videoTracks.head.avc.isEmpty)
+  }
 }
