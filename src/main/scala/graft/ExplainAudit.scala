@@ -25,7 +25,8 @@ object ExplainAudit {
         "t13_bigram_ppl,t14_filter_config,sp10_export_shards,v13_ivfpq_recall," +
         "r3_mmr_rerank,k9_zorder_layout,v15_batch_ann,m15_audio_samples," +
         "m16_mp4_vfr,m14_mixed_media,dc3_semantic_decontam,sp12_tar_export," +
-        "v16_pq_batch,st5_stream_join,dc4_decontam_pruned,m17_avcc_probe")
+        "v16_pq_batch,st5_stream_join,dc4_decontam_pruned,m17_avcc_probe," +
+        "m18_nal_units")
       .split(",")
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")

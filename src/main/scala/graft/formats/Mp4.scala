@@ -333,6 +333,33 @@ object Mp4 {
     } yield AvcConfig(profile, compat, level, nalLen, sps, pps)
   }
 
+  /** Split an AVCC-framed sample payload into its NAL units — the framing
+    * `avcC.nalLengthSize` declares (each unit is an N-byte big-endian
+    * length prefix + payload; ISO 14496-15 §5.2.3). Returns (nal_type,
+    * payload_length) per unit, nal_type = first payload byte & 0x1f
+    * (5 = IDR slice, 1 = non-IDR slice, 7/8 = SPS/PPS…). None on
+    * inconsistent framing (truncated prefix, zero length, overrun) —
+    * a sample either parses completely or not at all, so a downstream
+    * keyframe counter can't silently see half a sample.
+    */
+  def nalUnits(sample: Array[Byte],
+      nalLengthSize: Int): Option[IndexedSeq[(Int, Int)]] = {
+    if (sample == null || nalLengthSize < 1 || nalLengthSize > 4) return None
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var off = 0
+    while (off < sample.length) {
+      if (off + nalLengthSize > sample.length) return None
+      var len = 0L
+      var i = 0
+      while (i < nalLengthSize) { len = (len << 8) | (sample(off + i) & 0xff); i += 1 }
+      off += nalLengthSize
+      if (len < 1 || off + len > sample.length) return None
+      out += (((sample(off) & 0x1f), len.toInt))
+      off += len.toInt
+    }
+    Some(out.result())
+  }
+
   /** Byte extent of sample i (0-based) of `t`: resolve the chunk through
     * the stsc runs, then the offset inside the chunk by summing the
     * preceding samples' sizes. None when the tables don't cover i.

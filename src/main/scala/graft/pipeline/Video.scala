@@ -203,17 +203,33 @@ object Video {
         Array.tabulate[Byte](3 + i)(j =>
           (if (j == 0) 0x68 else (seed * 11 + i * 5 + j) % 256).toByte)))
 
-  /** Minimal 'avc1' MP4 for `seed`: [[synthMp4Bytes]]' sample structure
+  /** Minimal 'avc1' MP4 for `seed`: AVCC-framed samples (each a sequence
+    * of length-prefixed NAL units under the config's `nalLengthSize`)
     * with an avcC decoder-configuration box from [[synthAvcConfig]].
+    * Sample f carries 1 + (seed+f)%3 NALs; the first NAL of every even
+    * sample is an IDR slice (type 5, matching the encoder's keyEvery=2
+    * stss), the rest are non-IDR (type 1); NAL i of sample f has
+    * 20 + (seed + f·3 + i) % 10 payload bytes — all mirrored by the m18
+    * oracle SQL.
     */
   def synthAvcMp4(seed: Long): Array[Byte] = {
+    val cfg = synthAvcConfig(seed)
     val nSamples = (2 + seed % 3).toInt
     val samples = IndexedSeq.tabulate(nSamples) { f =>
-      val len = (60 + (seed + f) % 30).toInt
-      Array.tabulate[Byte](len)(i => synthMp4Byte(seed, f, i).toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      val nNals = (1 + (seed + f) % 3).toInt
+      for (i <- 0 until nNals) {
+        val tpe = if (f % 2 == 0 && i == 0) 5 else 1
+        val len = (20 + (seed + f * 3 + i) % 10).toInt
+        var k = cfg.nalLengthSize
+        while (k > 0) { k -= 1; out.write((len >> (8 * k)) & 0xff) }
+        out.write(((if (tpe == 5) 3 else 2) << 5) | tpe) // ref_idc | type
+        for (j <- 1 until len) out.write(synthMp4Byte(seed, f, i * 31 + j))
+      }
+      out.toByteArray
     }
     graft.formats.Mp4.encode(samples, 64, 48, 1000, 40, codec = "avc1",
-      avcC = Some(synthAvcConfig(seed)))
+      avcC = Some(cfg))
   }
 
   /** Variable-frame-rate MP4 fixture: sample f lasts `30 + (seed+f) % 25`

@@ -208,6 +208,36 @@ object Coverage10 {
           $"a._5".as("n_sps"), $"a._6".as("n_pps"),
           $"a._7".as("sps_bytes"), $"a._8".as("pps_bytes"))
         .orderBy($"doc_id")
+    }),
+
+    // M18: NAL-unit sample walk — m17's completion: resolve every sample
+    // through the stsc/stco/stsz tables, then split its AVCC framing
+    // (avcC-declared 4- or 2-byte length prefixes) into NAL units.
+    // (sample, nal) → (type, payload length), the structure a keyframe
+    // counter / bitstream filter reads; IDR placement must agree with
+    // the encoder's stss cadence. Full per-unit row set hash-matched
+    // against the synth formulas.
+    "m18_nal_units" -> ((s, d) => {
+      import s.implicits._
+      val mk = udf((id: Long) => Video.synthAvcMp4(id))
+      val walk = udf((b: Array[Byte]) => {
+        import graft.formats.Mp4
+        Mp4.decode(b).flatMap(_.videoTracks.headOption).toSeq.flatMap { t =>
+          val nls = t.avc.map(_.nalLengthSize).getOrElse(4)
+          (0 until t.nSamples).flatMap { i =>
+            Mp4.sampleBytes(b, t, i).toSeq.flatMap { sm =>
+              Mp4.nalUnits(sm, nls).getOrElse(IndexedSeq.empty)
+                .zipWithIndex.map { case ((tp, ln), j) => (i, j, tp, ln) }
+            }
+          }
+        }
+      })
+      load(s, d, "documents").select($"doc_id")
+        .repartition($"doc_id")
+        .select($"doc_id", explode(walk(mk($"doc_id"))).as("n"))
+        .select($"doc_id", $"n._1".as("sample_idx"), $"n._2".as("nal_idx"),
+          $"n._3".as("nal_type"), $"n._4".as("nal_len"))
+        .orderBy($"doc_id", $"sample_idx", $"nal_idx")
     })
   )
 
@@ -334,6 +364,20 @@ object Coverage10 {
         | CAST(CASE doc_id % 2 WHEN 0 THEN 5 ELSE 11 END AS INTEGER) AS sps_bytes,
         | CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 7
         |                      ELSE 12 END AS INTEGER) AS pps_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the SQL image of Video.synthAvcMp4's NAL layout: sample f of doc
+    // has 1+(doc_id+f)%3 NALs, IDR (type 5) leads every even sample,
+    // NAL i of sample f has 20+(doc_id+f*3+i)%10 payload bytes
+    "m18_nal_units" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS ns FROM documents),
+        |f AS (SELECT d.doc_id, t.f, 1 + (d.doc_id + t.f) % 3 AS nn
+        |      FROM d JOIN generate_series(0, 4) t(f) ON t.f < d.ns),
+        |n AS (SELECT f.doc_id, f.f, u.i
+        |      FROM f JOIN generate_series(0, 3) u(i) ON u.i < f.nn)
+        |SELECT doc_id, CAST(f AS INTEGER) AS sample_idx,
+        | CAST(i AS INTEGER) AS nal_idx,
+        | CAST(CASE WHEN f % 2 = 0 AND i = 0 THEN 5 ELSE 1 END AS INTEGER) AS nal_type,
+        | CAST(20 + (doc_id + f * 3 + i) % 10 AS INTEGER) AS nal_len
+        |FROM n ORDER BY doc_id, f, i""".stripMargin
   )
 }

@@ -217,4 +217,39 @@ class Mp4Spec extends AnyFunSuite {
     val mp4v = Mp4.encode(ss, 32, 24, 1000, 40)
     assert(Mp4.decode(mp4v).get.videoTracks.head.avc.isEmpty)
   }
+
+  test("nalUnits: AVCC framing walks whole samples or not at all") {
+    // 4-byte prefixes: IDR(5) then non-IDR(1)
+    val s4 = Array[Byte](0, 0, 0, 3, 0x65, 1, 2, 0, 0, 0, 2, 0x41, 9)
+    assert(Mp4.nalUnits(s4, 4).contains(IndexedSeq((5, 3), (1, 2))))
+    // 2-byte prefixes
+    val s2 = Array[Byte](0, 2, 0x67, 0x64, 0, 1, 0x68)
+    assert(Mp4.nalUnits(s2, 2).contains(IndexedSeq((7, 2), (8, 1))))
+    // truncated payload, truncated prefix, zero length, bad sizes -> None
+    assert(Mp4.nalUnits(s4.dropRight(1), 4).isEmpty)
+    assert(Mp4.nalUnits(Array[Byte](0, 0, 0), 4).isEmpty)
+    assert(Mp4.nalUnits(Array[Byte](0, 0, 0, 0, 0x65), 4).isEmpty)
+    assert(Mp4.nalUnits(s4, 0).isEmpty && Mp4.nalUnits(null, 4).isEmpty)
+    // empty sample: zero units, consistent
+    assert(Mp4.nalUnits(Array.empty[Byte], 4).contains(IndexedSeq.empty))
+  }
+
+  test("nalUnits: synth fixture round-trips framing, types and lengths") {
+    for (seed <- 0L to 6L) {
+      val bytes = graft.pipeline.Video.synthAvcMp4(seed)
+      val t = Mp4.decode(bytes).get.videoTracks.head
+      val nls = t.avc.get.nalLengthSize
+      assert(t.nSamples == (2 + seed % 3).toInt)
+      for (f <- 0 until t.nSamples) {
+        val units = Mp4.nalUnits(Mp4.sampleBytes(bytes, t, f).get, nls).get
+        assert(units.length == (1 + (seed + f) % 3).toInt)
+        units.zipWithIndex.foreach { case ((tp, ln), i) =>
+          assert(tp == (if (f % 2 == 0 && i == 0) 5 else 1))
+          assert(ln == (20 + (seed + f * 3 + i) % 10).toInt)
+        }
+        // IDR leads exactly the stss-sync samples (keyEvery = 2)
+        assert(units.head._1 == 5 == t.syncSamples.contains((f + 1).toLong))
+      }
+    }
+  }
 }
