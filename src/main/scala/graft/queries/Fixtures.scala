@@ -34,4 +34,28 @@ object Fixtures {
     }
     perSession.getOrElseUpdate(key, build.localCheckpoint(true))
   }
+
+  private val objCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Any]]())
+
+  /** Same memo for non-DataFrame scaffolding — the v15/v16 batch-serving
+    * gates memoize their BUILT index here (the build paths keep their own
+    * gates: v5 times IVF training, v13 IVF-PQ training), so the batch
+    * gate times what a serving tier actually runs per request batch: the
+    * candidate join + scoring + rerank against an index built once.
+    * Builders must return state whose distributed parts are already
+    * checkpointed (buildIvf/buildIvfPq do).
+    */
+  def cachedObj[T](spark: SparkSession, key: String)(build: => T): T = {
+    val perSession = objCache.synchronized {
+      var m = objCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Any]
+        objCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(key, build).asInstanceOf[T]
+  }
 }
