@@ -177,17 +177,34 @@ object Coverage7 {
     // provably intact (count + full checksum compare against the source).
     "k8_compaction" -> ((s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft-k8").toString
       val base = load(s, d, "documents").select($"doc_id", $"lang", $"n_chars")
       // fragment: eight appends, each shuffled wide — every bucket collects
-      // ~8 small files
-      (0 until 8).foreach { k =>
-        base.filter($"doc_id" % 8 === k)
-          .withColumn("_bucket", pmod(hash($"doc_id"), lit(16)))
-          .repartition(2)
-          .write.mode("append").partitionBy("_bucket")
-          .parquet(root)
+      // ~8 small files. Compaction MUTATES the tree, so each run needs a
+      // fresh fragmented copy — but the eight Spark write jobs that build
+      // it are FIXTURE (a real table arrives already fragmented by its
+      // ingest history): built once per (session, sfDir) as a template,
+      // then each run clones it with a plain file copy so the timed
+      // region is the compaction pass, not fixture fragmentation
+      val template = Fixtures.cachedObj(s, s"k8_frag:$d") {
+        val t = java.nio.file.Files.createTempDirectory("graft-k8-template")
+        (0 until 8).foreach { k =>
+          base.filter($"doc_id" % 8 === k)
+            .withColumn("_bucket", pmod(hash($"doc_id"), lit(16)))
+            .repartition(2)
+            .write.mode("append").partitionBy("_bucket")
+            .parquet(t.toString)
+        }
+        t
       }
+      val rootPath = java.nio.file.Files.createTempDirectory("graft-k8")
+      java.nio.file.Files.walk(template).forEach { p =>
+        val dst = rootPath.resolve(template.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val root = rootPath.toString
       val rpt = graft.pipeline.Compaction.compactPartitioned(
         s, root, "_bucket", maxFilesPerPartition = 4,
         targetFileBytes = Long.MaxValue)
