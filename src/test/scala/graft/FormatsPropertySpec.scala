@@ -217,6 +217,67 @@ class FormatsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("avcC: arbitrary decoder configurations round-trip through avc1") {
+    import graft.formats.Mp4
+    val nalGen = for {
+      n <- Gen.choose(1, 6)
+      first <- Gen.choose(0, 255)
+      rest <- Gen.listOfN(n - 1, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (first.toByte +: rest).toArray
+    val cfgGen = for {
+      profile <- Gen.oneOf(66, 77, 100, 244)
+      compat <- Gen.choose(0, 255)
+      level <- Gen.choose(10, 62)
+      nls <- Gen.oneOf(1, 2, 4)
+      sps <- Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, nalGen))
+      pps <- Gen.choose(0, 4).flatMap(k => Gen.listOfN(k, nalGen))
+    } yield Mp4.AvcConfig(profile, compat, level, nls,
+      sps.toIndexedSeq, pps.toIndexedSeq)
+    val samples = IndexedSeq(Array.tabulate[Byte](24)(_.toByte))
+    forAll(cfgGen) { cfg =>
+      val bytes = Mp4.encode(samples, 16, 16, 1000, 40, codec = "avc1",
+        avcC = Some(cfg))
+      val a = Mp4.decode(bytes).get.videoTracks.head.avc.get
+      assert(a.profile == cfg.profile && a.profileCompat == cfg.profileCompat)
+      assert(a.level == cfg.level && a.nalLengthSize == cfg.nalLengthSize)
+      assert(a.sps.length == cfg.sps.length && a.pps.length == cfg.pps.length)
+      (a.sps zip cfg.sps).foreach { case (x, y) => assert(x.sameElements(y)) }
+      (a.pps zip cfg.pps).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+  }
+
+  test("nalUnits: arbitrary framed NAL sequences round-trip; mutations never throw") {
+    import graft.formats.Mp4
+    val gen = for {
+      nls <- Gen.oneOf(1, 2, 3, 4)
+      units <- Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, for {
+        tpe <- Gen.choose(0, 31)
+        len <- Gen.choose(1, if (nls == 1) 200 else 400)
+        body <- Gen.listOfN(len - 1, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      } yield (tpe, (((tpe | 0x60) & 0xff).toByte +: body).toArray)))
+      flip <- Gen.choose(0, 1 << 20)
+    } yield (nls, units, flip)
+    forAll(gen) { case (nls, units, flip) =>
+      val out = new java.io.ByteArrayOutputStream()
+      units.foreach { case (_, payload) =>
+        var k = nls
+        while (k > 0) { k -= 1; out.write((payload.length >> (8 * k)) & 0xff) }
+        out.write(payload)
+      }
+      val framed = out.toByteArray
+      val parsed = Mp4.nalUnits(framed, nls)
+      assert(parsed.contains(units.map { case (_, p) =>
+        ((p(0) & 0x1f), p.length) }.toIndexedSeq))
+      // a random byte mutation may or may not stay parseable, but must
+      // never throw, and every parsed unit must still fit the buffer
+      if (framed.nonEmpty) {
+        val m = framed.clone(); m(flip % m.length) = (flip >> 8).toByte
+        Mp4.nalUnits(m, nls).foreach(us =>
+          assert(us.map(_._2 + nls).sum == m.length))
+      }
+    }
+  }
+
   test("bpe: encoding is lossless for any trained table and any input") {
     val corpusCounts = Seq("the quick brown fox", "lazy dogs sleep all day")
       .flatMap(Bpe.preTokens).groupBy(identity).view.mapValues(_.size.toLong).toSeq

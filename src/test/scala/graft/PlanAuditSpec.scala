@@ -172,6 +172,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("AS _c#\\d+".r.findAllIn(p).length == 1, p.take(2000))
   }
 
+  test("m17: the avcC probe UDF evaluates once per row despite eight field reads") {
+    // the probe decodes an MP4 container per row; CollapseProject must
+    // materialize its struct result ONCE (`... AS a#n`) and project the
+    // eight surfaced fields from it, not inline the decode per field
+    val p = plan("m17_avcc_probe")
+    assert("AS a#\\d+".r.findAllIn(p).length == 1,
+      s"avcC probe UDF not materialized once:\n${p.take(2000)}")
+    val sites = "UDF\\(knownnotnull".r.findAllIn(p).length
+    assert(sites == 1,
+      s"avcC probe UDF evaluated at $sites sites:\n${p.take(2000)}")
+  }
+
   test("v1: cosine similarity stays inside whole-stage codegen") {
     val df = SparkEntry.queries("v1_cosine_scan")(spark, TestSpark.sf)
     df.collect() // AQE only annotates codegen ids once THIS plan executes
