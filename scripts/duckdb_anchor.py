@@ -15,12 +15,22 @@ Usage: python3 scripts/duckdb_anchor.py <sfDir> <verifyOutDir>
 import json, os, sys, time
 import duckdb
 
-# the TPC-H trio plus one representative per operator family that has a
-# full DuckDB-expressible oracle (dedup, text analysis, dimension join)
+# the TPC-H trio plus representatives per operator family that have a
+# FULL-VALUE DuckDB oracle (not an invariant boolean) — both engines do
+# the real work, including queries where either engine may lose: dedup
+# transforms (d11/d17), regex-heavy text (t8), recursive-CTE packing
+# (sp5), exact quantiles (t9), a vector cross-join (dc3), and a
+# windowed gaps-and-islands merge (a7), alongside the r10 set.
+# DELIBERATELY EXCLUDED: sp5_greedy_pack — its oracle is a recursive CTE
+# that DuckDB executes in 37s for 5000 rows (one rescan per recursion
+# step); that measures a pathological SQL encoding of sequential packing,
+# not the engine, and would swing the geomean ~100x in Spark's favor.
 QUERIES = ["q01_pricing_summary", "q02_filtered_revenue", "q05_regional_revenue",
            "d1_dedup_exact", "t1_token_counts", "j5_dim_join_revenue",
            "t13_bigram_ppl", "t14_filter_config", "m10_video_frames",
-           "k9_zorder_layout"]
+           "k9_zorder_layout",
+           "t8_html_strip", "d11_paragraph_dedup", "d17_substring_spans",
+           "t9_length_quantiles", "dc3_semantic_decontam", "a7_turn_merge"]
 
 
 def main(sf_dir, out_dir):
