@@ -83,6 +83,49 @@ object FloorProbe {
         Tables.load(spark, sfDir, "documents").count()),
       "t14_full" -> (() =>
         SparkEntry.queries("t14_filter_config")(spark, sfDir).count()),
+      // d11 attribution (r11, extended-anchor worst substantive ratio):
+      // the pipeline is two explode+md5 scans (keeper side + join-back
+      // side — the scale-correct choice over materializing the exploded
+      // corpus), the skew-safe keeper aggregate, and the rebuild
+      "d11_explode_md5_scan" -> (() => {
+        val docs = Tables.load(spark, sfDir, "documents")
+        docs.select(explode(split($"text", "\n\n+")).as("p"))
+          .select(md5($"p").as("f")).agg(count($"f")).head(); 1L
+      }),
+      "d11_keeper_agg_only" -> (() => {
+        val docs = Tables.load(spark, sfDir, "documents")
+        docs.select($"doc_id", posexplode(split($"text", "\n\n+")).as(Seq("p_idx", "p")))
+          .groupBy(md5($"p"))
+          .agg(min(struct($"doc_id", $"p_idx")).as("k"))
+          .agg(count(lit(1))).head(); 1L
+      }),
+      "d11_join_filter" -> (() => {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val paras = docs.select($"doc_id".as("id"),
+            posexplode(split($"text", "\n{2,}")).as(Seq("p_idx", "p_text")))
+          .withColumn("_fp", md5($"p_text"))
+        val keepers = paras.groupBy($"_fp")
+          .agg(min(struct($"id", $"p_idx")).as("_k"))
+        paras.join(keepers, Seq("_fp"))
+          .filter($"id" === $"_k.id" && $"p_idx" === $"_k.p_idx").count()
+      }),
+      "d11_rebuild" -> (() => {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val paras = docs.select($"doc_id".as("id"),
+            posexplode(split($"text", "\n{2,}")).as(Seq("p_idx", "p_text")))
+          .withColumn("_fp", md5($"p_text"))
+        val keepers = paras.groupBy($"_fp")
+          .agg(min(struct($"id", $"p_idx")).as("_k"))
+        paras.join(keepers, Seq("_fp"))
+          .filter($"id" === $"_k.id" && $"p_idx" === $"_k.p_idx")
+          .groupBy($"id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct($"p_idx", $"p_text"))),
+            x => x.getField("p_text")), " ").as("t"))
+          .count()
+      }),
+      "d11_full" -> (() =>
+        SparkEntry.queries("d11_paragraph_dedup")(spark, sfDir).count()),
       // st5 partition-count floor (VERDICT r10 next-round #7): a stream-
       // stream join sets up one state store per shuffle partition per
       // side per microbatch — the wall at gate scale should track the

@@ -701,10 +701,20 @@ object Dedup {
       paragraphs: Column, sep: String = " "): DataFrame = {
     val paras = explodeParas(df, idCol, paragraphs)
       .withColumn("_fp", md5(col("p_text")))
-    val keepers = paras.groupBy(col("_fp"))
-      .agg(min(struct(col("id"), col("p_idx"))).as("_k"))
-    paras.join(keepers, Seq("_fp"))
-      .filter(col("id") === col("_k.id") && col("p_idx") === col("_k.p_idx"))
+    // The keeper CARRIES ITS OWN TEXT: min over (id, p_idx, p_text) picks
+    // the same (min id, min p_idx) occurrence — the pair is unique within
+    // the corpus (posexplode index per id), so p_text never decides the
+    // order — and its text rides along in the aggregate. That removes the
+    // join back to the exploded frame entirely (r11; the r8 shape scanned
+    // and evaluated the `paragraphs` expression TWICE and shuffled the
+    // full occurrence list a second time for the join): one scan, two
+    // aggregations, and the shuffle after partial combine carries one
+    // struct per distinct paragraph per partition, exactly what the old
+    // keeper side alone carried.
+    paras.groupBy(col("_fp"))
+      .agg(min(struct(col("id"), col("p_idx"), col("p_text"))).as("_k"))
+      .select(col("_k.id").as("id"), col("_k.p_idx").as("p_idx"),
+        col("_k.p_text").as("p_text"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_paras"),
         array_join(transform(
