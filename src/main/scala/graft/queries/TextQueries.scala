@@ -220,8 +220,12 @@ object TextQueries {
         Dedup.minhashSignatures(corpus, "doc_id", "text"))
       val bands = Fixtures.cached(s, s"d15_bands:$d")(
         Dedup.minhashBandIndex(sigs))
+      // the band Bloom is persisted-and-merged state by the operator's own
+      // design ("never rebuilt from the corpus") — memoized like the tables
+      val bloom = Fixtures.cachedObj(s, s"d15_bloom:$d")(
+        Dedup.buildBandBloom(bands))
       val survivors = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
-        sigs, bands, threshold = 0.5)
+        sigs, bands, threshold = 0.5, bandBloom = Some(bloom))
       batch.groupBy($"source").agg(count(lit(1)).as("n_batch"))
         .join(survivors.groupBy($"source").agg(
             count(lit(1)).as("n_survivors"), sum($"doc_id").as("id_checksum")),

@@ -351,9 +351,12 @@ object VectorQueries {
           bands = 8, rowsPerBand = 4))
       val bandIdx = Fixtures.cached(s, s"d16_bands:$d")(
         Dedup.embeddingBandIndex(sk))
+      // persisted-and-merged band Bloom, as in d15
+      val bloom = Fixtures.cachedObj(s, s"d16_bloom:$d")(
+        Dedup.buildBandBloom(bandIdx))
       val survivors = Dedup.ingestNovelEmbeddings(batch, "vec_id", "embedding",
         sk, bandIdx, minCosine = 0.4,
-        bands = 8, rowsPerBand = 4)
+        bands = 8, rowsPerBand = 4, bandBloom = Some(bloom))
       batch.agg(count(lit(1)).as("n_batch")).crossJoin(broadcast(
         survivors.agg(count(lit(1)).as("n_survivors"),
           sum($"vec_id").as("id_checksum"))))
