@@ -83,49 +83,74 @@ object FloorProbe {
         Tables.load(spark, sfDir, "documents").count()),
       "t14_full" -> (() =>
         SparkEntry.queries("t14_filter_config")(spark, sfDir).count()),
-      // d11 attribution (r11, extended-anchor worst substantive ratio):
-      // the pipeline is two explode+md5 scans (keeper side + join-back
-      // side — the scale-correct choice over materializing the exploded
-      // corpus), the skew-safe keeper aggregate, and the rebuild
-      "d11_explode_md5_scan" -> (() => {
-        val docs = Tables.load(spark, sfDir, "documents")
-        docs.select(explode(split($"text", "\n\n+")).as("p"))
-          .select(md5($"p").as("f")).agg(count($"f")).head(); 1L
+      // d11 attribution, r12 shape (keeper carries its text — one scan,
+      // keeper aggregate, per-doc rebuild, lang join + final agg; the r11
+      // join-back decomposition is retired with that shape). Each variant
+      // adds one stage; deltas attribute the pipeline. Aggregates read the
+      // computed columns so pruning can't elide the stage under test.
+      // retired HOF chain kept as the comparison point for the kernel
+      "d11_scan_hof_chain" -> (() => {
+        d11ParasHof(spark, sfDir).agg(count($"_fp")).head(); 1L
       }),
-      "d11_keeper_agg_only" -> (() => {
-        val docs = Tables.load(spark, sfDir, "documents")
-        docs.select($"doc_id", posexplode(split($"text", "\n\n+")).as(Seq("p_idx", "p")))
-          .groupBy(md5($"p"))
-          .agg(min(struct($"doc_id", $"p_idx")).as("k"))
-          .agg(count(lit(1))).head(); 1L
+      "d11_scan_window_md5" -> (() => {
+        val paras = d11Paras(spark, sfDir)
+        paras.agg(count($"_fp")).head(); 1L
       }),
-      "d11_join_filter" -> (() => {
-        val docs = Tables.load(spark, sfDir, "documents")
-        val paras = docs.select($"doc_id".as("id"),
-            posexplode(split($"text", "\n{2,}")).as(Seq("p_idx", "p_text")))
-          .withColumn("_fp", md5($"p_text"))
-        val keepers = paras.groupBy($"_fp")
-          .agg(min(struct($"id", $"p_idx")).as("_k"))
-        paras.join(keepers, Seq("_fp"))
-          .filter($"id" === $"_k.id" && $"p_idx" === $"_k.p_idx").count()
+      "d11_keeper_carry" -> (() => {
+        d11Paras(spark, sfDir).groupBy($"_fp")
+          .agg(min(struct($"id", $"p_idx", $"p_text")).as("_k"))
+          .agg(count(lit(1)), sum(length($"_k.p_text"))).head(); 1L
       }),
       "d11_rebuild" -> (() => {
-        val docs = Tables.load(spark, sfDir, "documents")
-        val paras = docs.select($"doc_id".as("id"),
-            posexplode(split($"text", "\n{2,}")).as(Seq("p_idx", "p_text")))
-          .withColumn("_fp", md5($"p_text"))
-        val keepers = paras.groupBy($"_fp")
-          .agg(min(struct($"id", $"p_idx")).as("_k"))
-        paras.join(keepers, Seq("_fp"))
-          .filter($"id" === $"_k.id" && $"p_idx" === $"_k.p_idx")
+        d11Paras(spark, sfDir).groupBy($"_fp")
+          .agg(min(struct($"id", $"p_idx", $"p_text")).as("_k"))
+          .select($"_k.id".as("id"), $"_k.p_idx".as("p_idx"),
+            $"_k.p_text".as("p_text"))
           .groupBy($"id")
-          .agg(array_join(transform(
-            array_sort(collect_list(struct($"p_idx", $"p_text"))),
-            x => x.getField("p_text")), " ").as("t"))
-          .count()
+          .agg(count(lit(1)).as("n_paras"),
+            array_join(transform(
+              array_sort(collect_list(struct($"p_idx", $"p_text"))),
+              x => x.getField("p_text")), " ").as("t"))
+          .agg(sum(length($"t"))).head(); 1L
       }),
       "d11_full" -> (() =>
         SparkEntry.queries("d11_paragraph_dedup")(spark, sfDir).count()),
+      // a7 attribution (r12): lag + running-sum windows share one
+      // (user_id) sort; the grouped agg's clustering keys are a superset
+      // of the window partition key, so whether Spark reuses the exchange
+      // decides if the query is 1 or 2 shuffles. Variants: scan, sort+
+      // window only, window + grouped agg, full gate.
+      "a7_events_scan" -> (() =>
+        Tables.load(spark, sfDir, "events").count()),
+      "a7_window_only" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.load(spark, sfDir, "events")
+          .withColumn("chg",
+            when(lag($"event_type", 1).over(w) <=> $"event_type", lit(0))
+              .otherwise(lit(1)))
+          .withColumn("run_id", sum($"chg").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .agg(max($"run_id")).head(); 1L
+      }),
+      "a7_window_agg" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.load(spark, sfDir, "events")
+          .withColumn("chg",
+            when(lag($"event_type", 1).over(w) <=> $"event_type", lit(0))
+              .otherwise(lit(1)))
+          .withColumn("run_id", sum($"chg").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy($"user_id", $"run_id", $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 2).as("sum_value"))
+          .agg(sum($"n_events")).head(); 1L
+      }),
+      "a7_full" -> (() =>
+        SparkEntry.queries("a7_turn_merge")(spark, sfDir).count()),
       // st5 partition-count floor (VERDICT r10 next-round #7): a stream-
       // stream join sets up one state store per shuffle partition per
       // side per microbatch — the wall at gate scale should track the
@@ -176,6 +201,35 @@ object FloorProbe {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     println(f"FLOOR summary: scan=${mins("li_scan_count")}%.3f bcast3=${mins("li_join_supp_nation_region") - mins("li_scan_2col_agg")}%.3f full=${mins("q05_full")}%.3f")
     spark.stop()
+  }
+
+  /** d11's exploded-window frame exactly as the gate builds it (12-token
+    * windows over `documents.text`, md5 fingerprint per window).
+    */
+  private def d11Paras(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val windows = graft.functions.GraftFunctions.para_windows($"text", lit(12))
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id".as("id"), posexplode(windows).as(Seq("p_idx", "p_text")))
+      .withColumn("_fp", md5($"p_text"))
+  }
+
+  /** The pre-r12 HOF window chain (CodegenFallback), value-identical to
+    * the kernel — kept so the probe records the speedup it replaced.
+    */
+  private def d11ParasHof(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val paraWords = 12
+    val toks = filter(split(trim($"text"), " "), t => length(t) > 0)
+    val nP = ceil(size(toks) / lit(paraWords.toDouble)).cast("int")
+    val windows = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nP - 1),
+        g => array_join(slice(toks, g * paraWords + 1, lit(paraWords)), " ")))
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id".as("id"), posexplode(windows).as(Seq("p_idx", "p_text")))
+      .withColumn("_fp", md5($"p_text"))
   }
 
   /** Scaled dc3: corpus = embeddings x32 (jittered copies, ~64k rows —

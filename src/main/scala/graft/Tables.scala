@@ -90,6 +90,11 @@ object Tables {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
         loadCache.put(spark, m)
+        // First contact with a session: make graft's function registry
+        // available to every gate that reads a table (gates reference
+        // call_function names like graft_para_windows without a session
+        // at hand to register on).
+        graft.functions.GraftFunctions.register(spark)
       }
       m
     }

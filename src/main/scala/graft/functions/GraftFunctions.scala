@@ -39,6 +39,9 @@ object GraftFunctions {
     // hot-path: the corpus-overlap sketch's portable (sh, md5-prefix) pairs
     reg.createOrReplaceTempFunction("graft_overlap_shingles",
       es => OverlapShingles(es(0), es(1)), "scala_udf")
+    // hot-path: the d11/d12 pseudo-paragraph window frame, one pass per doc
+    reg.createOrReplaceTempFunction("graft_para_windows",
+      es => ParaWindows(es(0), es(1)), "scala_udf")
 
     // Domain scalar/generator functions as UDFs (SURVEY §2.12).
     spark.udf.register("graft_title", (s: String) => TextKeys.titleFromFilename(s))
@@ -77,6 +80,8 @@ object GraftFunctions {
   def shingle_set(c: Column): Column = call_function("graft_shingle_set", c)
   def overlap_shingles(c: Column, k: Column): Column =
     call_function("graft_overlap_shingles", c, k)
+  def para_windows(c: Column, w: Column): Column =
+    call_function("graft_para_windows", c, w)
   def set_jaccard(a: Column, b: Column): Column = call_function("graft_set_jaccard", a, b)
   def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
 }

@@ -25,13 +25,14 @@ object Coverage8 {
     * ranges. Empty docs produce an empty array (sequence(0,-1) would
     * otherwise count DOWN).
     */
-  private def paraWindows(text: Column): Column = {
-    val toks = filter(split(trim(text), " "), t => length(t) > 0)
-    val nP = ceil(size(toks) / lit(ParaWords.toDouble)).cast("int")
-    when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nP - 1),
-        g => array_join(slice(toks, g * ParaWords + 1, lit(ParaWords)), " ")))
-  }
+  // One-pass codegen'd kernel (functions/TextExpressions.ParaWindows);
+  // value-identical to the retired HOF chain
+  //   transform(sequence(0, ceil(n/w)-1), g -> array_join(slice(toks,
+  //     g*w+1, w), ' '))
+  // over toks = filter(split(trim(text),' '), t -> t != ''), which was
+  // CodegenFallback and dominated d11 (FloorProbe r12: 0.38 s of 0.59 s).
+  private def paraWindows(text: Column): Column =
+    graft.functions.GraftFunctions.para_windows(text, lit(ParaWords))
 
   val queries: Map[String, Q] = Map(
     // D10: SemDeDup (Abbas et al. 2023) — k-means cells, within-cell greedy

@@ -59,6 +59,48 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(p.contains("codegen id"), p.take(1000))
   }
 
+  test("para_windows is value-identical to the HOF chain it replaced") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val w = 3
+    // edge shapes: leading/trailing/multiple spaces, empty, exact multiple
+    // of w, shorter-than-w tail, single token, tabs/newlines kept in tokens
+    val samples = Seq(
+      Some("  a b c d e f g  "), Some(""), Some("   "), Some("one"),
+      Some("a b c"), Some("a b c d"), Some("a  b   c\td e\nf g h i j"),
+      None) ++
+      (0 until 50).map(i => Some((0 to i % 17).map(k => s"t${i}_$k").mkString(" ")))
+    val toks = filter(split(trim($"text"), " "), t => length(t) > 0)
+    val nP = ceil(size(toks) / lit(w.toDouble)).cast("int")
+    val hof = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nP - 1),
+        g => array_join(slice(toks, g * w + 1, lit(w)), " ")))
+    val rows = samples.toDF("text")
+      .select($"text", GraftFunctions.para_windows($"text", lit(w)).as("k"),
+        hof.as("h"))
+      .collect()
+    rows.zip(samples).foreach { case (row, s) =>
+      s match {
+        case Some(t) =>
+          assert(row.getSeq[String](1) == row.getSeq[String](2), s"text=<$t>")
+        case None => assert(row.isNullAt(1), "null text must yield null windows")
+      }
+    }
+  }
+
+  test("para_windows stays inside whole-stage codegen (no UDF wrapper)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = spark.range(4)
+      .select(concat(lit("alpha beta gamma delta epsilon "), $"id").as("text"))
+      .select(GraftFunctions.para_windows($"text", lit(2)).as("wins"))
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("UDF"), "para_windows regressed to a UDF:\n" + p.take(1000))
+    assert(p.contains("codegen id"), p.take(1000))
+  }
+
   test("token_count stays inside whole-stage codegen (no UDF wrapper)") {
     import spark.implicits._
     GraftFunctions.register(spark)
