@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphAnn, Similarity}
+
+/** Head-to-head study: the partitioned graph-ANN tier vs the shipped IVF
+  * and IVF-PQ tiers on a jittered-replica corpus (default 64× embeddings
+  * = 128k vectors at sf0.1's 2000 × 64-dim), measuring BUILD wall time,
+  * BATCH-SEARCH wall time, and recall@10 against the brute-force truth
+  * for the same 100 held-out probes. Feeds SCALING.md "Graph-ANN study
+  * (round 12)" — the honest verdict on whether layered-graph construction
+  * earns a place next to IVF-PQ at 100 TB.
+  *
+  * SPARK_GRAFT_STUDY_MULT  corpus replicas (default 64)
+  * SPARK_GRAFT_SF_DIR      base tables (default /root/testdata/sf0.1)
+  */
+object GraphStudy {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_STUDY_MULT", "64").toInt
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // per-(id, dim) hash jitter: every replica is a UNIQUE vector, so the
+    // brute-force top-10 is tie-free and recall against it is well-defined
+    // (a per-replica pattern with few distinct values leaves each vector
+    // dozens of exact duplicates and turns "truth" into an id tie-break)
+    val jitter = udf((v: Seq[Float], id: Long) =>
+      v.zipWithIndex.map { case (x, i) =>
+        val h = id * 2654435761L + i * 1099511628211L
+        x + 0.01f * ((((h % 1009) + 1009) % 1009) - 504) / 504f
+      })
+    def copies(from: Int, until: Int) = emb
+      .select(explode(sequence(lit(from), lit(until - 1))).as("r"),
+        $"vec_id", $"embedding")
+      .select(($"vec_id" * 2048 + $"r").as("vec_id"), $"embedding")
+      .select($"vec_id", jitter($"embedding", $"vec_id").as("embedding"))
+    val corpus = copies(0, mult).repartition(32).localCheckpoint(true)
+    val nCorpus = corpus.count()
+    val probes = copies(mult, mult + 1).limit(100)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      .localCheckpoint(true)
+    val nProbes = probes.count()
+    println(s"GRAPHSTUDY corpus=$nCorpus probes=$nProbes")
+
+    def time[A](f: => A): (A, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def recallOf(approx: DataFrame, truth: DataFrame): Double = {
+      val hit = truth.join(approx, Seq("probe_id", "vec_id"), "left_semi").count()
+      hit.toDouble / (nProbes * 10)
+    }
+
+    val (truth, tBrute) = time {
+      Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+        corpus, "vec_id", "embedding", 10).localCheckpoint(true)
+    }
+    println(f"GRAPHSTUDY brute_truth      search=$tBrute%.2f s (the exact baseline)")
+
+    // ---- graph tier
+    val (nodes, tGB) = time {
+      GraphAnn.buildGraph(spark, corpus, "vec_id", "embedding",
+        nParts = 32, m = 8, efConstruction = 64).localCheckpoint(true)
+    }
+    def graphSearch() = GraphAnn.searchGraphBatch(nodes, probes,
+      "probe_id", "probe_vec", k = 10, ef = 64)
+      .select($"probe_id", $"id".as("vec_id"))
+    graphSearch().count() // warm
+    val (gRes, tGS) = time { graphSearch().localCheckpoint(true) }
+    println(f"GRAPHSTUDY graph(m=8,ef=64) build=$tGB%.2f s search=$tGS%.2f s recall=${recallOf(gRes, truth)}%.3f")
+    // ef sensitivity: the replica corpus puts every probe inside a clump of
+    // `mult` near-tied clones — the regime where the beam must be wider
+    // than the clump to separate the true top-10 from its ties
+    def graphSearchWide() = GraphAnn.searchGraphBatch(nodes, probes,
+      "probe_id", "probe_vec", k = 10, ef = 4 * mult)
+      .select($"probe_id", $"id".as("vec_id"))
+    graphSearchWide().count() // warm
+    val (gwRes, tGW) = time { graphSearchWide().localCheckpoint(true) }
+    println(f"GRAPHSTUDY graph(ef=${4 * mult}%-5d) build=   -    search=$tGW%.2f s recall=${recallOf(gwRes, truth)}%.3f")
+
+    // ---- IVF tier
+    val (ivf, tIB) = time {
+      val ix = Similarity.buildIvf(spark, corpus, "vec_id", "embedding",
+        nCells = 64, iters = 3)
+      ix.assignments.localCheckpoint(true).count(); ix
+    }
+    def ivfSearch() = Similarity.searchIvfBatch(ivf, probes,
+      "probe_id", "probe_vec", nprobe = 8, k = 10)
+      .select($"probe_id", $"id".as("vec_id"))
+    ivfSearch().count() // warm
+    val (iRes, tIS) = time { ivfSearch().localCheckpoint(true) }
+    println(f"GRAPHSTUDY ivf(64c,np=8)    build=$tIB%.2f s search=$tIS%.2f s recall=${recallOf(iRes, truth)}%.3f")
+
+    // ---- IVF-PQ tier
+    val (ivfpq, tPB) = time {
+      Similarity.buildIvfPq(spark, corpus, "vec_id", "embedding",
+        nCells = 64, subspaces = 8, codesPerSub = 16)
+    }
+    def pqSearch() = Similarity.searchIvfPqBatch(spark, ivfpq,
+      corpus, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 8, k = 10)
+      .select($"probe_id", $"id".as("vec_id"))
+    pqSearch().count() // warm
+    val (pRes, tPS) = time { pqSearch().localCheckpoint(true) }
+    println(f"GRAPHSTUDY ivfpq(8x16)      build=$tPB%.2f s search=$tPS%.2f s recall=${recallOf(pRes, truth)}%.3f")
+
+    spark.stop()
+  }
+}

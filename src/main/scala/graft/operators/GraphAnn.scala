@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One stored graph node: `vec` is the L2-NORMALIZED embedding (so layer
+  * similarity is a plain dot product), `neighbors(l)` the layer-l
+  * adjacency as GLOBAL ids. Adjacency never crosses a partition — each
+  * partition is an independent small-world graph (the segment model).
+  */
+final case class GraphNode(part: Int, id: Long, vec: Array[Float],
+    level: Int, neighbors: Array[Array[Long]])
+
+/** Partitioned graph-ANN — an HNSW-style navigable-small-world tier
+  * (Malkov & Yashunin 2016, arXiv:1603.09320), shaped for Spark the way
+  * Lucene/Elasticsearch shape it for segments: ONE independent layered
+  * graph per hash partition, built in a single `mapPartitions` pass
+  * (embarrassingly parallel, no cross-partition edges), searched by
+  * broadcasting the probe batch and beam-searching every segment, with
+  * the global per-probe top-k merged by the bounded-heap aggregator.
+  *
+  * Why this shape and not one global graph: HNSW insertion is a greedy
+  * walk over the WHOLE current structure — it serializes on the graph and
+  * does not distribute (public distributed builds go through iterative
+  * all-to-all neighbor refinement, NN-Descent-style, which is many full
+  * shuffles of the corpus). The segment model trades that for a search
+  * fan-out of one beam per partition — acceptable when a routing tier
+  * (IVF cells) bounds which segments a query visits. See SCALING.md
+  * "Graph-ANN study (round 12)" for the measured verdict vs the shipped
+  * IVF-PQ tier.
+  *
+  * Everything here is deterministic so results are oracle-reproducible:
+  * insertion in ascending-id order, node levels from a hash-derived
+  * uniform (no RNG), every heap ordered by (sim desc, id asc), greedy
+  * descent moves only on strict improvement.
+  */
+object GraphAnn {
+
+  private def l2unit(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v
+    else { val o = new Array[Float](v.length); i = 0
+      while (i < v.length) { o(i) = (v(i) / n).toFloat; i += 1 }; o }
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** murmur3 64-bit finalizer — avalanches the id into a uniform word. */
+  private def fmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** Deterministic HNSW level: floor(-ln(u) * mL) with u in (0,1] derived
+    * from the id — same geometric distribution as the paper's RNG draw,
+    * but reproducible across builds.
+    */
+  private[operators] def levelOf(id: Long, m: Int): Int = {
+    val u = ((fmix64(id) >>> 11) + 1).toDouble / (1L << 53).toDouble
+    math.min(31, (-math.log(u) / math.log(m.toDouble)).toInt)
+  }
+
+  private type Cand = (Int, Double) // (local node idx, similarity)
+
+  private val byBest = new java.util.Comparator[Cand] {
+    override def compare(a: Cand, b: Cand): Int = {
+      val c = java.lang.Double.compare(b._2, a._2)
+      if (c != 0) c else Integer.compare(a._1, b._1)
+    }
+  }
+  private val byWorst = new java.util.Comparator[Cand] {
+    override def compare(a: Cand, b: Cand): Int = byBest.compare(b, a)
+  }
+
+  /** Beam search one layer: standard HNSW SEARCH-LAYER with an ef-bounded
+    * result heap. `adj(node, layer)` supplies the adjacency; works for
+    * both the under-construction builder graph and a loaded segment.
+    */
+  private def searchLayer(q: Array[Float], eps: Iterable[Int], ef: Int,
+      layer: Int, vecs: Int => Array[Float],
+      adj: (Int, Int) => Iterable[Int],
+      visited: java.util.BitSet): java.util.ArrayList[Cand] = {
+    visited.clear()
+    val cand = new java.util.PriorityQueue[Cand](byBest)
+    val res = new java.util.PriorityQueue[Cand](byWorst)
+    eps.foreach { ep =>
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val s = dot(q, vecs(ep))
+        cand.add((ep, s)); res.add((ep, s))
+        if (res.size > ef) res.poll()
+      }
+    }
+    var done = false
+    while (!done && !cand.isEmpty) {
+      val c = cand.poll()
+      if (res.size >= ef && c._2 < res.peek()._2) done = true
+      else {
+        adj(c._1, layer).foreach { nb =>
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val s = dot(q, vecs(nb))
+            if (res.size < ef || s > res.peek()._2) {
+              cand.add((nb, s)); res.add((nb, s))
+              if (res.size > ef) res.poll()
+            }
+          }
+        }
+      }
+    }
+    val out = new java.util.ArrayList[Cand](res)
+    out.sort(byBest)
+    out
+  }
+
+  /** Strict-improvement hill climb at one layer (the descent step for
+    * layers above the target) — moves only on sim strictly greater, so
+    * ties can't cycle and the walk is deterministic.
+    */
+  private def greedyStep(q: Array[Float], start: Int, layer: Int,
+      vecs: Int => Array[Float], adj: (Int, Int) => Iterable[Int]): Int = {
+    var cur = start
+    var curSim = dot(q, vecs(cur))
+    var improved = true
+    while (improved) {
+      improved = false
+      adj(cur, layer).foreach { nb =>
+        val s = dot(q, vecs(nb))
+        if (s > curSim) { cur = nb; curSim = s; improved = true }
+      }
+    }
+    cur
+  }
+
+  /** In-partition incremental HNSW construction (single-threaded per
+    * partition — the partition IS the parallelism unit).
+    */
+  private final class Builder(m: Int, efC: Int) {
+    private val maxM = m
+    private val maxM0 = 2 * m
+    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val adj = scala.collection.mutable.ArrayBuffer
+      .empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var maxLevel = -1
+    private val visited = new java.util.BitSet()
+
+    private def adjOf(n: Int, l: Int): Iterable[Int] =
+      if (l < adj(n).length) adj(n)(l) else Nil
+
+    private def prune(n: Int, l: Int, cap: Int): Unit = {
+      val v = vecs(n)
+      val kept = adj(n)(l).map(i => (i, dot(v, vecs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(cap).map(_._1)
+      adj(n)(l).clear(); adj(n)(l) ++= kept
+    }
+
+    def insert(id: Long, unit: Array[Float]): Unit = {
+      val lvl = levelOf(id, m)
+      val idx = ids.length
+      ids += id; vecs += unit; levels += lvl
+      adj += Array.fill(lvl + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = idx; maxLevel = lvl; return }
+      var ep = entry
+      var l = maxLevel
+      while (l > lvl) { ep = greedyStep(unit, ep, l, vecs, adjOf); l -= 1 }
+      var eps: Iterable[Int] = List(ep)
+      l = math.min(lvl, maxLevel)
+      while (l >= 0) {
+        val w = searchLayer(unit, eps, efC, l, vecs, adjOf, visited)
+        val it = w.iterator()
+        var taken = 0
+        val cap = if (l == 0) maxM0 else maxM
+        while (it.hasNext && taken < m) {
+          val (nb, _) = it.next()
+          adj(idx)(l) += nb
+          adj(nb)(l) += idx
+          if (adj(nb)(l).length > cap) prune(nb, l, cap)
+          taken += 1
+        }
+        val epsNext = new scala.collection.mutable.ArrayBuffer[Int](w.size())
+        w.forEach(c => epsNext += c._1)
+        eps = epsNext
+        l -= 1
+      }
+      if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
+    }
+
+    def emit(part: Int): Iterator[GraphNode] =
+      ids.indices.iterator.map { i =>
+        GraphNode(part, ids(i), vecs(i), levels(i),
+          adj(i).map(layer => layer.map(ids).toArray))
+      }
+  }
+
+  /** Build the segment graphs: hash-partition on id, one independent
+    * layered graph per partition in a single `mapPartitions` pass —
+    * no shuffle beyond the initial repartition, no driver state. At
+    * cluster scale `nParts` is chosen so a segment (vectors + adjacency ≈
+    * (dim·4 + 2m·8) bytes/vector) fits executor memory; the pass streams
+    * partition-parallel exactly like any other map stage.
+    */
+  def buildGraph(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, nParts: Int, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .repartition(nParts, col("id"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          // ascending-id insertion: the one order every rebuild reproduces
+          java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val b = new Builder(m, efConstruction)
+          rows.foreach { case (id, v) => b.insert(id, l2unit(v)) }
+          b.emit(part)
+        }
+      }
+      .toDF()
+  }
+
+  /** Batch beam search: the probe batch broadcasts (bounded — a serving
+    * batch, never the corpus), every segment rebuilds its id→idx view and
+    * beam-searches each probe (descend greedily to layer 1, ef-beam at
+    * layer 0), and the per-probe global top-k merges through the
+    * bounded-heap aggregator — ≤ k rows per probe cross the final
+    * shuffle, nothing sorts the candidate union. Output matches the
+    * other ANN tiers: (probe_id, id, sim, rank).
+    */
+  def searchGraphBatch(nodes: DataFrame, probes: DataFrame, probeId: String,
+      probeVec: String, k: Int, ef: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val batch = probes.select(col(probeId).cast("long"), col(probeVec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (pid, v) => (pid, l2unit(v)) }
+    val bc = spark.sparkContext.broadcast(batch)
+    val kLocal = k
+    val efLocal = math.max(ef, k)
+    val cands = nodes.as[GraphNode].mapPartitions { it =>
+      val ns = it.toArray
+      if (ns.isEmpty) Iterator.empty
+      else {
+        val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
+        ns.indices.foreach(i => idIdx.put(ns(i).id, i))
+        val vecs: Int => Array[Float] = i => ns(i).vec
+        val adj: (Int, Int) => Iterable[Int] = (n, l) =>
+          if (l < ns(n).neighbors.length)
+            ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
+          else Nil
+        // entry = the highest-level node, ties to the smallest id
+        var entry = 0
+        ns.indices.foreach { i =>
+          if (ns(i).level > ns(entry).level ||
+            (ns(i).level == ns(entry).level && ns(i).id < ns(entry).id)) entry = i
+        }
+        val visited = new java.util.BitSet(ns.length)
+        bc.value.iterator.flatMap { case (pid, q) =>
+          var ep = entry
+          var l = ns(entry).level
+          while (l > 0) { ep = greedyStep(q, ep, l, vecs, adj); l -= 1 }
+          val w = searchLayer(q, List(ep), efLocal, 0, vecs, adj, visited)
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          val it2 = w.iterator()
+          var taken = 0
+          while (it2.hasNext && taken < kLocal) {
+            val (i, s) = it2.next(); out += ((pid, ns(i).id, s)); taken += 1
+          }
+          out
+        }
+      }
+    }.toDF("probe_id", "id", "sim")
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    cands.groupBy(col("probe_id"))
+      .agg(topk(col("id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
+  }
+
+  /** Single-probe convenience over [[searchGraphBatch]]. */
+  def searchGraph(nodes: DataFrame, probe: Array[Float], k: Int,
+      ef: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    searchGraphBatch(nodes,
+      Seq((0L, probe)).toDF("probe_id", "probe_vec"), "probe_id", "probe_vec",
+      k, ef).drop("probe_id")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, GraphAnn, Similarity}
 
 /** Vector/similarity operators over the `embeddings` table (64-dim float).
   * The cosine/dot kernels are native codegen'd Catalyst expressions
@@ -86,6 +86,41 @@ object VectorQueries {
         .select($"id".as("vec_id"))
       exact.join(approx, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) >= 5).as("recall_ok"))
+    }),
+
+    // V17: graph-ANN (HNSW-style segment graphs) vs brute force — the
+    // gate times the BUILD (one mapPartitions pass per segment, the
+    // deliberately-measured cost of the graph tier; see SCALING.md
+    // "Graph-ANN study") plus one beam search, and asserts the structural
+    // invariants distributed-ly: node conservation, layer-0 degree cap,
+    // segment-closed adjacency (no dangling/cross-partition edge).
+    "v17_graph_ann_recall" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val m = 8
+      val nodes = GraphAnn.buildGraph(s, emb, "vec_id", "embedding",
+        nParts = 4, m = m, efConstruction = 48).localCheckpoint(true)
+      val approx = GraphAnn.searchGraph(nodes, probe, k = 10, ef = 48)
+        .select($"id".as("vec_id"))
+      val recall = exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 8).as("recall_ok"))
+      val structure = nodes
+        .select($"part", $"id", size(element_at($"neighbors", 1)).as("deg0"))
+        .agg(count(lit(1)).as("n"), max($"deg0").as("max_deg0"))
+      val ids = nodes.select($"part", $"id")
+      val dangling = nodes
+        .select($"part", explode(flatten($"neighbors")).as("id"))
+        .join(ids, Seq("part", "id"), "left_anti")
+        .agg(count(lit(1)).as("n_dangling"))
+      recall.crossJoin(broadcast(structure)).crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_emb"))))
+        .select($"recall_ok", ($"max_deg0" <= 2 * m).as("degree_ok"),
+          ($"n_dangling" === 0).as("closed_ok"),
+          ($"n" === $"n_emb").as("nodes_conserved"))
     }),
 
     // V15: BATCH ANN — many probes through one IVF candidate join (the
@@ -372,6 +407,9 @@ object VectorQueries {
     "v16_pq_batch" ->
       "SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k8, true AS matches_single",
     "v9_lsh_ann_recall" -> "SELECT true AS recall_ok",
+    "v17_graph_ann_recall" ->
+      """SELECT true AS recall_ok, true AS degree_ok, true AS closed_ok,
+        | true AS nodes_conserved""".stripMargin,
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->

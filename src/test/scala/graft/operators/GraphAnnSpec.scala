@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Partitioned HNSW-style graph tier: structural invariants (degree caps,
+  * segment-closed adjacency, node conservation), determinism of the
+  * build, recall against brute force, and batch/single equality.
+  */
+class GraphAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val M = 6
+  private lazy val emb = graft.Tables.load(spark, graft.TestSpark.sf, "embeddings")
+  private lazy val nodes = GraphAnn.buildGraph(spark, emb, "vec_id", "embedding",
+    nParts = 4, m = M, efConstruction = 48).localCheckpoint(true)
+
+  test("every corpus vector becomes exactly one node; levels follow the hash") {
+    val n = emb.count()
+    assert(nodes.count() == n)
+    assert(nodes.select("id").distinct().count() == n)
+    val mismatched = nodes.as[GraphNode].collect()
+      .count(gn => gn.level != GraphAnn.levelOf(gn.id, M) ||
+        gn.neighbors.length != gn.level + 1)
+    assert(mismatched == 0, "stored level must equal the deterministic hash level")
+  }
+
+  test("adjacency respects the degree caps and never crosses a partition") {
+    val gs = nodes.as[GraphNode].collect()
+    val partOf = gs.map(g => g.id -> g.part).toMap
+    gs.foreach { g =>
+      g.neighbors.zipWithIndex.foreach { case (layer, l) =>
+        val cap = if (l == 0) 2 * M else M
+        assert(layer.length <= cap, s"node ${g.id} layer $l degree ${layer.length} > $cap")
+        assert(layer.forall(nb => partOf(nb) == g.part),
+          s"node ${g.id} has a cross-partition edge")
+        assert(!layer.contains(g.id), s"node ${g.id} has a self-loop")
+      }
+    }
+  }
+
+  test("the build is deterministic — a rebuild is edge-identical") {
+    val again = GraphAnn.buildGraph(spark, emb, "vec_id", "embedding",
+      nParts = 4, m = M, efConstruction = 48)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.as[GraphNode].collect()
+      .map(g => (g.id, g.level, g.neighbors.map(_.toSeq).toSeq)).sortBy(_._1).toSeq
+    assert(flat(nodes) == flat(again))
+  }
+
+  test("beam search recalls the brute-force top-10 (self-probe finds itself first)") {
+    val probe = emb.filter($"vec_id" === 7)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val got = GraphAnn.searchGraph(nodes, probe, k = 10, ef = 48)
+      .orderBy($"rank").collect()
+    assert(got.head.getLong(0) == 7L, "the probe's own vector must rank first")
+    val recall = got.map(_.getLong(0)).count(exact)
+    assert(recall >= 8, s"recall@10 fell to $recall/10")
+  }
+
+  test("batch search equals the single-probe path probe-for-probe") {
+    val probes = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val batch = GraphAnn.searchGraphBatch(nodes, probes, "probe_id", "probe_vec",
+        k = 5, ef = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3))
+    val singles = (0L until 6L).flatMap { q =>
+      val p = emb.filter($"vec_id" === q)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      GraphAnn.searchGraph(nodes, p, k = 5, ef = 32)
+        .orderBy($"rank").collect()
+        .map(r => (q, r.getLong(0), r.getInt(2)))
+    }.sortBy(t => (t._1, t._3))
+    assert(batch.length == singles.length)
+    assert(batch.sameElements(singles))
+  }
+
+  test("search ranks are dense from 1 and sims non-increasing") {
+    val probe = emb.filter($"vec_id" === 3)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val rows = GraphAnn.searchGraph(nodes, probe, k = 8, ef = 32)
+      .orderBy($"rank").collect()
+    assert(rows.map(_.getInt(2)).toSeq == (1 to rows.length))
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+}
