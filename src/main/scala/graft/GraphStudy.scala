@@ -105,6 +105,20 @@ object GraphStudy {
     val (iRes, tIS) = time { ivfSearch().localCheckpoint(true) }
     println(f"GRAPHSTUDY ivf(64c,np=8)    build=$tIB%.2f s search=$tIS%.2f s recall=${recallOf(iRes, truth)}%.3f")
 
+    // ---- cell-routed graph (per-cell graphs over the IVF assignment,
+    // probes visit only their nprobe routed cells — the composition the
+    // study's verdict points at; reuses the IVF index built above)
+    val (cellNodes, tRB) = time {
+      GraphAnn.buildGraphPerCell(spark, ivf.assignments,
+        m = 8, efConstruction = 64).localCheckpoint(true)
+    }
+    def routedSearch() = GraphAnn.searchGraphRouted(cellNodes, ivf.centroids,
+      probes, "probe_id", "probe_vec", nprobe = 8, k = 10, ef = 64)
+      .select($"probe_id", $"id".as("vec_id"))
+    routedSearch().count() // warm
+    val (rRes, tRS) = time { routedSearch().localCheckpoint(true) }
+    println(f"GRAPHSTUDY routed(np=8)     build=$tRB%.2f s search=$tRS%.2f s recall=${recallOf(rRes, truth)}%.3f")
+
     // ---- IVF-PQ tier
     val (ivfpq, tPB) = time {
       Similarity.buildIvfPq(spark, corpus, "vec_id", "embedding",

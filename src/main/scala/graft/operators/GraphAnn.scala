@@ -232,13 +232,62 @@ object GraphAnn {
       .toDF()
   }
 
+  /** Beam-search one loaded segment for every query in the batch: rebuild
+    * the id→idx view, pick the entry (highest level, ties to smallest
+    * id), then per query descend greedily to layer 1 and ef-beam layer 0.
+    * Emits (probe_id, id, sim) candidate rows, ≤ k per query.
+    */
+  private def searchSegment(ns: Array[GraphNode],
+      queries: Iterable[(Long, Array[Float])], k: Int,
+      ef: Int): Iterator[(Long, Long, Double)] = {
+    if (ns.isEmpty) return Iterator.empty
+    val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
+    ns.indices.foreach(i => idIdx.put(ns(i).id, i))
+    val vecs: Int => Array[Float] = i => ns(i).vec
+    val adj: (Int, Int) => Iterable[Int] = (n, l) =>
+      if (l < ns(n).neighbors.length)
+        ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
+      else Nil
+    var entry = 0
+    ns.indices.foreach { i =>
+      if (ns(i).level > ns(entry).level ||
+        (ns(i).level == ns(entry).level && ns(i).id < ns(entry).id)) entry = i
+    }
+    val visited = new java.util.BitSet(ns.length)
+    queries.iterator.flatMap { case (pid, q) =>
+      var ep = entry
+      var l = ns(entry).level
+      while (l > 0) { ep = greedyStep(q, ep, l, vecs, adj); l -= 1 }
+      val w = searchLayer(q, List(ep), ef, 0, vecs, adj, visited)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val it2 = w.iterator()
+      var taken = 0
+      while (it2.hasNext && taken < k) {
+        val (i, s) = it2.next(); out += ((pid, ns(i).id, s)); taken += 1
+      }
+      out
+    }
+  }
+
+  /** Per-probe global top-k over segment candidates via the bounded-heap
+    * aggregator — ≤ k rows per probe cross the final shuffle, nothing
+    * sorts the candidate union. Output matches the other ANN tiers.
+    */
+  private def mergeTopK(cands: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    cands.groupBy(col("probe_id"))
+      .agg(topk(col("id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
+  }
+
   /** Batch beam search: the probe batch broadcasts (bounded — a serving
-    * batch, never the corpus), every segment rebuilds its id→idx view and
-    * beam-searches each probe (descend greedily to layer 1, ef-beam at
-    * layer 0), and the per-probe global top-k merges through the
-    * bounded-heap aggregator — ≤ k rows per probe cross the final
-    * shuffle, nothing sorts the candidate union. Output matches the
-    * other ANN tiers: (probe_id, id, sim, rank).
+    * batch, never the corpus), EVERY segment is beam-searched per probe
+    * (un-routed fan-out — fine up to ~100 segments; see
+    * [[searchGraphRouted]] for the bounded-fan-out form), and the
+    * per-probe global top-k merges through the bounded-heap aggregator.
+    * Output: (probe_id, id, sim, rank).
     */
   def searchGraphBatch(nodes: DataFrame, probes: DataFrame, probeId: String,
       probeVec: String, k: Int, ef: Int): DataFrame = {
@@ -251,44 +300,91 @@ object GraphAnn {
     val kLocal = k
     val efLocal = math.max(ef, k)
     val cands = nodes.as[GraphNode].mapPartitions { it =>
-      val ns = it.toArray
-      if (ns.isEmpty) Iterator.empty
-      else {
-        val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
-        ns.indices.foreach(i => idIdx.put(ns(i).id, i))
-        val vecs: Int => Array[Float] = i => ns(i).vec
-        val adj: (Int, Int) => Iterable[Int] = (n, l) =>
-          if (l < ns(n).neighbors.length)
-            ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
-          else Nil
-        // entry = the highest-level node, ties to the smallest id
-        var entry = 0
-        ns.indices.foreach { i =>
-          if (ns(i).level > ns(entry).level ||
-            (ns(i).level == ns(entry).level && ns(i).id < ns(entry).id)) entry = i
-        }
-        val visited = new java.util.BitSet(ns.length)
-        bc.value.iterator.flatMap { case (pid, q) =>
-          var ep = entry
-          var l = ns(entry).level
-          while (l > 0) { ep = greedyStep(q, ep, l, vecs, adj); l -= 1 }
-          val w = searchLayer(q, List(ep), efLocal, 0, vecs, adj, visited)
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-          val it2 = w.iterator()
-          var taken = 0
-          while (it2.hasNext && taken < kLocal) {
-            val (i, s) = it2.next(); out += ((pid, ns(i).id, s)); taken += 1
-          }
-          out
+      // a SEGMENT is a `part` group, not a physical partition: adjacency
+      // is closed over `part`, so co-located groups (e.g. several cells
+      // hashed into one partition) are disconnected graphs with their own
+      // entry points — one beam per group, never one beam per partition
+      it.toArray.groupBy(_.part).iterator.flatMap { case (_, ns) =>
+        searchSegment(ns, bc.value, kLocal, efLocal)
+      }
+    }.toDF("probe_id", "id", "sim")
+    mergeTopK(cands, k)
+  }
+
+  /** Cell-routed composition — the 100 TB shape from the SCALING.md
+    * study: one graph PER IVF CELL (`part` doubles as the cell id), so a
+    * probe's beam fan-out is its nprobe routed cells instead of every
+    * segment, exactly the bounded fan-out the IVF tier has — with the
+    * graph replacing the cell's flat exact scan. This is the DiskANN
+    * direction (Subramanya et al., NeurIPS 2019: cluster, then graph
+    * within the cluster); the cell layout, routing rule and merge are
+    * shared with the shipped IVF tier so the tiers compose rather than
+    * compete.
+    *
+    * `assignments` is [[Similarity.IvfIndex.assignments]] — (id, vec,
+    * cell). One shuffle groups each cell's vectors; each cell's graph is
+    * built in memory by one task (cells are corpus/nCells — size cells so
+    * one fits an executor, the same constraint the IVF cell scan has).
+    */
+  def buildGraphPerCell(spark: SparkSession, assignments: DataFrame,
+      m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    import spark.implicits._
+    assignments.select(col("cell").cast("int"), col("id").cast("long"),
+        col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
+        val b = new Builder(m, efConstruction)
+        rows.foreach { case (id, v) => b.insert(id, l2unit(v)) }
+        b.emit(cell)
+      }
+      .toDF()
+  }
+
+  /** The cells a probe routes to — the IVF rule verbatim, exposed so
+    * gates can assert the fan-out bound from outside the search.
+    */
+  def routeCells(centroids: Array[(Int, Array[Float])], probe: Array[Float],
+      nprobe: Int): Seq[Int] = Similarity.nearestCells(centroids, probe, nprobe)
+
+  /** Routed batch search over a [[buildGraphPerCell]] index: each probe
+    * resolves its nprobe cells against the broadcast centroids (raw
+    * space — identical routing to [[Similarity.searchIvfBatch]]), only
+    * segments holding a routed cell run a beam, and per-probe top-k
+    * merges across its cells through the bounded-heap aggregator. A cell
+    * nobody routes to is never searched (and, on a cell-partitioned
+    * persisted layout, never read — the PartitionFilters discipline of
+    * `searchIvfPartitionedBatch` applies unchanged).
+    */
+  def searchGraphRouted(nodes: DataFrame,
+      centroids: Array[(Int, Array[Float])], probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int,
+      ef: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val batch = probes.select(col(probeId).cast("long"), col(probeVec))
+      .as[(Long, Array[Float])].collect()
+    // route in RAW space (the centroids' space); search on unit vectors
+    val routes: Map[Int, Array[(Long, Array[Float])]] = batch
+      .flatMap { case (pid, v) =>
+        val u = l2unit(v)
+        Similarity.nearestCells(centroids, v, nprobe).map(c => (c, (pid, u)))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast(routes)
+    val kLocal = k
+    val efLocal = math.max(ef, k)
+    val cands = nodes.as[GraphNode].mapPartitions { it =>
+      it.toArray.groupBy(_.part).iterator.flatMap { case (cell, ns) =>
+        bc.value.get(cell) match {
+          case Some(qs) => searchSegment(ns, qs, kLocal, efLocal)
+          case None => Iterator.empty
         }
       }
     }.toDF("probe_id", "id", "sim")
-    val topk = udaf(new graft.functions.TopKByScore(k))
-    cands.groupBy(col("probe_id"))
-      .agg(topk(col("id"), col("sim")).as("top"))
-      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
-      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
-        (col("r") + 1).cast("int").as("rank"))
+    mergeTopK(cands, k)
   }
 
   /** Single-probe convenience over [[searchGraphBatch]]. */

@@ -103,8 +103,11 @@ object Similarity {
     IvfIndex(centroids, data.withColumn("cell", assignUdf(spark, centroids)(col("vec"))))
   }
 
-  /** The nprobe cells whose centroids are closest to the probe vector. */
-  private def nearestCells(centroids: Array[(Int, Array[Float])],
+  /** The nprobe cells whose centroids are closest to the probe vector.
+    * (`private[operators]`: the cell-routed graph tier routes with the
+    * same rule so its fan-out matches the IVF tier's exactly.)
+    */
+  private[operators] def nearestCells(centroids: Array[(Int, Array[Float])],
       probe: Array[Float], nprobe: Int): Seq[Int] =
     centroids.map { case (ci, c) =>
       var d = 0.0; var i = 0

@@ -123,6 +123,42 @@ object VectorQueries {
           ($"n" === $"n_emb").as("nodes_conserved"))
     }),
 
+    // V18: cell-ROUTED graph ANN — the DiskANN-direction composition from
+    // SCALING.md's graph study: per-IVF-cell graphs, probes beam only
+    // their nprobe routed cells (bounded fan-out, unlike v17's
+    // every-segment sweep). The IVF index is serving-tier state shared
+    // with v15 (same build parameters, same memo key — v5 gates IVF
+    // training); the timed region is the per-cell graph build + the
+    // routed search. The fan-out bound is ASSERTED from outside the
+    // search via the assignments table.
+    "v18_routed_graph_ann" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val index = Fixtures.cachedObj(s, s"v15_ivf:$d")(
+        Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16, iters = 2))
+      val nodes = GraphAnn.buildGraphPerCell(s, index.assignments,
+        m = 8, efConstruction = 48).localCheckpoint(true)
+      val nprobe = 4
+      val routed = GraphAnn.searchGraphRouted(nodes, index.centroids,
+        Seq((0L, probe)).toDF("probe_id", "probe_vec"),
+        "probe_id", "probe_vec", nprobe, k = 10, ef = 48)
+        .localCheckpoint(true)
+      val probedCells = GraphAnn.routeCells(index.centroids, probe, nprobe)
+      val recall = exact
+        .join(routed.select($"id".as("vec_id")), Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 5).as("recall_ok"))
+      val fanout = routed.select($"id")
+        .join(index.assignments.select($"id", $"cell"), Seq("id"))
+        .agg(every($"cell".isin(probedCells: _*)).as("fanout_ok"),
+          (countDistinct($"cell") <= nprobe).as("cells_bounded"))
+      recall.crossJoin(broadcast(fanout))
+        .select($"recall_ok", $"fanout_ok", $"cells_bounded")
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -410,6 +446,8 @@ object VectorQueries {
     "v17_graph_ann_recall" ->
       """SELECT true AS recall_ok, true AS degree_ok, true AS closed_ok,
         | true AS nodes_conserved""".stripMargin,
+    "v18_routed_graph_ann" ->
+      "SELECT true AS recall_ok, true AS fanout_ok, true AS cells_bounded",
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->

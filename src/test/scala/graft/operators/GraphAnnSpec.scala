@@ -80,6 +80,52 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(batch.sameElements(singles))
   }
 
+  private lazy val ivf = Similarity.buildIvf(spark, emb, "vec_id", "embedding",
+    nCells = 8, iters = 2)
+  private lazy val cellNodes = GraphAnn.buildGraphPerCell(spark,
+    ivf.assignments, m = M, efConstruction = 48).localCheckpoint(true)
+
+  test("per-cell graphs: part is the cell, adjacency stays inside it") {
+    val cellOf = ivf.assignments.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gs = cellNodes.as[GraphNode].collect()
+    assert(gs.length == cellOf.size)
+    gs.foreach { g =>
+      assert(g.part == cellOf(g.id), s"node ${g.id} stored under part ${g.part}")
+      g.neighbors.foreach(layer => layer.foreach(nb =>
+        assert(cellOf(nb) == g.part, s"edge ${g.id}->$nb leaves cell ${g.part}")))
+    }
+  }
+
+  test("routed search touches only the probed cells") {
+    val probe = emb.filter($"vec_id" === 11)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val nprobe = 3
+    val probed = GraphAnn.routeCells(ivf.centroids, probe, nprobe).toSet
+    assert(probed.size == nprobe)
+    val got = GraphAnn.searchGraphRouted(cellNodes, ivf.centroids,
+      Seq((0L, probe)).toDF("probe_id", "probe_vec"),
+      "probe_id", "probe_vec", nprobe, k = 10, ef = 48).collect()
+    val cellOf = ivf.assignments.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach(r => assert(probed.contains(cellOf(r.getLong(1))),
+      s"result ${r.getLong(1)} came from an un-probed cell"))
+  }
+
+  test("routing to every cell equals the un-routed sweep of the same index") {
+    val probes = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+    val routedAll = flat(GraphAnn.searchGraphRouted(cellNodes, ivf.centroids,
+      probes, "probe_id", "probe_vec", nprobe = 8, k = 6, ef = 48))
+    val swept = flat(GraphAnn.searchGraphBatch(cellNodes, probes,
+      "probe_id", "probe_vec", k = 6, ef = 48))
+    assert(routedAll.length == swept.length)
+    assert(routedAll.sameElements(swept))
+  }
+
   test("search ranks are dense from 1 and sims non-increasing") {
     val probe = emb.filter($"vec_id" === 3)
       .select($"embedding").head().getSeq[Float](0).toArray
