@@ -189,6 +189,29 @@ object FloorProbe {
       f"${mins(a) / mins(b)}%.1fx"
     println(s"FLOOR dc3 pruned speedup: ${ratio("dc3_brute_32x_10k", "dc3_pruned_32x_10k")}")
 
+    // st6 attribution (r12): the end-to-end streaming ingest gate is a
+    // job-count story — 3 micro-batches × (ingest CC + two upserts +
+    // index reads) + orchestration. Count the jobs one warm run issues
+    // and compare jobs × noop floor against the measured wall.
+    {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      SparkEntry.queries("st6_stream_ingest")(spark, sfDir).count() // warm
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      SparkEntry.queries("st6_stream_ingest")(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      val floor = mins("noop_empty_job_warm")
+      println(f"FLOOR st6_jobs n=${jobs.get()} wall=${wall}%.2f " +
+        f"jobsXfloor=${jobs.get() * floor}%.2f floor=${floor}%.3f")
+    }
+
     // AQE-off comparison for the full query
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     var bestNoAqe = Double.MaxValue

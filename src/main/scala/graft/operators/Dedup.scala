@@ -928,8 +928,12 @@ object Dedup {
       .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
       .withColumn("bk", bandKey)
     val idxKeyed = indexBands.select(bandKey.as("bk"), col("id").as("idx_id"))
+    // a caller-provided Bloom asserts persisted index state exists — the
+    // isEmpty probe would be one more scan of the index per micro-batch
+    // (and against an actually-empty index the joins return empty anyway)
     val dupIds =
-      if (indexBands.isEmpty) batchSigs.select(col("id")).limit(0)
+      if (bandBloom.isEmpty && indexBands.isEmpty)
+        batchSigs.select(col("id")).limit(0)
       else {
         // prefer the caller's persisted Bloom (built once, merged per
         // batch); deriving it here rescans the index — gate-scale only
@@ -999,7 +1003,8 @@ object Dedup {
       .withColumn("bk", bandKey)
     val idxKeyed = indexBands.select(bandKey.as("bk"), col("id").as("idx_id"))
     val dupIds =
-      if (indexBands.isEmpty) batchSk.select(col("id")).limit(0)
+      if (bandBloom.isEmpty && indexBands.isEmpty)
+        batchSk.select(col("id")).limit(0)
       else {
         val bf = bandBloom.getOrElse(buildBandBloom(indexBands, expectedBandKeys, fpp))
         val bfB = spark.sparkContext.broadcast(bf)

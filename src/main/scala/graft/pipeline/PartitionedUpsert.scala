@@ -49,13 +49,12 @@ object PartitionedUpsert {
     // overwrite of the same path is legal (the files are no longer read)
     // and the delete-then-write window never observes half-deleted input
     val merged = kept.unionByName(fresh).localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // writer-level option (takes precedence over the session conf): no
+    // mutable session state, so concurrent upserts to DIFFERENT tables
+    // are safe — StreamingIngest overlaps its sigs/bands maintenance
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket").parquet(dir)
   }
 
   /** Read the table back (bucket column dropped). */

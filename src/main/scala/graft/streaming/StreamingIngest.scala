@@ -21,6 +21,13 @@ import graft.pipeline.PartitionedUpsert
   */
 object StreamingIngest {
 
+  /** Default hash-bucket count for the index tables. Size it to the
+    * index's data, not its row count at gate scale: each micro-batch's
+    * upsert rewrites every touched bucket, so an oversharded index pays
+    * (buckets × shuffle-width) small-file writes per pass for no
+    * pruning benefit. Gates pass 8; a 100 TB index sizes buckets so
+    * each holds O(100 MB–1 GB).
+    */
   private val Buckets = 64
 
   /** Post-pass index maintenance: every [[PartitionedUpsert.upsertByKey]]
@@ -105,11 +112,20 @@ object StreamingIngest {
   def runAvailableNowNearDup(spark: SparkSession, docsDir: String,
       indexDir: String, checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.7,
-      expectedBandKeys: Long = 1L << 20): Long = {
+      expectedBandKeys: Long = 1L << 20,
+      maxFilesPerTrigger: Option[Int] = None,
+      buckets: Int = Buckets): Long = {
     val sigsDir = s"$indexDir/sigs"
     val bandsDir = s"$indexDir/bands"
     val schema = spark.read.parquet(docsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    // maxFilesPerTrigger splits a backlog into real micro-batches (the
+    // file source takes oldest-mtime-first), so an AvailableNow pass over
+    // N staged files exercises the batch-over-growing-index loop N times
+    // instead of collapsing to one batch — the st6 gate relies on this.
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(docsDir)
     var batches = 0L
     var bloom: org.apache.spark.util.sketch.BloomFilter = null
     val q = stream.writeStream
@@ -141,11 +157,20 @@ object StreamingIngest {
               .localCheckpoint(true) // feeds sig upsert, band delta, bloom
             val deltaBands = Dedup.minhashBandIndex(deltaSigs)
             if (haveIndex) {
-              PartitionedUpsert.upsertByKey(s, sigsDir, deltaSigs, "id", Buckets)
-              PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands, "id", Buckets)
+              // independent tables — overlap the two maintenance writes
+              // (upsertByKey holds no session-level state; see the
+              // writer-level overwrite option in PartitionedUpsert)
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              val up = Seq(
+                Future(PartitionedUpsert.upsertByKey(s, sigsDir, deltaSigs,
+                  "id", buckets)),
+                Future(PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands,
+                  "id", buckets)))
+              up.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
             } else {
-              PartitionedUpsert.writeInitial(deltaSigs, sigsDir, "id", Buckets)
-              PartitionedUpsert.writeInitial(deltaBands, bandsDir, "id", Buckets)
+              PartitionedUpsert.writeInitial(deltaSigs, sigsDir, "id", buckets)
+              PartitionedUpsert.writeInitial(deltaBands, bandsDir, "id", buckets)
             }
             bloom.mergeInPlace(Dedup.buildBandBloom(deltaBands, expectedBandKeys))
           }

@@ -81,6 +81,70 @@ class StreamingIngestSpec extends AnyFunSuite {
       "replayed batches must append nothing")
   }
 
+  /** Stage `rows` as docs/b<i>.parquet with a fixed ascending mtime, the
+    * way the st6 gate does — the file source takes oldest-first, so file
+    * index IS arrival order.
+    */
+  private def writeStaged(docsDir: String, i: Int,
+      rows: Seq[(Long, String)]): Unit = {
+    val scratch = Files.createTempDirectory("graft-st6spec")
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val ls = Files.list(scratch)
+    val part =
+      try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally ls.close()
+    Files.createDirectories(java.nio.file.Paths.get(docsDir))
+    val dst = java.nio.file.Paths.get(docsDir, s"b$i.parquet")
+    Files.move(part, dst)
+    Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+      .fromMillis(1700000000000L + i * 3600000L))
+  }
+
+  test("multi-micro-batch streaming ingest = the batch ingest gate") {
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft-ingest-eq").toString
+    val docs = s"$root/docs"; val index = s"$root/index"
+
+    val corpus = Seq(2L -> prose("beta"), 4L -> prose("zeta"))
+    // three arrival files, ascending doc_id; clusters deliberately span
+    // micro-batches (1↔3 within file 0, 1↔7 and 9↔11 across files) and
+    // one late arrival (5) near-dups the corpus
+    val files = Seq(
+      Seq(1L -> prose("alpha"), 3L -> (prose("alpha") + " tail")),
+      Seq(5L -> (prose("beta") + " extra"), 7L -> (prose("alpha") + " coda"),
+        9L -> prose("gamma")),
+      Seq(11L -> (prose("gamma") + " more"), 13L -> prose("delta")))
+    files.zipWithIndex.foreach { case (rows, i) => writeStaged(docs, i, rows) }
+
+    // batch form: the whole arrival set ingested at once against the
+    // corpus index (the d15 shape)
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpusDf, "doc_id", "text")
+    val bands = Dedup.minhashBandIndex(sigs)
+    val batchAll = files.flatten.toDF("doc_id", "text")
+    val batchSurvivors = Dedup.ingestNovelDocuments(batchAll, "doc_id",
+        "text", sigs, bands, threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    // streaming form: corpus index persisted, files replayed oldest-first
+    // one micro-batch per file
+    PartitionedUpsert.writeInitial(sigs, s"$index/sigs", "id", 8)
+    PartitionedUpsert.writeInitial(bands, s"$index/bands", "id", 8)
+    val nBatches = StreamingIngest.runAvailableNowNearDup(spark, docs,
+      index, s"$root/ckpt", threshold = 0.5, maxFilesPerTrigger = Some(1))
+    assert(nBatches >= 3, "one micro-batch per staged file")
+    val streamSurvivors = PartitionedUpsert.read(spark, s"$index/sigs")
+      .filter($"id" % 2 === 1).select($"id").collect().map(_.getLong(0)).toSet
+
+    // keeper rule replays exactly: min-id of each cluster survives
+    // (1 over {1,3,7}, 9 over {9,11}), corpus-matched 5 drops, 13 novel
+    assert(batchSurvivors == Set(1L, 9L, 13L))
+    assert(streamSurvivors == batchSurvivors,
+      "ascending arrival order must reproduce the batch min-id keeper rule")
+  }
+
   test("compactIndex bounds ingest fragmentation without changing behavior") {
     val root = Files.createTempDirectory("graft-ingest-compact").toString
     val docs = s"$root/docs"; val index = s"$root/index"; val ckpt = s"$root/ckpt"
