@@ -132,6 +132,39 @@ object GraphStudy {
     val (pRes, tPS) = time { pqSearch().localCheckpoint(true) }
     println(f"GRAPHSTUDY ivfpq(8x16)      build=$tPB%.2f s search=$tPS%.2f s recall=${recallOf(pRes, truth)}%.3f")
 
+    // ---- PQ-routed graph (r12 closure of the study's last upgrade):
+    // per-cell graphs over the IVF-PQ index storing ONLY the 8-byte
+    // residual codes, beams on ADC scores, exact rerank of survivors —
+    // the full DiskANN memory layout. Reuses the IVF-PQ index above.
+    val (pqNodes, tQB) = time {
+      GraphAnn.buildGraphPerCellPq(spark, corpus, "vec_id", "embedding",
+        ivfpq, m = 8, efConstruction = 64).localCheckpoint(true)
+    }
+    def pqRoutedSearch() = GraphAnn.searchGraphRoutedPq(pqNodes, ivfpq,
+      corpus, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 8, k = 10, ef = 64)
+      .select($"probe_id", $"id".as("vec_id"))
+    pqRoutedSearch().count() // warm
+    val (qRes, tQS) = time { pqRoutedSearch().localCheckpoint(true) }
+    println(f"GRAPHSTUDY pq_routed(np=8)  build=$tQB%.2f s search=$tQS%.2f s recall=${recallOf(qRes, truth)}%.3f")
+    // clump sensitivity: in the replica-clump regime ADC noise inside a
+    // clump is larger than the true-neighbor gaps, so BOTH the beam and
+    // the rerank cut must out-width the clump (ef and k·rerankFactor >
+    // mult) for the exact rerank to see the true top-10 at all
+    def pqRoutedWide() = GraphAnn.searchGraphRoutedPq(pqNodes, ivfpq,
+      corpus, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 8, k = 10, ef = 4 * mult, rerankFactor = mult / 2)
+      .select($"probe_id", $"id".as("vec_id"))
+    pqRoutedWide().count() // warm
+    val (qwRes, tQW) = time { pqRoutedWide().localCheckpoint(true) }
+    println(f"GRAPHSTUDY pq_routed(ef=${4 * mult}%d,rf=${mult / 2}%d) build=   -    search=$tQW%.2f s recall=${recallOf(qwRes, truth)}%.3f")
+    // stored bytes per node: codes + adjacency vs float vectors + adjacency
+    val dim = emb.select($"embedding").head().getSeq[Float](0).length
+    val bytesPq = pqNodes.select(
+      (length($"codes") + expr("aggregate(transform(neighbors, l -> size(l) * 8), 0, (a, x) -> a + x)")).as("b"))
+      .agg(avg($"b")).head().getDouble(0)
+    println(f"GRAPHSTUDY pq_routed storage: avg ${bytesPq}%.0f B/node vs float-graph ${dim * 4 + bytesPq - 8}%.0f B/node")
+
     spark.stop()
   }
 }

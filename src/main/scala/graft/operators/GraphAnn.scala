@@ -81,12 +81,13 @@ object GraphAnn {
   }
 
   /** Beam search one layer: standard HNSW SEARCH-LAYER with an ef-bounded
-    * result heap. `adj(node, layer)` supplies the adjacency; works for
-    * both the under-construction builder graph and a loaded segment.
+    * result heap. `adj(node, layer)` supplies the adjacency; `simOf` the
+    * query-to-node score — a float dot product on the exact path, an ADC
+    * table sum on the PQ path. Works for both the under-construction
+    * builder graph and a loaded segment.
     */
-  private def searchLayer(q: Array[Float], eps: Iterable[Int], ef: Int,
-      layer: Int, vecs: Int => Array[Float],
-      adj: (Int, Int) => Iterable[Int],
+  private def searchLayer(simOf: Int => Double, eps: Iterable[Int], ef: Int,
+      layer: Int, adj: (Int, Int) => Iterable[Int],
       visited: java.util.BitSet): java.util.ArrayList[Cand] = {
     visited.clear()
     val cand = new java.util.PriorityQueue[Cand](byBest)
@@ -94,7 +95,7 @@ object GraphAnn {
     eps.foreach { ep =>
       if (!visited.get(ep)) {
         visited.set(ep)
-        val s = dot(q, vecs(ep))
+        val s = simOf(ep)
         cand.add((ep, s)); res.add((ep, s))
         if (res.size > ef) res.poll()
       }
@@ -107,7 +108,7 @@ object GraphAnn {
         adj(c._1, layer).foreach { nb =>
           if (!visited.get(nb)) {
             visited.set(nb)
-            val s = dot(q, vecs(nb))
+            val s = simOf(nb)
             if (res.size < ef || s > res.peek()._2) {
               cand.add((nb, s)); res.add((nb, s))
               if (res.size > ef) res.poll()
@@ -125,15 +126,15 @@ object GraphAnn {
     * layers above the target) — moves only on sim strictly greater, so
     * ties can't cycle and the walk is deterministic.
     */
-  private def greedyStep(q: Array[Float], start: Int, layer: Int,
-      vecs: Int => Array[Float], adj: (Int, Int) => Iterable[Int]): Int = {
+  private def greedyStep(simOf: Int => Double, start: Int, layer: Int,
+      adj: (Int, Int) => Iterable[Int]): Int = {
     var cur = start
-    var curSim = dot(q, vecs(cur))
+    var curSim = simOf(cur)
     var improved = true
     while (improved) {
       improved = false
       adj(cur, layer).foreach { nb =>
-        val s = dot(q, vecs(nb))
+        val s = simOf(nb)
         if (s > curSim) { cur = nb; curSim = s; improved = true }
       }
     }
@@ -171,13 +172,14 @@ object GraphAnn {
       ids += id; vecs += unit; levels += lvl
       adj += Array.fill(lvl + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
       if (entry < 0) { entry = idx; maxLevel = lvl; return }
+      val simOf: Int => Double = i => dot(unit, vecs(i))
       var ep = entry
       var l = maxLevel
-      while (l > lvl) { ep = greedyStep(unit, ep, l, vecs, adjOf); l -= 1 }
+      while (l > lvl) { ep = greedyStep(simOf, ep, l, adjOf); l -= 1 }
       var eps: Iterable[Int] = List(ep)
       l = math.min(lvl, maxLevel)
       while (l >= 0) {
-        val w = searchLayer(unit, eps, efC, l, vecs, adjOf, visited)
+        val w = searchLayer(simOf, eps, efC, l, adjOf, visited)
         val it = w.iterator()
         var taken = 0
         val cap = if (l == 0) maxM0 else maxM
@@ -255,10 +257,11 @@ object GraphAnn {
     }
     val visited = new java.util.BitSet(ns.length)
     queries.iterator.flatMap { case (pid, q) =>
+      val simOf: Int => Double = i => dot(q, vecs(i))
       var ep = entry
       var l = ns(entry).level
-      while (l > 0) { ep = greedyStep(q, ep, l, vecs, adj); l -= 1 }
-      val w = searchLayer(q, List(ep), ef, 0, vecs, adj, visited)
+      while (l > 0) { ep = greedyStep(simOf, ep, l, adj); l -= 1 }
+      val w = searchLayer(simOf, List(ep), ef, 0, adj, visited)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       val it2 = w.iterator()
       var taken = 0
@@ -385,6 +388,163 @@ object GraphAnn {
       }
     }.toDF("probe_id", "id", "sim")
     mergeTopK(cands, k)
+  }
+
+  /** PQ-compressed graph node: `codes` is the IVF-PQ RESIDUAL code word
+    * ([[Similarity.encodePq]] bytes, e.g. 8 B vs the 256 B float vector a
+    * [[GraphNode]] stores) — the stored-index memory upgrade the
+    * SCALING.md graph study left open. The graph STRUCTURE is built on
+    * exact vectors (build-time memory is transient, one cell per task);
+    * only the compressed form is persisted, the DiskANN memory layout
+    * (Subramanya et al., NeurIPS 2019: PQ codes in RAM guide the beam,
+    * full vectors live elsewhere and only rerank survivors).
+    */
+  final case class PqGraphNode(part: Int, id: Long, codes: Array[Byte],
+      level: Int, neighbors: Array[Array[Long]])
+
+  /** [[buildGraphPerCell]] with PQ-compressed storage: cell membership
+    * and code words come from the IVF-PQ index's own `coded` table (so
+    * beam scores decompose exactly like [[Similarity.searchIvfPq]]'s ADC:
+    * q̂·c_cell + residual table lookups), the per-cell graphs are built
+    * on the exact unit vectors, and the emitted nodes carry ONLY the
+    * codes — (subspaces + 2m·8) B/node instead of (dim·4 + 2m·8) B.
+    * One corpus join (id → codes) + one group-by-cell shuffle.
+    */
+  def buildGraphPerCellPq(spark: SparkSession, corpus: DataFrame,
+      idCol: String, vecCol: String, index: Similarity.IvfPqIndex,
+      m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(index.coded.select(col("id"), col("cell"), col("pq_codes")),
+        Seq("id"))
+      .select(col("cell").cast("int"), col("id"), col("vec"), col("pq_codes"))
+      .as[(Int, Long, Array[Float], Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.map(t => (t._2, t._3, t._4)).toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by[(Long, Array[Float], Array[Byte]), Long](_._1))
+        val codesOf = new java.util.HashMap[Long, Array[Byte]](rows.length * 2)
+        rows.foreach { case (id, _, cs) => codesOf.put(id, cs) }
+        val b = new Builder(m, efConstruction)
+        rows.foreach { case (id, v, _) => b.insert(id, l2unit(v)) }
+        b.emit(cell).map(n =>
+          PqGraphNode(n.part, n.id, codesOf.get(n.id), n.level, n.neighbors))
+      }
+      .toDF()
+  }
+
+  /** Beam-search one PQ segment (= one IVF cell): scores are the ADC
+    * decomposition `q̂·c_cell + Σ table(sub)(code)` — no float vector is
+    * read; the table ((subspaces × codes) floats) is built once per
+    * (probe, cell) before the walk. Emits ≤ `kCand` candidates per probe.
+    */
+  private def searchSegmentPq(ns: Array[PqGraphNode],
+      queries: Iterable[(Long, Array[Float])], cellCentroid: Array[Float],
+      book: Similarity.PqCodebook, kCand: Int,
+      ef: Int): Iterator[(Long, Long, Double)] = {
+    if (ns.isEmpty) return Iterator.empty
+    val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
+    ns.indices.foreach(i => idIdx.put(ns(i).id, i))
+    val adj: (Int, Int) => Iterable[Int] = (n, l) =>
+      if (l < ns(n).neighbors.length)
+        ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
+      else Nil
+    var entry = 0
+    ns.indices.foreach { i =>
+      if (ns(i).level > ns(entry).level ||
+        (ns(i).level == ns(entry).level && ns(i).id < ns(entry).id)) entry = i
+    }
+    val visited = new java.util.BitSet(ns.length)
+    queries.iterator.flatMap { case (pid, q) =>
+      val const = dot(q, cellCentroid)
+      val table: Array[Array[Float]] = Array.tabulate(book.subspaces) { sc =>
+        book.centroids(sc).map { cent =>
+          var s = 0.0; var i = 0
+          while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
+          s.toFloat
+        }
+      }
+      val simOf: Int => Double = i => {
+        val cs = ns(i).codes
+        var s = const
+        var sc = 0
+        while (sc < cs.length) { s += table(sc)(cs(sc) & 0xff); sc += 1 }
+        s
+      }
+      var ep = entry
+      var l = ns(entry).level
+      while (l > 0) { ep = greedyStep(simOf, ep, l, adj); l -= 1 }
+      val w = searchLayer(simOf, List(ep), ef, 0, adj, visited)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val it2 = w.iterator()
+      var taken = 0
+      while (it2.hasNext && taken < kCand) {
+        val (i, s) = it2.next(); out += ((pid, ns(i).id, s)); taken += 1
+      }
+      out
+    }
+  }
+
+  /** Routed batch search over a [[buildGraphPerCellPq]] index — the full
+    * DiskANN-shaped serving path: probes route to their nprobe cells in
+    * UNIT space (identical to [[Similarity.searchIvfPq]]'s rule), each
+    * routed cell's graph beams on ADC scores over the 8-byte codes (no
+    * float vector read in stage 1), per-probe ADC survivors merge to
+    * k·rerankFactor through the bounded-heap aggregator, and stage 2
+    * exact-reranks ONLY the survivors against the float corpus — the
+    * same two-stage contract as [[Similarity.searchIvfPqBatch]], with
+    * the cell's flat code scan replaced by a beam. Output:
+    * (probe_id, id, sim, rank), sims exact.
+    */
+  def searchGraphRoutedPq(nodes: DataFrame, index: Similarity.IvfPqIndex,
+      corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val batch = probes.select(col(probeId).cast("long"), col(probeVec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (pid, v) => (pid, l2unit(v)) }
+    // unit-space routing — IVF-PQ trains its cells on unit vectors
+    val routes: Map[Int, Array[(Long, Array[Float])]] = batch
+      .flatMap { case (pid, u) =>
+        Similarity.nearestCells(index.centroids, u, nprobe)
+          .map(c => (c, (pid, u)))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bcR = spark.sparkContext.broadcast(
+      (routes, index.centroids.toMap, index.book))
+    val kCand = k * rerankFactor
+    val efLocal = math.max(ef, kCand)
+    val approx = nodes.as[PqGraphNode].mapPartitions { it =>
+      val (rts, centroidOf, book) = bcR.value
+      it.toArray.groupBy(_.part).iterator.flatMap { case (cell, ns) =>
+        rts.get(cell) match {
+          case Some(qs) =>
+            searchSegmentPq(ns, qs, centroidOf(cell), book, kCand, efLocal)
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("probe_id", "id", "approx_sim")
+    val stage1 = udaf(new graft.functions.TopKByScore(kCand))
+    val survivors = approx.groupBy(col("probe_id"))
+      .agg(stage1(col("id"), col("approx_sim")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("p"))
+      .select(col("probe_id"), col("p._1").as("id"))
+    val stage2 = udaf(new graft.functions.TopKByScore(k))
+    survivors
+      .join(corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec")), Seq("id"))
+      .join(broadcast(probes.select(col(probeId).cast("long").as("probe_id"),
+        col(probeVec).as("probe_vec"))), Seq("probe_id"))
+      .withColumn("sim", graft.functions.GraftFunctions
+        .cosine_f32(col("vec"), col("probe_vec")))
+      .groupBy(col("probe_id"))
+      .agg(stage2(col("id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
   }
 
   /** Single-probe convenience over [[searchGraphBatch]]. */

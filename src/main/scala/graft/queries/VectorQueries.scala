@@ -159,6 +159,59 @@ object VectorQueries {
         .select($"recall_ok", $"fanout_ok", $"cells_bounded")
     }),
 
+    // V19: PQ-compressed routed graph ANN — the full DiskANN memory
+    // layout closing the graph study's last upgrade: per-cell graphs
+    // store 8-byte PQ residual codes instead of 256-byte float vectors,
+    // beams run on ADC scores (stage 1 reads NO float vector), survivors
+    // exact-rerank against the corpus. Shares the v16 serving-tier
+    // IVF-PQ index memo (v13 gates that build); the timed region is the
+    // per-cell PQ graph build + the two-stage routed search. Asserts
+    // per-probe recall vs brute force, the routing fan-out bound (from
+    // outside the search, via the index's own coded table), the storage
+    // claim (max stored payload = subspaces bytes), and node
+    // conservation.
+    "v19_pq_graph_ann" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2, pqIters = 2))
+      val nodes = GraphAnn.buildGraphPerCellPq(s, emb, "vec_id", "embedding",
+        index, m = 8, efConstruction = 48).localCheckpoint(true)
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val nprobe = 4
+      val res = GraphAnn.searchGraphRoutedPq(nodes, index, emb, "vec_id",
+          "embedding", probes, "probe_id", "probe_vec", nprobe, k = 10, ef = 48)
+        .localCheckpoint(true)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb, "vec_id", "embedding", k = 10)
+        .select($"probe_id", $"vec_id".as("id"))
+      val recall = exact
+        .join(res.select($"probe_id", $"id"), Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").agg(count(lit(1)).as("hits"))
+        .agg((min($"hits") >= 5).as("recall_ok"),
+          (count(lit(1)) === 4).as("all_probes"))
+      // routed cells recomputed OUTSIDE the search (4-row driver batch)
+      val routedPairs = probes.as[(Long, Array[Float])].collect().toSeq
+        .flatMap { case (pid, v) =>
+          Similarity.probedCells(index, v, nprobe).map(c => (pid, c)) }
+        .toDF("probe_id", "cell")
+      val fanout = res.select($"probe_id", $"id")
+        .join(index.coded.select($"id", $"cell"), Seq("id"))
+        .join(broadcast(routedPairs.withColumn("routed", lit(true))),
+          Seq("probe_id", "cell"), "left")
+        .agg(every(coalesce($"routed", lit(false))).as("fanout_ok"))
+      val storage = nodes.agg(max(length($"codes")).as("max_code_bytes"),
+        count(lit(1)).as("n_nodes"))
+      recall.crossJoin(broadcast(fanout)).crossJoin(broadcast(storage))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_emb"))))
+        .select($"recall_ok", $"all_probes", $"fanout_ok",
+          ($"max_code_bytes" === 8).as("codes_compressed"),
+          ($"n_nodes" === $"n_emb").as("nodes_conserved"))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -448,6 +501,9 @@ object VectorQueries {
         | true AS nodes_conserved""".stripMargin,
     "v18_routed_graph_ann" ->
       "SELECT true AS recall_ok, true AS fanout_ok, true AS cells_bounded",
+    "v19_pq_graph_ann" ->
+      """SELECT true AS recall_ok, true AS all_probes, true AS fanout_ok,
+        | true AS codes_compressed, true AS nodes_conserved""".stripMargin,
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->

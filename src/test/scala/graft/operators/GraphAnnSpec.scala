@@ -126,6 +126,69 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(routedAll.sameElements(swept))
   }
 
+  private lazy val ivfPq = Similarity.buildIvfPq(spark, emb, "vec_id",
+    "embedding", nCells = 8, subspaces = 8, codesPerSub = 16,
+    ivfIters = 2, pqIters = 2)
+  private lazy val pqNodes = GraphAnn.buildGraphPerCellPq(spark, emb,
+    "vec_id", "embedding", ivfPq, m = M, efConstruction = 48)
+    .localCheckpoint(true)
+
+  test("PQ graph: nodes store only the code word, cell-closed, deterministic") {
+    val cellOf = ivfPq.coded.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gs = pqNodes.as[GraphAnn.PqGraphNode].collect()
+    assert(gs.length == cellOf.size)
+    gs.foreach { g =>
+      assert(g.codes.length == 8, s"node ${g.id} stores ${g.codes.length} B")
+      assert(g.part == cellOf(g.id))
+      g.neighbors.foreach(layer => layer.foreach(nb =>
+        assert(cellOf(nb) == g.part, s"edge ${g.id}->$nb leaves cell ${g.part}")))
+    }
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.as[GraphAnn.PqGraphNode].collect()
+        .map(g => (g.id, g.level, g.codes.toSeq,
+          g.neighbors.map(_.toSeq).toSeq)).sortBy(_._1).toSeq
+    val again = GraphAnn.buildGraphPerCellPq(spark, emb, "vec_id",
+      "embedding", ivfPq, m = M, efConstruction = 48)
+    assert(flat(pqNodes) == flat(again))
+  }
+
+  test("routed PQ search: full fan-out + exhaustive rerank recovers exact top-k") {
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    // nprobe = all cells, beam covers each whole cell, rerank keeps the
+    // full candidate set — stage 2's exact cosine must then reproduce
+    // brute force row for row (ids, sims and ranks)
+    val got = GraphAnn.searchGraphRoutedPq(pqNodes, ivfPq, emb, "vec_id",
+        "embedding", probes, "probe_id", "probe_vec", nprobe = 8, k = 5,
+        ef = n, rerankFactor = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+        emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.length == exact.length)
+    assert(got.sameElements(exact))
+  }
+
+  test("routed PQ search touches only the probed cells") {
+    val probe = emb.filter($"vec_id" === 11)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val nprobe = 3
+    val probed = Similarity.probedCells(ivfPq, probe, nprobe).toSet
+    assert(probed.size == nprobe)
+    val cellOf = ivfPq.coded.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = GraphAnn.searchGraphRoutedPq(pqNodes, ivfPq, emb, "vec_id",
+      "embedding", Seq((0L, probe)).toDF("probe_id", "probe_vec"),
+      "probe_id", "probe_vec", nprobe, k = 5, ef = 32).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(probed.contains(cellOf(r.getLong(1))),
+      s"result ${r.getLong(1)} came from an un-probed cell"))
+  }
+
   test("search ranks are dense from 1 and sims non-increasing") {
     val probe = emb.filter($"vec_id" === 3)
       .select($"embedding").head().getSeq[Float](0).toArray
