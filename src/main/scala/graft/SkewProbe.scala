@@ -131,6 +131,72 @@ object SkewProbe {
     }
   }
 
+  /** Graph-ANN cell-axis skew (round 12) — the build surface the v18/v19
+    * tiers added: `buildGraphPerCell` hands ONE task a whole cell's
+    * single-threaded HNSW construction, so a mega-cell (clumped corpora
+    * concentrate k-means mass; 90 % forced share here) serializes the
+    * build. The plant forges 90 % of ASSIGNMENTS into one cell while
+    * keeping natural vectors (clone vectors would degenerate the graph
+    * itself and measure the wrong thing). Cases: the unsliced pathology,
+    * the `maxSegmentSize` mitigation (hash-sliced sub-segments, each its
+    * own build task), and the routed-search side over both layouts.
+    * Bar: the MITIGATED build and search stay ≤ 2x their uniform
+    * baselines; the unsliced row is the documented pathology.
+    */
+  private def runGraphStudy(spark: SparkSession, base: String, reps: Int,
+      time: (() => Long) => (Double, Long)): Unit = {
+    import spark.implicits._
+    import graft.operators.{GraphAnn, Similarity}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, base, "embeddings")
+      .select($"vec_id", $"embedding")
+    // R=32 -> 64k vectors at sf0.1: big enough that a 58k-node
+    // single-task build dwarfs scheduler floors, small enough to rep
+    val R = sys.env.getOrElse("SPARK_GRAFT_SKEW_GRAPH_R", "32").toInt
+    val corpus = (0 until R).map(i => emb.select(
+        ($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"), $"embedding"))
+      .reduce(_.unionByName(_))
+      .repartition(32).localCheckpoint(true)
+    val n = corpus.count()
+    val ivf = Similarity.buildIvf(spark, corpus, "vec_id", "embedding", 16, 2)
+    val asgU = ivf.assignments.localCheckpoint(true)
+    val hot = 0
+    val asgS = asgU.withColumn("cell",
+        when($"id" % 10 =!= 0, lit(hot)).otherwise($"cell"))
+      .localCheckpoint(true)
+    val cap = ((n + 31) / 32).toInt // target 32-way slice parallelism
+    val efC = 32
+    def build(asg: org.apache.spark.sql.DataFrame, maxSeg: Int)() =
+      GraphAnn.buildGraphPerCell(spark, asg, m = 8, efConstruction = efC,
+        maxSegmentSize = maxSeg).count()
+    val probes = emb.filter($"vec_id" < 64)
+      .select($"vec_id".cast("long").as("probe_id"),
+        $"embedding".as("probe_vec")).localCheckpoint(true)
+    def mkGraph(asg: org.apache.spark.sql.DataFrame, maxSeg: Int) =
+      GraphAnn.buildGraphPerCell(spark, asg, m = 8, efConstruction = efC,
+        maxSegmentSize = maxSeg).localCheckpoint(true)
+    lazy val gU = mkGraph(asgU, Int.MaxValue)
+    lazy val gS = mkGraph(asgS, Int.MaxValue)
+    lazy val gSsliced = mkGraph(asgS, cap)
+    def search(g: org.apache.spark.sql.DataFrame)() =
+      GraphAnn.searchGraphRouted(g, ivf.centroids, probes,
+        "probe_id", "probe_vec", nprobe = 4, k = 10, ef = 48).count()
+    case class Case(name: String, uni: () => Long, skew: () => Long)
+    val cases = Seq(
+      Case("graph_build_mega_cell", build(asgU, Int.MaxValue),
+        build(asgS, Int.MaxValue)),
+      Case("graph_build_mega_sliced", build(asgU, Int.MaxValue),
+        build(asgS, cap)),
+      Case("graph_search_mega_cell", search(gU), search(gS)),
+      Case("graph_search_mega_sliced", search(gU), search(gSsliced)))
+    println(f"SKEW ${"case"}%-24s uniform  skewed   ratio  rows_u -> rows_s  (n=$n cap=$cap)")
+    cases.foreach { c =>
+      val (tu, ru) = time(c.uni)
+      val (ts, rs) = time(c.skew)
+      println(f"SKEW ${c.name}%-24s $tu%-8.2f $ts%-8.2f ${ts / tu}%-6.2f $ru%d -> $rs%d")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SKEW_BASE", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "/tmp/graft_skew")
@@ -162,6 +228,7 @@ object SkewProbe {
     }
 
     if (family == "all" || family == "ann") runAnnStudy(spark, base, reps, time)
+    if (family == "all" || family == "graph") runGraphStudy(spark, base, reps, time)
     if (family != "all" && family != "text") { spark.stop(); return }
 
     val skewDir = buildSkewDir(spark, base, out)

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * similarity is a plain dot product), `neighbors(l)` the layer-l
   * adjacency as GLOBAL ids. Adjacency never crosses a partition — each
   * partition is an independent small-world graph (the segment model).
+  * `seg` sub-divides a `part` when an oversized cell was sliced for
+  * build parallelism ([[GraphAnn.buildGraphPerCell]] `maxSegmentSize`);
+  * adjacency is closed over (part, seg) and 0 everywhere otherwise.
   */
 final case class GraphNode(part: Int, id: Long, vec: Array[Float],
-    level: Int, neighbors: Array[Array[Long]])
+    level: Int, neighbors: Array[Array[Long]], seg: Int = 0)
 
 /** Partitioned graph-ANN — an HNSW-style navigable-small-world tier
   * (Malkov & Yashunin 2016, arXiv:1603.09320), shaped for Spark the way
@@ -198,10 +201,10 @@ object GraphAnn {
       if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
     }
 
-    def emit(part: Int): Iterator[GraphNode] =
+    def emit(part: Int, seg: Int = 0): Iterator[GraphNode] =
       ids.indices.iterator.map { i =>
         GraphNode(part, ids(i), vecs(i), levels(i),
-          adj(i).map(layer => layer.map(ids).toArray))
+          adj(i).map(layer => layer.map(ids).toArray), seg)
       }
   }
 
@@ -307,7 +310,7 @@ object GraphAnn {
       // is closed over `part`, so co-located groups (e.g. several cells
       // hashed into one partition) are disconnected graphs with their own
       // entry points — one beam per group, never one beam per partition
-      it.toArray.groupBy(_.part).iterator.flatMap { case (_, ns) =>
+      it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap { case (_, ns) =>
         searchSegment(ns, bc.value, kLocal, efLocal)
       }
     }.toDF("probe_id", "id", "sim")
@@ -328,23 +331,56 @@ object GraphAnn {
     * cell). One shuffle groups each cell's vectors; each cell's graph is
     * built in memory by one task (cells are corpus/nCells — size cells so
     * one fits an executor, the same constraint the IVF cell scan has).
+    * `maxSegmentSize` caps the per-task group: cells above it split into
+    * hash-sliced sub-segments ([[cellSlices]]) so a hot cell can't
+    * serialize the build on one task — the measured mitigation in
+    * SCALING.md "Skew study: graph-ANN cell axis".
     */
   def buildGraphPerCell(spark: SparkSession, assignments: DataFrame,
-      m: Int = 8, efConstruction: Int = 64): DataFrame = {
+      m: Int = 8, efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
-    assignments.select(col("cell").cast("int"), col("id").cast("long"),
-        col("vec"))
+    val base = assignments.select(col("cell").cast("int"),
+        col("id").cast("long"), col("vec"))
       .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
+    val bcSlices = spark.sparkContext.broadcast(
+      cellSlices(base.groupByKey(_._1).count(), maxSegmentSize))
+    base.groupByKey { case (c, id, _) => (c, sliceOf(id, c, bcSlices.value)) }
+      .flatMapGroups { (key: (Int, Int), it) =>
+        val (cell, slice) = key
         val rows = it.map(t => (t._2, t._3)).toArray
         java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
         val b = new Builder(m, efConstruction)
         rows.foreach { case (id, v) => b.insert(id, l2unit(v)) }
-        b.emit(cell)
+        b.emit(cell, slice)
       }
       .toDF()
   }
+
+  /** Slice counts for cells exceeding `maxSegmentSize` — the build-skew
+    * guard: a hot cell (clumped corpora concentrate k-means mass) would
+    * otherwise hand ONE task the whole cell's single-threaded graph
+    * construction. Cells under the cap keep one segment (empty map = no
+    * extra job at all when the cap is off); oversized cells split into
+    * ceil(n/cap) hash-sliced sub-segments, each an independent graph
+    * built in its own task, searched as ≤ceil(n/cap) extra beams per
+    * routed probe (the v17 segment model applied WITHIN a cell). Driver
+    * state is ≤ nCells (cell, count) pairs.
+    */
+  private def cellSlices(counts: org.apache.spark.sql.Dataset[(Int, Long)],
+      maxSegmentSize: Int): Map[Int, Int] =
+    if (maxSegmentSize == Int.MaxValue) Map.empty
+    else counts.collect()
+      .map { case (c, n) =>
+        c -> ((n + maxSegmentSize - 1) / maxSegmentSize).toInt }
+      .filter(_._2 > 1).toMap
+
+  /** Deterministic sub-segment of `id` within `cell` (0 when unsliced). */
+  private def sliceOf(id: Long, cell: Int, slices: Map[Int, Int]): Int =
+    slices.get(cell) match {
+      case Some(s) => java.lang.Math.floorMod(fmix64(id), s.toLong).toInt
+      case None => 0
+    }
 
   /** The cells a probe routes to — the IVF rule verbatim, exposed so
     * gates can assert the fan-out bound from outside the search.
@@ -380,11 +416,12 @@ object GraphAnn {
     val kLocal = k
     val efLocal = math.max(ef, k)
     val cands = nodes.as[GraphNode].mapPartitions { it =>
-      it.toArray.groupBy(_.part).iterator.flatMap { case (cell, ns) =>
-        bc.value.get(cell) match {
-          case Some(qs) => searchSegment(ns, qs, kLocal, efLocal)
-          case None => Iterator.empty
-        }
+      it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap {
+        case ((cell, _), ns) =>
+          bc.value.get(cell) match {
+            case Some(qs) => searchSegment(ns, qs, kLocal, efLocal)
+            case None => Iterator.empty
+          }
       }
     }.toDF("probe_id", "id", "sim")
     mergeTopK(cands, k)
@@ -400,7 +437,7 @@ object GraphAnn {
     * full vectors live elsewhere and only rerank survivors).
     */
   final case class PqGraphNode(part: Int, id: Long, codes: Array[Byte],
-      level: Int, neighbors: Array[Array[Long]])
+      level: Int, neighbors: Array[Array[Long]], seg: Int = 0)
 
   /** [[buildGraphPerCell]] with PQ-compressed storage: cell membership
     * and code words come from the IVF-PQ index's own `coded` table (so
@@ -412,15 +449,21 @@ object GraphAnn {
     */
   def buildGraphPerCellPq(spark: SparkSession, corpus: DataFrame,
       idCol: String, vecCol: String, index: Similarity.IvfPqIndex,
-      m: Int = 8, efConstruction: Int = 64): DataFrame = {
+      m: Int = 8, efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
-    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .join(index.coded.select(col("id"), col("cell"), col("pq_codes")),
         Seq("id"))
       .select(col("cell").cast("int"), col("id"), col("vec"), col("pq_codes"))
       .as[(Int, Long, Array[Float], Array[Byte])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
+    val bcSlices = spark.sparkContext.broadcast(
+      cellSlices(base.groupByKey(_._1).count(), maxSegmentSize))
+    base.groupByKey { case (c, id, _, _) =>
+        (c, sliceOf(id, c, bcSlices.value)) }
+      .flatMapGroups { (key: (Int, Int), it) =>
+        val (cell, slice) = key
         val rows = it.map(t => (t._2, t._3, t._4)).toArray
         java.util.Arrays.sort(rows,
           Ordering.by[(Long, Array[Float], Array[Byte]), Long](_._1))
@@ -428,8 +471,9 @@ object GraphAnn {
         rows.foreach { case (id, _, cs) => codesOf.put(id, cs) }
         val b = new Builder(m, efConstruction)
         rows.foreach { case (id, v, _) => b.insert(id, l2unit(v)) }
-        b.emit(cell).map(n =>
-          PqGraphNode(n.part, n.id, codesOf.get(n.id), n.level, n.neighbors))
+        b.emit(cell, slice).map(n =>
+          PqGraphNode(n.part, n.id, codesOf.get(n.id), n.level, n.neighbors,
+            n.seg))
       }
       .toDF()
   }
@@ -519,12 +563,13 @@ object GraphAnn {
     val efLocal = math.max(ef, kCand)
     val approx = nodes.as[PqGraphNode].mapPartitions { it =>
       val (rts, centroidOf, book) = bcR.value
-      it.toArray.groupBy(_.part).iterator.flatMap { case (cell, ns) =>
-        rts.get(cell) match {
-          case Some(qs) =>
-            searchSegmentPq(ns, qs, centroidOf(cell), book, kCand, efLocal)
-          case None => Iterator.empty
-        }
+      it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap {
+        case ((cell, _), ns) =>
+          rts.get(cell) match {
+            case Some(qs) =>
+              searchSegmentPq(ns, qs, centroidOf(cell), book, kCand, efLocal)
+            case None => Iterator.empty
+          }
       }
     }.toDF("probe_id", "id", "approx_sim")
     val stage1 = udaf(new graft.functions.TopKByScore(kCand))

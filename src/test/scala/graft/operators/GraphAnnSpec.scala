@@ -126,6 +126,46 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(routedAll.sameElements(swept))
   }
 
+  test("sliced build: oversized cells split into seg-closed sub-segments") {
+    val cap = 24
+    val sliced = GraphAnn.buildGraphPerCell(spark, ivf.assignments, m = M,
+      efConstruction = 48, maxSegmentSize = cap).localCheckpoint(true)
+    val cellCounts = ivf.assignments.groupBy($"cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val gs = sliced.as[GraphNode].collect()
+    assert(gs.length == cellCounts.values.sum, "node conservation")
+    val segOf = gs.map(g => g.id -> (g.part, g.seg)).toMap
+    gs.foreach(g => g.neighbors.foreach(layer => layer.foreach(nb =>
+      assert(segOf(nb) == ((g.part, g.seg)),
+        s"edge ${g.id}->$nb crosses sub-segment ${(g.part, g.seg)}"))))
+    gs.groupBy(_.part).foreach { case (cell, ns) =>
+      val expected = ((cellCounts(cell) + cap - 1) / cap).toInt
+      val segs = ns.map(_.seg).toSet
+      if (expected == 1) assert(segs == Set(0), s"cell $cell should be unsliced")
+      else assert(segs == (0 until expected).toSet,
+        s"cell $cell: segs $segs, expected $expected slices")
+    }
+    // determinism: a sliced rebuild is edge-identical
+    val again = GraphAnn.buildGraphPerCell(spark, ivf.assignments, m = M,
+      efConstruction = 48, maxSegmentSize = cap)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.as[GraphNode].collect()
+      .map(g => (g.id, g.seg, g.level, g.neighbors.map(_.toSeq).toSeq))
+      .sortBy(_._1).toSeq
+    assert(flat(sliced) == flat(again))
+    // full fan-out + whole-slice beams: one beam per SUB-segment (not one
+    // per cell) must recover the exact brute-force top-k
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+    val got = top(GraphAnn.searchGraphRouted(sliced, ivf.centroids, probes,
+      "probe_id", "probe_vec", nprobe = 8, k = 5, ef = n))
+    val exact = top(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
   private lazy val ivfPq = Similarity.buildIvfPq(spark, emb, "vec_id",
     "embedding", nCells = 8, subspaces = 8, codesPerSub = 16,
     ivfIters = 2, pqIters = 2)
@@ -187,6 +227,31 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     got.foreach(r => assert(probed.contains(cellOf(r.getLong(1))),
       s"result ${r.getLong(1)} came from an un-probed cell"))
+  }
+
+  test("sliced PQ build: sub-segments closed, exhaustive search still exact") {
+    val cap = 24
+    val sliced = GraphAnn.buildGraphPerCellPq(spark, emb, "vec_id",
+      "embedding", ivfPq, m = M, efConstruction = 48, maxSegmentSize = cap)
+      .localCheckpoint(true)
+    val gs = sliced.as[GraphAnn.PqGraphNode].collect()
+    assert(gs.length == emb.count())
+    assert(gs.exists(_.seg > 0), "cap 24 over ~60-node cells must slice")
+    val segOf = gs.map(g => g.id -> (g.part, g.seg)).toMap
+    gs.foreach(g => g.neighbors.foreach(layer => layer.foreach(nb =>
+      assert(segOf(nb) == ((g.part, g.seg))))))
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val got = top(GraphAnn.searchGraphRoutedPq(sliced, ivfPq, emb, "vec_id",
+      "embedding", probes, "probe_id", "probe_vec", nprobe = 8, k = 5,
+      ef = n, rerankFactor = n))
+    val exact = top(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
   }
 
   test("search ranks are dense from 1 and sims non-increasing") {
