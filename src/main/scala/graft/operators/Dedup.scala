@@ -920,7 +920,31 @@ object Dedup {
       indexSigs: DataFrame, indexBands: DataFrame, threshold: Double = 0.7,
       maxBucketSize: Int = 1000, expectedBandKeys: Long = 1L << 20,
       fpp: Double = 0.01,
-      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame =
+    ingestNovelDocumentsWithSigs(incoming, idCol, textCol, indexSigs,
+      indexBands, threshold, maxBucketSize, expectedBandKeys, fpp,
+      bandBloom).rows
+
+  /** A survivor set plus the survivors' signatures, both derived from the
+    * ONE batch-signing pass ([[ingestNovelDocumentsWithSigs]]). `sigs` is
+    * (id, sig) — exactly `minhashSignatures(rows)` but without a second
+    * minhash evaluation over the batch text.
+    */
+  final case class IngestSurvivors(rows: DataFrame, sigs: DataFrame)
+
+  /** [[ingestNovelDocuments]] returning the survivors' signatures too —
+    * for callers that carry the index forward (the streaming ingest loop
+    * appends `sigs` + its band projection every micro-batch): minhash is
+    * the batch's dominant per-row kernel, and deriving the delta from the
+    * already-checkpointed batch signatures halves the per-batch signing
+    * work a re-sign of the survivors would pay.
+    */
+  def ingestNovelDocumentsWithSigs(incoming: DataFrame, idCol: String,
+      textCol: String,
+      indexSigs: DataFrame, indexBands: DataFrame, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000, expectedBandKeys: Long = 1L << 20,
+      fpp: Double = 0.01,
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): IngestSurvivors = {
     val spark = incoming.sparkSession
     val batchSigs = incoming.select(col(idCol).cast("long").as("id"),
       GraftFunctions.minhash(col(textCol)).as("sig")).localCheckpoint(true)
@@ -951,8 +975,11 @@ object Dedup {
           .select(col("id")).distinct()
       }
     // within-batch clustering over the SAME signatures (no recompute)
-    novelSurvivors(incoming, idCol, batchSigs.select(col("id")),
+    val ids = novelSurvivorIds(batchSigs.select(col("id")),
       minhashPairsFromSigs(batchSigs, threshold, maxBucketSize), dupIds)
+    IngestSurvivors(
+      incoming.join(ids.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+      batchSigs.join(ids, Seq("id"), "left_semi"))
   }
 
   /** Shared survivor selection of both ingest gates: cluster the batch's
@@ -960,18 +987,23 @@ object Dedup {
     * the cluster contains an index-matched id, in which case the indexed
     * copy is the representative and the whole cluster drops.
     */
-  private def novelSurvivors(incoming: DataFrame, idCol: String,
-      batchIds: DataFrame, batchPairs: DataFrame, dupIds: DataFrame): DataFrame = {
+  private def novelSurvivorIds(batchIds: DataFrame, batchPairs: DataFrame,
+      dupIds: DataFrame): DataFrame = {
     val clusters = nearDupClusters(batchIds, batchPairs)
       .localCheckpoint(true) // read twice: index-touch probe + survivor pick
     val indexTouched = clusters.join(dupIds, Seq("id"), "left_semi")
       .select(col("cluster")).distinct()
-    val survivorIds = clusters
+    clusters
       .filter(col("id") === col("cluster")) // min-id representative
       .join(indexTouched, Seq("cluster"), "left_anti")
-      .select(col("id").as(idCol))
-    incoming.join(survivorIds, Seq(idCol), "left_semi")
+      .select(col("id"))
   }
+
+  private def novelSurvivors(incoming: DataFrame, idCol: String,
+      batchIds: DataFrame, batchPairs: DataFrame, dupIds: DataFrame): DataFrame =
+    incoming.join(
+      novelSurvivorIds(batchIds, batchPairs, dupIds).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
 
   /** Banded projection of an embedding-sketch index: (band, bh, id) —
     * [[minhashBandIndex]] for the embedding gate ([[buildBandBloom]] and

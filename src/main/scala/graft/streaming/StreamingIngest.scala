@@ -149,12 +149,15 @@ object StreamingIngest {
             if (haveIndex) Dedup.buildBandBloom(bands, expectedBandKeys)
             else org.apache.spark.util.sketch.BloomFilter
               .create(expectedBandKeys, 0.01)
-          val novel = Dedup.ingestNovelDocuments(batch, idCol, textCol,
-              sigs, bands, threshold, bandBloom = Some(bloom))
-            .localCheckpoint(true) // feeds delta sigs AND the survivor count
-          if (!novel.isEmpty) {
-            val deltaSigs = Dedup.minhashSignatures(novel, idCol, textCol)
-              .localCheckpoint(true) // feeds sig upsert, band delta, bloom
+          // the WithSigs form hands back the survivors' signatures from
+          // the gate's own single signing pass — the index delta needs
+          // ONLY them, so the loop never re-signs the batch text (minhash
+          // is the dominant per-row kernel) and one checkpoint replaces
+          // the survivor-rows + re-sign pair of materializations
+          val deltaSigs = Dedup.ingestNovelDocumentsWithSigs(batch, idCol,
+              textCol, sigs, bands, threshold, bandBloom = Some(bloom))
+            .sigs.localCheckpoint(true) // feeds sig upsert, band delta, bloom
+          if (!deltaSigs.isEmpty) {
             val deltaBands = Dedup.minhashBandIndex(deltaSigs)
             if (haveIndex) {
               // independent tables — overlap the two maintenance writes

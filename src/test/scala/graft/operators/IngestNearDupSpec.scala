@@ -39,6 +39,26 @@ class IngestNearDupSpec extends AnyFunSuite {
       Seq(12L, 13L))
   }
 
+  test("WithSigs: same survivors, sigs equal a re-sign of them (no second pass)") {
+    val batch = df(
+      10L -> prose("alpha"),              // drops against the index
+      12L -> prose("delta"),              // novel
+      14L -> (prose("delta") + " tail"),  // within-batch dup of 12
+      13L -> prose("epsilon"))            // novel
+    val r = Dedup.ingestNovelDocumentsWithSigs(batch, "doc_id", "text",
+      indexSigs, indexBands, threshold = 0.5)
+    val plain = Dedup.ingestNovelDocuments(batch, "doc_id", "text",
+      indexSigs, indexBands, threshold = 0.5)
+    assert(r.rows.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    def sigMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(row => row.getLong(0) -> row.getSeq[Long](1).toSeq).toMap
+    assert(sigMap(r.sigs.select("id", "sig")) ==
+      sigMap(Dedup.minhashSignatures(r.rows, "doc_id", "text")
+        .select("id", "sig")),
+      "survivor sigs must be exactly what re-signing the survivors yields")
+  }
+
   test("within-batch near-dup cluster keeps only its min-id representative") {
     val batch = df(
       20L -> prose("zeta"),
