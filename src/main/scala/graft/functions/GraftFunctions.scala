@@ -23,6 +23,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_f32", es => CosineSimF32(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2norm_f32", es => L2NormF32(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_i8", es => CosineSimI8(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("binary_dot_f32",
+      es => BinaryDotF32(es(0), es(1)), "scala_udf")
     // one-to-many chunking as a native Generator (LATERAL VIEW-able)
     reg.createOrReplaceTempFunction("chunk_document", es => ChunkDocument(es), "scala_udf")
     // hot-path: runs per chunk in every chunking pipeline → codegen'd
@@ -73,6 +75,8 @@ object GraftFunctions {
   def cosine_f32(a: Column, b: Column): Column = call_function("cosine_f32", a, b)
   def l2norm_f32(a: Column): Column = call_function("l2norm_f32", a)
   def cosine_i8(codes: Column, probe: Column): Column = call_function("cosine_i8", codes, probe)
+  def binary_dot_f32(bits: Column, probe: Column): Column =
+    call_function("binary_dot_f32", bits, probe)
   def minhash(c: Column): Column = call_function("graft_minhash", c)
   def simhash(c: Column): Column = call_function("graft_simhash", c)
   def langid(c: Column): Column = call_function("graft_langid", c)

@@ -149,6 +149,51 @@ case class CosineSimI8(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Asymmetric 1-bit scoring: `bits` is a binary-quantized vector (bit i of
+  * byte i>>3, LSB-first, set iff dimension i is above its corpus mean) and
+  * the probe stays float. Score = Σᵢ (bitᵢ ? +qᵢ : −qᵢ) = dot(q, sign(v−m))
+  * — under the BQ reconstruction v ≈ m + s·sign(v−m), dot(q, v) differs
+  * from this score only by the probe-constant dot(q, m) and the positive
+  * corpus scale s, so per-probe RANKING by the score matches ranking by
+  * approximate dot. Stage 1 of the 1-bit tier therefore reads ONLY the
+  * 32×-smaller code column ([[graft.operators.Similarity.searchBinaryBatch]]
+  * exact-reranks survivors against the float corpus).
+  */
+case class BinaryDotF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "binary_dot_f32"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bits = a.asInstanceOf[Array[Byte]]
+    val q = b.asInstanceOf[ArrayData]
+    val n = math.min(bits.length * 8, q.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val qi = q.getFloat(i).toDouble
+      s += (if ((bits(i >> 3) & (1 << (i & 7))) != 0) qi else -qi)
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val q = ctx.freshName("q")
+      s"""
+         |int $n = java.lang.Math.min($x.length * 8, $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $q = (double)$y.getFloat($i);
+         |  $acc += (($x[$i >> 3] & (1 << ($i & 7))) != 0) ? $q : -$q;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class L2NormF32(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = DoubleType

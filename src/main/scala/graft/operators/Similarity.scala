@@ -382,6 +382,83 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------- 1-bit (BQ) ----
+
+  /** Binary-quantization index: one bit per dimension (set iff the value
+    * is above that dimension's corpus mean), packed LSB-first into
+    * ceil(dim/8) bytes — 32× smaller than float32, the most compressed
+    * rung of the quantization ladder (float32 → int8 → PQ → 1-bit). The
+    * per-dimension mean threshold is the standard BQ centering: raw sign
+    * bits degenerate when a dimension's mass sits off zero. `means` (dim
+    * floats) is the only driver-held state.
+    */
+  final case class BinaryIndex(codes: DataFrame, means: Array[Float])
+
+  /** Build the 1-bit index: per-dimension means via one partial-agg'd
+    * shuffle (posexplode → groupBy(dim).avg — map-side combine keeps the
+    * shuffle at dim × partitions rows however large the corpus), then one
+    * map packs each vector's bits against the broadcast means.
+    */
+  def quantizeBinary(corpus: DataFrame, idCol: String, vecCol: String): BinaryIndex = {
+    val spark = corpus.sparkSession
+    val means = corpus
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1).toFloat)
+    val bc = spark.sparkContext.broadcast(means)
+    val pack = udf((v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val m = bc.value
+        val out = new Array[Byte]((v.length + 7) / 8)
+        var i = 0
+        while (i < v.length) {
+          if (v(i) > m(i)) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+          i += 1
+        }
+        out
+      })
+    BinaryIndex(corpus.select(col(idCol).cast("long").as("id"),
+      pack(col(vecCol)).as("bits")), means)
+  }
+
+  /** Two-stage 1-bit batch search: stage 1 ranks the whole corpus per
+    * probe by the codegen'd asymmetric score over the 32×-smaller bit
+    * codes (ranking-equivalent to approximate dot under the BQ
+    * reconstruction — [[graft.functions.BinaryDotF32]]), keeping
+    * k·rerankFactor survivors per probe through the bounded-heap
+    * aggregator (map-side combine: the shuffle carries probes × kCand
+    * rows, the corpus is never sorted); stage 2 exact-reranks ONLY the
+    * survivors against the float corpus with cosine (broadcast candidate
+    * set — no corpus shuffle in either stage). At full fan-out
+    * (k·rerankFactor ≥ corpus size) the output equals [[topKPerProbe]]
+    * row-for-row — the spec pins it.
+    */
+  def searchBinaryBatch(index: BinaryIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, k: Int, rerankFactor: Int = 8): DataFrame = {
+    val kCand = k * rerankFactor
+    val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      col(probeVecCol).as("probe_vec"))
+    val stage1 = udaf(new graft.functions.TopKByScore(kCand))
+    val cands = index.codes.crossJoin(broadcast(p))
+      .withColumn("a", GraftFunctions.binary_dot_f32(col("bits"), col("probe_vec")))
+      .groupBy(col("probe_id"))
+      .agg(stage1(col("id"), col("a")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("c"))
+      .select(col("probe_id"), col("c._1").as("id"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(cands), Seq("id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), col("probe_vec")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "pr")))
+      .select(col("probe_id"), col("pr._1").as("id"), col("pr._2").as("sim"),
+        (col("r") + 1).cast("int").as("rank"))
+  }
+
   // ---------------------------------------------------------------- PQ ----
 
   /** Product-quantization codebook: `centroids(sub)(code)` is the sub-

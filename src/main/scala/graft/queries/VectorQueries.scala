@@ -315,6 +315,46 @@ object VectorQueries {
         .agg((count(lit(1)) >= 7).as("recall_ok"))
     }),
 
+    // V20: 1-bit binary quantization — the most compressed rung of the
+    // quantization ladder the engine ships (float32 → int8 v10 → PQ v11
+    // → 1-bit): one mean-thresholded sign bit per dimension, packed into
+    // ceil(dim/8) bytes (32× smaller than float32). Stage 1 scans ONLY
+    // the bit codes with the codegen'd asymmetric kernel (ranking-
+    // equivalent to approximate dot; binary_dot_f32), keeps k·rf
+    // survivors per probe via the bounded-heap aggregator, stage 2
+    // exact-reranks survivors against the float corpus — no corpus
+    // shuffle in either stage. Gate: 4-probe batch, per-probe recall@10
+    // vs the brute-force aggregator over the SAME batch, the storage
+    // claim, and exact-k coverage of every probe.
+    "v20_binary_ann" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Similarity.quantizeBinary(emb, "vec_id", "embedding")
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val approx = Similarity.searchBinaryBatch(index, emb, "vec_id",
+        "embedding", probes, "probe_id", "probe_vec", k = k, rerankFactor = 16)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb, "vec_id", "embedding", k = k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"))
+      val recallOk = approx.select($"probe_id", $"id")
+        .join(exact, Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 4 && min($"count") >= 7).as("recall_ok"))
+      val storageOk = index.codes
+        .join(emb.select($"vec_id".cast("long").as("id"), $"embedding"), Seq("id"))
+        .agg(every(length($"bits") ===
+          floor((size($"embedding") + lit(7)) / lit(8)).cast("int"))
+          .as("codes_1bit"))
+      approx.groupBy($"probe_id").count()
+        .agg(count(lit(1)).as("n_probes"),
+          (min($"count") === k && max($"count") === k).as("all_k10"))
+        .crossJoin(recallOk).crossJoin(storageOk)
+    }),
+
     // Int8-quantized two-stage search vs brute force: the 4×-compressed
     // first pass plus exact rerank must reproduce the exact top-10 almost
     // perfectly (64-dim unit vectors quantize with ~1e-2 cosine error,
@@ -505,6 +545,9 @@ object VectorQueries {
       """SELECT true AS recall_ok, true AS all_probes, true AS fanout_ok,
         | true AS codes_compressed, true AS nodes_conserved""".stripMargin,
     "v10_quantized_recall" -> "SELECT true AS recall_ok, true AS dim_ok",
+    "v20_binary_ann" ->
+      """SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k10,
+        | true AS recall_ok, true AS codes_1bit""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
