@@ -237,10 +237,136 @@ object GraphAnn {
       .toDF()
   }
 
+  // ------------------------------------------- segment maintenance ----
+
+  /** Incremental append, the Lucene segment model's write path: the new
+    * batch becomes `nParts` FRESH segments (hash-partitioned, built
+    * exactly like [[buildGraph]], part ids offset past the existing max)
+    * and the existing segments are returned byte-identical — an append
+    * never touches, rebuilds or re-links indexed nodes, which is what
+    * makes it cheap enough to run per ingest batch. Search sees the new
+    * vectors immediately (one more beam per new segment); segment-count
+    * growth is bounded by running [[mergeSegments]] periodically, the
+    * same compaction contract the parquet index layout has. Ids must be
+    * globally unique across existing + batch (the ingest keys).
+    */
+  def appendSegments(existing: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, nParts: Int, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    val spark = existing.sparkSession
+    val offset = existing.agg(max(col("part"))).head().getInt(0) + 1
+    val fresh = buildGraph(spark, batch, idCol, vecCol, nParts, m,
+      efConstruction).withColumn("part", col("part") + lit(offset))
+    existing.unionByName(fresh)
+  }
+
+  /** Segment compaction, the Lucene merge-policy analog: segments under
+    * `targetNodesPerSegment` greedily bin-pack (ascending by size, then
+    * (part, seg) — deterministic) into merge groups of ≤ target nodes,
+    * and each group rebuilds as ONE new segment in one task (ascending-id
+    * re-insertion over the stored unit vectors — no float changes, no
+    * re-normalization); segments already at target pass through
+    * BYTE-IDENTICAL. Driver state is ≤ nSegments (part, seg, count)
+    * triples. Bounds the per-probe beam fan-out a long-lived append-only
+    * index would otherwise grow without limit, at a rebuild cost capped
+    * by the target size — the same knob [[buildGraphPerCell]]'s
+    * `maxSegmentSize` uses for build parallelism, pointed the other way.
+    */
+  def mergeSegments(nodes: DataFrame, targetNodesPerSegment: Int, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    require(targetNodesPerSegment > 0, "targetNodesPerSegment must be positive")
+    val sizes = nodes.groupBy(col("part"), col("seg")).count()
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .sortBy { case ((p, s), n) => (n, p, s) }
+    if (sizes.isEmpty) return nodes
+    val maxPart = sizes.map(_._1._1).max
+    // greedy first-fit pack of the under-target segments, in sorted order
+    val group = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    var gid = 0; var acc = 0L; var members = 0
+    sizes.foreach { case (key, n) =>
+      if (n < targetNodesPerSegment) {
+        if (members > 0 && acc + n > targetNodesPerSegment) {
+          gid += 1; acc = 0L; members = 0
+        }
+        group(key) = gid; acc += n; members += 1
+      }
+    }
+    // singleton groups rebuild nothing — their segment passes through
+    val counts = group.groupBy(_._2).map { case (g, ms) => g -> ms.size }
+    val merged = group.filter { case (_, g) => counts(g) > 1 }.toMap
+    val bc = spark.sparkContext.broadcast(merged)
+    val untouched = nodes.as[GraphNode]
+      .filter(n => !bc.value.contains((n.part, n.seg)))
+    val rebuilt = nodes.as[GraphNode]
+      .filter(n => bc.value.contains((n.part, n.seg)))
+      .groupByKey(n => bc.value((n.part, n.seg)))
+      .flatMapGroups { (g, it) =>
+        val rows = it.map(n => (n.id, n.vec)).toArray
+        java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
+        val b = new Builder(m, efConstruction)
+        rows.foreach { case (id, v) => b.insert(id, v) } // vecs already unit
+        b.emit(maxPart + 1 + g)
+      }
+    untouched.unionByName(rebuilt).toDF()
+  }
+
+  /** The segment's main entry (highest level, ties to smallest id) PLUS
+    * the layer-0 reachability roots. Degree pruning can orphan DIRECTED
+    * components in an NSW graph — nodes unfindable from the entry at ANY
+    * ef (first observed at the x8 scale audit: 16k-node segments orphan
+    * a handful of nodes; small segments never do). One root per orphan
+    * component (picked by the same (level desc, id asc) rule, computed
+    * once per segment per batch in O(V+E)) seeds every layer-0 beam —
+    * multi-entry search exactly as in the pre-HNSW NSW design (Malkov et
+    * al. 2014), restoring the guarantee that a full-ef beam is
+    * exhaustive, which the maintenance gate's keystone equality relies
+    * on at every scale. Recall at serving ef can only improve.
+    */
+  private def entryAndRoots(n: Int, level: Int => Int, id: Int => Long,
+      adj: (Int, Int) => Iterable[Int]): (Int, List[Int]) = {
+    var entry = 0
+    var i = 1
+    while (i < n) {
+      if (level(i) > level(entry) ||
+        (level(i) == level(entry) && id(i) < id(entry))) entry = i
+      i += 1
+    }
+    val reached = new java.util.BitSet(n)
+    val stack = new java.util.ArrayDeque[Integer]()
+    def bfs(s: Int): Unit = {
+      reached.set(s); stack.push(s)
+      while (!stack.isEmpty) {
+        val c = stack.pop().intValue()
+        adj(c, 0).foreach { nb =>
+          if (!reached.get(nb)) { reached.set(nb); stack.push(nb) } }
+      }
+    }
+    bfs(entry)
+    var roots = List.empty[Int]
+    var u = reached.nextClearBit(0)
+    while (u < n) {
+      var best = u
+      var j = reached.nextClearBit(u + 1)
+      while (j < n) {
+        if (level(j) > level(best) ||
+          (level(j) == level(best) && id(j) < id(best))) best = j
+        j = reached.nextClearBit(j + 1)
+      }
+      roots ::= best
+      bfs(best)
+      u = reached.nextClearBit(0)
+    }
+    (entry, roots.reverse)
+  }
+
   /** Beam-search one loaded segment for every query in the batch: rebuild
     * the id→idx view, pick the entry (highest level, ties to smallest
-    * id), then per query descend greedily to layer 1 and ef-beam layer 0.
-    * Emits (probe_id, id, sim) candidate rows, ≤ k per query.
+    * id), then per query descend greedily to layer 1 and ef-beam layer 0
+    * seeded with the descent result plus the reachability roots
+    * ([[entryAndRoots]]). Emits (probe_id, id, sim) candidate rows, ≤ k
+    * per query.
     */
   private def searchSegment(ns: Array[GraphNode],
       queries: Iterable[(Long, Array[Float])], k: Int,
@@ -253,18 +379,15 @@ object GraphAnn {
       if (l < ns(n).neighbors.length)
         ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
       else Nil
-    var entry = 0
-    ns.indices.foreach { i =>
-      if (ns(i).level > ns(entry).level ||
-        (ns(i).level == ns(entry).level && ns(i).id < ns(entry).id)) entry = i
-    }
+    val (entry, roots) =
+      entryAndRoots(ns.length, i => ns(i).level, i => ns(i).id, adj)
     val visited = new java.util.BitSet(ns.length)
     queries.iterator.flatMap { case (pid, q) =>
       val simOf: Int => Double = i => dot(q, vecs(i))
       var ep = entry
       var l = ns(entry).level
       while (l > 0) { ep = greedyStep(simOf, ep, l, adj); l -= 1 }
-      val w = searchLayer(simOf, List(ep), ef, 0, adj, visited)
+      val w = searchLayer(simOf, ep :: roots, ef, 0, adj, visited)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       val it2 = w.iterator()
       var taken = 0
@@ -494,11 +617,8 @@ object GraphAnn {
       if (l < ns(n).neighbors.length)
         ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
       else Nil
-    var entry = 0
-    ns.indices.foreach { i =>
-      if (ns(i).level > ns(entry).level ||
-        (ns(i).level == ns(entry).level && ns(i).id < ns(entry).id)) entry = i
-    }
+    val (entry, roots) =
+      entryAndRoots(ns.length, i => ns(i).level, i => ns(i).id, adj)
     val visited = new java.util.BitSet(ns.length)
     queries.iterator.flatMap { case (pid, q) =>
       val const = dot(q, cellCentroid)
@@ -519,7 +639,7 @@ object GraphAnn {
       var ep = entry
       var l = ns(entry).level
       while (l > 0) { ep = greedyStep(simOf, ep, l, adj); l -= 1 }
-      val w = searchLayer(simOf, List(ep), ef, 0, adj, visited)
+      val w = searchLayer(simOf, ep :: roots, ef, 0, adj, visited)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       val it2 = w.iterator()
       var taken = 0

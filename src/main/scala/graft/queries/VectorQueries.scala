@@ -123,6 +123,73 @@ object VectorQueries {
           ($"n" === $"n_emb").as("nodes_conserved"))
     }),
 
+    // V21: graph-tier index MAINTENANCE, the Lucene lifecycle the parquet
+    // index layout already has (appendToIvf / Compaction): an ingest
+    // batch appends as FRESH segments with every existing segment byte-
+    // identical (asserted via two-way exceptAll on the full node rows),
+    // then mergeSegments bin-packs the small segments and rebuilds each
+    // group in one task. Exhaustive beams over the merged layout must
+    // reproduce brute-force top-k row-for-row — the keystone equality
+    // holding across append + merge proves neither step lost or
+    // corrupted a node or edge.
+    "v21_graph_maintenance" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val m = 8
+      val existing = GraphAnn.buildGraph(s, emb.filter($"vec_id" % 2 === 0),
+        "vec_id", "embedding", nParts = 4, m = m, efConstruction = 48)
+        .localCheckpoint(true)
+      val appended = GraphAnn.appendSegments(existing,
+          emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+          nParts = 2, m = m, efConstruction = 48)
+        .localCheckpoint(true)
+      val oldMax = existing.agg(max($"part")).head().getInt(0)
+      val oldSide = appended.filter($"part" <= oldMax)
+      val untouched = oldSide.exceptAll(existing)
+        .unionByName(existing.exceptAll(oldSide))
+        .agg(count(lit(1)).as("n_diff"))
+      val nEmb = emb.count()
+      val merged = GraphAnn.mergeSegments(appended, (nEmb / 3).toInt,
+          m = m, efConstruction = 48)
+        .localCheckpoint(true)
+      val conserved = merged
+        .agg((count(lit(1)) === nEmb &&
+          count_distinct($"id") === nEmb).as("conserved"))
+      val segsBefore = appended.select($"part", $"seg").distinct().count()
+      val segsAfter = merged.select($"part", $"seg").distinct().count()
+      val probes = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val got = GraphAnn.searchGraphBatch(merged, probes, "probe_id",
+        "probe_vec", k = k, ef = nEmb.toInt)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb, "vec_id", "embedding", k = k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"), $"sim", $"rank")
+      // strict row equality is float-fragile at scale: the graph scores
+      // dot over float32-RENORMALIZED vectors while the oracle computes
+      // cosine over the raw floats, and a replica-crowded corpus (the x8
+      // audit dir) packs near-ties 1e-8 apart, permuting ranks. The
+      // float-robust keystone: per-probe result SETS agree up to one
+      // ε-tied boundary member, and the per-rank score profiles agree to
+      // 1e-6 — any genuinely lost or corrupted node fails both.
+      val setsOk = got.join(exact.select($"probe_id", $"id"),
+          Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 3 && min($"count") >= k - 1).as("sets_ok"))
+      val simsOk = got.select($"probe_id", $"rank", $"sim".as("g"))
+        .join(exact.select($"probe_id", $"rank", $"sim".as("e")),
+          Seq("probe_id", "rank"))
+        .agg((count(lit(1)) === 3 * k &&
+          max(abs($"g" - $"e")) < 1e-6).as("sims_ok"))
+      untouched.crossJoin(broadcast(conserved))
+        .crossJoin(broadcast(setsOk)).crossJoin(broadcast(simsOk))
+        .select(($"n_diff" === 0).as("append_untouched"), $"conserved",
+          lit(segsAfter < segsBefore).as("segments_reduced"),
+          ($"sets_ok" && $"sims_ok").as("search_exact"))
+    }),
+
     // V18: cell-ROUTED graph ANN — the DiskANN-direction composition from
     // SCALING.md's graph study: per-IVF-cell graphs, probes beam only
     // their nprobe routed cells (bounded fan-out, unlike v17's
@@ -548,6 +615,9 @@ object VectorQueries {
     "v20_binary_ann" ->
       """SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k10,
         | true AS recall_ok, true AS codes_1bit""".stripMargin,
+    "v21_graph_maintenance" ->
+      """SELECT true AS append_untouched, true AS conserved,
+        | true AS segments_reduced, true AS search_exact""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

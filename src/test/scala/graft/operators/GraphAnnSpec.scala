@@ -80,6 +80,106 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(batch.sameElements(singles))
   }
 
+  test("orphaned directed components are still found (multi-entry roots)") {
+    // hand-crafted segment: node 4 points INTO the graph but nothing
+    // points at it — pruning produces exactly this shape at scale, and a
+    // beam seeded only at the entry can never reach it at any ef
+    def v(x: Float, y: Float) = {
+      val n = math.sqrt(x * x + y * y).toFloat
+      Array(x / n, y / n)
+    }
+    val ns = Seq(
+      GraphNode(0, 1L, v(1f, 0f), 1, Array(Array(2L), Array.empty[Long])),
+      GraphNode(0, 2L, v(0.9f, 0.1f), 0, Array(Array(1L, 3L))),
+      GraphNode(0, 3L, v(0.8f, 0.2f), 0, Array(Array(1L, 2L))),
+      GraphNode(0, 4L, v(-1f, 0.05f), 0, Array(Array(1L))))
+    // builders emit a part's nodes co-located; a hand-built DF must too
+    val nodesDf = spark.createDataset(ns).toDF().coalesce(1)
+    val probes = Seq((9L, v(-1f, 0.05f))).toDF("probe_id", "probe_vec")
+    val got = GraphAnn.searchGraphBatch(nodesDf, probes, "probe_id",
+      "probe_vec", k = 4, ef = 4).orderBy($"rank").collect()
+    assert(got.length == 4, "full beam must cover the orphan too")
+    assert(got.head.getLong(1) == 4L,
+      "the orphan is the probe's own vector and must rank first")
+  }
+
+  test("append: existing segments byte-identical, batch lands in fresh parts, search exact at full beam") {
+    val existingCorpus = emb.filter($"vec_id" % 2 === 0)
+    val batchCorpus = emb.filter($"vec_id" % 2 === 1)
+    val existing = GraphAnn.buildGraph(spark, existingCorpus, "vec_id",
+      "embedding", nParts = 3, m = M, efConstruction = 48).localCheckpoint(true)
+    val appended = GraphAnn.appendSegments(existing, batchCorpus, "vec_id",
+      "embedding", nParts = 2, m = M, efConstruction = 48).localCheckpoint(true)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.as[GraphNode].collect()
+      .map(g => (g.id, g.part, g.seg, g.level, g.vec.toSeq,
+        g.neighbors.map(_.toSeq).toSeq)).sortBy(_._1).toSeq
+    val oldMax = existing.agg(max($"part")).head().getInt(0)
+    val (oldRows, newRows) = flat(appended).partition(_._2 <= oldMax)
+    assert(oldRows == flat(existing), "append must not touch existing segments")
+    val batchIds = batchCorpus.select($"vec_id".cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(newRows.map(_._1).toSet == batchIds, "every batch id in a fresh part")
+    assert(newRows.forall(_._2 > oldMax))
+    // adjacency of fresh segments closed over their own (part, seg)
+    val segOf = newRows.map(r => r._1 -> (r._2, r._3)).toMap
+    newRows.foreach { r => r._6.foreach(_.foreach(nb =>
+      assert(segOf(nb) == ((r._2, r._3))))) }
+    // exhaustive beams over the union reproduce brute force on the union
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+    val got = top(GraphAnn.searchGraphBatch(appended, probes,
+      "probe_id", "probe_vec", k = 5, ef = n))
+    val exact = top(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
+  test("merge: small segments pack deterministically, big ones pass byte-identical, search exact") {
+    val many = GraphAnn.buildGraph(spark, emb, "vec_id", "embedding",
+      nParts = 8, m = M, efConstruction = 48).localCheckpoint(true)
+    val n = emb.count().toInt
+    val target = n / 2
+    val merged = GraphAnn.mergeSegments(many, target, m = M,
+      efConstruction = 48).localCheckpoint(true)
+    val gs = merged.as[GraphNode].collect()
+    assert(gs.length == n, "node conservation")
+    assert(gs.map(_.id).distinct.length == n)
+    val segsBefore = many.select($"part", $"seg").distinct().count()
+    val segsAfter = merged.select($"part", $"seg").distinct().count()
+    assert(segsAfter < segsBefore, s"merge must reduce segments ($segsBefore -> $segsAfter)")
+    // adjacency closed over the merged segments
+    val segOf = gs.map(g => g.id -> (g.part, g.seg)).toMap
+    gs.foreach(g => g.neighbors.foreach(_.foreach(nb =>
+      assert(segOf(nb) == ((g.part, g.seg))))))
+    // at-target segments pass through untouched
+    val bigBefore = many.as[GraphNode].collect().groupBy(_.part)
+      .filter(_._2.length >= target)
+    bigBefore.foreach { case (p, ns) =>
+      val after = gs.filter(_.part == p)
+      assert(after.map(g => (g.id, g.neighbors.map(_.toSeq).toSeq)).sortBy(_._1).toSeq ==
+        ns.map(g => (g.id, g.neighbors.map(_.toSeq).toSeq)).sortBy(_._1).toSeq)
+    }
+    // determinism
+    val again = GraphAnn.mergeSegments(many, target, m = M, efConstruction = 48)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.as[GraphNode].collect()
+      .map(g => (g.id, g.part, g.seg, g.neighbors.map(_.toSeq).toSeq))
+      .sortBy(_._1).toSeq
+    assert(flat(merged) == flat(again))
+    // exhaustive beams over the merged layout still reproduce brute force
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+    val got = top(GraphAnn.searchGraphBatch(merged, probes,
+      "probe_id", "probe_vec", k = 5, ef = n))
+    val exact = top(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
   private lazy val ivf = Similarity.buildIvf(spark, emb, "vec_id", "embedding",
     nCells = 8, iters = 2)
   private lazy val cellNodes = GraphAnn.buildGraphPerCell(spark,
