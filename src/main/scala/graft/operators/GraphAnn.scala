@@ -312,6 +312,102 @@ object GraphAnn {
     untouched.unionByName(rebuilt).toDF()
   }
 
+  // --------------------------------------------- NN-Descent k-NN graph ----
+
+  /** Distributed k-NN GRAPH construction by NN-Descent (Dong, Moses & Li,
+    * WWW 2011) — the public all-to-all alternative to the segment-local
+    * HNSW builds above, and the missing piece the graph study names: a
+    * GLOBAL neighborhood graph, built by iterative neighbor-of-neighbor
+    * refinement entirely in DataFrame joins (no driver state at all).
+    *
+    * Per iteration: the current directed top-k edge set is symmetrized
+    * (the paper's reverse-neighbor trick) and CAPPED at each node's best
+    * 2k incident sims — the skew guard: without it a hub sitting in many
+    * nodes' top-k (a near-dup clump center) makes 2-hop pairs through it
+    * quadratic in its reverse neighborhood; the cap bounds pairs through
+    * any node at (2k)² however clumped the corpus (the paper's ρ-sampling
+    * made deterministic and similarity-aware). 2-hop candidates then come
+    * from ONE self-join of the capped edge list, scores from the
+    * codegen'd cosine kernel after joining the vectors back in, and each
+    * node keeps its best k via the bounded-heap aggregator — one
+    * iteration is two vector joins plus an ≤ n·(2k)² candidate shuffle,
+    * the documented NN-Descent cost (`sampleRate` further thins pairs as
+    * a deterministic hash filter). Per-node best-k is MONOTONE across
+    * iterations (the capped adjacency always contains the node's current
+    * top-k), which the spec pins.
+    *
+    * Init is deterministic LSH-style bucketing under two hash salts
+    * (nodes sharing either bucket are initial candidates), so the whole
+    * build is reproducible — no RNG anywhere, same contract as the rest
+    * of the tier. Returns (id, nbr, sim) — k rows per node, no
+    * self-loops. Convergence: 3–5 iterations in the paper's regimes; the
+    * v22 gate measures recall vs exact k-NN on a sampled node set.
+    */
+  def nnDescent(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 4, sampleRate: Double = 1.0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec")).localCheckpoint(true)
+    val n = vecs.count()
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    def bestK(pairs: DataFrame): DataFrame =
+      pairs
+        .dropDuplicates("id", "nbr") // dup candidates would repeat in top-k
+        .join(vecs.select(col("id"), col("vec").as("_va")), Seq("id"))
+        .join(vecs.select(col("id").as("nbr"), col("vec").as("_vb")), Seq("nbr"))
+        .withColumn("sim",
+          graft.functions.GraftFunctions.cosine_f32(col("_va"), col("_vb")))
+        .groupBy(col("id"))
+        .agg(topk(col("nbr"), col("sim")).as("top"))
+        .select(col("id"), explode(col("top")).as("e"))
+        .select(col("id"), col("e._1").as("nbr"), col("e._2").as("sim"))
+    // two salted bucket families; ~2k expected co-bucketed mates per node
+    val nBuckets = math.max(1L, n / math.max(1, 2 * k))
+    val seeds = (0 to 1).map { salt =>
+      val b = vecs.select(col("id"),
+        pmod(hash(col("id"), lit(salt)), lit(nBuckets)).as("b"))
+      b.join(b.select(col("id").as("nbr"), col("b")), Seq("b"))
+        .filter(col("id") =!= col("nbr"))
+        .select(col("id"), col("nbr"))
+    }.reduce(_.unionByName(_))
+    var edges = bestK(seeds).localCheckpoint(true)
+    val topCap = udaf(new graft.functions.TopKByScore(2 * k))
+    for (_ <- 1 to iters) {
+      val sym = edges.select(col("id"), col("nbr"), col("sim"))
+        .unionByName(edges.select(col("nbr").as("id"), col("id").as("nbr"),
+          col("sim")))
+      // the 2-hop join's skew surface is IN-degree: a hub sitting in many
+      // nodes' top-k (a near-dup clump center) makes pairs-through-it
+      // quadratic in its reverse neighborhood. Cap each node's undirected
+      // adjacency at its best 2k by sim (the paper's ρ-sampling made
+      // deterministic and similarity-aware) so pairs through ANY node are
+      // ≤ (2k)² however clumped the corpus.
+      val undirected = sym
+        .groupBy(col("id"))
+        .agg(topCap(col("nbr"), col("sim")).as("top"))
+        .select(col("id"), explode(col("top")).as("e"))
+        .select(col("id"), col("e._1").as("nbr"))
+        .localCheckpoint(true) // read twice by the self-join
+      val twoHop = undirected
+        .join(undirected.select(col("id").as("nbr"), col("nbr").as("nbr2")),
+          Seq("nbr"))
+        .select(col("id"), col("nbr2").as("nbr"))
+        .filter(col("id") =!= col("nbr"))
+      val sampled =
+        if (sampleRate >= 1.0) twoHop
+        else twoHop.filter(
+          pmod(hash(col("id"), col("nbr")), lit(1000000)) <
+            lit((sampleRate * 1000000).toLong))
+      // the capped adjacency always contains the node's current top-k
+      // (the cap keeps the best 2k incident sims) -> per-node best-k
+      // stays monotone across iterations
+      edges = bestK(sampled.unionByName(undirected)).localCheckpoint(true)
+    }
+    edges
+  }
+
   /** The segment's main entry (highest level, ties to smallest id) PLUS
     * the layer-0 reachability roots. Degree pruning can orphan DIRECTED
     * components in an NSW graph — nodes unfindable from the entry at ANY

