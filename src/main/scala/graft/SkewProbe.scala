@@ -197,6 +197,57 @@ object SkewProbe {
     }
   }
 
+  /** NN-Descent hub-axis skew (round 12) — the 2-hop join's skew surface
+    * is IN-degree: a near-dup clump's center sits in many nodes' top-k,
+    * and pairs through it grow quadratically in its reverse neighborhood.
+    * Plant: 90 % of vectors become EXACT clones of one vector — sims
+    * inside the clump are all equal, so the (sim desc, id asc) heap
+    * order sends every clone's top-k to the SAME k smallest-id clones,
+    * whose in-degree then equals the clump size (a jittered clump does
+    * NOT form hubs: picks spread and in-degree stays ~k — measured 1.07×
+    * before this plant was sharpened). Cases: the uncapped pathology
+    * (adjCap=MaxValue, probe-only — production always caps) vs the
+    * shipped 2k cap, on both corpora. Bar: capped build ≤ 2× its uniform
+    * baseline; the uncapped planted row is the documented pathology.
+    */
+  private def runNnStudy(spark: SparkSession, base: String, reps: Int,
+      time: (() => Long) => (Double, Long)): Unit = {
+    import spark.implicits._
+    import graft.operators.GraphAnn
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, base, "embeddings")
+      .select($"vec_id", $"embedding")
+    val R = sys.env.getOrElse("SPARK_GRAFT_SKEW_NN_R", "1").toInt
+    val uniform = (0 until R).map(i => emb.select(
+        ($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
+        transform($"embedding", x => x + lit(i * 1e-4f)).as("embedding")))
+      .reduce(_.unionByName(_))
+      .repartition(32).localCheckpoint(true)
+    val n = uniform.count()
+    val hub = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    // 90% of ids become EXACT clones of the hub vector (see scaladoc)
+    val planted = uniform.select($"vec_id",
+        when($"vec_id" % 10 =!= 0, typedLit(hub))
+          .otherwise($"embedding").as("embedding"))
+      .localCheckpoint(true)
+    val k = 10
+    def build(df: org.apache.spark.sql.DataFrame, cap: Int)() =
+      GraphAnn.nnDescent(df, "vec_id", "embedding", k, iters = 2,
+        adjCap = cap).count()
+    case class Case(name: String, uni: () => Long, skew: () => Long)
+    val cases = Seq(
+      Case("nn_build_uncapped", build(uniform, Int.MaxValue),
+        build(planted, Int.MaxValue)),
+      Case("nn_build_capped", build(uniform, -1), build(planted, -1)))
+    println(f"SKEW ${"case"}%-24s uniform  skewed   ratio  rows_u -> rows_s  (n=$n)")
+    cases.foreach { c =>
+      val (tu, ru) = time(c.uni)
+      val (ts, rs) = time(c.skew)
+      println(f"SKEW ${c.name}%-24s $tu%-8.2f $ts%-8.2f ${ts / tu}%-6.2f $ru%d -> $rs%d")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SKEW_BASE", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "/tmp/graft_skew")
@@ -229,6 +280,7 @@ object SkewProbe {
 
     if (family == "all" || family == "ann") runAnnStudy(spark, base, reps, time)
     if (family == "all" || family == "graph") runGraphStudy(spark, base, reps, time)
+    if (family == "all" || family == "nn") runNnStudy(spark, base, reps, time)
     if (family != "all" && family != "text") { spark.stop(); return }
 
     val skewDir = buildSkewDir(spark, base, out)

@@ -344,7 +344,8 @@ object GraphAnn {
     * v22 gate measures recall vs exact k-NN on a sampled node set.
     */
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 4, sampleRate: Double = 1.0): DataFrame = {
+      iters: Int = 4, sampleRate: Double = 1.0,
+      adjCap: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(k > 0 && iters >= 0, "k and iters must be positive")
@@ -373,7 +374,10 @@ object GraphAnn {
         .select(col("id"), col("nbr"))
     }.reduce(_.unionByName(_))
     var edges = bestK(seeds).localCheckpoint(true)
-    val topCap = udaf(new graft.functions.TopKByScore(2 * k))
+    // adjCap < 0 -> the default 2k hub guard; SkewProbe passes MaxValue
+    // to measure the uncapped pathology (production never should)
+    val cap = if (adjCap < 0) 2 * k else adjCap
+    val topCap = udaf(new graft.functions.TopKByScore(cap))
     for (_ <- 1 to iters) {
       val sym = edges.select(col("id"), col("nbr"), col("sim"))
         .unionByName(edges.select(col("nbr").as("id"), col("id").as("nbr"),
@@ -384,11 +388,12 @@ object GraphAnn {
       // adjacency at its best 2k by sim (the paper's ρ-sampling made
       // deterministic and similarity-aware) so pairs through ANY node are
       // ≤ (2k)² however clumped the corpus.
-      val undirected = sym
-        .groupBy(col("id"))
-        .agg(topCap(col("nbr"), col("sim")).as("top"))
-        .select(col("id"), explode(col("top")).as("e"))
-        .select(col("id"), col("e._1").as("nbr"))
+      val undirected = (if (cap == Int.MaxValue) sym.select(col("id"), col("nbr"))
+        else sym
+          .groupBy(col("id"))
+          .agg(topCap(col("nbr"), col("sim")).as("top"))
+          .select(col("id"), explode(col("top")).as("e"))
+          .select(col("id"), col("e._1").as("nbr")))
         .localCheckpoint(true) // read twice by the self-join
       val twoHop = undirected
         .join(undirected.select(col("id").as("nbr"), col("nbr").as("nbr2")),

@@ -279,4 +279,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("HashAggregate"),
       "keeper table lost its partial aggregation:\n" + p.take(2000))
   }
+
+  test("v20: 1-bit stage 1 is a broadcast product + partial agg — the code scan never sorts or shuffles raw") {
+    // the memory-lever claim: stage 1 reads only the bit codes, probes
+    // arrive by broadcast (BroadcastNestedLoopJoin over the tiny batch,
+    // never a CartesianProduct), per-probe top-k is the bounded-heap
+    // partial aggregate (ObjectHashAggregate w/ partial merge), and no
+    // global Sort of the corpus appears anywhere in the plan
+    val s = TestSpark.spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.load(s, TestSpark.sf, "embeddings")
+    val index = graft.operators.Similarity.quantizeBinary(emb, "vec_id", "embedding")
+    val probes = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val df = graft.operators.Similarity.searchBinaryBatch(index, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec", k = 10)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), "stage 1 fell to a cartesian:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "rerank join fell to sort-merge:\n" + p.take(2000))
+    assert(!p.contains("\n   Sort "), "a global sort appeared:\n" + p.take(2000))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "bounded-heap aggregate missing:\n" + p.take(2000))
+  }
 }
