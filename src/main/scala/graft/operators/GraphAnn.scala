@@ -651,6 +651,36 @@ object GraphAnn {
     mergeTopK(cands, k)
   }
 
+  /** Persist the per-cell graph in the partition-pruned serving layout —
+    * the [[Similarity.writeIvf]] analog: one directory per cell (`part`),
+    * so a routed search reads ONLY the probed cells' directories (the
+    * `part IN (…)` predicate lands in the scan's PartitionFilters —
+    * spec-asserted). Store it next to the IVF index's own tables and the
+    * tiers share one layout discipline.
+    */
+  def writeGraphCells(nodes: DataFrame, dir: String): Unit =
+    nodes.write.mode("overwrite").partitionBy("part").parquet(dir)
+
+  /** [[searchGraphRouted]] against the PERSISTED layout — the 100 TB
+    * serving shape: probes route driver-side against the broadcast
+    * centroid table, the scan reads only the routed cells' partition
+    * directories, and cold segments never leave disk. Results are
+    * row-identical to the in-memory routed search (same float bytes,
+    * same beams — gate-pinned).
+    */
+  def searchGraphRoutedPersisted(spark: SparkSession, dir: String,
+      centroids: Array[(Int, Array[Float])], probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int,
+      ef: Int): DataFrame = {
+    import spark.implicits._
+    val cells = probes.select(col(probeVec)).as[Array[Float]].collect()
+      .flatMap(v => Similarity.nearestCells(centroids, v, nprobe))
+      .distinct.toSeq
+    val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
+    searchGraphRouted(nodes, centroids, probes, probeId, probeVec, nprobe,
+      k, ef)
+  }
+
   /** PQ-compressed graph node: `codes` is the IVF-PQ RESIDUAL code word
     * ([[Similarity.encodePq]] bytes, e.g. 8 B vs the 256 B float vector a
     * [[GraphNode]] stores) — the stored-index memory upgrade the

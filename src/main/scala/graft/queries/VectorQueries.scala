@@ -190,6 +190,58 @@ object VectorQueries {
           ($"sets_ok" && $"sims_ok").as("search_exact"))
     }),
 
+    // V23: the routed graph tier's PERSISTED serving form — the
+    // searchIvfPartitionedBatch analog: the per-cell graph is written
+    // partition-per-cell (writeGraphCells) and a routed search reads
+    // ONLY the probed cells' directories (PartitionFilters,
+    // spec-asserted). The graph build is serving-tier state (v18 gates
+    // it) — built + written once per (session, sf); the timed region is
+    // the persisted routed search plus its equality check against the
+    // in-memory routed path over the same files (row-identical: same
+    // float bytes, same beams) and the fan-out bound asserted from the
+    // assignments table, outside the search.
+    "v23_graph_persisted" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v15_ivf:$d")(
+        Similarity.buildIvf(s, emb, "vec_id", "embedding",
+          nCells = 16, iters = 2))
+      val dir = Fixtures.cachedObj(s, s"v23_dir:$d") {
+        val t = java.nio.file.Files.createTempDirectory("graft-v23").toString
+        GraphAnn.writeGraphCells(
+          GraphAnn.buildGraphPerCell(s, index.assignments, m = 8,
+            efConstruction = 48), t)
+        t
+      }
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val nprobe = 4
+      val disk = GraphAnn.searchGraphRoutedPersisted(s, dir, index.centroids,
+          probes, "probe_id", "probe_vec", nprobe, k, ef = 48)
+        .localCheckpoint(true)
+      val mem = GraphAnn.searchGraphRouted(s.read.parquet(dir),
+          index.centroids, probes, "probe_id", "probe_vec", nprobe, k, ef = 48)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"probe_id", $"id", $"rank")
+      val diff = rows(disk).exceptAll(rows(mem))
+        .unionByName(rows(mem).exceptAll(rows(disk)))
+        .agg(count(lit(1)).as("n_diff"))
+      val probedCells = probes.select($"probe_vec").as[Array[Float]].collect()
+        .flatMap(v => GraphAnn.routeCells(index.centroids, v, nprobe))
+        .distinct.toSeq
+      val fanout = disk.select($"id")
+        .join(index.assignments.select($"id", $"cell"), Seq("id"))
+        .agg(every($"cell".isin(probedCells: _*)).as("fanout_ok"))
+      disk.groupBy($"probe_id").count()
+        .agg(count(lit(1)).as("n_probes"),
+          (min($"count") === k && max($"count") === k).as("all_k8"))
+        .crossJoin(broadcast(diff)).crossJoin(broadcast(fanout))
+        .select($"n_probes", $"all_k8",
+          ($"n_diff" === 0).as("matches_memory"), $"fanout_ok")
+    }),
+
     // V22: NN-Descent k-NN GRAPH construction (Dong et al., WWW 2011) —
     // the public all-to-all distributed graph build the graph study
     // names as the segment model's alternative, shipped as its own
@@ -666,6 +718,9 @@ object VectorQueries {
     "v22_knn_graph" ->
       """SELECT true AS k_edges_ok, true AS no_self_loops,
         | true AS recall_ok""".stripMargin,
+    "v23_graph_persisted" ->
+      """SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k8,
+        | true AS matches_memory, true AS fanout_ok""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

@@ -254,6 +254,35 @@ class GraphAnnSpec extends AnyFunSuite {
       s"result ${r.getLong(1)} came from an un-probed cell"))
   }
 
+  test("persisted cell layout: pruned read, results identical to in-memory routed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graphcells").toString
+    GraphAnn.writeGraphCells(cellNodes, dir)
+    val probes = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val mem = flat(GraphAnn.searchGraphRouted(cellNodes, ivf.centroids,
+      probes, "probe_id", "probe_vec", nprobe = 3, k = 6, ef = 48))
+    val disk = flat(GraphAnn.searchGraphRoutedPersisted(spark, dir,
+      ivf.centroids, probes, "probe_id", "probe_vec", nprobe = 3, k = 6,
+      ef = 48))
+    assert(disk.sameElements(mem), "persisted path must be row-identical")
+    // the pruned read plans a PartitionFilters predicate on `part`
+    val probed = probes.select($"probe_vec").as[Array[Float]].collect()
+      .flatMap(v => Similarity.nearestCells(ivf.centroids, v, 3)).distinct.toSeq
+    val pruned = spark.read.parquet(dir).filter($"part".isin(probed: _*))
+    val p = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("part#"),
+      "part IN (...) must land in PartitionFilters:\n" + p.take(1500))
+    assert(p.contains("part") && probed.nonEmpty)
+    val rm = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try rm.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally rm.close()
+  }
+
   test("routing to every cell equals the un-routed sweep of the same index") {
     val probes = emb.filter($"vec_id" < 4)
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
