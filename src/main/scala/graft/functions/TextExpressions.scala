@@ -38,6 +38,10 @@ object TextKernels {
     * bit-identical.
     */
   def paraWindows(s: UTF8String, w: Int): ArrayData = {
+    // SQL-reachable (graft_para_windows): fail with a clear message, not
+    // an ArithmeticException / NegativeArraySizeException mid-task
+    if (w <= 0) throw new IllegalArgumentException(
+      s"graft_para_windows: window width must be positive, got $w")
     val str = s.toString
     var lo = 0; var hi = str.length
     while (lo < hi && str.charAt(lo) == ' ') lo += 1

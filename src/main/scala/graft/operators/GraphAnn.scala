@@ -254,7 +254,9 @@ object GraphAnn {
       vecCol: String, nParts: Int, m: Int = 8,
       efConstruction: Int = 64): DataFrame = {
     val spark = existing.sparkSession
-    val offset = existing.agg(max(col("part"))).head().getInt(0) + 1
+    // null max = empty existing graph: the append IS the initial build
+    val maxRow = existing.agg(max(col("part"))).head()
+    val offset = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
     val fresh = buildGraph(spark, batch, idCol, vecCol, nParts, m,
       efConstruction).withColumn("part", col("part") + lit(offset))
     existing.unionByName(fresh)
@@ -271,9 +273,20 @@ object GraphAnn {
     * index would otherwise grow without limit, at a rebuild cost capped
     * by the target size — the same knob [[buildGraphPerCell]]'s
     * `maxSegmentSize` uses for build parallelism, pointed the other way.
+    *
+    * TIER CONTRACT — `withinPart`: the default (false) merges ACROSS
+    * parts and assigns merged segments fresh part ids past the existing
+    * max; that is correct ONLY for the un-routed segment tier
+    * ([[buildGraph]]/[[appendSegments]]), where `part` is an arbitrary
+    * hash bucket. On a ROUTED index ([[buildGraphPerCell]]) `part` IS
+    * the IVF cell id — a cross-part merge would give merged nodes part
+    * ids no probe ever routes to, silently dropping them from every
+    * routed search. Pass `withinPart = true` there: groups then pack
+    * only the `seg` slices OF THE SAME CELL and the rebuilt segment
+    * keeps its cell id, so routing is untouched.
     */
   def mergeSegments(nodes: DataFrame, targetNodesPerSegment: Int, m: Int = 8,
-      efConstruction: Int = 64): DataFrame = {
+      efConstruction: Int = 64, withinPart: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     require(targetNodesPerSegment > 0, "targetNodesPerSegment must be positive")
@@ -282,32 +295,50 @@ object GraphAnn {
       .sortBy { case ((p, s), n) => (n, p, s) }
     if (sizes.isEmpty) return nodes
     val maxPart = sizes.map(_._1._1).max
-    // greedy first-fit pack of the under-target segments, in sorted order
-    val group = scala.collection.mutable.Map.empty[(Int, Int), Int]
-    var gid = 0; var acc = 0L; var members = 0
-    sizes.foreach { case (key, n) =>
-      if (n < targetNodesPerSegment) {
-        if (members > 0 && acc + n > targetNodesPerSegment) {
-          gid += 1; acc = 0L; members = 0
+    val maxSegOf = sizes.groupBy(_._1._1)
+      .map { case (p, xs) => p -> xs.map(_._1._2).max }
+    // greedy first-fit pack of the under-target segments, in sorted
+    // order; each merged group maps to the (part, seg) it will emit as
+    val group = scala.collection.mutable.Map.empty[(Int, Int), (Int, Int)]
+    if (withinPart) {
+      var curPart = Integer.MIN_VALUE
+      var gid = 0; var acc = 0L; var members = 0
+      sizes.sortBy { case ((p, s), n) => (p, n, s) }.foreach {
+        case (key @ (p, _), n) =>
+          if (p != curPart) { curPart = p; gid = 0; acc = 0L; members = 0 }
+          if (n < targetNodesPerSegment) {
+            if (members > 0 && acc + n > targetNodesPerSegment) {
+              gid += 1; acc = 0L; members = 0
+            }
+            group(key) = (p, maxSegOf(p) + 1 + gid); acc += n; members += 1
+          }
+      }
+    } else {
+      var gid = 0; var acc = 0L; var members = 0
+      sizes.foreach { case (key, n) =>
+        if (n < targetNodesPerSegment) {
+          if (members > 0 && acc + n > targetNodesPerSegment) {
+            gid += 1; acc = 0L; members = 0
+          }
+          group(key) = (maxPart + 1 + gid, 0); acc += n; members += 1
         }
-        group(key) = gid; acc += n; members += 1
       }
     }
     // singleton groups rebuild nothing — their segment passes through
-    val counts = group.groupBy(_._2).map { case (g, ms) => g -> ms.size }
-    val merged = group.filter { case (_, g) => counts(g) > 1 }.toMap
+    val counts = group.groupBy(_._2).map { case (t, ms) => t -> ms.size }
+    val merged = group.filter { case (_, t) => counts(t) > 1 }.toMap
     val bc = spark.sparkContext.broadcast(merged)
     val untouched = nodes.as[GraphNode]
       .filter(n => !bc.value.contains((n.part, n.seg)))
     val rebuilt = nodes.as[GraphNode]
       .filter(n => bc.value.contains((n.part, n.seg)))
       .groupByKey(n => bc.value((n.part, n.seg)))
-      .flatMapGroups { (g, it) =>
+      .flatMapGroups { (t: (Int, Int), it) =>
         val rows = it.map(n => (n.id, n.vec)).toArray
         java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
         val b = new Builder(m, efConstruction)
         rows.foreach { case (id, v) => b.insert(id, v) } // vecs already unit
-        b.emit(maxPart + 1 + g)
+        b.emit(t._1, t._2)
       }
     untouched.unionByName(rebuilt).toDF()
   }
@@ -379,9 +410,15 @@ object GraphAnn {
     val cap = if (adjCap < 0) 2 * k else adjCap
     val topCap = udaf(new graft.functions.TopKByScore(cap))
     for (_ <- 1 to iters) {
+      // dedup BEFORE the cap: a mutual edge appears in both directions
+      // and would otherwise occupy two of the node's 2k cap slots,
+      // which could evict a current top-k edge and void the
+      // monotonicity argument below (both copies carry the same sim,
+      // so dropDuplicates is order-safe)
       val sym = edges.select(col("id"), col("nbr"), col("sim"))
         .unionByName(edges.select(col("nbr").as("id"), col("id").as("nbr"),
           col("sim")))
+        .dropDuplicates("id", "nbr")
       // the 2-hop join's skew surface is IN-degree: a hub sitting in many
       // nodes' top-k (a near-dup clump center) makes pairs-through-it
       // quadratic in its reverse neighborhood. Cap each node's undirected
@@ -412,6 +449,24 @@ object GraphAnn {
     }
     edges
   }
+
+  /** Global→local adjacency, resolved ONCE per segment per batch: the
+    * beam loop then reads primitive int arrays instead of boxing through
+    * the id map on every expansion — the serving hot path's dominant
+    * allocation (q probes × visited × degree map lookups otherwise).
+    */
+  private def resolveAdj(neighbors: Int => Array[Array[Long]], n: Int,
+      idIdx: java.util.HashMap[Long, Integer]): Array[Array[Array[Int]]] =
+    Array.tabulate(n) { i =>
+      neighbors(i).map { layer =>
+        val out = new Array[Int](layer.length)
+        var j = 0
+        while (j < layer.length) {
+          out(j) = idIdx.get(layer(j)).intValue(); j += 1
+        }
+        out
+      }
+    }
 
   /** The segment's main entry (highest level, ties to smallest id) PLUS
     * the layer-0 reachability roots. Degree pruning can orphan DIRECTED
@@ -476,10 +531,9 @@ object GraphAnn {
     val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
     ns.indices.foreach(i => idIdx.put(ns(i).id, i))
     val vecs: Int => Array[Float] = i => ns(i).vec
+    val adjLocal = resolveAdj(i => ns(i).neighbors, ns.length, idIdx)
     val adj: (Int, Int) => Iterable[Int] = (n, l) =>
-      if (l < ns(n).neighbors.length)
-        ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
-      else Nil
+      if (l < adjLocal(n).length) adjLocal(n)(l) else Nil
     val (entry, roots) =
       entryAndRoots(ns.length, i => ns(i).level, i => ns(i).id, adj)
     val visited = new java.util.BitSet(ns.length)
@@ -518,6 +572,14 @@ object GraphAnn {
     * [[searchGraphRouted]] for the bounded-fan-out form), and the
     * per-probe global top-k merges through the bounded-heap aggregator.
     * Output: (probe_id, id, sim, rank).
+    *
+    * LOCALITY CONTRACT: every (part, seg) segment must sit whole inside
+    * one physical partition — adjacency ids resolve against the local
+    * segment only. All builders in this object emit that layout and
+    * narrow transforms preserve it; if `nodes` was re-read from storage
+    * or repartitioned by anything other than (part, seg), restore it
+    * with `repartition(col("part"), col("seg"))` first (the persisted
+    * path does exactly this — [[searchGraphRoutedPersisted]]).
     */
   def searchGraphBatch(nodes: DataFrame, probes: DataFrame, probeId: String,
       probeVec: String, k: Int, ef: Int): DataFrame = {
@@ -624,18 +686,33 @@ object GraphAnn {
   def searchGraphRouted(nodes: DataFrame,
       centroids: Array[(Int, Array[Float])], probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int,
-      ef: Int): DataFrame = {
-    val spark = nodes.sparkSession
+      ef: Int): DataFrame =
+    routedSearchCore(nodes,
+      routeBatch(probes, probeId, probeVec, centroids, nprobe), k, ef)
+
+  /** Collect the probe batch (bounded — a serving batch, never the
+    * corpus) and route each probe to its nprobe cells: routing in RAW
+    * space (the centroids' space), searching on unit vectors.
+    */
+  private def routeBatch(probes: DataFrame, probeId: String,
+      probeVec: String, centroids: Array[(Int, Array[Float])],
+      nprobe: Int): Map[Int, Array[(Long, Array[Float])]] = {
+    val spark = probes.sparkSession
     import spark.implicits._
-    val batch = probes.select(col(probeId).cast("long"), col(probeVec))
+    probes.select(col(probeId).cast("long"), col(probeVec))
       .as[(Long, Array[Float])].collect()
-    // route in RAW space (the centroids' space); search on unit vectors
-    val routes: Map[Int, Array[(Long, Array[Float])]] = batch
       .flatMap { case (pid, v) =>
         val u = l2unit(v)
         Similarity.nearestCells(centroids, v, nprobe).map(c => (c, (pid, u)))
       }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+  }
+
+  private def routedSearchCore(nodes: DataFrame,
+      routes: Map[Int, Array[(Long, Array[Float])]], k: Int,
+      ef: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(routes)
     val kLocal = k
     val efLocal = math.max(ef, k)
@@ -672,13 +749,17 @@ object GraphAnn {
       centroids: Array[(Int, Array[Float])], probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int,
       ef: Int): DataFrame = {
-    import spark.implicits._
-    val cells = probes.select(col(probeVec)).as[Array[Float]].collect()
-      .flatMap(v => Similarity.nearestCells(centroids, v, nprobe))
-      .distinct.toSeq
+    // route ONCE: the same map prunes the scan and drives the beams
+    val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
+    val cells = routes.keys.toSeq
     val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
-    searchGraphRouted(nodes, centroids, probes, probeId, probeVec, nprobe,
-      k, ef)
+      // a cell whose parquet file exceeds maxPartitionBytes splits
+      // across scan partitions, breaking the per-task segment locality
+      // the beams need (adjacency ids must resolve locally); one
+      // bounded shuffle of ONLY the probed cells' nodes reassembles
+      // each (cell, seg) whole in one task
+      .repartition(col("part"), col("seg"))
+    routedSearchCore(nodes, routes, k, ef)
   }
 
   /** PQ-compressed graph node: `codes` is the IVF-PQ RESIDUAL code word
@@ -744,22 +825,17 @@ object GraphAnn {
     if (ns.isEmpty) return Iterator.empty
     val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
     ns.indices.foreach(i => idIdx.put(ns(i).id, i))
+    val adjLocal = resolveAdj(i => ns(i).neighbors, ns.length, idIdx)
     val adj: (Int, Int) => Iterable[Int] = (n, l) =>
-      if (l < ns(n).neighbors.length)
-        ns(n).neighbors(l).toSeq.map(id => idIdx.get(id).intValue())
-      else Nil
+      if (l < adjLocal(n).length) adjLocal(n)(l) else Nil
     val (entry, roots) =
       entryAndRoots(ns.length, i => ns(i).level, i => ns(i).id, adj)
     val visited = new java.util.BitSet(ns.length)
     queries.iterator.flatMap { case (pid, q) =>
       val const = dot(q, cellCentroid)
-      val table: Array[Array[Float]] = Array.tabulate(book.subspaces) { sc =>
-        book.centroids(sc).map { cent =>
-          var s = 0.0; var i = 0
-          while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
-          s.toFloat
-        }
-      }
+      // the one shared ADC builder — graph-vs-IVF score equality is
+      // gate-pinned and holds only while every tier builds it identically
+      val table = Similarity.adcTable(book, q)
       val simOf: Int => Double = i => {
         val cs = ns(i).codes
         var s = const

@@ -469,6 +469,22 @@ object Similarity {
   final case class PqCodebook(subspaces: Int, subDim: Int,
       centroids: Array[Array[Array[Float]]])
 
+  /** The per-query ADC lookup table: `table(sub)(code)` = dot of the
+    * query's sub-vector with that code's centroid (double accumulation,
+    * float storage). The ONE copy every ADC scorer shares — the v16/v19/
+    * v21 gates pin graph-vs-IVF score equality, which holds only while
+    * every tier builds this table bit-identically.
+    */
+  private[operators] def adcTable(book: PqCodebook,
+      q: Array[Float]): Array[Array[Float]] =
+    Array.tabulate(book.subspaces) { sc =>
+      book.centroids(sc).map { cent =>
+        var s = 0.0; var i = 0
+        while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
+        s.toFloat
+      }
+    }
+
   private def l2unit(v: Seq[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
@@ -681,13 +697,7 @@ object Similarity {
       ci -> s.toFloat
     }.toMap
     val book = index.book
-    val table: Array[Array[Float]] = Array.tabulate(book.subspaces) { sc =>
-      book.centroids(sc).map { cent =>
-        var s = 0.0; var i = 0
-        while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
-        s.toFloat
-      }
-    }
+    val table = adcTable(book, q)
     val bcT = spark.sparkContext.broadcast((table, cellConst))
     val adc = udf((cell: Int, cs: Array[Byte]) => {
       val (t, const) = bcT.value
@@ -788,13 +798,7 @@ object Similarity {
         if (tables.size >= maxCachedTables && !tables.contains(pid)) {
           tables.clear(); consts.clear()
         }
-        val t = tables.getOrElseUpdate(pid, Array.tabulate(book.subspaces) { sc =>
-          book.centroids(sc).map { cent =>
-            var s = 0.0; var i = 0
-            while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
-            s.toFloat
-          }
-        })
+        val t = tables.getOrElseUpdate(pid, adcTable(book, q))
         val cell = r.getInt(cellIdx)
         val const = consts.getOrElseUpdate((pid, cell), {
           val c = centroidOf(cell)
@@ -842,13 +846,7 @@ object Similarity {
       idCol: String, vecCol: String, book: PqCodebook, probe: Array[Float],
       k: Int, rerankFactor: Int = 4): DataFrame = {
     val q = l2unit(probe)
-    val table: Array[Array[Float]] = Array.tabulate(book.subspaces) { sc =>
-      book.centroids(sc).map { cent =>
-        var s = 0.0; var i = 0
-        while (i < book.subDim) { s += q(sc * book.subDim + i) * cent(i); i += 1 }
-        s.toFloat
-      }
-    }
+    val table = adcTable(book, q)
     val bc = spark.sparkContext.broadcast(table)
     val adc = udf((cs: Array[Byte]) => {
       val t = bc.value

@@ -22,9 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is EXPLICIT: the first insert for a session registers an
   * onApplicationEnd listener that drops that session's entries from
   * both maps, releasing the DataFrames (and with them the checkpoint
-  * blocks and the session itself) once the context stops. Long-lived
-  * JVMs that spawn and stop many sessions (test suites) therefore
-  * don't accumulate pinned checkpointed RDDs.
+  * blocks and the session itself) once the SparkContext stops. NOTE
+  * the listener granularity: ApplicationEnd fires when the shared
+  * CONTEXT stops, not when an individual `newSession()` clone goes
+  * away — a JVM churning many sessions over one long-lived context
+  * accumulates entries until the context ends (or a caller invokes
+  * [[Fixtures.drop]] on the session it is retiring). The gate/test
+  * processes this memo serves stop their context at exit, which is the
+  * case the listener closes.
   */
 object Fixtures {
   private val cache = java.util.Collections.synchronizedMap(
@@ -45,6 +50,16 @@ object Fixtures {
           objCache.remove(spark)
         }
       })
+
+  /** Explicitly drop one session's memoized entries — for callers that
+    * retire `newSession()` clones while the shared context lives on
+    * (the listener above only fires at context stop).
+    */
+  def drop(spark: SparkSession): Unit = {
+    cache.remove(spark)
+    objCache.remove(spark)
+    ()
+  }
 
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = cache.synchronized {

@@ -170,7 +170,12 @@ object StreamingIngest {
                   "id", buckets)),
                 Future(PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands,
                   "id", buckets)))
-              up.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+              // await BOTH before surfacing a failure: rethrowing on the
+              // first would leave the other table's overwrite running
+              // detached, racing any replay of this batch
+              val outcomes = up.map(f => scala.util.Try(
+                Await.result(f, scala.concurrent.duration.Duration.Inf)))
+              outcomes.collectFirst { case scala.util.Failure(e) => throw e }
             } else {
               PartitionedUpsert.writeInitial(deltaSigs, sigsDir, "id", buckets)
               PartitionedUpsert.writeInitial(deltaBands, bandsDir, "id", buckets)

@@ -101,6 +101,20 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(p.contains("codegen id"), p.take(1000))
   }
 
+  test("para_windows rejects non-positive widths with a clear message") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq("a b c").toDF("t")
+        .select(GraftFunctions.para_windows($"t", lit(0))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("must be positive")),
+      s"expected a clear width error, got: $e")
+  }
+
   test("token_count stays inside whole-stage codegen (no UDF wrapper)") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -254,6 +254,42 @@ class GraphAnnSpec extends AnyFunSuite {
       s"result ${r.getLong(1)} came from an un-probed cell"))
   }
 
+  test("appendSegments onto an empty graph is the initial build (no NPE)") {
+    val empty = nodes.filter($"part" < -1)
+    val appended = GraphAnn.appendSegments(empty, emb.limit(20), "vec_id",
+      "embedding", nParts = 2, m = M, efConstruction = 48)
+    assert(appended.count() == 20)
+    assert(appended.agg(min($"part")).head().getInt(0) >= 0)
+  }
+
+  test("withinPart merge packs a cell's slices but never crosses cells (routing preserved)") {
+    val cap = 24
+    val sliced = GraphAnn.buildGraphPerCell(spark, ivf.assignments, m = M,
+      efConstruction = 48, maxSegmentSize = cap).localCheckpoint(true)
+    val merged = GraphAnn.mergeSegments(sliced, targetNodesPerSegment = 1000,
+      m = M, efConstruction = 48, withinPart = true).localCheckpoint(true)
+    val cellOf = ivf.assignments.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gs = merged.as[GraphNode].collect()
+    assert(gs.length == cellOf.size, "node conservation")
+    gs.foreach(g => assert(g.part == cellOf(g.id),
+      s"node ${g.id} left its cell: part ${g.part} vs cell ${cellOf(g.id)}"))
+    val segsBefore = sliced.select($"part", $"seg").distinct().count()
+    val segsAfter = merged.select($"part", $"seg").distinct().count()
+    assert(segsAfter < segsBefore, s"slices must merge ($segsBefore -> $segsAfter)")
+    // routed search over the merged layout still finds everything exactly
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+    val got = top(GraphAnn.searchGraphRouted(merged, ivf.centroids, probes,
+      "probe_id", "probe_vec", nprobe = 8, k = 5, ef = n))
+    val exact = top(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
   test("persisted cell layout: pruned read, results identical to in-memory routed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-graphcells").toString
     GraphAnn.writeGraphCells(cellNodes, dir)
