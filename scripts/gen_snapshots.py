@@ -31,6 +31,8 @@ QUERIES = [
     "d14_cluster_sizes",
     "d15_incremental_neardup",
     "d16_incremental_embed",
+    "st6_stream_ingest",
+    "st7_stream_embed_ingest",
     "t5_bpe_tokens",
     "v6_embedding_neardup",
     "r3_mmr_rerank",

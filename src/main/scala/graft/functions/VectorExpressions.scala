@@ -166,7 +166,13 @@ case class BinaryDotF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val bits = a.asInstanceOf[Array[Byte]]
     val q = b.asInstanceOf[ArrayData]
-    val n = math.min(bits.length * 8, q.numElements())
+    val n = q.numElements()
+    // a probe longer than the code's capacity would silently read the
+    // last byte's zero padding as −qᵢ contributions — fail loudly instead
+    if (n > bits.length * 8) throw new IllegalArgumentException(
+      s"binary_dot_f32: probe has $n dims but the code holds at most " +
+        s"${bits.length * 8} — the probe and the quantized corpus disagree " +
+        "on dimension")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -181,7 +187,13 @@ case class BinaryDotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i"); val q = ctx.freshName("q")
       s"""
-         |int $n = java.lang.Math.min($x.length * 8, $y.numElements());
+         |int $n = $y.numElements();
+         |if ($n > $x.length * 8) {
+         |  throw new IllegalArgumentException(
+         |    "binary_dot_f32: probe has " + $n + " dims but the code holds " +
+         |    "at most " + ($x.length * 8) +
+         |    " — the probe and the quantized corpus disagree on dimension");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $q = (double)$y.getFloat($i);

@@ -274,7 +274,9 @@ object GraphAnn {
     * by the target size — the same knob [[buildGraphPerCell]]'s
     * `maxSegmentSize` uses for build parallelism, pointed the other way.
     *
-    * TIER CONTRACT — `withinPart`: the default (false) merges ACROSS
+    * TIER CONTRACT — `withinPart` (REQUIRED, no default: a wrong value
+    * on a routed index is silent data loss, not an error, so every call
+    * site must state which tier it is merging): `false` merges ACROSS
     * parts and assigns merged segments fresh part ids past the existing
     * max; that is correct ONLY for the un-routed segment tier
     * ([[buildGraph]]/[[appendSegments]]), where `part` is an arbitrary
@@ -286,7 +288,7 @@ object GraphAnn {
     * keeps its cell id, so routing is untouched.
     */
   def mergeSegments(nodes: DataFrame, targetNodesPerSegment: Int, m: Int = 8,
-      efConstruction: Int = 64, withinPart: Boolean = false): DataFrame = {
+      efConstruction: Int = 64, withinPart: Boolean): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     require(targetNodesPerSegment > 0, "targetNodesPerSegment must be positive")
@@ -462,11 +464,32 @@ object GraphAnn {
         val out = new Array[Int](layer.length)
         var j = 0
         while (j < layer.length) {
-          out(j) = idIdx.get(layer(j)).intValue(); j += 1
+          val idx = idIdx.get(layer(j))
+          if (idx == null) throw new IllegalStateException(
+            s"graph segment locality violated: adjacency id ${layer(j)} is " +
+              "absent from this task's (part, seg) group — the segment was " +
+              "split across scan partitions (e.g. a cell parquet file over " +
+              "maxPartitionBytes). Restore the layout with " +
+              "GraphAnn.restoreSegmentLocality before searching; builders " +
+              "emit it natively.")
+          out(j) = idx.intValue(); j += 1
         }
         out
       }
     }
+
+  /** Reassemble every (part, seg) segment whole inside one task — the
+    * LOCALITY CONTRACT every search in this object requires (adjacency
+    * ids resolve against the local segment only; a violation fails fast
+    * in [[resolveAdj]] naming this remedy). Builders emit the layout
+    * natively and narrow transforms preserve it; call this after
+    * re-reading nodes from storage or repartitioning by any other key —
+    * a cell's parquet file larger than `maxPartitionBytes` splits across
+    * scan partitions ([[searchGraphRoutedPersisted]] already applies
+    * this to the probed cells). One shuffle of exactly the nodes passed.
+    */
+  def restoreSegmentLocality(nodes: DataFrame): DataFrame =
+    nodes.repartition(col("part"), col("seg"))
 
   /** The segment's main entry (highest level, ties to smallest id) PLUS
     * the layer-0 reachability roots. Degree pruning can orphan DIRECTED

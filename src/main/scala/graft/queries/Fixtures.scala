@@ -36,20 +36,34 @@ object Fixtures {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
+  /** Sessions that already have a cleanup listener on their bus — guards
+    * against re-registration when a session's entries are [[drop]]ped and
+    * later re-inserted (each duplicate listener would strongly pin the
+    * session until application end). Weak keys so the guard itself never
+    * pins a session.
+    */
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Clears this session's entries when its SparkContext ends. The
     * listener closure references the session, but the listener lives on
     * that session's own (stopped) bus — after removal from the maps the
-    * whole cycle is unreachable together and GC reclaims it.
+    * whole cycle is unreachable together and GC reclaims it. Idempotent
+    * per session: at most one listener is ever added, however many
+    * insert/drop/insert cycles the session goes through.
     */
   private def registerCleanup(spark: SparkSession): Unit =
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          cache.remove(spark)
-          objCache.remove(spark)
-        }
-      })
+    if (registered.add(spark))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.remove(spark)
+            objCache.remove(spark)
+            registered.remove(spark)
+          }
+        })
 
   /** Explicitly drop one session's memoized entries — for callers that
     * retire `newSession()` clones while the shared context lives on
@@ -67,7 +81,7 @@ object Fixtures {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
         cache.put(spark, m)
-        if (!objCache.containsKey(spark)) registerCleanup(spark)
+        registerCleanup(spark) // idempotent — the registered set guards
       }
       m
     }
@@ -92,9 +106,7 @@ object Fixtures {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, Any]
         objCache.put(spark, m)
-        // the other map's presence means cleanup is already registered
-        // (a racing double-registration is harmless: remove is idempotent)
-        if (!cache.containsKey(spark)) registerCleanup(spark)
+        registerCleanup(spark) // idempotent — the registered set guards
       }
       m
     }

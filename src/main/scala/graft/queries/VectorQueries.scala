@@ -151,7 +151,7 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_diff"))
       val nEmb = emb.count()
       val merged = GraphAnn.mergeSegments(appended, (nEmb / 3).toInt,
-          m = m, efConstruction = 48)
+          m = m, efConstruction = 48, withinPart = false)
         .localCheckpoint(true)
       val conserved = merged
         .agg((count(lit(1)) === nEmb &&
@@ -221,7 +221,11 @@ object VectorQueries {
       val disk = GraphAnn.searchGraphRoutedPersisted(s, dir, index.centroids,
           probes, "probe_id", "probe_vec", nprobe, k, ef = 48)
         .localCheckpoint(true)
-      val mem = GraphAnn.searchGraphRouted(s.read.parquet(dir),
+      // the raw parquet read only preserves segment locality while each
+      // cell's file stays under maxPartitionBytes — restore it explicitly
+      // (resolveAdj fails fast naming this remedy otherwise)
+      val mem = GraphAnn.searchGraphRouted(
+          GraphAnn.restoreSegmentLocality(s.read.parquet(dir)),
           index.centroids, probes, "probe_id", "probe_vec", nprobe, k, ef = 48)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select($"probe_id", $"id", $"rank")

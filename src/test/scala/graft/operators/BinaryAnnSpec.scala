@@ -46,6 +46,28 @@ class BinaryAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("binary_dot_f32 rejects a probe wider than the code's capacity") {
+    // zero padding bits would otherwise read as −qᵢ contributions —
+    // a dimension mismatch must fail loudly, not score quietly wrong
+    val wide = Array.fill(17)(1.0f) // 2-byte code holds at most 16 dims
+    val df = Seq((1L, Array[Byte](0x0f, 0x33))).toDF("id", "bits")
+      .withColumn("a", GraftFunctions.binary_dot_f32($"bits", typedLit(wide)))
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("disagree on dimension")),
+      s"wanted a dimension-mismatch error, got: $e")
+    // a NARROWER probe is fine (scores only the probe's dims)
+    val narrow = Array.fill(16)(1.0f)
+    val ok = Seq((1L, Array[Byte](0x0f, 0x33))).toDF("id", "bits")
+      .withColumn("a", GraftFunctions.binary_dot_f32($"bits", typedLit(narrow)))
+      .select($"a").head().getDouble(0)
+    // bits 0-3 and 8,9,12,13 set: 8 positive, 8 negative → 0.0
+    assert(math.abs(ok) < 1e-12)
+  }
+
   test("binary_dot_f32 equals the Scala reference sum") {
     val probe = emb.filter($"vec_id" === 7)
       .select($"embedding").head().getSeq[Float](0).toArray

@@ -184,7 +184,7 @@ class GraphAnnSpec extends AnyFunSuite {
     val n = emb.count().toInt
     val target = n / 2
     val merged = GraphAnn.mergeSegments(many, target, m = M,
-      efConstruction = 48).localCheckpoint(true)
+      efConstruction = 48, withinPart = false).localCheckpoint(true)
     val gs = merged.as[GraphNode].collect()
     assert(gs.length == n, "node conservation")
     assert(gs.map(_.id).distinct.length == n)
@@ -204,7 +204,8 @@ class GraphAnnSpec extends AnyFunSuite {
         ns.map(g => (g.id, g.neighbors.map(_.toSeq).toSeq)).sortBy(_._1).toSeq)
     }
     // determinism
-    val again = GraphAnn.mergeSegments(many, target, m = M, efConstruction = 48)
+    val again = GraphAnn.mergeSegments(many, target, m = M,
+      efConstruction = 48, withinPart = false)
     def flat(df: org.apache.spark.sql.DataFrame) = df.as[GraphNode].collect()
       .map(g => (g.id, g.part, g.seg, g.neighbors.map(_.toSeq).toSeq))
       .sortBy(_._1).toSeq
