@@ -83,15 +83,32 @@ object GraphAnn {
     override def compare(a: Cand, b: Cand): Int = byBest.compare(b, a)
   }
 
+  /** The no-filter emit predicate (shared instance so the unfiltered hot
+    * path allocates nothing per call).
+    */
+  private val emitAll: Int => Boolean = _ => true
+
   /** Beam search one layer: standard HNSW SEARCH-LAYER with an ef-bounded
     * result heap. `adj(node, layer)` supplies the adjacency; `simOf` the
     * query-to-node score — a float dot product on the exact path, an ADC
     * table sum on the PQ path. Works for both the under-construction
     * builder graph and a loaded segment.
+    *
+    * `emit` gates the RESULT heap only (filtered search / tombstone
+    * masking): every visited node still enters the candidate heap, so the
+    * walk traverses THROUGH non-emittable nodes — the public filtered-HNSW
+    * semantics (hnswlib's filter functor): with few emittable nodes the
+    * result heap fills slowly, the `res.peek` bound stays loose, and the
+    * beam naturally widens — down to an exhaustive sweep of the segment
+    * when the filter is ultra-selective, which is exactly the right
+    * degenerate behavior (a segment is memory-bounded by construction).
+    * No ef widening is needed: the ef-bounded heap holds only emittable
+    * nodes, so a selective filter can never starve top-k.
     */
   private def searchLayer(simOf: Int => Double, eps: Iterable[Int], ef: Int,
       layer: Int, adj: (Int, Int) => Iterable[Int],
-      visited: java.util.BitSet): java.util.ArrayList[Cand] = {
+      visited: java.util.BitSet,
+      emit: Int => Boolean = emitAll): java.util.ArrayList[Cand] = {
     visited.clear()
     val cand = new java.util.PriorityQueue[Cand](byBest)
     val res = new java.util.PriorityQueue[Cand](byWorst)
@@ -99,8 +116,8 @@ object GraphAnn {
       if (!visited.get(ep)) {
         visited.set(ep)
         val s = simOf(ep)
-        cand.add((ep, s)); res.add((ep, s))
-        if (res.size > ef) res.poll()
+        cand.add((ep, s))
+        if (emit(ep)) { res.add((ep, s)); if (res.size > ef) res.poll() }
       }
     }
     var done = false
@@ -113,8 +130,8 @@ object GraphAnn {
             visited.set(nb)
             val s = simOf(nb)
             if (res.size < ef || s > res.peek()._2) {
-              cand.add((nb, s)); res.add((nb, s))
-              if (res.size > ef) res.poll()
+              cand.add((nb, s))
+              if (emit(nb)) { res.add((nb, s)); if (res.size > ef) res.poll() }
             }
           }
         }
@@ -548,8 +565,8 @@ object GraphAnn {
     * per query.
     */
   private def searchSegment(ns: Array[GraphNode],
-      queries: Iterable[(Long, Array[Float])], k: Int,
-      ef: Int): Iterator[(Long, Long, Double)] = {
+      queries: Iterable[(Long, Array[Float])], k: Int, ef: Int,
+      emit: Int => Boolean = emitAll): Iterator[(Long, Long, Double)] = {
     if (ns.isEmpty) return Iterator.empty
     val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
     ns.indices.foreach(i => idIdx.put(ns(i).id, i))
@@ -565,7 +582,7 @@ object GraphAnn {
       var ep = entry
       var l = ns(entry).level
       while (l > 0) { ep = greedyStep(simOf, ep, l, adj); l -= 1 }
-      val w = searchLayer(simOf, ep :: roots, ef, 0, adj, visited)
+      val w = searchLayer(simOf, ep :: roots, ef, 0, adj, visited, emit)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       val it2 = w.iterator()
       var taken = 0
@@ -601,17 +618,28 @@ object GraphAnn {
     * segment only. All builders in this object emit that layout and
     * narrow transforms preserve it; if `nodes` was re-read from storage
     * or repartitioned by anything other than (part, seg), restore it
-    * with `repartition(col("part"), col("seg"))` first (the persisted
-    * path does exactly this — [[searchGraphRoutedPersisted]]).
+    * with [[restoreSegmentLocality]] first (the persisted path does
+    * exactly this — [[searchGraphRoutedPersisted]]).
+    *
+    * `tombstones` (optional, one `id` column) masks DELETED documents at
+    * serving time — the Lucene deletes-bitset model: beams traverse
+    * through tombstoned nodes (graph connectivity is untouched) but never
+    * emit them, and the ef-bounded result heap holds only live nodes so
+    * the mask cannot starve top-k. The set broadcasts as a sorted long
+    * array: it holds only deletes accumulated SINCE THE LAST
+    * [[purgeTombstones]] rebuild, which is what bounds it — the same
+    * contract that bounds Lucene's in-memory deletes between merges.
     */
   def searchGraphBatch(nodes: DataFrame, probes: DataFrame, probeId: String,
-      probeVec: String, k: Int, ef: Int): DataFrame = {
+      probeVec: String, k: Int, ef: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val batch = probes.select(col(probeId).cast("long"), col(probeVec))
       .as[(Long, Array[Float])].collect()
       .map { case (pid, v) => (pid, l2unit(v)) }
     val bc = spark.sparkContext.broadcast(batch)
+    val bcTomb = broadcastTombstones(spark, tombstones)
     val kLocal = k
     val efLocal = math.max(ef, k)
     val cands = nodes.as[GraphNode].mapPartitions { it =>
@@ -620,10 +648,34 @@ object GraphAnn {
       // hashed into one partition) are disconnected graphs with their own
       // entry points — one beam per group, never one beam per partition
       it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap { case (_, ns) =>
-        searchSegment(ns, bc.value, kLocal, efLocal)
+        searchSegment(ns, bc.value, kLocal, efLocal, liveEmit(bcTomb, ns))
       }
     }.toDF("probe_id", "id", "sim")
     mergeTopK(cands, k)
+  }
+
+  /** Tombstone ids as a broadcast SORTED long array (binary-search
+    * membership, no boxing in the beam loop). None stays None so the
+    * unfiltered path pays nothing.
+    */
+  private def broadcastTombstones(spark: SparkSession,
+      tombstones: Option[DataFrame]): Option[
+        org.apache.spark.broadcast.Broadcast[Array[Long]]] =
+    tombstones.map { df =>
+      val ids = df.select(col("id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      java.util.Arrays.sort(ids)
+      spark.sparkContext.broadcast(ids)
+    }
+
+  /** Per-segment emit predicate masking a broadcast tombstone set. */
+  private def liveEmit(
+      bcTomb: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      ns: Array[GraphNode]): Int => Boolean = bcTomb match {
+    case None => emitAll
+    case Some(b) =>
+      val sorted = b.value
+      i => java.util.Arrays.binarySearch(sorted, ns(i).id) < 0
   }
 
   /** Cell-routed composition — the 100 TB shape from the SCALING.md
@@ -709,9 +761,62 @@ object GraphAnn {
   def searchGraphRouted(nodes: DataFrame,
       centroids: Array[(Int, Array[Float])], probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int,
-      ef: Int): DataFrame =
+      ef: Int, tombstones: Option[DataFrame] = None): DataFrame =
     routedSearchCore(nodes,
-      routeBatch(probes, probeId, probeVec, centroids, nprobe), k, ef)
+      routeBatch(probes, probeId, probeVec, centroids, nprobe), k, ef,
+      tombstones)
+
+  /** FILTERED routed graph search — the [[Similarity.searchIvfFiltered]]
+    * contract on the graph tier (the reference's own serving surface
+    * combines a metadata filter with every vector query,
+    * tools/aisearch.py:162-212): `allowed` is whatever the attribute
+    * predicate selects (one `id` column, any size — it joins, never
+    * collects), and the result is the top-k of the allowed subset within
+    * the probe's routed cells.
+    *
+    * PRE-filtering, not discard-after-rank: the allowed flag rides each
+    * node into the beam, which traverses the FULL graph (connectivity
+    * untouched) but admits only allowed nodes to the ef-bounded result
+    * heap — so a selective filter widens the walk instead of starving
+    * top-k, degenerating to an exhaustive sweep of the probed cells when
+    * allowed ∩ cells is tiny (the correct fallback: the flat filtered
+    * scan [[Similarity.searchIvfFiltered]] runs on exactly that subset).
+    *
+    * Cost shape: the allowed join + locality restore shuffle ONLY the
+    * probed cells' nodes (the filter lands before the join); everything
+    * after is the routed beam path unchanged.
+    */
+  def searchGraphRoutedFiltered(nodes: DataFrame,
+      centroids: Array[(Int, Array[Float])], probes: DataFrame,
+      probeId: String, probeVec: String, allowed: DataFrame, nprobe: Int,
+      k: Int, ef: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
+    val cells = routes.keys.toSeq
+    val flagged = nodes.filter(col("part").isin(cells: _*))
+      .join(allowed.select(col("id").cast("long").as("id"),
+        lit(true).as("allowed")), Seq("id"), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(false)))
+      // the join redistributed rows by id — reassemble segments whole
+      .repartition(col("part"), col("seg"))
+    val bc = spark.sparkContext.broadcast(routes)
+    val kLocal = k
+    val efLocal = math.max(ef, k)
+    val cands = flagged.as[FlaggedNode].mapPartitions { it =>
+      it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap {
+        case ((cell, _), fs) =>
+          bc.value.get(cell) match {
+            case Some(qs) =>
+              val ns = fs.map(f =>
+                GraphNode(f.part, f.id, f.vec, f.level, f.neighbors, f.seg))
+              searchSegment(ns, qs, kLocal, efLocal, i => fs(i).allowed)
+            case None => Iterator.empty
+          }
+      }
+    }.toDF("probe_id", "id", "sim")
+    mergeTopK(cands, k)
+  }
 
   /** Collect the probe batch (bounded — a serving batch, never the
     * corpus) and route each probe to its nprobe cells: routing in RAW
@@ -732,18 +837,20 @@ object GraphAnn {
   }
 
   private def routedSearchCore(nodes: DataFrame,
-      routes: Map[Int, Array[(Long, Array[Float])]], k: Int,
-      ef: Int): DataFrame = {
+      routes: Map[Int, Array[(Long, Array[Float])]], k: Int, ef: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(routes)
+    val bcTomb = broadcastTombstones(spark, tombstones)
     val kLocal = k
     val efLocal = math.max(ef, k)
     val cands = nodes.as[GraphNode].mapPartitions { it =>
       it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap {
         case ((cell, _), ns) =>
           bc.value.get(cell) match {
-            case Some(qs) => searchSegment(ns, qs, kLocal, efLocal)
+            case Some(qs) =>
+              searchSegment(ns, qs, kLocal, efLocal, liveEmit(bcTomb, ns))
             case None => Iterator.empty
           }
       }
@@ -771,7 +878,7 @@ object GraphAnn {
   def searchGraphRoutedPersisted(spark: SparkSession, dir: String,
       centroids: Array[(Int, Array[Float])], probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int,
-      ef: Int): DataFrame = {
+      ef: Int, tombstones: Option[DataFrame] = None): DataFrame = {
     // route ONCE: the same map prunes the scan and drives the beams
     val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
     val cells = routes.keys.toSeq
@@ -782,8 +889,63 @@ object GraphAnn {
       // bounded shuffle of ONLY the probed cells' nodes reassembles
       // each (cell, seg) whole in one task
       .repartition(col("part"), col("seg"))
-    routedSearchCore(nodes, routes, k, ef)
+    routedSearchCore(nodes, routes, k, ef, tombstones)
   }
+
+  /** Physically drop tombstoned nodes — the merge-time half of the delete
+    * lifecycle ([[searchGraphBatch]]'s `tombstones` mask is the
+    * serving-time half): every segment containing at least one tombstoned
+    * node rebuilds WITHOUT them, in one task, by ascending-id re-insertion
+    * over the stored unit vectors (no float changes); segments the delete
+    * set never touched pass through BYTE-IDENTICAL, exactly
+    * [[mergeSegments]]' pass-through discipline. Rebuilt segments keep
+    * their (part, seg), so routed indexes stay routable — safe on BOTH
+    * tiers, unlike a cross-part merge. Driver state: the tombstone id
+    * array (bounded between purges by the maintenance contract) and the
+    * ≤ nSegments touched-segment keys. Idempotent: purging the same set
+    * again rebuilds nothing (no segment contains a tombstoned node any
+    * more). Run [[mergeSegments]] afterwards if purging left segments
+    * under target.
+    */
+  def purgeTombstones(nodes: DataFrame, tombstones: DataFrame, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val ids = tombstones.select(col("id").cast("long"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    java.util.Arrays.sort(ids)
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val ds = nodes.as[GraphNode]
+    def isTomb(id: Long): Boolean =
+      java.util.Arrays.binarySearch(bcIds.value, id) >= 0
+    val touched = ds.filter(n => isTomb(n.id))
+      .map(n => (n.part, n.seg)).distinct().collect().toSet
+    if (touched.isEmpty) return nodes
+    val bcSegs = spark.sparkContext.broadcast(touched)
+    val untouched = ds.filter(n => !bcSegs.value.contains((n.part, n.seg)))
+    val rebuilt = ds
+      .filter(n => bcSegs.value.contains((n.part, n.seg)) && !isTomb(n.id))
+      .groupByKey(n => (n.part, n.seg))
+      .flatMapGroups { (key: (Int, Int), it) =>
+        val rows = it.map(n => (n.id, n.vec)).toArray
+        java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
+        val b = new Builder(m, efConstruction)
+        rows.foreach { case (id, v) => b.insert(id, v) } // vecs already unit
+        b.emit(key._1, key._2)
+      }
+    untouched.unionByName(rebuilt).toDF()
+  }
+
+  /** Per-segment live-node view for [[searchGraphRoutedFiltered]]: a
+    * [[GraphNode]] plus its allowed-set membership (the flag rides the
+    * node through the locality-restoring shuffle instead of broadcasting
+    * a possibly corpus-sized allowed set).
+    */
+  // private[graft], not private: Spark's generated row deserializer
+  // constructs it from bytecode, which a JVM-private class would reject
+  private[graft] final case class FlaggedNode(part: Int, id: Long,
+      vec: Array[Float], level: Int, neighbors: Array[Array[Long]], seg: Int,
+      allowed: Boolean)
 
   /** PQ-compressed graph node: `codes` is the IVF-PQ RESIDUAL code word
     * ([[Similarity.encodePq]] bytes, e.g. 8 B vs the 256 B float vector a

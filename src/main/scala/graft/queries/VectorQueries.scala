@@ -380,6 +380,149 @@ object VectorQueries {
           ($"n_nodes" === $"n_emb").as("nodes_conserved"))
     }),
 
+    // V24: FILTERED routed graph ANN — v12's filter+vector contract on
+    // the graph serving tier (the most user-hit gap the r12 verdict
+    // named): the allowed-id set pre-filters INSIDE the routed beams
+    // (result heap admits only allowed nodes; traversal crosses the full
+    // graph), so a selective filter widens the walk instead of starving
+    // top-k. The per-cell graph is serving-tier state (v18 gates its
+    // build) — memoized; the timed region is the filtered routed search:
+    // allowed join over the probed cells + beams + top-k merge. Asserts
+    // per-probe recall vs the filtered brute force, filter containment,
+    // exact-k coverage, and the SELECTIVE edge: with 7 allowed ids
+    // globally the result must be EXACTLY allowed ∩ routed cells (the
+    // beam degenerates to an exhaustive sweep — no rank cutoff, so the
+    // set equality is float-safe at every scale).
+    //
+    // ef = 256, not the other gates' 48: a FILTERED oracle is strictly
+    // harder — it ignores the probe's own near clump and demands the best
+    // ALLOWED cluster, which can sit behind a similarity valley. Measured
+    // on the x8 replica-clump audit corpus: ef=48 leaves probe 3 at 0/10
+    // (its filtered top-10 lives past a 0.32-sim clump the beam
+    // terminates inside) while ef=256 recovers 40/40 — the same
+    // width-vs-clump law the PQ tier's clump guard enforces (SCALING.md
+    // "Graph beams on clumped corpora"). The un-filtered gates keep
+    // ef=48; a filtered serving path should width itself past the
+    // largest near clump.
+    "v24_filtered_graph_ann" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v15_ivf:$d")(
+        Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16, iters = 2))
+      val nodes = Fixtures.cached(s, s"v24_nodes:$d")(
+        GraphAnn.buildGraphPerCell(s, index.assignments, m = 8,
+          efConstruction = 48))
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val nprobe = 4
+      val k = 10
+      val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id"))
+      val res = GraphAnn.searchGraphRoutedFiltered(nodes, index.centroids,
+          probes, "probe_id", "probe_vec", allowed, nprobe, k, ef = 256)
+        .localCheckpoint(true)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"))
+      val recall = exact
+        .join(res.select($"probe_id", $"id"), Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 4 && min($"count") >= 5).as("recall_ok"))
+      val filterOk = res.agg(every($"id" % 2 === 0).as("filter_respected"),
+        (count(lit(1)) === 4 * k).as("all_k"))
+      val tiny = emb.filter($"vec_id" < 7).select($"vec_id".as("id"))
+      val tinyRes = GraphAnn.searchGraphRoutedFiltered(nodes, index.centroids,
+        probes, "probe_id", "probe_vec", tiny, nprobe, k, ef = 256)
+      // expected set recomputed OUTSIDE the search (4-row driver batch,
+      // the v19 fan-out discipline): the allowed ids assigned to each
+      // probe's routed cells
+      val routedPairs = probes.as[(Long, Array[Float])].collect().toSeq
+        .flatMap { case (pid, v) =>
+          GraphAnn.routeCells(index.centroids, v, nprobe).map(c => (pid, c)) }
+        .toDF("probe_id", "cell")
+      val expected = index.assignments.filter($"id" < 7)
+        .select($"id", $"cell")
+        .join(broadcast(routedPairs), Seq("cell"))
+        .select($"probe_id", $"id")
+      val tinyDiff = tinyRes.select($"probe_id", $"id").exceptAll(expected)
+        .unionByName(expected.exceptAll(tinyRes.select($"probe_id", $"id")))
+        .agg(count(lit(1)).as("n_diff"))
+      recall.crossJoin(broadcast(filterOk)).crossJoin(broadcast(tinyDiff))
+        .select($"recall_ok", $"filter_respected", $"all_k",
+          ($"n_diff" === 0).as("selective_exact"))
+    }),
+
+    // V25: the graph tier's DELETE lifecycle — the Lucene deletes model
+    // the r12 verdict asked for: tombstones mask at serving time (beams
+    // traverse through deleted nodes but never emit them; the ef-bounded
+    // result heap holds only live nodes so the mask can't starve top-k)
+    // and purgeTombstones physically drops them (only segments touched by
+    // a delete rebuild; the rest pass through byte-identical — asserted
+    // via two-way exceptAll). Keystone: exhaustive beams over the purged
+    // layout reproduce brute force over the SURVIVORS (v21's float-robust
+    // form), proving the purge lost or corrupted nothing else.
+    "v25_graph_tombstones" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val m = 8
+      val nodes = Fixtures.cached(s, s"v25_nodes:$d")(
+        GraphAnn.buildGraph(s, emb, "vec_id", "embedding", nParts = 4,
+          m = m, efConstruction = 48))
+      val tombs = emb.filter($"vec_id" % 5 === 2).select($"vec_id".as("id"))
+      val probes = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val masked = GraphAnn.searchGraphBatch(nodes, probes, "probe_id",
+          "probe_vec", k, ef = 48, tombstones = Some(tombs))
+        .localCheckpoint(true)
+      val maskOk = masked.join(tombs, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_tomb_hits"))
+        .crossJoin(broadcast(masked.groupBy($"probe_id").count()
+          .agg((count(lit(1)) === 3 && min($"count") === k).as("mask_all_k"))))
+        .select(($"n_tomb_hits" === 0).as("mask_clean"), $"mask_all_k")
+      val purged = GraphAnn.purgeTombstones(nodes, tombs, m,
+        efConstruction = 48).localCheckpoint(true)
+      val nLive = emb.filter($"vec_id" % 5 =!= 2).count()
+      val conserved = purged.agg((count(lit(1)) === nLive &&
+        count_distinct($"id") === nLive).as("conserved"))
+      val noTombNodes = purged.join(tombs, Seq("id"), "left_semi")
+        .agg((count(lit(1)) === 0).as("no_tomb_nodes"))
+      val noTombEdges = purged
+        .select($"part", explode(flatten($"neighbors")).as("id"))
+        .join(tombs, Seq("id"), "left_semi")
+        .agg((count(lit(1)) === 0).as("no_tomb_edges"))
+      // untouched segments pass through byte-identical
+      val touchedSegs = nodes.join(tombs, Seq("id"), "left_semi")
+        .select($"part", $"seg").distinct()
+      def outside(df: org.apache.spark.sql.DataFrame) =
+        df.join(touchedSegs, Seq("part", "seg"), "left_anti")
+      val untouched = outside(purged).exceptAll(outside(nodes))
+        .unionByName(outside(nodes).exceptAll(outside(purged)))
+        .agg((count(lit(1)) === 0).as("untouched_identical"))
+      // keystone (v21's float-robust form) on the survivors
+      val got = GraphAnn.searchGraphBatch(purged, probes, "probe_id",
+        "probe_vec", k, ef = emb.count().toInt)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb.filter($"vec_id" % 5 =!= 2), "vec_id", "embedding", k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"), $"sim", $"rank")
+      val setsOk = got.join(exact.select($"probe_id", $"id"),
+          Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 3 && min($"count") >= k - 1).as("sets_ok"))
+      val simsOk = got.select($"probe_id", $"rank", $"sim".as("g"))
+        .join(exact.select($"probe_id", $"rank", $"sim".as("e")),
+          Seq("probe_id", "rank"))
+        .agg((count(lit(1)) === 3 * k &&
+          max(abs($"g" - $"e")) < 1e-6).as("sims_ok"))
+      maskOk.crossJoin(broadcast(conserved)).crossJoin(broadcast(noTombNodes))
+        .crossJoin(broadcast(noTombEdges)).crossJoin(broadcast(untouched))
+        .crossJoin(broadcast(setsOk.crossJoin(broadcast(simsOk))
+          .select(($"sets_ok" && $"sims_ok").as("keystone_ok"))))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -725,6 +868,13 @@ object VectorQueries {
     "v23_graph_persisted" ->
       """SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k8,
         | true AS matches_memory, true AS fanout_ok""".stripMargin,
+    "v24_filtered_graph_ann" ->
+      """SELECT true AS recall_ok, true AS filter_respected, true AS all_k,
+        | true AS selective_exact""".stripMargin,
+    "v25_graph_tombstones" ->
+      """SELECT true AS mask_clean, true AS mask_all_k, true AS conserved,
+        | true AS no_tomb_nodes, true AS no_tomb_edges,
+        | true AS untouched_identical, true AS keystone_ok""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

@@ -470,4 +470,122 @@ class GraphAnnSpec extends AnyFunSuite {
     val sims = rows.map(_.getDouble(1))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
+
+  // ------------------------------------------ filtered search (v24) ----
+
+  private def topIds(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+
+  test("filtered keystone: exhaustive filtered beams = brute force over the allowed subset") {
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id".as("id"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphRoutedFiltered(cellNodes,
+      ivf.centroids, probes, "probe_id", "probe_vec", allowed,
+      nprobe = 8, k = 5, ef = n))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb.filter($"vec_id" % 3 === 0), "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact),
+      "all cells probed + full ef must reproduce the filtered brute force")
+  }
+
+  test("selective filter can't starve top-k; empty intersection returns empty, not error") {
+    val probes = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    // 5 allowed ids anywhere in the corpus: all 5 must surface per probe
+    // even at serving-width ef (the result heap only holds allowed nodes)
+    val five = emb.filter($"vec_id".isin(3L, 97L, 211L, 404L, 555L))
+      .select($"vec_id".as("id"))
+    val nFive = five.count().toInt
+    val got = GraphAnn.searchGraphRoutedFiltered(cellNodes, ivf.centroids,
+      probes, "probe_id", "probe_vec", five, nprobe = 8, k = 10, ef = 16)
+      .collect()
+    val gotIds = got.map(_.getLong(1)).toSet
+    assert(got.length == 2 * nFive, s"wanted 2×$nFive rows, got ${got.length}")
+    assert(gotIds == five.collect().map(_.getLong(0)).toSet)
+    // allowed ∩ corpus = ∅ — no rows, no crash
+    val none = spark.range(1).select((col("id") + 1000000L).as("id"))
+    assert(GraphAnn.searchGraphRoutedFiltered(cellNodes, ivf.centroids,
+      probes, "probe_id", "probe_vec", none, nprobe = 8, k = 10,
+      ef = 16).count() == 0L)
+  }
+
+  // ------------------------------------------ delete lifecycle (v25) ----
+
+  test("tombstone mask: exhaustive masked beams = brute force over the survivors") {
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val tombs = emb.filter($"vec_id" % 4 === 1).select($"vec_id".as("id"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphBatch(nodes, probes, "probe_id",
+      "probe_vec", k = 5, ef = n, tombstones = Some(tombs)))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb.filter($"vec_id" % 4 =!= 1), "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+    // the routed tier masks identically
+    val gotRouted = topIds(GraphAnn.searchGraphRouted(cellNodes,
+      ivf.centroids, probes, "probe_id", "probe_vec", nprobe = 8, k = 5,
+      ef = n, tombstones = Some(tombs)))
+    assert(gotRouted.sameElements(exact))
+  }
+
+  test("purge drops tombstoned nodes, passes untouched segments byte-identical, idempotent") {
+    val tombIds = Seq(2L, 7L, 13L)
+    val tombs = tombIds.toDF("id")
+    val purged = GraphAnn.purgeTombstones(nodes, tombs, m = M,
+      efConstruction = 48).localCheckpoint(true)
+    val gs = purged.as[GraphNode].collect()
+    assert(gs.length == emb.count().toInt - tombIds.length, "node conservation")
+    assert(gs.forall(g => !tombIds.contains(g.id)), "no tombstoned node survives")
+    gs.foreach(g => g.neighbors.foreach(layer => layer.foreach(nb =>
+      assert(!tombIds.contains(nb), s"edge ${g.id}->$nb points at a tombstone"))))
+    // segments the deletes never touched are byte-identical
+    val touched = nodes.as[GraphNode].collect()
+      .filter(n => tombIds.contains(n.id)).map(n => (n.part, n.seg)).toSet
+    def outside(df: org.apache.spark.sql.DataFrame) = df.as[GraphNode].collect()
+      .filterNot(n => touched.contains((n.part, n.seg)))
+      .map(g => (g.id, g.level, g.neighbors.map(_.toSeq).toSeq)).sortBy(_._1).toSeq
+    assert(outside(purged) == outside(nodes))
+    // idempotent: purging the same set again rebuilds nothing at all
+    val again = GraphAnn.purgeTombstones(purged, tombs, m = M,
+      efConstruction = 48)
+    assert(again eq purged, "no touched segment -> the input passes through")
+    // post-purge exhaustive search = brute force over the survivors
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphBatch(purged, probes, "probe_id",
+      "probe_vec", k = 5, ef = n))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb.filter(!$"vec_id".isin(tombIds: _*)), "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
+  test("purge composes with withinPart merge on a routed index") {
+    val tombs = emb.filter($"vec_id" % 6 === 2).select($"vec_id".as("id"))
+    val purged = GraphAnn.purgeTombstones(cellNodes, tombs, m = M,
+      efConstruction = 48)
+    val merged = GraphAnn.mergeSegments(purged, targetNodesPerSegment = 1000,
+      m = M, efConstruction = 48, withinPart = true)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphRouted(merged, ivf.centroids,
+      probes, "probe_id", "probe_vec", nprobe = 8, k = 5, ef = n))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+      emb.filter($"vec_id" % 6 =!= 2), "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
+  test("deleting every node yields empty searches and an empty purge") {
+    val all = emb.select($"vec_id".as("id"))
+    assert(GraphAnn.searchGraphBatch(nodes,
+      emb.filter($"vec_id" < 2).select($"vec_id".as("probe_id"),
+        $"embedding".as("probe_vec")),
+      "probe_id", "probe_vec", k = 5, ef = 64,
+      tombstones = Some(all)).count() == 0L)
+    assert(GraphAnn.purgeTombstones(nodes, all, m = M,
+      efConstruction = 48).count() == 0L)
+  }
 }
