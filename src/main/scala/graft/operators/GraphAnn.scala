@@ -1052,11 +1052,26 @@ object GraphAnn {
     * same two-stage contract as [[Similarity.searchIvfPqBatch]], with
     * the cell's flat code scan replaced by a beam. Output:
     * (probe_id, id, sim, rank), sims exact.
+    *
+    * CLUMP GUARD (`clumpGuard`, default ON): a clump of rows sharing ONE
+    * PQ code word is invisible to ADC — every member scores identically,
+    * so with default widths stage 1 forwards an arbitrary `k·rerankFactor`
+    * of the clump and the exact rerank cannot recover what stage 1
+    * dropped; on a replica-clumped corpus the default configuration
+    * serves near-zero recall while looking healthy (measured 0.043 on the
+    * 512k clump study corpus, SCALING.md). Since a clump IS a repeated
+    * 8-byte code, the guard measures the largest (part, seg, codes) group
+    * among the PROBED cells (one bounded aggregate over only those cells;
+    * a serving deployment can precompute the per-cell bound at build time
+    * and skip the scan) and auto-widens ef and the survivor pool to
+    * `clump + k`, so the whole biggest clump reaches the exact rerank.
+    * Cost grows linearly with the clump — the honest price of serving an
+    * un-deduped corpus; dedup before indexing (d8/d10) removes it.
     */
   def searchGraphRoutedPq(nodes: DataFrame, index: Similarity.IvfPqIndex,
       corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4, clumpGuard: Boolean = true): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val batch = probes.select(col(probeId).cast("long"), col(probeVec))
@@ -1071,7 +1086,16 @@ object GraphAnn {
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcR = spark.sparkContext.broadcast(
       (routes, index.centroids.toMap, index.book))
-    val kCand = k * rerankFactor
+    val routedCells = routes.keys.toSeq
+    val clump =
+      if (!clumpGuard || routedCells.isEmpty) 0
+      else {
+        val r = nodes.filter(col("part").isin(routedCells: _*))
+          .groupBy(col("part"), col("seg"), hex(col("codes"))).count()
+          .agg(max(col("count"))).head()
+        if (r.isNullAt(0)) 0 else math.min(r.getLong(0), 1L << 30).toInt
+      }
+    val kCand = math.max(k * rerankFactor, if (clump > 0) clump + k else 0)
     val efLocal = math.max(ef, kCand)
     val approx = nodes.as[PqGraphNode].mapPartitions { it =>
       val (rts, centroidOf, book) = bcR.value

@@ -523,6 +523,60 @@ object VectorQueries {
           .select(($"sets_ok" && $"sims_ok").as("keystone_ok"))))
     }),
 
+    // V26: the PQ graph tier's CLUMP GUARD — closing r12's "what's wrong
+    // #3": a clump of rows sharing one PQ code word is invisible to ADC
+    // (every member scores identically), so default widths forward an
+    // arbitrary k·rf of the clump and the exact rerank can't recover what
+    // stage 1 dropped — the configuration that silently served 0.043
+    // recall on the study corpus. The guard (default ON) measures the
+    // largest repeated code among the probed cells and widens ef + the
+    // survivor pool to clump+k. Gate: a 300-replica clump planted on the
+    // base table; the guarded search must return EXACTLY the brute-force
+    // top-k (ties break by id on both sides, so the equality is
+    // deterministic), while the unguarded search reproduces the trap
+    // (measured 1/10 at the gate corpus). Index + graph are serving-tier
+    // state (fixture); the timed region is both searches + the checks.
+    "v26_pq_clump_guard" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val cloneVec = emb.filter($"vec_id" === 42)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      val nClones = 300
+      val corpus = Fixtures.cached(s, s"v26_corpus:$d")(
+        emb.select($"vec_id", $"embedding")
+          .unionByName(s.range(nClones).select(($"id" + 100000L).as("vec_id"),
+            typedLit(cloneVec).as("embedding"))))
+      val index = Fixtures.cachedObj(s, s"v26_ivfpq:$d")(
+        Similarity.buildIvfPq(s, corpus, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val nodes = Fixtures.cached(s, s"v26_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, corpus, "vec_id", "embedding", index,
+          m = 8, efConstruction = 48))
+      val probes = Seq((42L, cloneVec)).toDF("probe_id", "probe_vec")
+      val k = 10
+      val guarded = GraphAnn.searchGraphRoutedPq(nodes, index, corpus,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = 4, k = k, ef = 48)
+      val unguarded = GraphAnn.searchGraphRoutedPq(nodes, index, corpus,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = 4, k = k, ef = 48, rerankFactor = 4, clumpGuard = false)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          corpus, "vec_id", "embedding", k)
+        .select($"vec_id".cast("long").as("id"))
+      val gDiff = guarded.select($"id").exceptAll(exact)
+        .unionByName(exact.exceptAll(guarded.select($"id")))
+        .agg(count(lit(1)).as("n_diff"))
+      val uHits = exact.join(unguarded.select($"id"), Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("u_hits"))
+      guarded.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(gDiff)).crossJoin(broadcast(uHits))
+        .select(($"n_rows" === k).as("all_k"),
+          ($"n_diff" === 0).as("guarded_exact"),
+          ($"u_hits" < k).as("trap_reproduced"))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -875,6 +929,8 @@ object VectorQueries {
       """SELECT true AS mask_clean, true AS mask_all_k, true AS conserved,
         | true AS no_tomb_nodes, true AS no_tomb_edges,
         | true AS untouched_identical, true AS keystone_ok""".stripMargin,
+    "v26_pq_clump_guard" ->
+      "SELECT true AS all_k, true AS guarded_exact, true AS trap_reproduced",
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

@@ -578,6 +578,44 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(got.sameElements(exact))
   }
 
+  test("clump guard: no-op on a uniform corpus, exact min-id top-k on a clumped one") {
+    val cloneVec = emb.filter($"vec_id" === 42)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val probes = Seq((42L, cloneVec)).toDF("probe_id", "probe_vec")
+    // uniform corpus: guard on/off must be row-identical (bound ≤ k·rf)
+    val plain = GraphAnn.searchGraphRoutedPq(pqNodes, ivfPq, emb, "vec_id",
+      "embedding", probes, "probe_id", "probe_vec", nprobe = 4, k = 5, ef = 48)
+    val plainOff = GraphAnn.searchGraphRoutedPq(pqNodes, ivfPq, emb, "vec_id",
+      "embedding", probes, "probe_id", "probe_vec", nprobe = 4, k = 5, ef = 48,
+      rerankFactor = 4, clumpGuard = false)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(_._3).toSeq
+    assert(rows(plain) == rows(plainOff),
+      "guard must be a no-op when no clump exceeds the survivor pool")
+    // clumped corpus: 60 exact replicas of vec 42 under fresh ids — the
+    // guarded search must return the brute-force top-k exactly (ties
+    // break by id asc on both sides: 42 first, then the lowest clone ids)
+    val clones = spark.range(60).select(($"id" + 100000L).as("vec_id"),
+      typedLit(cloneVec).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(clones)
+      .localCheckpoint(true)
+    val index = Similarity.buildIvfPq(spark, corpus, "vec_id", "embedding",
+      nCells = 8, subspaces = 8, codesPerSub = 16, ivfIters = 2, pqIters = 2)
+    val nodes = GraphAnn.buildGraphPerCellPq(spark, corpus, "vec_id",
+      "embedding", index, m = M, efConstruction = 48).localCheckpoint(true)
+    val k = 10
+    val guarded = GraphAnn.searchGraphRoutedPq(nodes, index, corpus, "vec_id",
+      "embedding", probes, "probe_id", "probe_vec", nprobe = 3, k = k, ef = 48)
+    val exactIds = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+        corpus, "vec_id", "embedding", k)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    assert(exactIds.head == 42L && exactIds.tail.forall(_ >= 100000L),
+      s"fixture self-check: the exact top-k should be the clump, got $exactIds")
+    val gotIds = guarded.orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    assert(gotIds == exactIds,
+      s"guarded search must serve the exact top-k through the clump: $gotIds vs $exactIds")
+  }
+
   test("deleting every node yields empty searches and an empty purge") {
     val all = emb.select($"vec_id".as("id"))
     assert(GraphAnn.searchGraphBatch(nodes,
