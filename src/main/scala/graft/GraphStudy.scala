@@ -119,6 +119,25 @@ object GraphStudy {
     val (rRes, tRS) = time { routedSearch().localCheckpoint(true) }
     println(f"GRAPHSTUDY routed(np=8)     build=$tRB%.2f s search=$tRS%.2f s recall=${recallOf(rRes, truth)}%.3f")
 
+    // ---- NN-Descent → NSW composition (r13 closure of "wire v22 into
+    // serving"): the global k-NN graph converts to per-cell single-layer
+    // NSW adjacency and serves through the same routed path. Build cost
+    // is NN-Descent's all-to-all candidate shuffle + the conversion —
+    // fully distributed (no per-cell sequential insertion), the trade
+    // the study prices against buildGraphPerCell's one-task-per-cell.
+    val (nswNodes, tNB) = time {
+      val knn = GraphAnn.nnDescent(corpus, "vec_id", "embedding",
+        k = 20, iters = 4)
+      GraphAnn.knnToNswSegments(ivf.assignments, knn, m = 8)
+        .localCheckpoint(true)
+    }
+    def nswSearch() = GraphAnn.searchGraphRouted(nswNodes, ivf.centroids,
+      probes, "probe_id", "probe_vec", nprobe = 8, k = 10, ef = 64)
+      .select($"probe_id", $"id".as("vec_id"))
+    nswSearch().count() // warm
+    val (nRes, tNS) = time { nswSearch().localCheckpoint(true) }
+    println(f"GRAPHSTUDY knn_nsw(np=8)    build=$tNB%.2f s search=$tNS%.2f s recall=${recallOf(nRes, truth)}%.3f")
+
     // ---- IVF-PQ tier
     val (ivfpq, tPB) = time {
       Similarity.buildIvfPq(spark, corpus, "vec_id", "embedding",

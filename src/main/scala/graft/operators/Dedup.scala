@@ -1026,7 +1026,28 @@ object Dedup {
       minCosine: Double = 0.95, bands: Int = 8, rowsPerBand: Int = 8,
       maxBucketSize: Int = 1000, expectedBandKeys: Long = 1L << 20,
       fpp: Double = 0.01,
-      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame =
+    ingestNovelEmbeddingsWithSketches(incoming, idCol, vecCol, indexSketches,
+      indexBands, minCosine, bands, rowsPerBand, maxBucketSize,
+      expectedBandKeys, fpp, bandBloom).rows
+
+  /** A survivor set plus the survivors' (id, vec, sks) sketches, both
+    * derived from the ONE batch-sketching pass — the embedding twin of
+    * [[IngestSurvivors]]: the streaming ingest loop appends `sketches`
+    * and its [[embeddingBandIndex]] projection every micro-batch without
+    * re-sketching the survivors.
+    */
+  final case class EmbedIngestSurvivors(rows: DataFrame, sketches: DataFrame)
+
+  /** [[ingestNovelEmbeddings]] returning the survivors' sketches too —
+    * the [[ingestNovelDocumentsWithSigs]] discipline in embedding space.
+    */
+  def ingestNovelEmbeddingsWithSketches(incoming: DataFrame, idCol: String,
+      vecCol: String, indexSketches: DataFrame, indexBands: DataFrame,
+      minCosine: Double = 0.95, bands: Int = 8, rowsPerBand: Int = 8,
+      maxBucketSize: Int = 1000, expectedBandKeys: Long = 1L << 20,
+      fpp: Double = 0.01,
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): EmbedIngestSurvivors = {
     val spark = incoming.sparkSession
     val batchSk = embeddingSketches(incoming, idCol, vecCol, bands, rowsPerBand)
       .localCheckpoint(true)
@@ -1050,8 +1071,12 @@ object Dedup {
           .filter(cosineUdf(col("vec"), col("idx_vec")) >= minCosine)
           .select(col("id")).distinct()
       }
-    novelSurvivors(incoming, idCol, batchSk.select(col("id")),
-      embeddingPairsFromSketches(batchSk, minCosine, bands, maxBucketSize), dupIds)
+    val ids = novelSurvivorIds(batchSk.select(col("id")),
+      embeddingPairsFromSketches(batchSk, minCosine, bands, maxBucketSize),
+      dupIds)
+    EmbedIngestSurvivors(
+      incoming.join(ids.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+      batchSk.join(ids, Seq("id"), "left_semi"))
   }
 
   /** Corpus-level overlap estimation from mergeable MinHash sketches

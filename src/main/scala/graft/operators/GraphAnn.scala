@@ -469,6 +469,70 @@ object GraphAnn {
     edges
   }
 
+  /** Wire the [[nnDescent]] k-NN graph INTO the serving tier — the
+    * composition the graph study leaves open: instead of insertion-order
+    * HNSW construction per cell ([[buildGraphPerCell]]), the global
+    * NN-Descent edge set becomes per-cell single-layer NSW adjacency
+    * (Malkov et al. 2014 — the pre-hierarchy design the multi-entry
+    * layer-0 search already speaks):
+    *
+    *  1. edges restrict to WITHIN each IVF cell (cell members are mutual
+    *     near neighbors, so most top-k edges survive; the few cross-cell
+    *     edges drop — the segment-closed adjacency contract every search
+    *     in this object requires);
+    *  2. the directed top-k edges symmetrize (undirected reachability,
+    *     the NSW property) and cap at each node's best 2m incident sims
+    *     (the layer-0 degree cap, same knob as the HNSW builder);
+    *  3. each cell emits one level-0 segment — no hierarchy: beams seed
+    *     from the entry plus the reachability roots, so nodes isolated by
+    *     the cell restriction stay findable ([[entryAndRoots]]).
+    *
+    * Pure DataFrame ops end to end (two joins + one capped aggregate +
+    * one locality shuffle); no driver state. The trade vs
+    * [[buildGraphPerCell]]: construction is all-to-all distributed
+    * (NN-Descent's documented candidate-shuffle cost) instead of
+    * one-task-per-cell sequential insertion, so a mega-cell can't
+    * serialize a build task — the build-skew answer without
+    * `maxSegmentSize` slicing; search quality rides on the k-NN graph's
+    * recall (SCALING.md "Graph-ANN study" carries the measured
+    * comparison). Output serves through [[searchGraphRouted]] /
+    * [[searchGraphBatch]] unchanged.
+    */
+  def knnToNswSegments(assignments: DataFrame, knnEdges: DataFrame,
+      m: Int = 8): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    val cellOf = assignments.select(col("id").cast("long").as("id"),
+      col("cell").cast("int").as("cell"))
+    val within = knnEdges
+      .select(col("id").cast("long").as("id"),
+        col("nbr").cast("long").as("nbr"), col("sim"))
+      .join(cellOf, Seq("id"))
+      .join(cellOf.select(col("id").as("nbr"), col("cell").as("cell_b")),
+        Seq("nbr"))
+      .filter(col("cell") === col("cell_b"))
+      .select(col("id"), col("nbr"), col("sim"))
+    val sym = within.unionByName(
+        within.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
+      .dropDuplicates("id", "nbr")
+    val topCap = udaf(new graft.functions.TopKByScore(2 * m))
+    val adj = sym.groupBy(col("id"))
+      .agg(topCap(col("nbr"), col("sim")).as("top"))
+      .select(col("id"), expr("transform(top, p -> p._1)").as("nbrs"))
+    assignments
+      .select(col("cell").cast("int").as("part"),
+        col("id").cast("long").as("id"), col("vec"))
+      .join(adj, Seq("id"), "left")
+      .select(col("part"), col("id"), col("vec"),
+        coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
+      .as[(Int, Long, Array[Float], Array[Long])]
+      .map { case (part, id, vec, nbrs) =>
+        GraphNode(part, id, l2unit(vec), 0, Array(nbrs), 0) }
+      .toDF()
+      // the adjacency join redistributed rows by id — restore the layout
+      .repartition(col("part"), col("seg"))
+  }
+
   /** Global→local adjacency, resolved ONCE per segment per batch: the
     * beam loop then reads primitive int arrays instead of boxing through
     * the id map on every expansion — the serving hot path's dominant
@@ -867,6 +931,37 @@ object GraphAnn {
     */
   def writeGraphCells(nodes: DataFrame, dir: String): Unit =
     nodes.write.mode("overwrite").partitionBy("part").parquet(dir)
+
+  /** ATOMIC publication of a graph rebuild — [[writeGraphCells]] composed
+    * with [[graft.pipeline.VersionedIndex]], the same snapshot-isolation
+    * discipline the parquet index's rebuilds have: the new graph
+    * materializes fully under a fresh version directory, then ONE pointer
+    * rename publishes it. Readers pin a version at open time
+    * ([[searchGraphRoutedPublished]] resolves CURRENT once per batch), so
+    * a search never observes a half-written graph while a rebuild lands,
+    * and a writer crash mid-materialization leaves the served version
+    * untouched. Retention keeps `keepVersions` so in-flight readers drain
+    * before their version vacuums. Returns the published version name.
+    */
+  def publishGraphCells(nodes: DataFrame, root: String,
+      keepVersions: Int = 2): String =
+    graft.pipeline.VersionedIndex.publishInto(root, keepVersions)(dir =>
+      writeGraphCells(nodes, dir))
+
+  /** [[searchGraphRoutedPersisted]] against the CURRENTLY PUBLISHED
+    * version under a [[publishGraphCells]] root — the version resolves
+    * once per probe batch, so every beam in the batch reads one
+    * consistent snapshot however many rebuilds land meanwhile.
+    */
+  def searchGraphRoutedPublished(spark: SparkSession, root: String,
+      centroids: Array[(Int, Array[Float])], probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published graph version under $root"))
+    searchGraphRoutedPersisted(spark, s"$root/$v", centroids, probes,
+      probeId, probeVec, nprobe, k, ef, tombstones)
+  }
 
   /** [[searchGraphRouted]] against the PERSISTED layout — the 100 TB
     * serving shape: probes route driver-side against the broadcast

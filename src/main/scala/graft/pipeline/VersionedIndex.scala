@@ -30,13 +30,25 @@ object VersionedIndex {
   /** Write `df` as the next version and atomically publish it.
     * Returns the new version name.
     */
-  def publish(df: DataFrame, root: String, keepVersions: Int = 2): String = {
+  def publish(df: DataFrame, root: String, keepVersions: Int = 2): String =
+    publishInto(root, keepVersions)(dir =>
+      df.write.mode(SaveMode.Overwrite).parquet(dir))
+
+  /** [[publish]] with a caller-materialized version directory — for
+    * layouts that aren't one plain parquet table (the partition-per-cell
+    * graph index, multi-table indexes). `write` receives the fresh
+    * version directory; the pointer flips only AFTER it returns, so a
+    * writer crash mid-materialization leaves CURRENT untouched and
+    * readers never observe the partial version.
+    */
+  def publishInto(root: String, keepVersions: Int = 2)(
+      write: String => Unit): String = {
     Files.createDirectories(Paths.get(root))
     val next = currentVersion(root) match {
       case Some(v) => f"v${v.stripPrefix("v").toInt + 1}%03d"
       case None => "v000"
     }
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$next")
+    write(s"$root/$next")
     // the data is fully on disk before the pointer moves: write-then-rename
     // makes the flip atomic on POSIX filesystems
     val tmp = Paths.get(root, s".CURRENT.$next.tmp")

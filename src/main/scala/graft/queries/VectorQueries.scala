@@ -577,6 +577,61 @@ object VectorQueries {
           ($"u_hits" < k).as("trap_reproduced"))
     }),
 
+    // V27: NN-Descent WIRED INTO SERVING — closes r12's "v22 builds a
+    // graph nobody consumes": the global k-NN graph converts to per-cell
+    // single-layer NSW adjacency (within-cell restriction → symmetrize →
+    // 2m cap, pure DataFrame ops) and serves through the SAME routed beam
+    // path as the HNSW-built tier. The k-NN graph and IVF index are
+    // serving-tier state (v22 gates NN-Descent training, v5 the IVF
+    // build); the timed region is the conversion + one routed search.
+    // Asserts the v18 recall/fan-out contract plus the v17 structural
+    // invariants on the converted layout (single layer, 2m cap, closed
+    // adjacency, node conservation).
+    "v27_knn_nsw_serving" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = probeVec(s, d)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 10)
+        .select($"vec_id")
+      val index = Fixtures.cachedObj(s, s"v15_ivf:$d")(
+        Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16, iters = 2))
+      val knn = Fixtures.cached(s, s"v27_knn:$d")(
+        GraphAnn.nnDescent(emb, "vec_id", "embedding", k = 20, iters = 4))
+      val m = 8
+      val nodes = GraphAnn.knnToNswSegments(index.assignments, knn, m = m)
+        .localCheckpoint(true)
+      val nprobe = 4
+      val routed = GraphAnn.searchGraphRouted(nodes, index.centroids,
+          Seq((0L, probe)).toDF("probe_id", "probe_vec"),
+          "probe_id", "probe_vec", nprobe, k = 10, ef = 48)
+        .localCheckpoint(true)
+      val probedCells = GraphAnn.routeCells(index.centroids, probe, nprobe)
+      val recall = exact
+        .join(routed.select($"id".as("vec_id")), Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 5).as("recall_ok"))
+      val fanout = routed.select($"id")
+        .join(index.assignments.select($"id", $"cell"), Seq("id"))
+        .agg(every($"cell".isin(probedCells: _*)).as("fanout_ok"))
+      val structure = nodes
+        .select($"part", $"id", $"level",
+          size(element_at($"neighbors", 1)).as("deg0"))
+        .agg(count(lit(1)).as("n"), max($"deg0").as("max_deg0"),
+          max($"level").as("max_level"))
+      val ids = nodes.select($"part", $"id")
+      val dangling = nodes
+        .select($"part", explode(flatten($"neighbors")).as("id"))
+        .join(ids, Seq("part", "id"), "left_anti")
+        .agg(count(lit(1)).as("n_dangling"))
+      recall.crossJoin(broadcast(fanout)).crossJoin(broadcast(structure))
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_emb"))))
+        .select($"recall_ok", $"fanout_ok",
+          ($"max_deg0" <= 2 * m && $"max_level" === 0).as("structure_ok"),
+          ($"n_dangling" === 0).as("closed_ok"),
+          ($"n" === $"n_emb").as("nodes_conserved"))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -931,6 +986,9 @@ object VectorQueries {
         | true AS untouched_identical, true AS keystone_ok""".stripMargin,
     "v26_pq_clump_guard" ->
       "SELECT true AS all_k, true AS guarded_exact, true AS trap_reproduced",
+    "v27_knn_nsw_serving" ->
+      """SELECT true AS recall_ok, true AS fanout_ok, true AS structure_ok,
+        | true AS closed_ok, true AS nodes_conserved""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

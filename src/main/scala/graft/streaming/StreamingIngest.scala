@@ -109,6 +109,90 @@ object StreamingIngest {
     * of its documents matches its own indexed signature (estimated
     * Jaccard 1.0 ≥ threshold) and drops — the re-run appends nothing.
     */
+  /** [[runAvailableNowNearDup]] in EMBEDDING space — the d16 gate's loop
+    * as an end-to-end streaming query: each micro-batch of (id, vector)
+    * rows is sketched once, Bloom-gated against the persisted sketch
+    * index at `indexDir` (`sks/` + `bands/`, both [[PartitionedUpsert]]
+    * tables keyed by id so replays REPLACE rather than duplicate),
+    * verified by EXACT cosine against the colliding index vectors, and
+    * the survivors' sketches and band rows grow the index. Same
+    * crash/replay safety as the text twin: a replayed batch's vectors
+    * all match their own indexed sketches (cosine 1.0 ≥ minCosine) and
+    * drop, appending nothing.
+    */
+  def runAvailableNowNearDupEmbeddings(spark: SparkSession, vecsDir: String,
+      indexDir: String, checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.95,
+      bands: Int = 8, rowsPerBand: Int = 8,
+      expectedBandKeys: Long = 1L << 20,
+      maxFilesPerTrigger: Option[Int] = None,
+      buckets: Int = Buckets): Long = {
+    val sksDir = s"$indexDir/sks"
+    val bandsDir = s"$indexDir/bands"
+    val schema = spark.read.parquet(vecsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(vecsDir)
+    var batches = 0L
+    var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val haveIndex = graft.core.Fs.exists(s, sksDir)
+          def emptyTyped(cols: (String, String)*): DataFrame =
+            s.emptyDataFrame.select(cols.map { case (n, t) =>
+              lit(null).cast(t).as(n) }: _*).filter(lit(false))
+          val sks =
+            if (haveIndex) PartitionedUpsert.read(s, sksDir)
+            else emptyTyped("id" -> "long", "vec" -> "array<float>",
+              "sks" -> "array<long>")
+          val bandTbl =
+            if (haveIndex) PartitionedUpsert.read(s, bandsDir)
+            else emptyTyped("band" -> "int", "bh" -> "long", "id" -> "long")
+          if (bloom == null) bloom =
+            if (haveIndex) Dedup.buildBandBloom(bandTbl, expectedBandKeys)
+            else org.apache.spark.util.sketch.BloomFilter
+              .create(expectedBandKeys, 0.01)
+          // the WithSketches form hands back the survivors' sketches from
+          // the batch's single sketching pass — the loop never re-sketches
+          val delta = Dedup.ingestNovelEmbeddingsWithSketches(batch, idCol,
+              vecCol, sks, bandTbl, minCosine, bands, rowsPerBand,
+              bandBloom = Some(bloom))
+            .sketches.localCheckpoint(true) // feeds both upserts + bloom
+          if (!delta.isEmpty) {
+            val deltaBands = Dedup.embeddingBandIndex(delta)
+            if (haveIndex) {
+              // independent tables — overlap the writes (the text twin's
+              // await-both-then-rethrow discipline)
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              val up = Seq(
+                Future(PartitionedUpsert.upsertByKey(s, sksDir, delta,
+                  "id", buckets)),
+                Future(PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands,
+                  "id", buckets)))
+              val outcomes = up.map(f => scala.util.Try(
+                Await.result(f, scala.concurrent.duration.Duration.Inf)))
+              outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+            } else {
+              PartitionedUpsert.writeInitial(delta, sksDir, "id", buckets)
+              PartitionedUpsert.writeInitial(deltaBands, bandsDir, "id", buckets)
+            }
+            bloom.mergeInPlace(Dedup.buildBandBloom(deltaBands, expectedBandKeys))
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
   def runAvailableNowNearDup(spark: SparkSession, docsDir: String,
       indexDir: String, checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.7,

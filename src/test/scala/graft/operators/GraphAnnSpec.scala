@@ -578,6 +578,41 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(got.sameElements(exact))
   }
 
+  test("knnToNswSegments: closed capped single-layer segments; exhaustive routed search exact") {
+    val knn = GraphAnn.nnDescent(emb, "vec_id", "embedding", k = 10, iters = 3)
+    val nsw = GraphAnn.knnToNswSegments(ivf.assignments, knn, m = M)
+      .localCheckpoint(true)
+    val gs = nsw.as[GraphNode].collect()
+    assert(gs.length == emb.count().toInt, "node conservation")
+    val cellOf = ivf.assignments.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    gs.foreach { g =>
+      assert(g.level == 0 && g.neighbors.length == 1, "single layer")
+      assert(g.part == cellOf(g.id), "part is the cell")
+      assert(g.neighbors(0).length <= 2 * M, "layer-0 degree cap")
+      g.neighbors(0).foreach(nb => assert(cellOf(nb) == g.part,
+        s"edge ${g.id}->$nb leaves cell ${g.part}"))
+      assert(!g.neighbors(0).contains(g.id), "no self-loop")
+    }
+    // exhaustive routed beams over the converted layout = brute force
+    // (reachability roots make full-ef beams exhaustive whatever the
+    // k-NN edge quality)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphRouted(nsw, ivf.centroids, probes,
+      "probe_id", "probe_vec", nprobe = 8, k = 5, ef = n))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id",
+      "probe_vec", emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+    // serving-width recall floor on the same layout
+    val serve = GraphAnn.searchGraphRouted(nsw, ivf.centroids, probes,
+      "probe_id", "probe_vec", nprobe = 8, k = 5, ef = 32)
+      .select($"probe_id", $"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = exact.count { case (pid, id, _) => serve.contains((pid, id)) }
+    assert(hits >= 12, s"serving-width recall fell to $hits/15")
+  }
+
   test("clump guard: no-op on a uniform corpus, exact min-id top-k on a clumped one") {
     val cloneVec = emb.filter($"vec_id" === 42)
       .select($"embedding").head().getSeq[Float](0).toArray
@@ -614,6 +649,50 @@ class GraphAnnSpec extends AnyFunSuite {
     val gotIds = guarded.orderBy($"rank").collect().map(_.getLong(1)).toSeq
     assert(gotIds == exactIds,
       s"guarded search must serve the exact top-k through the clump: $gotIds vs $exactIds")
+  }
+
+  test("publishGraphCells: readers never observe a half-written rebuild") {
+    import graft.pipeline.VersionedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-graphpub").toString
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3)).toSeq
+    // v000: the full per-cell graph
+    assert(GraphAnn.publishGraphCells(cellNodes, root) == "v000")
+    val r0 = flat(GraphAnn.searchGraphRoutedPublished(spark, root,
+      ivf.centroids, probes, "probe_id", "probe_vec", nprobe = 8, k = 5, ef = 64))
+    assert(r0.nonEmpty)
+    // a reader pinned to v000 BEFORE the rebuild lands...
+    val pinned = GraphAnn.searchGraphRoutedPersisted(spark, s"$root/v000",
+      ivf.centroids, probes, "probe_id", "probe_vec", nprobe = 8, k = 5, ef = 64)
+    // ...while a rebuild (a purge of every odd id) publishes v001
+    val purged = GraphAnn.purgeTombstones(cellNodes,
+      emb.filter($"vec_id" % 2 === 1).select($"vec_id".as("id")),
+      m = M, efConstruction = 48)
+    assert(GraphAnn.publishGraphCells(purged, root) == "v001")
+    assert(VersionedIndex.currentVersion(root).contains("v001"))
+    // the pinned reader still serves v000's answer (retention keeps it)
+    assert(flat(pinned) == r0, "pinned readers drain on their own version")
+    // a fresh open serves the published rebuild: odd ids are gone
+    val r1 = flat(GraphAnn.searchGraphRoutedPublished(spark, root,
+      ivf.centroids, probes, "probe_id", "probe_vec", nprobe = 8, k = 5, ef = 64))
+    assert(r1.forall(_._2 % 2 == 0), s"v001 must not serve purged ids: $r1")
+    // a crashed half-materialization never moves CURRENT: write a partial
+    // version directory WITHOUT the pointer flip
+    GraphAnn.writeGraphCells(cellNodes.filter($"part" === 0), s"$root/v002")
+    assert(VersionedIndex.currentVersion(root).contains("v001"),
+      "an unpublished directory must not affect the pointer")
+    assert(flat(GraphAnn.searchGraphRoutedPublished(spark, root,
+      ivf.centroids, probes, "probe_id", "probe_vec",
+      nprobe = 8, k = 5, ef = 64)) == r1,
+      "reads keep serving the published version past a writer crash")
+    // the next successful publish claims v002, overwriting the debris
+    assert(GraphAnn.publishGraphCells(cellNodes, root) == "v002")
+    assert(flat(GraphAnn.searchGraphRoutedPublished(spark, root,
+      ivf.centroids, probes, "probe_id", "probe_vec",
+      nprobe = 8, k = 5, ef = 64)) == r0,
+      "v002 serves the full graph again")
   }
 
   test("deleting every node yields empty searches and an empty purge") {

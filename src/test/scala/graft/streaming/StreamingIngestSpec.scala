@@ -145,6 +145,108 @@ class StreamingIngestSpec extends AnyFunSuite {
       "ascending arrival order must reproduce the batch min-id keeper rule")
   }
 
+  /** Unit vector at `deg` degrees inside the (e0, e1) plane of an 8-dim
+    * space — crafted cosines: cos(angle between) exactly controls
+    * near-dup decisions, no banding luck required for the verify.
+    */
+  private def planeVec(deg: Double): Array[Float] = {
+    val r = math.toRadians(deg)
+    val v = new Array[Float](8)
+    v(0) = math.cos(r).toFloat; v(1) = math.sin(r).toFloat
+    v
+  }
+
+  private def writeStagedVecs(dir: String, i: Int,
+      rows: Seq[(Long, Array[Float])]): Unit = {
+    val scratch = Files.createTempDirectory("graft-st7spec")
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val ls = Files.list(scratch)
+    val part =
+      try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally ls.close()
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dst = java.nio.file.Paths.get(dir, s"b$i.parquet")
+    Files.move(part, dst)
+    Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+      .fromMillis(1700000000000L + i * 3600000L))
+  }
+
+  test("embedding ingest: multi-micro-batch streaming = batch on chain-free data") {
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft-ingest-emb").toString
+    val vecs = s"$root/vecs"; val index = s"$root/index"
+    // corpus: two indexed vectors; arrivals: clusters span micro-batches
+    // (1~3 within file 0, 1~7 across files), 5 near-dups the corpus,
+    // 9~11 across files, 13 novel — every cluster is a tight clone pack
+    // (≤6° apart, cos ≥ 0.995) with ≥45° to everything else, so there is
+    // NO A~B~C chain whose ends fall under the threshold: batch CC and
+    // oldest-first streaming must agree exactly
+    val corpus = Seq(2L -> planeVec(90), 4L -> planeVec(135))
+    val files = Seq(
+      Seq(1L -> planeVec(0), 3L -> planeVec(3)),
+      Seq(5L -> planeVec(133), 7L -> planeVec(6), 9L -> planeVec(45)),
+      Seq(11L -> planeVec(47), 13L -> planeVec(270)))
+    files.zipWithIndex.foreach { case (rows, i) => writeStagedVecs(vecs, i, rows) }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val sk = Dedup.embeddingSketches(corpusDf, "vec_id", "embedding",
+      bands = 8, rowsPerBand = 4)
+    val bands = Dedup.embeddingBandIndex(sk)
+    val batchAll = files.flatten.toDF("vec_id", "embedding")
+    val batchSurvivors = Dedup.ingestNovelEmbeddings(batchAll, "vec_id",
+        "embedding", sk, bands, minCosine = 0.9, bands = 8, rowsPerBand = 4)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    PartitionedUpsert.writeInitial(sk, s"$index/sks", "id", 8)
+    PartitionedUpsert.writeInitial(bands, s"$index/bands", "id", 8)
+    val nBatches = StreamingIngest.runAvailableNowNearDupEmbeddings(spark,
+      vecs, index, s"$root/ckpt", minCosine = 0.9, bands = 8,
+      rowsPerBand = 4, maxFilesPerTrigger = Some(1))
+    assert(nBatches >= 3, "one micro-batch per staged file")
+    val streamSurvivors = PartitionedUpsert.read(spark, s"$index/sks")
+      .filter($"id" % 2 === 1).select($"id").collect().map(_.getLong(0)).toSet
+    assert(batchSurvivors == Set(1L, 9L, 13L),
+      s"keeper rule: min-id per cluster, corpus-matched 5 drops: $batchSurvivors")
+    assert(streamSurvivors == batchSurvivors,
+      "ascending arrival must reproduce the batch min-id keeper rule")
+    // replay with a fresh checkpoint appends nothing (idempotence)
+    StreamingIngest.runAvailableNowNearDupEmbeddings(spark, vecs, index,
+      s"$root/ckpt2", minCosine = 0.9, bands = 8, rowsPerBand = 4,
+      maxFilesPerTrigger = Some(1))
+    assert(PartitionedUpsert.read(spark, s"$index/sks")
+      .filter($"id" % 2 === 1).count() == 3L)
+  }
+
+  test("chain split across micro-batches: streaming keeps what batch CC drops (documented non-equivalence)") {
+    import graft.operators.Dedup
+    // A~B and B~C but A!~C (0°, 25°, 50° at threshold cos 0.9 = 25.8°):
+    // batch CC chains {A,B,C} into one cluster and keeps only A; if B's
+    // file arrives BEFORE C's, streaming drops B against A, so C arrives
+    // facing an index without B and survives. This is WHY st6/st7 pin
+    // their own snapshots instead of borrowing the batch oracle.
+    val root = Files.createTempDirectory("graft-ingest-chain").toString
+    val vecs = s"$root/vecs"; val index = s"$root/index"
+    val a = 1L -> planeVec(0); val b = 3L -> planeVec(25); val c = 5L -> planeVec(50)
+    writeStagedVecs(vecs, 0, Seq(a, b))
+    writeStagedVecs(vecs, 1, Seq(c))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptySk = Dedup.embeddingSketches(empty, "vec_id", "embedding",
+      bands = 8, rowsPerBand = 4)
+    val batchSurvivors = Dedup.ingestNovelEmbeddings(
+        Seq(a, b, c).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        emptySk, Dedup.embeddingBandIndex(emptySk),
+        minCosine = 0.9, bands = 8, rowsPerBand = 4)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchSurvivors == Set(1L), s"batch CC chains A-B-C: $batchSurvivors")
+    StreamingIngest.runAvailableNowNearDupEmbeddings(spark, vecs, index,
+      s"$root/ckpt", minCosine = 0.9, bands = 8, rowsPerBand = 4,
+      maxFilesPerTrigger = Some(1))
+    val streamSurvivors = PartitionedUpsert.read(spark, s"$index/sks")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(streamSurvivors == Set(1L, 5L),
+      s"C must survive: B was dropped before ever being indexed: $streamSurvivors")
+  }
+
   test("compactIndex bounds ingest fragmentation without changing behavior") {
     val root = Files.createTempDirectory("graft-ingest-compact").toString
     val docs = s"$root/docs"; val index = s"$root/index"; val ckpt = s"$root/ckpt"
