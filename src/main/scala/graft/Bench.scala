@@ -43,20 +43,40 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Per-query JOB counts, for the floor-normalized headline: the suite's
+    // sub-second queries are scheduler-floor-bound (~80ms/job, FloorProbe),
+    // so "wall minus jobs×floor" approximates the data-dependent cost and
+    // makes cross-round totals comparable without a human discounting the
+    // ambient-load band (r12 verdict item 7). Listener delivery is
+    // asynchronous, so a count can lag a sample boundary by a job — the
+    // normalized figure is an estimate and is published as such.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+
     /** One timed sample: GC first (pre-drain the ContextCleaner — the warm
       * run of the checkpoint-heavy families leaves hundreds of weak-
       * referenced checkpoint/broadcast blocks whose cleanup would otherwise
       * land inside the timed region as a GC + cleaner stall; r10 recorded
       * d14 at 4.37s vs a 2.0-2.3s steady state), then execute and time.
-      * Returns NaN on failure.
+      * Returns (NaN, 0) on failure.
       */
     def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               name: String): Double = {
+               name: String): (Double, Long) = {
       System.gc()
+      val j0 = jobCounter.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+      try {
+        fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, jobCounter.get() - j0)
+      } catch {
         case t: Throwable =>
-          System.err.println(s"[bench] $name threw: $t"); Double.NaN
+          System.err.println(s"[bench] $name threw: $t"); (Double.NaN, 0L)
       }
     }
 
@@ -92,7 +112,7 @@ object Bench {
       // A warm failure does not skip the timed attempt (a transient warm
       // error must not mask a query that executes fine), but it does
       // disable the warm-relative retry gate below.
-      var elapsed = sample(fn, name)
+      var (elapsed, jobs) = sample(fn, name)
       val ok = !elapsed.isNaN
       // A single timed sample can absorb a transient stall — the warm
       // run of the checkpoint-heavy queries (the d8/d14/d16 CC and
@@ -109,10 +129,10 @@ object Bench {
       // measurement pollution without flattering real regressions.
       var extras = 0
       while (ok && warmOk && extras < 2 && elapsed > 1.0 && elapsed > 0.75 * warmT) {
-        val retryT = sample(fn, name)
+        val (retryT, retryJ) = sample(fn, name)
         // a failed RETRY never fails the query — the timed run succeeded
         // and its sample stands; only a better successful sample replaces it
-        if (!retryT.isNaN && retryT < elapsed) elapsed = retryT
+        if (!retryT.isNaN && retryT < elapsed) { elapsed = retryT; jobs = retryJ }
         extras += 1
       }
       noteExtra(name, extras)
@@ -127,7 +147,7 @@ object Bench {
       System.gc()
       if ((i + 1) % canaryEvery == 0 || i == qs.size - 1)
         canarySeries += canaryFloor(spark)
-      (name, elapsed, i / canaryEvery)
+      (name, elapsed, i / canaryEvery, jobs)
     }
 
     // Contention redo: a segment whose closing canary drifted >1.5x above
@@ -148,15 +168,17 @@ object Bench {
     }.toSet
     val fnByName = qs.toMap
     val redone = scala.collection.mutable.ArrayBuffer[Double]()
-    val results = timed.map { case (name, elapsed0, seg) =>
+    val full = timed.map { case (name, elapsed0, seg, jobs0) =>
       var elapsed = elapsed0
+      var jobs = jobs0
       if (!elapsed.isNaN && polluted.contains(seg)) {
-        val t = sample(fnByName(name), name)
-        if (!t.isNaN && t < elapsed) elapsed = t
+        val (t, j) = sample(fnByName(name), name)
+        if (!t.isNaN && t < elapsed) { elapsed = t; jobs = j }
         noteExtra(name)
       }
-      name -> (if (elapsed.isNaN) -1.0 else elapsed)
+      (name, if (elapsed.isNaN) -1.0 else elapsed, jobs)
     }
+    val results = full.map { case (name, elapsed, _) => name -> elapsed }
     if (polluted.nonEmpty) redone += canaryFloor(spark)
 
     // Millisecond precision keeps the line compact; -1.0 marks a query that
@@ -171,6 +193,21 @@ object Bench {
       val series = (canarySeries ++ redone).map(r3).mkString("[", ",", "]")
       s""","canary":{"open":${r3(canaryOpen)},"series":$series,"every":$canaryEvery,"redo_segments":${polluted.size},"unit":"sec"}"""
     }
+    // Floor-normalized headline: wall minus jobs×(cleanest canary floor),
+    // clamped at 0 per query — approximates the data-dependent cost with
+    // the scheduler floors discounted, so cross-round totals compare
+    // without a human knowing the ambient-load band. An ESTIMATE (job
+    // attribution is listener-async, the floor varies within a run);
+    // the raw total stays the headline of record.
+    val jobsTotal = full.map(_._3).sum
+    val normTotal =
+      if (failed > 0) -1.0
+      else r3(full.map { case (_, t, j) =>
+        math.max(0.0, t - j * floorBase) }.sum)
+    val normJson =
+      s""","floor_normalized":{"value":$normTotal,"jobs_total":$jobsTotal,"floor":${r3(floorBase)},"unit":"sec"}"""
+    val jobsJson = full.map { case (k, _, j) => s"\"" + k + "\":" + j }
+      .mkString(",\"jobs\":{", ",", "}")
     val extrasJson =
       if (extraSamples.isEmpty) ""
       else extraSamples.map { case (k, n) => s"\"" + k + "\":" + n }
@@ -198,7 +235,7 @@ object Bench {
       } else ""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"$canaryJson$extrasJson$anchor}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"$canaryJson$normJson$jobsJson$extrasJson$anchor}"""
     println(line)
     // Durable copy: stdout goes through sbt's logger and a log-tail capture,
     // either of which can truncate the (long) per-query line. The file is
@@ -216,7 +253,7 @@ object Bench {
     // complete parseable record (it is printed LAST).
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"$canaryJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"$canaryJson$normJson}""")
     spark.stop()
   }
 }
