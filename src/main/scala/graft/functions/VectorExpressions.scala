@@ -167,12 +167,15 @@ case class BinaryDotF32(left: Expression, right: Expression)
     val bits = a.asInstanceOf[Array[Byte]]
     val q = b.asInstanceOf[ArrayData]
     val n = q.numElements()
-    // a probe longer than the code's capacity would silently read the
-    // last byte's zero padding as −qᵢ contributions — fail loudly instead
-    if (n > bits.length * 8) throw new IllegalArgumentException(
-      s"binary_dot_f32: probe has $n dims but the code holds at most " +
-        s"${bits.length * 8} — the probe and the quantized corpus disagree " +
-        "on dimension")
+    // the code must be EXACTLY ceil(n/8) bytes: a longer probe would read
+    // zero padding as −qᵢ contributions, and a probe below (len−1)·8 dims
+    // provably came from a different-dimension model and would silently
+    // score a prefix — both fail loudly instead
+    if (n > bits.length * 8 || n <= (bits.length - 1) * 8)
+      throw new IllegalArgumentException(
+        s"binary_dot_f32: probe has $n dims but the code is ${bits.length} " +
+          s"bytes (${(bits.length - 1) * 8 + 1}..${bits.length * 8} dims) — " +
+          "the probe and the quantized corpus disagree on dimension")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -188,11 +191,11 @@ case class BinaryDotF32(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val q = ctx.freshName("q")
       s"""
          |int $n = $y.numElements();
-         |if ($n > $x.length * 8) {
+         |if ($n > $x.length * 8 || $n <= ($x.length - 1) * 8) {
          |  throw new IllegalArgumentException(
-         |    "binary_dot_f32: probe has " + $n + " dims but the code holds " +
-         |    "at most " + ($x.length * 8) +
-         |    " — the probe and the quantized corpus disagree on dimension");
+         |    "binary_dot_f32: probe has " + $n + " dims but the code is " +
+         |    $x.length + " bytes — the probe and the quantized corpus " +
+         |    "disagree on dimension");
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {

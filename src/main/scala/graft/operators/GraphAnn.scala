@@ -859,8 +859,11 @@ object GraphAnn {
     val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
     val cells = routes.keys.toSeq
     val flagged = nodes.filter(col("part").isin(cells: _*))
-      .join(allowed.select(col("id").cast("long").as("id"),
-        lit(true).as("allowed")), Seq("id"), "left")
+      // distinct: an attribute predicate can emit one row per (id, match)
+      // — duplicate allowed ids would otherwise duplicate graph nodes
+      // through the left join and emit the same id twice in a top-k
+      .join(allowed.select(col("id").cast("long").as("id")).distinct()
+        .withColumn("allowed", lit(true)), Seq("id"), "left")
       .withColumn("allowed", coalesce(col("allowed"), lit(false)))
       // the join redistributed rows by id — reassemble segments whole
       .repartition(col("part"), col("seg"))
@@ -1093,6 +1096,19 @@ object GraphAnn {
       .toDF()
   }
 
+  /** The index's clump bound — the largest group of nodes sharing one
+    * (part, seg, codes) key, i.e. the widest set ADC cannot distinguish.
+    * Compute ONCE at build time and pass to [[searchGraphRoutedPq]]'s
+    * `clumpBound` so the guard costs nothing per serving call (store it
+    * beside the index the way the centroid table is stored). One
+    * aggregate over the coded nodes; driver state is one int.
+    */
+  def pqClumpBound(nodes: DataFrame): Int = {
+    val r = nodes.groupBy(col("part"), col("seg"), hex(col("codes"))).count()
+      .agg(max(col("count"))).head()
+    if (r.isNullAt(0)) 0 else math.min(r.getLong(0), 1L << 30).toInt
+  }
+
   /** Beam-search one PQ segment (= one IVF cell): scores are the ADC
     * decomposition `q̂·c_cell + Σ table(sub)(code)` — no float vector is
     * read; the table ((subspaces × codes) floats) is built once per
@@ -1162,11 +1178,14 @@ object GraphAnn {
     * `clump + k`, so the whole biggest clump reaches the exact rerank.
     * Cost grows linearly with the clump — the honest price of serving an
     * un-deduped corpus; dedup before indexing (d8/d10) removes it.
+    * `clumpBound` supplies the bound precomputed at build time
+    * ([[pqClumpBound]]) so a serving deployment skips the per-call scan.
     */
   def searchGraphRoutedPq(nodes: DataFrame, index: Similarity.IvfPqIndex,
       corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
-      rerankFactor: Int = 4, clumpGuard: Boolean = true): DataFrame = {
+      rerankFactor: Int = 4, clumpGuard: Boolean = true,
+      clumpBound: Option[Int] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val batch = probes.select(col(probeId).cast("long"), col(probeVec))
@@ -1182,9 +1201,12 @@ object GraphAnn {
     val bcR = spark.sparkContext.broadcast(
       (routes, index.centroids.toMap, index.book))
     val routedCells = routes.keys.toSeq
+    // a serving deployment passes the build-time pqClumpBound so the
+    // guard costs nothing per call; the default measures the probed
+    // cells on the fly (one bounded aggregate — ad-hoc use)
     val clump =
       if (!clumpGuard || routedCells.isEmpty) 0
-      else {
+      else clumpBound.getOrElse {
         val r = nodes.filter(col("part").isin(routedCells: _*))
           .groupBy(col("part"), col("seg"), hex(col("codes"))).count()
           .agg(max(col("count"))).head()

@@ -22,10 +22,49 @@ object PartitionedUpsert {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(hash(key), lit(nBuckets))
 
+  /** The table's bucket count, persisted beside the data (an `_`-prefixed
+    * file, invisible to the parquet reader like _SUCCESS). An upsert with
+    * a DIFFERENT count would hash updated keys into the wrong partitions:
+    * the pruned read then misses the old rows, the anti-join never removes
+    * them, and replaced keys silently duplicate — the marker turns that
+    * silent corruption into an immediate error.
+    */
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_nbuckets")
+
+  private def writeMarker(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The stored bucket count, if the marker exists (tables written before
+    * the marker shipped have none — those skip validation).
+    */
+  def storedBuckets(spark: SparkSession, dir: String): Option[Int] = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
   /** Initial load: write `df` partitioned by the key's hash bucket. */
-  def writeInitial(df: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit =
+  def writeInitial(df: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit = {
     df.withColumn("_bucket", bucketOf(col(keyCol), nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dir)
+    // after the data write: Overwrite clears the directory first
+    writeMarker(df.sparkSession, dir, nBuckets)
+  }
 
   /** Replace every row whose key appears in `updates` with the update rows
     * (replace-parent semantics: ALL old rows of an updated key go away,
@@ -35,6 +74,11 @@ object PartitionedUpsert {
     */
   def upsertByKey(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, nBuckets: Int): Unit = {
+    storedBuckets(spark, dir).foreach(stored => require(stored == nBuckets,
+      s"bucket-count mismatch: the table at $dir was written with $stored " +
+        s"buckets but the upsert was called with $nBuckets — updated keys " +
+        "would hash into the wrong partitions and replaced rows would " +
+        "silently duplicate"))
     val fresh = updates.withColumn("_bucket", bucketOf(col(keyCol), nBuckets))
     // the changed slice is small by contract — its distinct bucket list is
     // at most nBuckets ints, and it bounds the whole run's IO

@@ -46,26 +46,30 @@ class BinaryAnnSpec extends AnyFunSuite {
     }
   }
 
-  test("binary_dot_f32 rejects a probe wider than the code's capacity") {
-    // zero padding bits would otherwise read as −qᵢ contributions —
-    // a dimension mismatch must fail loudly, not score quietly wrong
-    val wide = Array.fill(17)(1.0f) // 2-byte code holds at most 16 dims
-    val df = Seq((1L, Array[Byte](0x0f, 0x33))).toDF("id", "bits")
-      .withColumn("a", GraftFunctions.binary_dot_f32($"bits", typedLit(wide)))
-    val e = intercept[Exception](df.collect())
+  test("binary_dot_f32 rejects any probe the code width can't have encoded") {
+    def scoreOf(probe: Array[Float]): Double =
+      Seq((1L, Array[Byte](0x0f, 0x33))).toDF("id", "bits")
+        .withColumn("a", GraftFunctions.binary_dot_f32($"bits", typedLit(probe)))
+        .select($"a").head().getDouble(0)
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(_.getMessage != null) &&
-      causes(e).exists(c => c.getMessage != null &&
+    def mustReject(probe: Array[Float]): Unit = {
+      val e = intercept[Exception](scoreOf(probe))
+      assert(causes(e).exists(c => c.getMessage != null &&
         c.getMessage.contains("disagree on dimension")),
-      s"wanted a dimension-mismatch error, got: $e")
-    // a NARROWER probe is fine (scores only the probe's dims)
-    val narrow = Array.fill(16)(1.0f)
-    val ok = Seq((1L, Array[Byte](0x0f, 0x33))).toDF("id", "bits")
-      .withColumn("a", GraftFunctions.binary_dot_f32($"bits", typedLit(narrow)))
-      .select($"a").head().getDouble(0)
+        s"wanted a dimension-mismatch error for dim ${probe.length}, got: $e")
+    }
+    // a 2-byte code encodes 9..16 dims exactly. Wider: zero padding bits
+    // would read as −qᵢ. Shorter than 9: the probe provably came from a
+    // different-dimension model and would silently score a prefix.
+    mustReject(Array.fill(17)(1.0f))
+    mustReject(Array.fill(8)(1.0f))
+    // the last-partial-byte range is legitimate (padding ambiguity only)
+    val ok = scoreOf(Array.fill(16)(1.0f))
     // bits 0-3 and 8,9,12,13 set: 8 positive, 8 negative → 0.0
     assert(math.abs(ok) < 1e-12)
+    assert(math.abs(scoreOf(Array.fill(9)(1.0f)) - 1.0) < 1e-12,
+      "9-dim probe over a 2-byte code: bits 0-3,8 set -> 5 pos, 4 neg = +1")
   }
 
   test("binary_dot_f32 equals the Scala reference sum") {

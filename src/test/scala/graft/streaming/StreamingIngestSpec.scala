@@ -133,7 +133,8 @@ class StreamingIngestSpec extends AnyFunSuite {
     PartitionedUpsert.writeInitial(sigs, s"$index/sigs", "id", 8)
     PartitionedUpsert.writeInitial(bands, s"$index/bands", "id", 8)
     val nBatches = StreamingIngest.runAvailableNowNearDup(spark, docs,
-      index, s"$root/ckpt", threshold = 0.5, maxFilesPerTrigger = Some(1))
+      index, s"$root/ckpt", threshold = 0.5, maxFilesPerTrigger = Some(1),
+      buckets = 8)
     assert(nBatches >= 3, "one micro-batch per staged file")
     val streamSurvivors = PartitionedUpsert.read(spark, s"$index/sigs")
       .filter($"id" % 2 === 1).select($"id").collect().map(_.getLong(0)).toSet
@@ -201,7 +202,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     PartitionedUpsert.writeInitial(bands, s"$index/bands", "id", 8)
     val nBatches = StreamingIngest.runAvailableNowNearDupEmbeddings(spark,
       vecs, index, s"$root/ckpt", minCosine = 0.9, bands = 8,
-      rowsPerBand = 4, maxFilesPerTrigger = Some(1))
+      rowsPerBand = 4, maxFilesPerTrigger = Some(1), buckets = 8)
     assert(nBatches >= 3, "one micro-batch per staged file")
     val streamSurvivors = PartitionedUpsert.read(spark, s"$index/sks")
       .filter($"id" % 2 === 1).select($"id").collect().map(_.getLong(0)).toSet
@@ -212,7 +213,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     // replay with a fresh checkpoint appends nothing (idempotence)
     StreamingIngest.runAvailableNowNearDupEmbeddings(spark, vecs, index,
       s"$root/ckpt2", minCosine = 0.9, bands = 8, rowsPerBand = 4,
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1), buckets = 8)
     assert(PartitionedUpsert.read(spark, s"$index/sks")
       .filter($"id" % 2 === 1).count() == 3L)
   }
