@@ -1116,8 +1116,8 @@ object GraphAnn {
     */
   private def searchSegmentPq(ns: Array[PqGraphNode],
       queries: Iterable[(Long, Array[Float])], cellCentroid: Array[Float],
-      book: Similarity.PqCodebook, kCand: Int,
-      ef: Int): Iterator[(Long, Long, Double)] = {
+      book: Similarity.PqCodebook, kCand: Int, ef: Int,
+      emit: Int => Boolean = emitAll): Iterator[(Long, Long, Double)] = {
     if (ns.isEmpty) return Iterator.empty
     val idIdx = new java.util.HashMap[Long, Integer](ns.length * 2)
     ns.indices.foreach(i => idIdx.put(ns(i).id, i))
@@ -1142,7 +1142,7 @@ object GraphAnn {
       var ep = entry
       var l = ns(entry).level
       while (l > 0) { ep = greedyStep(simOf, ep, l, adj); l -= 1 }
-      val w = searchLayer(simOf, ep :: roots, ef, 0, adj, visited)
+      val w = searchLayer(simOf, ep :: roots, ef, 0, adj, visited, emit)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       val it2 = w.iterator()
       var taken = 0
@@ -1151,6 +1151,16 @@ object GraphAnn {
       }
       out
     }
+  }
+
+  /** [[liveEmit]] for PQ segments. */
+  private def liveEmitPq(
+      bcTomb: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      ns: Array[PqGraphNode]): Int => Boolean = bcTomb match {
+    case None => emitAll
+    case Some(b) =>
+      val sorted = b.value
+      i => java.util.Arrays.binarySearch(sorted, ns(i).id) < 0
   }
 
   /** Routed batch search over a [[buildGraphPerCellPq]] index — the full
@@ -1185,7 +1195,8 @@ object GraphAnn {
       corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
       rerankFactor: Int = 4, clumpGuard: Boolean = true,
-      clumpBound: Option[Int] = None): DataFrame = {
+      clumpBound: Option[Int] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val batch = probes.select(col(probeId).cast("long"), col(probeVec))
@@ -1214,17 +1225,98 @@ object GraphAnn {
       }
     val kCand = math.max(k * rerankFactor, if (clump > 0) clump + k else 0)
     val efLocal = math.max(ef, kCand)
+    val bcTomb = broadcastTombstones(spark, tombstones)
     val approx = nodes.as[PqGraphNode].mapPartitions { it =>
       val (rts, centroidOf, book) = bcR.value
       it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap {
         case ((cell, _), ns) =>
           rts.get(cell) match {
             case Some(qs) =>
-              searchSegmentPq(ns, qs, centroidOf(cell), book, kCand, efLocal)
+              searchSegmentPq(ns, qs, centroidOf(cell), book, kCand, efLocal,
+                liveEmitPq(bcTomb, ns))
             case None => Iterator.empty
           }
       }
     }.toDF("probe_id", "id", "approx_sim")
+    pqRerank(approx, corpus, idCol, vecCol, probes, probeId, probeVec,
+      kCand, k)
+  }
+
+  /** FILTERED PQ-routed graph search — [[searchGraphRoutedFiltered]]'s
+    * contract on the DiskANN-shaped tier: the allowed flag rides each
+    * node through the same bounded join + locality restore, ADC beams
+    * traverse the full graph but admit only allowed nodes to the result
+    * heap, and the exact rerank sees only allowed survivors (so the
+    * output is trivially contained). The clump guard applies unchanged —
+    * a filtered clumped corpus needs BOTH widenings.
+    */
+  def searchGraphRoutedPqFiltered(nodes: DataFrame,
+      index: Similarity.IvfPqIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
+      allowed: DataFrame, nprobe: Int, k: Int, ef: Int,
+      rerankFactor: Int = 4, clumpGuard: Boolean = true,
+      clumpBound: Option[Int] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val batch = probes.select(col(probeId).cast("long"), col(probeVec))
+      .as[(Long, Array[Float])].collect()
+      .map { case (pid, v) => (pid, l2unit(v)) }
+    val routes: Map[Int, Array[(Long, Array[Float])]] = batch
+      .flatMap { case (pid, u) =>
+        Similarity.nearestCells(index.centroids, u, nprobe)
+          .map(c => (c, (pid, u)))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val routedCells = routes.keys.toSeq
+    val routedNodes = nodes.filter(col("part").isin(routedCells: _*))
+    val clump =
+      if (!clumpGuard || routedCells.isEmpty) 0
+      else clumpBound.getOrElse {
+        val r = routedNodes
+          .groupBy(col("part"), col("seg"), hex(col("codes"))).count()
+          .agg(max(col("count"))).head()
+        if (r.isNullAt(0)) 0 else math.min(r.getLong(0), 1L << 30).toInt
+      }
+    val kCand = math.max(k * rerankFactor, if (clump > 0) clump + k else 0)
+    val efLocal = math.max(ef, kCand)
+    val flagged = routedNodes
+      .join(allowed.select(col("id").cast("long").as("id")).distinct()
+        .withColumn("allowed", lit(true)), Seq("id"), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(false)))
+      .repartition(col("part"), col("seg"))
+    val bcR = spark.sparkContext.broadcast(
+      (routes, index.centroids.toMap, index.book))
+    val approx = flagged.as[FlaggedPqNode].mapPartitions { it =>
+      val (rts, centroidOf, book) = bcR.value
+      it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap {
+        case ((cell, _), fs) =>
+          rts.get(cell) match {
+            case Some(qs) =>
+              val ns = fs.map(f =>
+                PqGraphNode(f.part, f.id, f.codes, f.level, f.neighbors, f.seg))
+              searchSegmentPq(ns, qs, centroidOf(cell), book, kCand, efLocal,
+                i => fs(i).allowed)
+            case None => Iterator.empty
+          }
+      }
+    }.toDF("probe_id", "id", "approx_sim")
+    pqRerank(approx, corpus, idCol, vecCol, probes, probeId, probeVec,
+      kCand, k)
+  }
+
+  /** [[FlaggedNode]]'s PQ twin (see the encoder visibility note there). */
+  private[graft] final case class FlaggedPqNode(part: Int, id: Long,
+      codes: Array[Byte], level: Int, neighbors: Array[Array[Long]], seg: Int,
+      allowed: Boolean)
+
+  /** The shared stage-1-merge + exact-rerank tail of both PQ search
+    * paths: per-probe ADC survivors cap at `kCand` through the
+    * bounded-heap aggregator, join their float vectors back, and rerank
+    * exactly to k. Output: (probe_id, id, sim, rank), sims exact.
+    */
+  private def pqRerank(approx: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
+      kCand: Int, k: Int): DataFrame = {
     val stage1 = udaf(new graft.functions.TopKByScore(kCand))
     val survivors = approx.groupBy(col("probe_id"))
       .agg(stage1(col("id"), col("approx_sim")).as("top"))
@@ -1243,6 +1335,52 @@ object GraphAnn {
       .select(col("probe_id"), posexplode(col("top")).as(Seq("r", "p")))
       .select(col("probe_id"), col("p._1").as("id"), col("p._2").as("sim"),
         (col("r") + 1).cast("int").as("rank"))
+  }
+
+  /** [[purgeTombstones]] for a PQ index — same touched-segment rebuild,
+    * except a [[PqGraphNode]] stores no float vector, so rebuilt
+    * segments re-derive build vectors from the corpus (one join of ONLY
+    * the touched segments' survivors — bounded by the delete locality)
+    * while codes pass through unchanged from the surviving nodes.
+    */
+  def purgeTombstonesPq(nodes: DataFrame, tombstones: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val ids = tombstones.select(col("id").cast("long"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    java.util.Arrays.sort(ids)
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val ds = nodes.as[PqGraphNode]
+    def isTomb(id: Long): Boolean =
+      java.util.Arrays.binarySearch(bcIds.value, id) >= 0
+    val touched = ds.filter(n => isTomb(n.id))
+      .map(n => (n.part, n.seg)).distinct().collect().toSet
+    if (touched.isEmpty) return nodes
+    val bcSegs = spark.sparkContext.broadcast(touched)
+    val untouched = ds.filter(n => !bcSegs.value.contains((n.part, n.seg)))
+    val rebuilt = ds
+      .filter(n => bcSegs.value.contains((n.part, n.seg)) && !isTomb(n.id))
+      .map(n => (n.part, n.seg, n.id, n.codes))
+      .toDF("part", "seg", "id", "codes")
+      .join(corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec")), Seq("id"))
+      .as[(Long, Int, Int, Array[Byte], Array[Float])]
+      .groupByKey { case (_, part, seg, _, _) => (part, seg) }
+      .flatMapGroups { (key: (Int, Int), it) =>
+        val rows = it.map(t => (t._1, t._5, t._4)).toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by[(Long, Array[Float], Array[Byte]), Long](_._1))
+        val codesOf = new java.util.HashMap[Long, Array[Byte]](rows.length * 2)
+        rows.foreach { case (id, _, cs) => codesOf.put(id, cs) }
+        val b = new Builder(m, efConstruction)
+        rows.foreach { case (id, v, _) => b.insert(id, l2unit(v)) }
+        b.emit(key._1, key._2).map(n =>
+          PqGraphNode(n.part, n.id, codesOf.get(n.id), n.level, n.neighbors,
+            n.seg))
+      }
+    untouched.toDF().unionByName(rebuilt.toDF())
   }
 
   /** Single-probe convenience over [[searchGraphBatch]]. */

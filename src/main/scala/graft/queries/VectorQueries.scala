@@ -632,6 +632,76 @@ object VectorQueries {
           ($"n" === $"n_emb").as("nodes_conserved"))
     }),
 
+    // V28: filter + delete on the PQ graph tier — v24/v25's contracts
+    // mirrored onto the DiskANN-shaped path, closing the tier asymmetry
+    // (a deployment picks its tier by memory budget and needs filter and
+    // delete on WHICHEVER it picks; r12's verdict flagged exactly this
+    // class of gap on the exact tier). Filtered beams admit only allowed
+    // nodes to the ADC result heap (rerank sees only allowed survivors —
+    // containment is structural); tombstones mask at stage 1;
+    // purgeTombstonesPq rebuilds only touched segments, re-deriving
+    // build vectors from the corpus since PQ nodes store no floats.
+    // Index + graph are serving-tier state (fixtures); the timed region
+    // is the three searches + purge + checks. ef=256 for the filtered
+    // leg (the v24 width law).
+    "v28_pq_filtered_delete" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val nodes = Fixtures.cached(s, s"v28_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, emb, "vec_id", "embedding", index,
+          m = 8, efConstruction = 48))
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val nprobe = 4
+      val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id"))
+      // ef=256 AND rf=64: the filtered-valley law (v24) compounds with
+      // ADC ties on clumped corpora — at x8, rf=16 leaves two probes at
+      // 2/10 with ef up to 1024, while rf=64 recovers 40/40 at ef=256:
+      // the SURVIVOR pool, not the beam, is the binding width (the v19
+      // rerank-cut law, measured for the filtered path)
+      val filt = GraphAnn.searchGraphRoutedPqFiltered(nodes, index, emb,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec", allowed,
+          nprobe, k, ef = 256, rerankFactor = 64)
+        .localCheckpoint(true)
+      val exactF = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"))
+      val recall = exactF
+        .join(filt.select($"probe_id", $"id"), Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 4 && min($"count") >= 5).as("recall_ok"))
+      val filterOk = filt.agg(every($"id" % 2 === 0).as("filter_respected"),
+        (count(lit(1)) === 4 * k).as("all_k"))
+      val tombs = emb.filter($"vec_id" % 5 === 2).select($"vec_id".as("id"))
+      val masked = GraphAnn.searchGraphRoutedPq(nodes, index, emb, "vec_id",
+          "embedding", probes, "probe_id", "probe_vec", nprobe, k, ef = 48,
+          rerankFactor = 16, tombstones = Some(tombs))
+        .localCheckpoint(true)
+      val maskOk = masked.join(tombs, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_tomb_hits"))
+        .crossJoin(broadcast(masked.groupBy($"probe_id").count()
+          .agg((count(lit(1)) === 4 && min($"count") === k).as("mask_all_k"))))
+        .select(($"n_tomb_hits" === 0).as("mask_clean"), $"mask_all_k")
+      val purged = GraphAnn.purgeTombstonesPq(nodes, tombs, emb, "vec_id",
+        "embedding", m = 8, efConstruction = 48).localCheckpoint(true)
+      val nLive = emb.filter($"vec_id" % 5 =!= 2).count()
+      val purgeOk = purged.agg((count(lit(1)) === nLive &&
+        count_distinct($"id") === nLive).as("purge_conserved"))
+      val noTomb = purged.select($"id")
+        .unionByName(purged.select(explode(flatten($"neighbors")).as("id")))
+        .join(tombs, Seq("id"), "left_semi")
+        .agg((count(lit(1)) === 0).as("no_tomb_nodes"))
+      recall.crossJoin(broadcast(filterOk)).crossJoin(broadcast(maskOk))
+        .crossJoin(broadcast(purgeOk)).crossJoin(broadcast(noTomb))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -989,6 +1059,10 @@ object VectorQueries {
     "v27_knn_nsw_serving" ->
       """SELECT true AS recall_ok, true AS fanout_ok, true AS structure_ok,
         | true AS closed_ok, true AS nodes_conserved""".stripMargin,
+    "v28_pq_filtered_delete" ->
+      """SELECT true AS recall_ok, true AS filter_respected, true AS all_k,
+        | true AS mask_clean, true AS mask_all_k, true AS purge_conserved,
+        | true AS no_tomb_nodes""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

@@ -613,6 +613,62 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(hits >= 12, s"serving-width recall fell to $hits/15")
   }
 
+  test("PQ filtered keystone: full fan-out + exhaustive rerank = filtered brute force") {
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id".as("id"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphRoutedPqFiltered(pqNodes, ivfPq,
+      emb, "vec_id", "embedding", probes, "probe_id", "probe_vec", allowed,
+      nprobe = 8, k = 5, ef = n, rerankFactor = n))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id",
+      "probe_vec", emb.filter($"vec_id" % 3 === 0), "vec_id", "embedding",
+      k = 5))
+    assert(got.sameElements(exact))
+    // containment is structural: the rerank only ever sees allowed ids
+    val some = GraphAnn.searchGraphRoutedPqFiltered(pqNodes, ivfPq, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec", allowed,
+      nprobe = 8, k = 5, ef = 32).collect()
+    assert(some.forall(_.getLong(1) % 3 == 0))
+  }
+
+  test("PQ tombstone mask and purge: survivors-only results, codes preserved, idempotent") {
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val tombs = emb.filter($"vec_id" % 4 === 1).select($"vec_id".as("id"))
+    val n = emb.count().toInt
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id",
+      "probe_vec", emb.filter($"vec_id" % 4 =!= 1), "vec_id", "embedding",
+      k = 5))
+    // serving-time mask, exhaustive widths = brute force over survivors
+    val masked = topIds(GraphAnn.searchGraphRoutedPq(pqNodes, ivfPq, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe = 8,
+      k = 5, ef = n, rerankFactor = n, tombstones = Some(tombs)))
+    assert(masked.sameElements(exact))
+    // physical purge: rebuilt segments keep their cells and CODES
+    val purged = GraphAnn.purgeTombstonesPq(pqNodes, tombs, emb, "vec_id",
+      "embedding", m = M, efConstruction = 48).localCheckpoint(true)
+    val tombSet = tombs.collect().map(_.getLong(0)).toSet
+    val before = pqNodes.as[GraphAnn.PqGraphNode].collect()
+      .map(g => g.id -> (g.part, g.codes.toSeq)).toMap
+    val gs = purged.as[GraphAnn.PqGraphNode].collect()
+    assert(gs.length == before.size - tombSet.size, "node conservation")
+    gs.foreach { g =>
+      assert(!tombSet.contains(g.id))
+      assert((g.part, g.codes.toSeq) == before(g.id),
+        s"node ${g.id} changed cell or codes across the purge")
+      g.neighbors.foreach(_.foreach(nb => assert(!tombSet.contains(nb))))
+    }
+    // post-purge exhaustive search = brute force over survivors
+    val after = topIds(GraphAnn.searchGraphRoutedPq(purged, ivfPq, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe = 8,
+      k = 5, ef = n, rerankFactor = n))
+    assert(after.sameElements(exact))
+    // idempotent
+    assert(GraphAnn.purgeTombstonesPq(purged, tombs, emb, "vec_id",
+      "embedding", m = M, efConstruction = 48) eq purged)
+  }
+
   test("clump guard: no-op on a uniform corpus, exact min-id top-k on a clumped one") {
     val cloneVec = emb.filter($"vec_id" === 42)
       .select($"embedding").head().getSeq[Float](0).toArray
