@@ -782,6 +782,51 @@ object GraphAnn {
       .toDF()
   }
 
+  /** Incremental append for the ROUTED tier — [[appendSegments]]'s twin
+    * on a [[buildGraphPerCell]] index, completing the routed lifecycle
+    * (build → append → merge(withinPart) → purge → publish): each new
+    * vector assigns to its nearest cell by the INDEX'S OWN rule (the
+    * broadcast centroids — identical to how `buildIvf` assigned the
+    * existing nodes, so routing reaches appended nodes exactly like
+    * original ones) and each cell's arrivals build as FRESH `seg` slices
+    * (ids past the cell's current max); existing segments are returned
+    * byte-identical. `maxSegmentSize` slices an oversized arrival batch
+    * per cell like the builder does. Driver state: ≤ nCells (part,
+    * maxSeg) pairs plus the centroids already in hand. Compact slice
+    * growth later with `mergeSegments(withinPart = true)`.
+    */
+  def appendGraphCells(existing: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[(Int, Array[Float])], m: Int = 8,
+      efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val maxSeg = existing.groupBy(col("part")).agg(max(col("seg")))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcSeg = spark.sparkContext.broadcast(maxSeg)
+    val assigned = batch
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (Similarity.nearestCells(bcC.value, v, 1).head, id, v) }
+    val bcSlices = spark.sparkContext.broadcast(
+      cellSlices(assigned.groupByKey(_._1).count(), maxSegmentSize))
+    val fresh = assigned
+      .groupByKey { case (c, id, _) => (c, sliceOf(id, c, bcSlices.value)) }
+      .flatMapGroups { (key: (Int, Int), it) =>
+        val (cell, slice) = key
+        val rows = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
+        val b = new Builder(m, efConstruction)
+        rows.foreach { case (id, v) => b.insert(id, l2unit(v)) }
+        // a cell the existing index never saw starts its slices at 0
+        b.emit(cell, bcSeg.value.getOrElse(cell, -1) + 1 + slice)
+      }
+      .toDF()
+    existing.unionByName(fresh)
+  }
+
   /** Slice counts for cells exceeding `maxSegmentSize` — the build-skew
     * guard: a hot cell (clumped corpora concentrate k-means mass) would
     * otherwise hand ONE task the whole cell's single-threaded graph

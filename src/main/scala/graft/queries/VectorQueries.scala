@@ -702,6 +702,75 @@ object VectorQueries {
         .crossJoin(broadcast(purgeOk)).crossJoin(broadcast(noTomb))
     }),
 
+    // V29: ROUTED-tier append — the routed graph lifecycle's missing
+    // write path (v21 gates append only on the un-routed tier; a real
+    // deployment ingests into the ROUTED index): the batch's vectors
+    // assign to their nearest cell by the index's own centroid rule and
+    // build as fresh seg slices, existing segments byte-identical.
+    // Asserts: untouched-identical (two-way exceptAll), conservation,
+    // routing consistency (every appended node's part = the cell the
+    // index's assignment rule gives its vector — so probes reach
+    // appended nodes exactly like original ones), and the keystone:
+    // exhaustive routed beams over the appended layout reproduce brute
+    // force over the FULL corpus (v21's float-robust form).
+    "v29_routed_graph_append" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v15_ivf:$d")(
+        Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16, iters = 2))
+      val m = 8
+      val existing = GraphAnn.buildGraphPerCell(s,
+          index.assignments.join(emb.filter($"vec_id" % 2 === 0)
+            .select($"vec_id".as("id")), Seq("id"), "left_semi"),
+          m = m, efConstruction = 48)
+        .localCheckpoint(true)
+      val appended = GraphAnn.appendGraphCells(existing,
+          emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+          index.centroids, m = m, efConstruction = 48)
+        .localCheckpoint(true)
+      // the semi-join moves the join key first; exceptAll compares
+      // positionally, so pin one column order on both sides
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select($"part", $"id", $"vec", $"level", $"neighbors", $"seg")
+      val oldSide = norm(appended.join(
+        emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id")),
+        Seq("id"), "left_semi"))
+      val untouched = oldSide.exceptAll(norm(existing))
+        .unionByName(norm(existing).exceptAll(oldSide))
+        .agg((count(lit(1)) === 0).as("append_untouched"))
+      val nEmb = emb.count()
+      val conserved = appended.agg((count(lit(1)) === nEmb &&
+        count_distinct($"id") === nEmb).as("conserved"))
+      // routing consistency: appended part == the index's assignment cell
+      val routingOk = appended
+        .join(emb.filter($"vec_id" % 2 === 1).select($"vec_id".as("id")),
+          Seq("id"), "left_semi")
+        .join(index.assignments.select($"id", $"cell"), Seq("id"))
+        .agg(every($"part" === $"cell").as("routing_ok"))
+      val probes = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val got = GraphAnn.searchGraphRouted(appended, index.centroids, probes,
+        "probe_id", "probe_vec", nprobe = 16, k = k, ef = nEmb.toInt)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb, "vec_id", "embedding", k = k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"), $"sim", $"rank")
+      val setsOk = got.join(exact.select($"probe_id", $"id"),
+          Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 3 && min($"count") >= k - 1).as("sets_ok"))
+      val simsOk = got.select($"probe_id", $"rank", $"sim".as("g"))
+        .join(exact.select($"probe_id", $"rank", $"sim".as("e")),
+          Seq("probe_id", "rank"))
+        .agg((count(lit(1)) === 3 * k &&
+          max(abs($"g" - $"e")) < 1e-6).as("sims_ok"))
+      untouched.crossJoin(broadcast(conserved)).crossJoin(broadcast(routingOk))
+        .crossJoin(broadcast(setsOk.crossJoin(broadcast(simsOk))
+          .select(($"sets_ok" && $"sims_ok").as("keystone_ok"))))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -1063,6 +1132,9 @@ object VectorQueries {
       """SELECT true AS recall_ok, true AS filter_respected, true AS all_k,
         | true AS mask_clean, true AS mask_all_k, true AS purge_conserved,
         | true AS no_tomb_nodes""".stripMargin,
+    "v29_routed_graph_append" ->
+      """SELECT true AS append_untouched, true AS conserved,
+        | true AS routing_ok, true AS keystone_ok""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

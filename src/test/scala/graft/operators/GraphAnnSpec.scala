@@ -562,6 +562,44 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(got.sameElements(exact))
   }
 
+  test("appendGraphCells: fresh slices per routed cell, then withinPart merge compacts them") {
+    val even = cellNodes.join(emb.filter($"vec_id" % 2 === 0)
+      .select($"vec_id".as("id")), Seq("id"), "left_semi")
+      .as[GraphNode].localCheckpoint(true)
+    val appended = GraphAnn.appendGraphCells(even.toDF(),
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+      ivf.centroids, m = M, efConstruction = 48).localCheckpoint(true)
+    val gs = appended.as[GraphNode].collect()
+    assert(gs.length == emb.count().toInt, "node conservation")
+    // every appended node landed in the cell the index's rule assigns
+    val vecOf = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    gs.filter(_.id % 2 == 1).foreach { g =>
+      val cell = GraphAnn.routeCells(ivf.centroids, vecOf(g.id), 1).head
+      assert(g.part == cell, s"appended ${g.id} in part ${g.part}, rule says $cell")
+    }
+    // fresh slices sit past the cell's previous max; old nodes untouched
+    val beforeSegs = even.collect().groupBy(_.part)
+      .map { case (p, ns) => p -> ns.map(_.seg).max }
+    gs.filter(_.id % 2 == 1).foreach(g =>
+      assert(g.seg > beforeSegs.getOrElse(g.part, -1)))
+    def flat(xs: Array[GraphNode]) = xs
+      .map(g => (g.id, g.part, g.seg, g.neighbors.map(_.toSeq).toSeq))
+      .sortBy(_._1).toSeq
+    assert(flat(gs.filter(_.id % 2 == 0)) == flat(even.collect()))
+    // exhaustive routed search over append + withinPart merge = brute force
+    val merged = GraphAnn.mergeSegments(appended, targetNodesPerSegment = 1000,
+      m = M, efConstruction = 48, withinPart = true)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphRouted(merged, ivf.centroids, probes,
+      "probe_id", "probe_vec", nprobe = 8, k = 5, ef = n))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id",
+      "probe_vec", emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
   test("purge composes with withinPart merge on a routed index") {
     val tombs = emb.filter($"vec_id" % 6 === 2).select($"vec_id".as("id"))
     val purged = GraphAnn.purgeTombstones(cellNodes, tombs, m = M,
