@@ -392,6 +392,16 @@ object GraphAnn {
     * of the tier. Returns (id, nbr, sim) — k rows per node, no
     * self-loops. Convergence: 3–5 iterations in the paper's regimes; the
     * v22 gate measures recall vs exact k-NN on a sampled node set.
+    *
+    * MEMORY SIZING: the per-iteration candidate shuffle is n·(2k)² rows
+    * — at 512k×k=20 that is ~800 M pairs, which exceeds a single 8 GB
+    * JVM running 32 concurrent tasks (measured: the GraphStudy harness
+    * OOMs; SCALING.md "512k stress"). On a cluster, size executor
+    * memory to the per-task candidate slice; locally, `sampleRate` is
+    * the paper's ρ knob (0.25 completes 512k in 277 s) — with the
+    * measured caveat that sampling in a heavy-clump regime erodes the
+    * edge quality the [[knnToNswSegments]] composition's recall
+    * advantage rests on.
     */
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 4, sampleRate: Double = 1.0,

@@ -707,6 +707,21 @@ class GraphAnnSpec extends AnyFunSuite {
       "embedding", m = M, efConstruction = 48) eq purged)
   }
 
+  test("PQ persisted cell layout serves row-identical to in-memory routed PQ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcells").toString
+    GraphAnn.writeGraphCells(pqNodes, dir)
+    val disk = GraphAnn.restoreSegmentLocality(spark.read.parquet(dir))
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def run(nodes: org.apache.spark.sql.DataFrame) =
+      GraphAnn.searchGraphRoutedPq(nodes, ivfPq, emb, "vec_id", "embedding",
+          probes, "probe_id", "probe_vec", nprobe = 4, k = 5, ef = 48)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    assert(run(disk) == run(pqNodes),
+      "the persisted PQ layout must serve the same rows as the in-memory one")
+  }
+
   test("clump guard: no-op on a uniform corpus, exact min-id top-k on a clumped one") {
     val cloneVec = emb.filter($"vec_id" === 42)
       .select($"embedding").head().getSeq[Float](0).toArray
