@@ -31,19 +31,22 @@ object NswProbe {
       .select($"vec_id", jitter($"embedding", $"vec_id").as("embedding"))
     val corpus = copies(0, mult).repartition(64).localCheckpoint(true)
     println(s"NSWPROBE corpus=${corpus.count()} shufflePartitions=$parts rho=${args.lift(2).getOrElse("0.25")}")
-    val ivf = Similarity.buildIvf(spark, corpus, "vec_id", "embedding", nCells = 64, iters = 3)
-    ivf.assignments.localCheckpoint(true).count()
+    val ivf0 = Similarity.buildIvf(spark, corpus, "vec_id", "embedding", nCells = 64, iters = 3)
+    // checkpoint the ASSIGNMENTS USED, not a discarded copy — otherwise
+    // the timed region re-runs the cell assignment (fixture, not operator)
+    val assignments = ivf0.assignments.localCheckpoint(true)
+    assignments.count()
     val t0 = System.nanoTime()
     val rho = args.lift(2).getOrElse("0.25").toDouble
     val knn = GraphAnn.nnDescent(corpus, "vec_id", "embedding", k = 20, iters = 4, sampleRate = rho)
-    val nsw = GraphAnn.knnToNswSegments(ivf.assignments, knn, m = 8).localCheckpoint(true)
+    val nsw = GraphAnn.knnToNswSegments(assignments, knn, m = 8).localCheckpoint(true)
     nsw.count()
     val tB = (System.nanoTime() - t0) / 1e9
     val probes = copies(mult, mult + 1).limit(100)
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec")).localCheckpoint(true)
     val truth = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
       corpus, "vec_id", "embedding", 10).localCheckpoint(true)
-    def search() = GraphAnn.searchGraphRouted(nsw, ivf.centroids, probes,
+    def search() = GraphAnn.searchGraphRouted(nsw, ivf0.centroids, probes,
       "probe_id", "probe_vec", nprobe = 8, k = 10, ef = 64)
       .select($"probe_id", $"id".as("vec_id"))
     search().count()
@@ -51,7 +54,8 @@ object NswProbe {
     val res = search().localCheckpoint(true)
     val tS = (System.nanoTime() - t1) / 1e9
     val hit = truth.join(res, Seq("probe_id", "vec_id"), "left_semi").count()
-    println(f"NSWPROBE knn_nsw build=$tB%.1f s search=$tS%.2f s recall=${hit / 1000.0}%.3f")
+    val denom = truth.count().toDouble
+    println(f"NSWPROBE knn_nsw build=$tB%.1f s search=$tS%.2f s recall=${hit / denom}%.3f")
     spark.stop()
   }
 }

@@ -778,8 +778,24 @@ object GraphAnn {
     val base = assignments.select(col("cell").cast("int"),
         col("id").cast("long"), col("vec"))
       .as[(Int, Long, Array[Float])]
+    buildCellSegments(base, m, efConstruction, maxSegmentSize, Map.empty)
+  }
+
+  /** The ONE per-cell build body [[buildGraphPerCell]] and
+    * [[appendGraphCells]] share (a hand-mirrored divergence here would
+    * make builds and appends emit structurally different segments):
+    * hash-slice oversized cells, sort ascending-id, insert unit vectors,
+    * emit at `segBase(cell) + slice` (0 for an initial build).
+    */
+  private def buildCellSegments(
+      base: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
+      m: Int, efConstruction: Int, maxSegmentSize: Int,
+      segBase: Map[Int, Int]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val bcSlices = spark.sparkContext.broadcast(
       cellSlices(base.groupByKey(_._1).count(), maxSegmentSize))
+    val bcBase = spark.sparkContext.broadcast(segBase)
     base.groupByKey { case (c, id, _) => (c, sliceOf(id, c, bcSlices.value)) }
       .flatMapGroups { (key: (Int, Int), it) =>
         val (cell, slice) = key
@@ -787,7 +803,7 @@ object GraphAnn {
         java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
         val b = new Builder(m, efConstruction)
         rows.foreach { case (id, v) => b.insert(id, l2unit(v)) }
-        b.emit(cell, slice)
+        b.emit(cell, bcBase.value.getOrElse(cell, 0) + slice)
       }
       .toDF()
   }
@@ -804,6 +820,12 @@ object GraphAnn {
     * per cell like the builder does. Driver state: ≤ nCells (part,
     * maxSeg) pairs plus the centroids already in hand. Compact slice
     * growth later with `mergeSegments(withinPart = true)`.
+    *
+    * Ids must be globally unique across existing + batch (the ingest
+    * keys — [[appendSegments]]' contract): a re-appended id becomes a
+    * SECOND node and searches could emit it twice; replays must dedup
+    * upstream (the Bloom-gated ingest loops do) or route through
+    * [[purgeTombstones]] first.
     */
   def appendGraphCells(existing: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, centroids: Array[(Int, Array[Float])], m: Int = 8,
@@ -811,30 +833,17 @@ object GraphAnn {
       maxSegmentSize: Int = Int.MaxValue): DataFrame = {
     val spark = existing.sparkSession
     import spark.implicits._
-    val maxSeg = existing.groupBy(col("part")).agg(max(col("seg")))
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // a cell the existing index never saw starts its slices at 0
+    val segBase = existing.groupBy(col("part")).agg(max(col("seg")))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1) + 1)).toMap
     val bcC = spark.sparkContext.broadcast(centroids)
-    val bcSeg = spark.sparkContext.broadcast(maxSeg)
     val assigned = batch
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         (Similarity.nearestCells(bcC.value, v, 1).head, id, v) }
-    val bcSlices = spark.sparkContext.broadcast(
-      cellSlices(assigned.groupByKey(_._1).count(), maxSegmentSize))
-    val fresh = assigned
-      .groupByKey { case (c, id, _) => (c, sliceOf(id, c, bcSlices.value)) }
-      .flatMapGroups { (key: (Int, Int), it) =>
-        val (cell, slice) = key
-        val rows = it.map(t => (t._2, t._3)).toArray
-        java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
-        val b = new Builder(m, efConstruction)
-        rows.foreach { case (id, v) => b.insert(id, l2unit(v)) }
-        // a cell the existing index never saw starts its slices at 0
-        b.emit(cell, bcSeg.value.getOrElse(cell, -1) + 1 + slice)
-      }
-      .toDF()
-    existing.unionByName(fresh)
+    existing.unionByName(
+      buildCellSegments(assigned, m, efConstruction, maxSegmentSize, segBase))
   }
 
   /** Slice counts for cells exceeding `maxSegmentSize` — the build-skew
@@ -904,11 +913,15 @@ object GraphAnn {
     * Cost shape: the allowed join + locality restore shuffle ONLY the
     * probed cells' nodes (the filter lands before the join); everything
     * after is the routed beam path unchanged.
+    *
+    * `tombstones` composes with the filter (emit = allowed AND live) —
+    * a deployment masking deletes between purges serves filtered
+    * queries through the same mask.
     */
   def searchGraphRoutedFiltered(nodes: DataFrame,
       centroids: Array[(Int, Array[Float])], probes: DataFrame,
       probeId: String, probeVec: String, allowed: DataFrame, nprobe: Int,
-      k: Int, ef: Int): DataFrame = {
+      k: Int, ef: Int, tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
@@ -923,6 +936,7 @@ object GraphAnn {
       // the join redistributed rows by id — reassemble segments whole
       .repartition(col("part"), col("seg"))
     val bc = spark.sparkContext.broadcast(routes)
+    val bcTomb = broadcastTombstones(spark, tombstones)
     val kLocal = k
     val efLocal = math.max(ef, k)
     val cands = flagged.as[FlaggedNode].mapPartitions { it =>
@@ -932,7 +946,9 @@ object GraphAnn {
             case Some(qs) =>
               val ns = fs.map(f =>
                 GraphNode(f.part, f.id, f.vec, f.level, f.neighbors, f.seg))
-              searchSegment(ns, qs, kLocal, efLocal, i => fs(i).allowed)
+              val live = liveEmit(bcTomb, ns)
+              searchSegment(ns, qs, kLocal, efLocal,
+                i => fs(i).allowed && live(i))
             case None => Iterator.empty
           }
       }
@@ -1158,10 +1174,33 @@ object GraphAnn {
     * beside the index the way the centroid table is stored). One
     * aggregate over the coded nodes; driver state is one int.
     */
-  def pqClumpBound(nodes: DataFrame): Int = {
+  def pqClumpBound(nodes: DataFrame): Int = clumpBoundOf(nodes)
+
+  /** The guard's clump measurement — ONE definition for every PQ search
+    * path and the build-time [[pqClumpBound]]. */
+  private def clumpBoundOf(nodes: DataFrame): Int = {
     val r = nodes.groupBy(col("part"), col("seg"), hex(col("codes"))).count()
       .agg(max(col("count"))).head()
     if (r.isNullAt(0)) 0 else math.min(r.getLong(0), 1L << 30).toInt
+  }
+
+  /** Collect + unit-normalize the probe batch and route it with the
+    * IVF-PQ rule (unit space — the index trains its cells on unit
+    * vectors); ONE definition serves every PQ search path.
+    */
+  private def routePqBatch(probes: DataFrame, probeId: String,
+      probeVec: String, index: Similarity.IvfPqIndex,
+      nprobe: Int): Map[Int, Array[(Long, Array[Float])]] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    probes.select(col(probeId).cast("long"), col(probeVec))
+      .as[(Long, Array[Float])].collect()
+      .flatMap { case (pid, v) =>
+        val u = l2unit(v)
+        Similarity.nearestCells(index.centroids, u, nprobe)
+          .map(c => (c, (pid, u)))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
   }
 
   /** Beam-search one PQ segment (= one IVF cell): scores are the ADC
@@ -1254,16 +1293,7 @@ object GraphAnn {
       tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val batch = probes.select(col(probeId).cast("long"), col(probeVec))
-      .as[(Long, Array[Float])].collect()
-      .map { case (pid, v) => (pid, l2unit(v)) }
-    // unit-space routing — IVF-PQ trains its cells on unit vectors
-    val routes: Map[Int, Array[(Long, Array[Float])]] = batch
-      .flatMap { case (pid, u) =>
-        Similarity.nearestCells(index.centroids, u, nprobe)
-          .map(c => (c, (pid, u)))
-      }
-      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
     val bcR = spark.sparkContext.broadcast(
       (routes, index.centroids.toMap, index.book))
     val routedCells = routes.keys.toSeq
@@ -1272,12 +1302,8 @@ object GraphAnn {
     // cells on the fly (one bounded aggregate — ad-hoc use)
     val clump =
       if (!clumpGuard || routedCells.isEmpty) 0
-      else clumpBound.getOrElse {
-        val r = nodes.filter(col("part").isin(routedCells: _*))
-          .groupBy(col("part"), col("seg"), hex(col("codes"))).count()
-          .agg(max(col("count"))).head()
-        if (r.isNullAt(0)) 0 else math.min(r.getLong(0), 1L << 30).toInt
-      }
+      else clumpBound.getOrElse(
+        clumpBoundOf(nodes.filter(col("part").isin(routedCells: _*))))
     val kCand = math.max(k * rerankFactor, if (clump > 0) clump + k else 0)
     val efLocal = math.max(ef, kCand)
     val bcTomb = broadcastTombstones(spark, tombstones)
@@ -1303,35 +1329,25 @@ object GraphAnn {
     * traverse the full graph but admit only allowed nodes to the result
     * heap, and the exact rerank sees only allowed survivors (so the
     * output is trivially contained). The clump guard applies unchanged —
-    * a filtered clumped corpus needs BOTH widenings.
+    * a filtered clumped corpus needs BOTH widenings. `tombstones`
+    * composes with the filter (emit = allowed AND live), the same
+    * contract as [[searchGraphRoutedFiltered]].
     */
   def searchGraphRoutedPqFiltered(nodes: DataFrame,
       index: Similarity.IvfPqIndex, corpus: DataFrame, idCol: String,
       vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
       allowed: DataFrame, nprobe: Int, k: Int, ef: Int,
       rerankFactor: Int = 4, clumpGuard: Boolean = true,
-      clumpBound: Option[Int] = None): DataFrame = {
+      clumpBound: Option[Int] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val batch = probes.select(col(probeId).cast("long"), col(probeVec))
-      .as[(Long, Array[Float])].collect()
-      .map { case (pid, v) => (pid, l2unit(v)) }
-    val routes: Map[Int, Array[(Long, Array[Float])]] = batch
-      .flatMap { case (pid, u) =>
-        Similarity.nearestCells(index.centroids, u, nprobe)
-          .map(c => (c, (pid, u)))
-      }
-      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
     val routedCells = routes.keys.toSeq
     val routedNodes = nodes.filter(col("part").isin(routedCells: _*))
     val clump =
       if (!clumpGuard || routedCells.isEmpty) 0
-      else clumpBound.getOrElse {
-        val r = routedNodes
-          .groupBy(col("part"), col("seg"), hex(col("codes"))).count()
-          .agg(max(col("count"))).head()
-        if (r.isNullAt(0)) 0 else math.min(r.getLong(0), 1L << 30).toInt
-      }
+      else clumpBound.getOrElse(clumpBoundOf(routedNodes))
     val kCand = math.max(k * rerankFactor, if (clump > 0) clump + k else 0)
     val efLocal = math.max(ef, kCand)
     val flagged = routedNodes
@@ -1341,6 +1357,7 @@ object GraphAnn {
       .repartition(col("part"), col("seg"))
     val bcR = spark.sparkContext.broadcast(
       (routes, index.centroids.toMap, index.book))
+    val bcTomb = broadcastTombstones(spark, tombstones)
     val approx = flagged.as[FlaggedPqNode].mapPartitions { it =>
       val (rts, centroidOf, book) = bcR.value
       it.toArray.groupBy(n => (n.part, n.seg)).iterator.flatMap {
@@ -1349,8 +1366,9 @@ object GraphAnn {
             case Some(qs) =>
               val ns = fs.map(f =>
                 PqGraphNode(f.part, f.id, f.codes, f.level, f.neighbors, f.seg))
+              val live = liveEmitPq(bcTomb, ns)
               searchSegmentPq(ns, qs, centroidOf(cell), book, kCand, efLocal,
-                i => fs(i).allowed)
+                i => fs(i).allowed && live(i))
             case None => Iterator.empty
           }
       }
@@ -1415,12 +1433,27 @@ object GraphAnn {
     if (touched.isEmpty) return nodes
     val bcSegs = spark.sparkContext.broadcast(touched)
     val untouched = ds.filter(n => !bcSegs.value.contains((n.part, n.seg)))
-    val rebuilt = ds
+    val survivors = ds
       .filter(n => bcSegs.value.contains((n.part, n.seg)) && !isTomb(n.id))
       .map(n => (n.part, n.seg, n.id, n.codes))
       .toDF("part", "seg", "id", "codes")
+      .localCheckpoint(true) // read twice: drift check + rebuild
+    val joined = survivors
       .join(corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("vec")), Seq("id"))
+      .localCheckpoint(true) // read twice: drift check + rebuild
+    // fail fast on corpus drift: unlike the float tier (which rebuilds
+    // from STORED vectors), this rebuild derives vectors from the
+    // caller's corpus — a survivor missing there would silently vanish
+    // from the index, a duplicated corpus id would duplicate nodes
+    val nSurv = survivors.count()
+    val nJoined = joined.count()
+    require(nJoined == nSurv,
+      s"purgeTombstonesPq: the touched segments hold $nSurv surviving " +
+        s"nodes but the corpus join returned $nJoined rows — the corpus " +
+        "has drifted from the index (missing or duplicated ids); " +
+        "rebuilding would silently lose or duplicate nodes")
+    val rebuilt = joined
       .as[(Long, Int, Int, Array[Byte], Array[Float])]
       .groupByKey { case (_, part, seg, _, _) => (part, seg) }
       .flatMapGroups { (key: (Int, Int), it) =>

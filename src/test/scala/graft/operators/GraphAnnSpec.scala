@@ -530,6 +530,26 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(gotRouted.sameElements(exact))
   }
 
+  test("filter and tombstone mask compose on both tiers: emit = allowed AND live") {
+    val probes = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id".as("id"))
+    val tombs = emb.filter($"vec_id" % 6 === 0).select($"vec_id".as("id"))
+    val n = emb.count().toInt
+    // allowed minus deleted = multiples of 3 that aren't multiples of 6
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id",
+      "probe_vec", emb.filter($"vec_id" % 3 === 0 && $"vec_id" % 6 =!= 0),
+      "vec_id", "embedding", k = 5))
+    val got = topIds(GraphAnn.searchGraphRoutedFiltered(cellNodes,
+      ivf.centroids, probes, "probe_id", "probe_vec", allowed,
+      nprobe = 8, k = 5, ef = n, tombstones = Some(tombs)))
+    assert(got.sameElements(exact), "exact tier: filtered+masked = brute force")
+    val gotPq = topIds(GraphAnn.searchGraphRoutedPqFiltered(pqNodes, ivfPq,
+      emb, "vec_id", "embedding", probes, "probe_id", "probe_vec", allowed,
+      nprobe = 8, k = 5, ef = n, rerankFactor = n, tombstones = Some(tombs)))
+    assert(gotPq.sameElements(exact), "PQ tier: filtered+masked = brute force")
+  }
+
   test("purge drops tombstoned nodes, passes untouched segments byte-identical, idempotent") {
     val tombIds = Seq(2L, 7L, 13L)
     val tombs = tombIds.toDF("id")
