@@ -96,7 +96,12 @@ object GraphStudy {
     val (ivf, tIB) = time {
       val ix = Similarity.buildIvf(spark, corpus, "vec_id", "embedding",
         nCells = 64, iters = 3)
-      ix.assignments.localCheckpoint(true).count(); ix
+      // keep the CHECKPOINTED assignments (a discarded checkpoint would
+      // make every downstream leg re-run the cell assignment inside ITS
+      // timed region — fixture cost, not operator cost)
+      val asg = ix.assignments.localCheckpoint(true)
+      asg.count()
+      ix.copy(assignments = asg)
     }
     def ivfSearch() = Similarity.searchIvfBatch(ivf, probes,
       "probe_id", "probe_vec", nprobe = 8, k = 10)
