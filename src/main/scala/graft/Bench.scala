@@ -66,14 +66,30 @@ object Bench {
       * d14 at 4.37s vs a 2.0-2.3s steady state), then execute and time.
       * Returns (NaN, 0) on failure.
       */
+    // Listener delivery is asynchronous: without a drain, trailing
+    // job-start events (and unrelated ContextCleaner jobs) can be
+    // attributed to the WRONG query's counter window, skewing the
+    // published floor_normalized estimate. waitUntilEmpty is
+    // private[spark] (public bytecode) — reflect; fall back to a short
+    // sleep if the internal API moves.
+    def drainListeners(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(30) }
+
     def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                name: String): (Double, Long) = {
       System.gc()
+      drainListeners() // flush the PREVIOUS query's trailing events
       val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9, jobCounter.get() - j0)
+        val t = (System.nanoTime() - t0) / 1e9
+        drainListeners() // outside the timed region
+        (t, jobCounter.get() - j0)
       } catch {
         case t: Throwable =>
           System.err.println(s"[bench] $name threw: $t"); (Double.NaN, 0L)

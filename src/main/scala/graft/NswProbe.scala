@@ -12,14 +12,18 @@ object NswProbe {
   def main(args: Array[String]): Unit = {
     val parts = args.headOption.getOrElse("256").toInt
     val mult = args.lift(1).getOrElse("256").toInt
+    // data dir and master are args like the other study mains — the probe
+    // must not silently depend on this machine's layout / core count
+    val dataDir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+    val master = args.lift(4).getOrElse("local[32]")
     val spark = Tables.configure(org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val emb = Tables.load(spark, dataDir, "embeddings")
     val jitter = udf((v: Seq[Float], id: Long) =>
       v.zipWithIndex.map { case (x, i) =>
         val h = id * 2654435761L + i * 1099511628211L

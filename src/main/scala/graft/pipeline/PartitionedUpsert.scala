@@ -53,7 +53,18 @@ object PartitionedUpsert {
         val tmp = new Array[Byte](64)
         var n = in.read(tmp)
         while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+        val raw = new String(buf.toByteArray, "UTF-8").trim
+        // fail with the marker path in hand: a truncated/corrupted marker
+        // would otherwise surface as a bare NumberFormatException and
+        // permanently block upserts with no hint at the remedy
+        try Some(raw.toInt)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"unreadable _nbuckets marker at $p (content: '$raw'); " +
+                "delete the marker (validation is skipped when absent) or " +
+                "rewrite it with the table's bucket count")
+        }
       } finally in.close()
     }
   }
