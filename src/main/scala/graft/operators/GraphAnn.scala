@@ -1030,11 +1030,12 @@ object GraphAnn {
   def searchGraphRoutedPublished(spark: SparkSession, root: String,
       centroids: Array[(Int, Array[Float])], probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published graph version under $root"))
     searchGraphRoutedPersisted(spark, s"$root/$v", centroids, probes,
-      probeId, probeVec, nprobe, k, ef, tombstones)
+      probeId, probeVec, nprobe, k, ef, tombstones, allowed)
   }
 
   /** [[searchGraphRouted]] against the PERSISTED layout — the 100 TB
@@ -1042,23 +1043,105 @@ object GraphAnn {
     * centroid table, the scan reads only the routed cells' partition
     * directories, and cold segments never leave disk. Results are
     * row-identical to the in-memory routed search (same float bytes,
-    * same beams — gate-pinned).
+    * same beams — gate-pinned). `allowed` serves an attribute-filtered
+    * query through the same files ([[searchGraphRoutedFiltered]]'s
+    * contract — its cell prune lands in the scan's PartitionFilters and
+    * its flag join restores segment locality, so the persisted filtered
+    * path is row-identical to the in-memory filtered path over the same
+    * files); `tombstones` composes with it (emit = allowed AND live).
     */
   def searchGraphRoutedPersisted(spark: SparkSession, dir: String,
       centroids: Array[(Int, Array[Float])], probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int,
-      ef: Int, tombstones: Option[DataFrame] = None): DataFrame = {
-    // route ONCE: the same map prunes the scan and drives the beams
-    val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
-    val cells = routes.keys.toSeq
-    val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
-      // a cell whose parquet file exceeds maxPartitionBytes splits
-      // across scan partitions, breaking the per-task segment locality
-      // the beams need (adjacency ids must resolve locally); one
-      // bounded shuffle of ONLY the probed cells' nodes reassembles
-      // each (cell, seg) whole in one task
-      .repartition(col("part"), col("seg"))
-    routedSearchCore(nodes, routes, k, ef, tombstones)
+      ef: Int, tombstones: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = allowed match {
+    case Some(a) =>
+      // the filtered path prunes to the routed cells itself (the filter
+      // lands in this scan's PartitionFilters) and repartitions after
+      // its flag join — no pre-shuffle needed here
+      searchGraphRoutedFiltered(spark.read.parquet(dir), centroids,
+        probes, probeId, probeVec, a, nprobe, k, ef, tombstones)
+    case None =>
+      // route ONCE: the same map prunes the scan and drives the beams
+      val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
+      val cells = routes.keys.toSeq
+      val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
+        // a cell whose parquet file exceeds maxPartitionBytes splits
+        // across scan partitions, breaking the per-task segment locality
+        // the beams need (adjacency ids must resolve locally); one
+        // bounded shuffle of ONLY the probed cells' nodes reassembles
+        // each (cell, seg) whole in one task
+        .repartition(col("part"), col("seg"))
+      routedSearchCore(nodes, routes, k, ef, tombstones)
+  }
+
+  /** [[writeGraphCells]] for a PQ index — the writer is schema-agnostic
+    * (partition-per-cell on `part`), named so the PQ serving surface is
+    * complete on its own: this is the layout
+    * [[searchGraphRoutedPqPersisted]] reads, ~(subspaces + 2m·8) B/node
+    * on disk instead of the float tier's (dim·4 + 2m·8).
+    */
+  def writeGraphCellsPq(nodes: DataFrame, dir: String): Unit =
+    writeGraphCells(nodes, dir)
+
+  /** [[publishGraphCells]] for a PQ index (same atomic pointer flip). */
+  def publishGraphCellsPq(nodes: DataFrame, root: String,
+      keepVersions: Int = 2): String =
+    publishGraphCells(nodes, root, keepVersions)
+
+  /** [[searchGraphRoutedPq]] against the PERSISTED partition-per-cell
+    * layout — the tier a 100 TB deployment actually serves from (DiskANN
+    * posture: codes + adjacency on disk, ~40 B/node at 8 subspaces +
+    * m=8, read cell-by-cell; the float corpus is touched only by the
+    * exact rerank's bounded survivor join): probes route driver-side,
+    * the scan reads ONLY the routed cells' directories (`part IN (…)`
+    * in PartitionFilters — spec-asserted), one bounded shuffle restores
+    * segment locality, then the in-memory routed PQ path runs unchanged
+    * — row-identical over the same files (gate-pinned). Pass the
+    * build-time [[pqClumpBound]] as `clumpBound` in a serving deployment
+    * (stored beside the index like the centroid table) — a fresh read
+    * cannot reuse the in-JVM clump memo. `allowed` routes through
+    * [[searchGraphRoutedPqFiltered]] (its own prune + locality restore);
+    * `tombstones` composes on both paths.
+    */
+  def searchGraphRoutedPqPersisted(spark: SparkSession, dir: String,
+      index: Similarity.IvfPqIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
+      nprobe: Int, k: Int, ef: Int, rerankFactor: Int = 4,
+      clumpGuard: Boolean = true, clumpBound: Option[Int] = None,
+      tombstones: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = allowed match {
+    case Some(a) =>
+      searchGraphRoutedPqFiltered(spark.read.parquet(dir), index, corpus,
+        idCol, vecCol, probes, probeId, probeVec, a, nprobe, k, ef,
+        rerankFactor, clumpGuard, clumpBound, tombstones)
+    case None =>
+      val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
+      val cells = routes.keys.toSeq
+      val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
+        .repartition(col("part"), col("seg"))
+      searchGraphRoutedPq(nodes, index, corpus, idCol, vecCol, probes,
+        probeId, probeVec, nprobe, k, ef, rerankFactor, clumpGuard,
+        clumpBound, tombstones)
+  }
+
+  /** [[searchGraphRoutedPqPersisted]] against the CURRENTLY PUBLISHED
+    * version under a [[publishGraphCellsPq]] root (one version resolve
+    * per probe batch — [[searchGraphRoutedPublished]]'s snapshot
+    * discipline on the PQ tier).
+    */
+  def searchGraphRoutedPqPublished(spark: SparkSession, root: String,
+      index: Similarity.IvfPqIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
+      nprobe: Int, k: Int, ef: Int, rerankFactor: Int = 4,
+      clumpGuard: Boolean = true, clumpBound: Option[Int] = None,
+      tombstones: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published graph version under $root"))
+    searchGraphRoutedPqPersisted(spark, s"$root/$v", index, corpus, idCol,
+      vecCol, probes, probeId, probeVec, nprobe, k, ef, rerankFactor,
+      clumpGuard, clumpBound, tombstones, allowed)
   }
 
   /** Physically drop tombstoned nodes — the merge-time half of the delete
@@ -1147,8 +1230,23 @@ object GraphAnn {
         Seq("id"))
       .select(col("cell").cast("int"), col("id"), col("vec"), col("pq_codes"))
       .as[(Int, Long, Array[Float], Array[Byte])]
+    buildCellSegmentsPq(base, m, efConstruction, maxSegmentSize, Map.empty)
+  }
+
+  /** [[buildCellSegments]]' PQ twin — the ONE per-cell build body
+    * [[buildGraphPerCellPq]] and [[appendGraphCellsPq]] share: graph
+    * STRUCTURE built on the exact unit vectors (build memory is
+    * transient, one cell slice per task), only the codes persist.
+    */
+  private def buildCellSegmentsPq(
+      base: org.apache.spark.sql.Dataset[(Int, Long, Array[Float], Array[Byte])],
+      m: Int, efConstruction: Int, maxSegmentSize: Int,
+      segBase: Map[Int, Int]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val bcSlices = spark.sparkContext.broadcast(
       cellSlices(base.groupByKey(_._1).count(), maxSegmentSize))
+    val bcBase = spark.sparkContext.broadcast(segBase)
     base.groupByKey { case (c, id, _, _) =>
         (c, sliceOf(id, c, bcSlices.value)) }
       .flatMapGroups { (key: (Int, Int), it) =>
@@ -1160,11 +1258,42 @@ object GraphAnn {
         rows.foreach { case (id, _, cs) => codesOf.put(id, cs) }
         val b = new Builder(m, efConstruction)
         rows.foreach { case (id, v, _) => b.insert(id, l2unit(v)) }
-        b.emit(cell, slice).map(n =>
+        b.emit(cell, bcBase.value.getOrElse(cell, 0) + slice).map(n =>
           PqGraphNode(n.part, n.id, codesOf.get(n.id), n.level, n.neighbors,
             n.seg))
       }
       .toDF()
+  }
+
+  /** Incremental append for the PQ tier — [[appendGraphCells]]' twin on
+    * a [[buildGraphPerCellPq]] index, closing the DiskANN-shaped tier's
+    * lifecycle: arrivals assign to their nearest cell and encode their
+    * residual with the index's EXISTING codebook
+    * ([[Similarity.encodeIntoIvfPq]] — no retrain, the `appendToIvf`
+    * discipline, so appended codes score through the same ADC tables as
+    * stored ones), and each cell's arrivals build as FRESH `seg` slices
+    * past the cell's current max; existing segments are returned
+    * byte-identical. Ids must be globally unique across existing + batch
+    * ([[appendGraphCells]]' contract). Compact slice growth later with
+    * `mergeSegments(withinPart = true)`; retrain drift via a scheduled
+    * rebuild published through [[publishGraphCells]].
+    */
+  def appendGraphCellsPq(existing: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, index: Similarity.IvfPqIndex,
+      m: Int = 8, efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val segBase = existing.groupBy(col("part")).agg(max(col("seg")))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1) + 1)).toMap
+    val base = batch
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(Similarity.encodeIntoIvfPq(spark, batch, idCol, vecCol, index),
+        Seq("id"))
+      .select(col("cell").cast("int"), col("id"), col("vec"), col("pq_codes"))
+      .as[(Int, Long, Array[Float], Array[Byte])]
+    existing.unionByName(
+      buildCellSegmentsPq(base, m, efConstruction, maxSegmentSize, segBase))
   }
 
   /** The index's clump bound — the largest group of nodes sharing one
@@ -1182,6 +1311,52 @@ object GraphAnn {
     val r = nodes.groupBy(col("part"), col("seg"), hex(col("codes"))).count()
       .agg(max(col("count"))).head()
     if (r.isNullAt(0)) 0 else math.min(r.getLong(0), 1L << 30).toInt
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Within-JVM memo of on-the-fly clump measurements, keyed by the
+    * nodes plan (weak — entries die with the DataFrame) and the routed
+    * cell set: a serving batch that fans one nodes DataFrame across many
+    * probe batches pays the guard's aggregate once, not per call. The
+    * EXPECTED serving configuration is still `clumpBound` precomputed at
+    * build time ([[pqClumpBound]], stored beside the index like the
+    * centroid table) — the memo only softens the ad-hoc path. Safe key:
+    * plan equality is reference-based at the relation/closure leaves, so
+    * two independent reads of a mutated directory never collide.
+    */
+  private val clumpMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      scala.collection.concurrent.TrieMap[Seq[Int], Int]]())
+
+  /** The serving-call guard: resolve the clump bound (supplied → memoized
+    * → measured), and WARN when it actually widens the search beyond the
+    * caller's k·rerankFactor — linear cost growth the caller should hear
+    * about (dedup before indexing, d8/d10, removes the regime).
+    */
+  private def servingClumpBound(nodes: DataFrame, routedCells: Seq[Int],
+      supplied: Option[Int], k: Int, rerankFactor: Int): Int = {
+    val clump = supplied.getOrElse {
+      val key = nodes.queryExecution.analyzed
+      val perPlan = {
+        val existing = clumpMemo.get(key)
+        if (existing != null) existing
+        else {
+          val fresh = scala.collection.concurrent.TrieMap[Seq[Int], Int]()
+          val race = clumpMemo.putIfAbsent(key, fresh)
+          if (race != null) race else fresh
+        }
+      }
+      perPlan.getOrElseUpdate(routedCells.sorted,
+        clumpBoundOf(nodes.filter(col("part").isin(routedCells: _*))))
+    }
+    if (clump + k > k * rerankFactor)
+      log.warn(s"PQ clump guard widened the survivor pool to ${clump + k} " +
+        s"(measured clump $clump > k*rerankFactor ${k * rerankFactor}): " +
+        "serving cost grows linearly with the clump; dedup the corpus " +
+        "before indexing, or precompute pqClumpBound at build time to " +
+        "skip the per-call measurement")
+    clump
   }
 
   /** Collect + unit-normalize the probe batch and route it with the
@@ -1299,11 +1474,11 @@ object GraphAnn {
     val routedCells = routes.keys.toSeq
     // a serving deployment passes the build-time pqClumpBound so the
     // guard costs nothing per call; the default measures the probed
-    // cells on the fly (one bounded aggregate — ad-hoc use)
+    // cells on the fly (one bounded aggregate, memoized per (nodes plan,
+    // cell set) within the JVM — ad-hoc use) and WARNS when it widens
     val clump =
       if (!clumpGuard || routedCells.isEmpty) 0
-      else clumpBound.getOrElse(
-        clumpBoundOf(nodes.filter(col("part").isin(routedCells: _*))))
+      else servingClumpBound(nodes, routedCells, clumpBound, k, rerankFactor)
     val kCand = math.max(k * rerankFactor, if (clump > 0) clump + k else 0)
     val efLocal = math.max(ef, kCand)
     val bcTomb = broadcastTombstones(spark, tombstones)
@@ -1347,7 +1522,7 @@ object GraphAnn {
     val routedNodes = nodes.filter(col("part").isin(routedCells: _*))
     val clump =
       if (!clumpGuard || routedCells.isEmpty) 0
-      else clumpBound.getOrElse(clumpBoundOf(routedNodes))
+      else servingClumpBound(nodes, routedCells, clumpBound, k, rerankFactor)
     val kCand = math.max(k * rerankFactor, if (clump > 0) clump + k else 0)
     val efLocal = math.max(ef, kCand)
     val flagged = routedNodes

@@ -624,6 +624,43 @@ object Similarity {
     IvfPqIndex(ivf.centroids, book, coded)
   }
 
+  /** Assign + encode NEW vectors into an EXISTING IVF-PQ index's space —
+    * [[appendToIvf]]'s discipline on the PQ tier: each vector
+    * unit-normalizes, assigns to its nearest cell by the index's OWN
+    * centroid rule (the same L2 rule [[buildIvfPq]]'s unitized k-means
+    * used, so routing reaches appended vectors exactly like original
+    * ones), and its residual `v̂ − c_cell` encodes with the EXISTING
+    * codebook — no retrain, so appended codes score through the same ADC
+    * tables as every stored code word. Distribution drift is a scheduled
+    * rebuild (publish via [[graft.pipeline.VersionedIndex]]), not a
+    * per-batch cost. One broadcast (centroids + book), one map — no
+    * shuffle. Returns (id, cell, pq_codes).
+    */
+  def encodeIntoIvfPq(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, index: IvfPqIndex): DataFrame = {
+    val bc = spark.sparkContext.broadcast((index.centroids, index.book))
+    val enc = udf((v: Seq[Float]) => {
+      val (cents, book) = bc.value
+      val u = l2unit(v)
+      val cell = nearestCells(cents, u, 1).head
+      val c = cents.find(_._1 == cell).get._2
+      val resid = new Array[Float](u.length)
+      var i = 0
+      while (i < u.length) { resid(i) = u(i) - c(i); i += 1 }
+      val out = new Array[Byte](book.subspaces)
+      var sc = 0
+      while (sc < book.subspaces) {
+        out(sc) = nearestCode(book.centroids(sc),
+          java.util.Arrays.copyOfRange(resid, sc * book.subDim,
+            (sc + 1) * book.subDim)).toByte
+        sc += 1
+      }
+      (cell, out)
+    })
+    df.select(col(idCol).cast("long").as("id"), enc(col(vecCol)).as("e"))
+      .select(col("id"), col("e._1").as("cell"), col("e._2").as("pq_codes"))
+  }
+
   /** Contrastive training triplets mined from the corpus itself — the
     * (anchor, positive, negative) stream embedding finetuning consumes
     * (SimCSE/E5-style hard-positive mining): POSITIVES come from the

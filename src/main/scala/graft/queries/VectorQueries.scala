@@ -771,6 +771,285 @@ object VectorQueries {
           .select(($"sets_ok" && $"sims_ok").as("keystone_ok"))))
     }),
 
+    // V30: PQ-tier append — appendGraphCells' twin on the DiskANN-shaped
+    // tier (r13 verdict item 2): arrivals assign by the index's own
+    // centroid rule and encode residuals with the EXISTING codebook (no
+    // retrain — the appendToIvf discipline), building fresh seg slices
+    // past each cell's max. Asserts: untouched segments byte-identical,
+    // conservation, routing AND code consistency (the arrival-side
+    // assign/encode reproduces the build-time coded table exactly — cell
+    // and code bytes), and the keystone: wide guarded search over the
+    // appended layout recovers brute-force top-k (v29's form, one ε-tied
+    // boundary member allowed).
+    "v30_pq_graph_append" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val existing = GraphAnn.buildGraphPerCellPq(s,
+          emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", index,
+          m = 8, efConstruction = 48)
+        .localCheckpoint(true)
+      val appended = GraphAnn.appendGraphCellsPq(existing,
+          emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", index,
+          m = 8, efConstruction = 48)
+        .localCheckpoint(true)
+      // exceptAll compares positionally — pin one column order (v29 note)
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select($"part", $"id", $"codes", $"level", $"neighbors", $"seg")
+      val oldSide = norm(appended.join(
+        emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id")),
+        Seq("id"), "left_semi"))
+      val untouched = oldSide.exceptAll(norm(existing))
+        .unionByName(norm(existing).exceptAll(oldSide))
+        .agg((count(lit(1)) === 0).as("append_untouched"))
+      val nEmb = emb.count()
+      val conserved = appended.agg((count(lit(1)) === nEmb &&
+        count_distinct($"id") === nEmb).as("conserved"))
+      // arrival assign/encode ≡ the build-time coded table: same cell,
+      // same code BYTES (encodeIntoIvfPq must reproduce buildIvfPq's
+      // unit→assign→residual→encode pipeline bit-for-bit, or appended
+      // nodes would ADC-score differently from built ones)
+      val consist = appended
+        .join(emb.filter($"vec_id" % 2 === 1).select($"vec_id".as("id")),
+          Seq("id"), "left_semi")
+        .join(index.coded.select($"id", $"cell", $"pq_codes"), Seq("id"))
+        .agg(every($"part" === $"cell").as("routing_ok"),
+          every($"codes" === $"pq_codes").as("codes_ok"))
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      // rf=256, not 64: at the x8 replica dir the SURVIVOR pool is the
+      // binding width, not the beam (measured: ef=256 and ef=16384 give
+      // IDENTICAL 8/10 misses at rf=64 — on the appended AND the
+      // whole-built layout alike, so it is the v19/v28 ADC rerank-cut
+      // law, not an append defect; rf=256 recovers 40/40)
+      val got = GraphAnn.searchGraphRoutedPq(appended, index, emb, "vec_id",
+        "embedding", probes, "probe_id", "probe_vec", nprobe = 16, k = k,
+        ef = 256, rerankFactor = 256)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          emb, "vec_id", "embedding", k = k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"))
+      val recall = exact
+        .join(got.select($"probe_id", $"id"), Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 4 && min($"count") >= k - 1).as("keystone_ok"))
+      untouched.crossJoin(broadcast(conserved)).crossJoin(broadcast(consist))
+        .crossJoin(broadcast(recall))
+    }),
+
+    // V31: the PQ graph tier's PERSISTED + PUBLISHED serving form (r13
+    // verdict item 3) — v23's contract on the DiskANN-shaped tier: codes
+    // + adjacency written partition-per-cell, published atomically, a
+    // routed search reads ONLY the probed cells' directories
+    // (PartitionFilters — spec-asserted in PlanAuditSpec) and is
+    // row-identical to the in-memory routed PQ search over the same
+    // files; the FILTERED persisted path (r13 item 4) is row-identical
+    // to the in-memory filtered path. clumpBound is the build-time
+    // pqClumpBound — the documented serving configuration (a fresh read
+    // cannot reuse the in-JVM memo).
+    "v31_pq_graph_persisted" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val nodes = Fixtures.cached(s, s"v28_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, emb, "vec_id", "embedding", index,
+          m = 8, efConstruction = 48))
+      val root = Fixtures.cachedObj(s, s"v31_root:$d") {
+        val t = java.nio.file.Files.createTempDirectory("graft-v31").toString
+        GraphAnn.publishGraphCellsPq(nodes, t)
+        t
+      }
+      val bound = Fixtures.cachedObj(s, s"v31_clump:$d")(
+        GraphAnn.pqClumpBound(nodes))
+      val vdir = s"$root/${graft.pipeline.VersionedIndex.currentVersion(root)
+        .getOrElse(sys.error(s"no published version under $root"))}"
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val nprobe = 4
+      val disk = GraphAnn.searchGraphRoutedPqPublished(s, root, index, emb,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe, k,
+          ef = 64, rerankFactor = 16, clumpBound = Some(bound))
+        .localCheckpoint(true)
+      val mem = GraphAnn.searchGraphRoutedPq(
+        GraphAnn.restoreSegmentLocality(s.read.parquet(vdir)), index, emb,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe, k,
+        ef = 64, rerankFactor = 16, clumpBound = Some(bound))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"probe_id", $"id", $"rank")
+      val diff = rows(disk).exceptAll(rows(mem))
+        .unionByName(rows(mem).exceptAll(rows(disk)))
+        .agg((count(lit(1)) === 0).as("matches_memory"))
+      // the filtered persisted path over the SAME files ≡ the in-memory
+      // filtered path (allowed joins, never collects; v28 widths — the
+      // survivor pool binds on filtered PQ, SCALING.md)
+      val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id"))
+      val fdisk = GraphAnn.searchGraphRoutedPqPersisted(s, vdir, index, emb,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe, k,
+        ef = 256, rerankFactor = 64, clumpBound = Some(bound),
+        allowed = Some(allowed))
+      val fmem = GraphAnn.searchGraphRoutedPqFiltered(
+        GraphAnn.restoreSegmentLocality(s.read.parquet(vdir)), index, emb,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec", allowed,
+        nprobe, k, ef = 256, rerankFactor = 64, clumpBound = Some(bound))
+      val fdiff = rows(fdisk).exceptAll(rows(fmem))
+        .unionByName(rows(fmem).exceptAll(rows(fdisk)))
+        .agg((count(lit(1)) === 0).as("filtered_matches"))
+      val probedCells = probes.select($"probe_vec").as[Array[Float]].collect()
+        .flatMap(v => Similarity.probedCells(index, v, nprobe))
+        .distinct.toSeq
+      val fanout = disk.select($"id")
+        .join(index.coded.select($"id", $"cell"), Seq("id"))
+        .agg(every($"cell".isin(probedCells: _*)).as("fanout_ok"))
+      disk.groupBy($"probe_id").count()
+        .agg(count(lit(1)).as("n_probes"),
+          (min($"count") === k && max($"count") === k).as("all_k8"))
+        .crossJoin(broadcast(diff)).crossJoin(broadcast(fdiff))
+        .crossJoin(broadcast(fanout))
+    }),
+
+    // V32: the composed serving-lifecycle keystone (r13 verdict item 5)
+    // — every link is individually gated (v18 build, v29 append, v21
+    // merge, v25 delete/purge, v23/v24 persisted+filtered serving); this
+    // gate runs the WHOLE float-tier chain end to end and checks the
+    // composition: build(evens) → append(odds) → merge(withinPart) →
+    // purge(batch 1) → atomic publish → filtered search through the
+    // PUBLISHED path with a SECOND (unpurged) delete batch masked at
+    // serve time ≡ brute force over allowed ∖ (purged ∪ masked). A
+    // regression in any link's interaction with the next (the class the
+    // x8 keystone caught for v21) fails here even while each link's own
+    // gate stays green.
+    "v32_lifecycle_published" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v15_ivf:$d")(
+        Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16,
+          iters = 2))
+      val m = 8
+      val existing = GraphAnn.buildGraphPerCell(s,
+        index.assignments.join(emb.filter($"vec_id" % 2 === 0)
+          .select($"vec_id".as("id")), Seq("id"), "left_semi"),
+        m = m, efConstruction = 48)
+      val appended = GraphAnn.appendGraphCells(existing,
+        emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+        index.centroids, m = m, efConstruction = 48)
+      val nEmb = emb.count()
+      val merged = GraphAnn.mergeSegments(appended,
+        math.max(4, (nEmb / 16).toInt), m = m, efConstruction = 48,
+        withinPart = true)
+      val tombs = emb.filter($"vec_id" % 5 === 2).select($"vec_id".as("id"))
+      val purged = GraphAnn.purgeTombstones(merged, tombs, m = m,
+          efConstruction = 48)
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft-v32").toString
+      GraphAnn.publishGraphCells(purged, root)
+      val published = graft.pipeline.VersionedIndex.currentVersion(root)
+        .isDefined
+      val allowed = emb.filter($"vec_id" % 3 =!= 1).select($"vec_id".as("id"))
+      val tombs2 = emb.filter($"vec_id" % 7 === 3).select($"vec_id".as("id"))
+      val probes = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val got = GraphAnn.searchGraphRoutedPublished(s, root, index.centroids,
+          probes, "probe_id", "probe_vec", nprobe = 16, k = k,
+          ef = nEmb.toInt, tombstones = Some(tombs2),
+          allowed = Some(allowed))
+        .localCheckpoint(true)
+      val survivors = emb.filter($"vec_id" % 3 =!= 1 &&
+        $"vec_id" % 5 =!= 2 && $"vec_id" % 7 =!= 3)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          survivors, "vec_id", "embedding", k = k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"), $"sim", $"rank")
+      // v21/v29's float-robust keystone form: sets agree up to one ε-tied
+      // boundary member, per-rank score profiles agree to 1e-6
+      val setsOk = got.join(exact.select($"probe_id", $"id"),
+          Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 3 && min($"count") >= k - 1).as("sets_ok"))
+      val simsOk = got.select($"probe_id", $"rank", $"sim".as("g"))
+        .join(exact.select($"probe_id", $"rank", $"sim".as("e")),
+          Seq("probe_id", "rank"))
+        .agg((count(lit(1)) === 3 * k &&
+          max(abs($"g" - $"e")) < 1e-6).as("sims_ok"))
+      // containment: nothing deleted (either batch) or disallowed emits
+      val leaks = got.select($"id")
+        .join(survivors.select($"vec_id".as("id")), Seq("id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("no_leaks"))
+      val nLive = emb.filter($"vec_id" % 5 =!= 2).count()
+      val purgeOk = purged.agg((count(lit(1)) === nLive &&
+        count_distinct($"id") === nLive).as("purge_conserved"))
+      setsOk.crossJoin(broadcast(simsOk)).crossJoin(broadcast(leaks))
+        .crossJoin(broadcast(purgeOk))
+        .select(($"sets_ok" && $"sims_ok").as("keystone_ok"), $"no_leaks",
+          $"purge_conserved", lit(published).as("published_ok"))
+    }),
+
+    // V33: v32's composition on the PQ tier, once the tier gained its
+    // append (v30) and persisted/published serving (v31): build(evens) →
+    // appendPq(odds) → purgePq(batch 1) → publish → FILTERED search
+    // through the published path with batch 2 masked, guard on, at the
+    // v28 widths (ef=256, rf=64 — the survivor pool binds on filtered
+    // PQ) ≡ brute force over allowed ∖ (purged ∪ masked), one ε-tied
+    // boundary member allowed.
+    "v33_pq_lifecycle_published" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val existing = GraphAnn.buildGraphPerCellPq(s,
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", index,
+        m = 8, efConstruction = 48)
+      val appended = GraphAnn.appendGraphCellsPq(existing,
+        emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", index,
+        m = 8, efConstruction = 48)
+      val tombs = emb.filter($"vec_id" % 5 === 2).select($"vec_id".as("id"))
+      val purged = GraphAnn.purgeTombstonesPq(appended, tombs, emb,
+          "vec_id", "embedding", m = 8, efConstruction = 48)
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft-v33").toString
+      GraphAnn.publishGraphCellsPq(purged, root)
+      val allowed = emb.filter($"vec_id" % 3 =!= 1).select($"vec_id".as("id"))
+      val tombs2 = emb.filter($"vec_id" % 7 === 3).select($"vec_id".as("id"))
+      val probes = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val got = GraphAnn.searchGraphRoutedPqPublished(s, root, index, emb,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec",
+          nprobe = 16, k = k, ef = 256, rerankFactor = 64,
+          tombstones = Some(tombs2), allowed = Some(allowed))
+        .localCheckpoint(true)
+      val survivors = emb.filter($"vec_id" % 3 =!= 1 &&
+        $"vec_id" % 5 =!= 2 && $"vec_id" % 7 =!= 3)
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          survivors, "vec_id", "embedding", k = k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"))
+      val setsOk = got.join(exact, Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === 3 && min($"count") >= k - 1).as("keystone_ok"))
+      val leaks = got.select($"id")
+        .join(survivors.select($"vec_id".as("id")), Seq("id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("no_leaks"))
+      val nLive = emb.filter($"vec_id" % 5 =!= 2).count()
+      val purgeOk = purged.agg((count(lit(1)) === nLive &&
+        count_distinct($"id") === nLive).as("purge_conserved"))
+      setsOk.crossJoin(broadcast(leaks)).crossJoin(broadcast(purgeOk))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -1135,6 +1414,19 @@ object VectorQueries {
     "v29_routed_graph_append" ->
       """SELECT true AS append_untouched, true AS conserved,
         | true AS routing_ok, true AS keystone_ok""".stripMargin,
+    "v30_pq_graph_append" ->
+      """SELECT true AS append_untouched, true AS conserved,
+        | true AS routing_ok, true AS codes_ok, true AS keystone_ok""".stripMargin,
+    "v31_pq_graph_persisted" ->
+      """SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k8,
+        | true AS matches_memory, true AS filtered_matches,
+        | true AS fanout_ok""".stripMargin,
+    "v32_lifecycle_published" ->
+      """SELECT true AS keystone_ok, true AS no_leaks,
+        | true AS purge_conserved, true AS published_ok""".stripMargin,
+    "v33_pq_lifecycle_published" ->
+      """SELECT true AS keystone_ok, true AS no_leaks,
+        | true AS purge_conserved""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

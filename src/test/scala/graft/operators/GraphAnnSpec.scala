@@ -742,6 +742,90 @@ class GraphAnnSpec extends AnyFunSuite {
       "the persisted PQ layout must serve the same rows as the in-memory one")
   }
 
+  test("PQ published serving: version-pinned, pruned scan, filtered leg row-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pqroot").toString
+    GraphAnn.publishGraphCellsPq(pqNodes, root)
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val mem = flat(GraphAnn.searchGraphRoutedPq(pqNodes, ivfPq, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 4, k = 5, ef = 48))
+    val pub = flat(GraphAnn.searchGraphRoutedPqPublished(spark, root, ivfPq,
+      emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 4, k = 5, ef = 48))
+    assert(pub == mem, "published PQ serving must be row-identical to in-memory")
+    // filtered leg through the same published files
+    val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id"))
+    val fmem = flat(GraphAnn.searchGraphRoutedPqFiltered(pqNodes, ivfPq, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec", allowed,
+      nprobe = 4, k = 5, ef = 96, rerankFactor = 8))
+    val fpub = flat(GraphAnn.searchGraphRoutedPqPublished(spark, root, ivfPq,
+      emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 4, k = 5, ef = 96, rerankFactor = 8, allowed = Some(allowed)))
+    assert(fpub == fmem,
+      "published filtered PQ serving must be row-identical to in-memory filtered")
+    // the version-pinned pruned read lands `part IN (…)` in PartitionFilters
+    val vdir = s"$root/${graft.pipeline.VersionedIndex.currentVersion(root).get}"
+    val probed = probes.select($"probe_vec").as[Array[Float]].collect()
+      .flatMap(v => Similarity.probedCells(ivfPq, v, 4)).distinct.toSeq
+    val pruned = spark.read.parquet(vdir).filter($"part".isin(probed: _*))
+    val p = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("part#"),
+      "part IN (...) must land in PartitionFilters:\n" + p.take(1500))
+    val rm = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try rm.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally rm.close()
+  }
+
+  test("float filtered+masked persisted serving is row-identical to the in-memory filtered path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fltcells").toString
+    GraphAnn.writeGraphCells(cellNodes, dir)
+    val probes = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id"))
+    val tombs = emb.filter($"vec_id" % 5 === 2).select($"vec_id".as("id"))
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val mem = flat(GraphAnn.searchGraphRoutedFiltered(cellNodes,
+      ivf.centroids, probes, "probe_id", "probe_vec", allowed,
+      nprobe = 3, k = 6, ef = 96, tombstones = Some(tombs)))
+    val disk = flat(GraphAnn.searchGraphRoutedPersisted(spark, dir,
+      ivf.centroids, probes, "probe_id", "probe_vec", nprobe = 3, k = 6,
+      ef = 96, tombstones = Some(tombs), allowed = Some(allowed)))
+    assert(disk == mem,
+      "persisted filtered+masked serving must equal the in-memory filtered path")
+    val rm = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try rm.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally rm.close()
+  }
+
+  test("appendGraphCellsPq: empty existing and empty batch are both safe; arrivals match the coded table") {
+    // onto-empty: segBase is empty, slices start at 0 — the r12
+    // appendSegments-onto-empty NPE class, guarded on the PQ tier too
+    val some = emb.filter($"vec_id" < 20)
+    val fromEmpty = GraphAnn.appendGraphCellsPq(pqNodes.filter(lit(false)),
+      some, "vec_id", "embedding", ivfPq, m = M, efConstruction = 48)
+    assert(fromEmpty.count() == some.count())
+    // every arrival's (cell, codes) must equal the index's own coded row —
+    // append-time encode is byte-consistent with build-time encode
+    val bad = fromEmpty
+      .join(ivfPq.coded.select($"id", $"cell", $"pq_codes"), Seq("id"))
+      .filter($"part" =!= $"cell" || $"codes" =!= $"pq_codes")
+    assert(bad.count() == 0, "appended (cell, codes) diverged from the coded table")
+    // empty batch: index unchanged, no NPE
+    val unchanged = GraphAnn.appendGraphCellsPq(pqNodes,
+      emb.filter(lit(false)), "vec_id", "embedding", ivfPq,
+      m = M, efConstruction = 48)
+    assert(unchanged.count() == pqNodes.count())
+  }
+
   test("clump guard: no-op on a uniform corpus, exact min-id top-k on a clumped one") {
     val cloneVec = emb.filter($"vec_id" === 42)
       .select($"embedding").head().getSeq[Float](0).toArray
