@@ -20,14 +20,46 @@ object Probe {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job counter + drain, as in Bench: per-rep job counts attribute the
+    // scheduler-floor share of a sub-second query
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+    // SPARK_GRAFT_PROBE_JOBS=1: print each job's stage count + call site,
+    // to attribute WHERE a floor-bound query's jobs come from
+    val jobDetail = sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet()
+          if (jobDetail) {
+            val d = Option(e.properties)
+              .map(_.getProperty("spark.job.description", "")).getOrElse("")
+            val cs = Option(e.properties)
+              .map(_.getProperty("callSite.short", "")).getOrElse("")
+            println(s"JOB ${e.jobId} stages=${e.stageInfos.size} " +
+              s"tasks=${e.stageInfos.map(_.numTasks).sum} site=$cs desc=${d.take(80)}")
+          }
+          ()
+        }
+      })
+    def drain(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(30) }
     // SPARK_GRAFT_PROBE_GC=1 reproduces the Bench inter-query System.gc()
     // so warm-defeat hypotheses can be tested in isolation
     val gcBetween = sys.env.get("SPARK_GRAFT_PROBE_GC").contains("1")
     for (r <- 1 to reps; n <- names) {
       if (gcBetween) System.gc()
+      drain()
+      val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"PROBE $n rep=$r rows=$cnt t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val t = (System.nanoTime() - t0) / 1e9
+      drain()
+      println(f"PROBE $n rep=$r rows=$cnt t=$t%.2f jobs=${jobCounter.get() - j0}")
     }
     spark.stop()
   }

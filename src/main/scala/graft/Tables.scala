@@ -105,4 +105,61 @@ object Tables {
   /** Register all tables as temp views (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  private val statsMemo = new scala.collection.concurrent.TrieMap[
+    (String, Seq[String]), Option[Map[String, (Long, Long)]]]()
+
+  /** Global column min/max straight from parquet FOOTER statistics — the
+    * lakehouse stats path (Delta/Iceberg keep exactly these in table
+    * metadata; plain parquet keeps them per row group): ZERO Spark jobs,
+    * the driver reads only footers. Exact — footer min/max over non-null
+    * values equals `agg(min, max)` — so consumers like
+    * [[graft.pipeline.ZOrder.withZValue]] produce bit-identical output
+    * either way. Returns None (caller falls back to the aggregate) when
+    * any requested column lacks integral stats in any row group.
+    * Memoized per (path, cols) for the JVM lifetime — the same
+    * discipline as a catalog stats cache; the driver-side footer walk is
+    * bounded by file count, which a 100 TB deployment bounds through its
+    * table format's manifest anyway.
+    */
+  def parquetLongStats(spark: SparkSession, path: String,
+      cols: Seq[String]): Option[Map[String, (Long, Long)]] =
+    statsMemo.getOrElseUpdate((path, cols), {
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).map(_.getPath)
+              .filter(f => f.getName.endsWith(".parquet"))
+          else Array(p)
+        var acc = Map.empty[String, (Long, Long)]
+        files.foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try {
+            reader.getFooter.getBlocks.forEach { b =>
+              b.getColumns.forEach { c =>
+                val name = c.getPath.toDotString
+                if (cols.contains(name)) {
+                  val (mn, mx) = c.getStatistics match {
+                    case s: org.apache.parquet.column.statistics.LongStatistics
+                        if s.hasNonNullValue => (s.getMin, s.getMax)
+                    case s: org.apache.parquet.column.statistics.IntStatistics
+                        if s.hasNonNullValue => (s.getMin.toLong, s.getMax.toLong)
+                    case _ => throw new IllegalStateException(
+                      s"no integral stats for $name in $f")
+                  }
+                  acc = acc.updated(name, acc.get(name)
+                    .map { case (a, z) => (math.min(a, mn), math.max(z, mx)) }
+                    .getOrElse((mn, mx)))
+                }
+              }
+            }
+          } finally reader.close()
+        }
+        if (cols.forall(acc.contains)) Some(acc) else None
+      } catch { case _: Throwable => None }
+    })
 }

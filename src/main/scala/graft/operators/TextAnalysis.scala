@@ -311,10 +311,15 @@ object TextAnalysis {
     val spark = df.sparkSession
     val toks = df.filter(isRef).select(
       explode(filter(split(trim(col(textCol)), " "), t => length(t) > 0)).as("tok"))
-    toks.cache()
-    try {
-      val nRef = toks.count()
-      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // ONE token scan: the (tok, count) table is vocabulary-bounded (tiny
+    // next to the raw token stream a cache of `toks` would pin), and both
+    // nRef (sum of counts) and the top-V vocab read from it — the
+    // separate corpus-sized count() pass is gone
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nRef = Option(counts.agg(sum(col("c"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val top = counts
         .orderBy(col("c").desc, col("tok").asc)
         .limit(vocabSize)
         .collect()
@@ -352,7 +357,6 @@ object TextAnalysis {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       bVocab.destroy()
       proto.copy(bigrams = bigrams)
-    } finally toks.unpersist()
   }
 
   /** CCNet-fidelity perplexity with a REAL n-gram model (Wenzek et al.

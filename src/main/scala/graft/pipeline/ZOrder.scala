@@ -48,9 +48,25 @@ object ZOrder {
     // empty input (or all-null key columns): no range exists — emit a
     // constant z so the schema holds and zero rows flow through
     if (stats.isNullAt(0)) return df.withColumn("zval", lit(0L))
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val mn = stats.getLong(2 * i)
-      val mx = stats.getLong(2 * i + 1)
+    withZValue(df, cols, bits,
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> (stats.getLong(2 * i), stats.getLong(2 * i + 1)) }.toMap)
+  }
+
+  /** [[withZValue]] with the min/max ranges supplied — the lakehouse
+    * form: a table format keeps column min/max in its metadata
+    * ([[graft.Tables.parquetLongStats]] reads them from parquet footers
+    * with zero Spark jobs), so the layout pass is PURELY map-side — no
+    * driver-blocking stats aggregate before the projection. Output is
+    * bit-identical to the self-computed overload when the ranges are the
+    * table's true min/max (footer stats are exact).
+    */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
+      ranges: Map[String, (Long, Long)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one z-order column")
+    val buckets = cols.map { c =>
+      val (mn, mx) = ranges.getOrElse(c,
+        throw new IllegalArgumentException(s"no range supplied for $c"))
       val range = mx - mn + 1
       // integer-exact: (v − min)·2^bits div range — reproducible by any
       // engine with 64-bit integer arithmetic (the k9 oracle mirrors it)

@@ -160,9 +160,14 @@ object Coverage7 {
     // and slot bit-for-bit.
     "k9_zorder_layout" -> ((s, d) => {
       import s.implicits._
-      val z = graft.pipeline.ZOrder.withZValue(
-        load(s, d, "orders").select($"o_orderkey", $"o_custkey"),
-        Seq("o_custkey", "o_orderkey"), bits = 8)
+      val cols = Seq("o_custkey", "o_orderkey")
+      val src = load(s, d, "orders").select($"o_orderkey", $"o_custkey")
+      // ranges from parquet FOOTER stats (exact, zero jobs) — the
+      // lakehouse layout pass reads min/max from table metadata, not a
+      // driver-blocking pre-aggregate; identical zval either way
+      val z = graft.Tables.parquetLongStats(s, s"$d/orders.parquet", cols)
+        .map(r => graft.pipeline.ZOrder.withZValue(src, cols, bits = 8, r))
+        .getOrElse(graft.pipeline.ZOrder.withZValue(src, cols, bits = 8))
         .withColumn("slot", shiftright($"zval", 12).cast("int"))
       z.groupBy($"slot")
         .agg(count(lit(1)).as("n_rows"),
