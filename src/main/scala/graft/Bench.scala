@@ -69,15 +69,8 @@ object Bench {
     // Listener delivery is asynchronous: without a drain, trailing
     // job-start events (and unrelated ContextCleaner jobs) can be
     // attributed to the WRONG query's counter window, skewing the
-    // published floor_normalized estimate. waitUntilEmpty is
-    // private[spark] (public bytecode) — reflect; fall back to a short
-    // sleep if the internal API moves.
-    def drainListeners(): Unit =
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: Throwable => Thread.sleep(30) }
+    // published floor_normalized estimate.
+    def drainListeners(): Unit = ListenerDrain.drain(spark)
 
     def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                name: String): (Double, Long) = {

@@ -42,7 +42,9 @@ object NswProbe {
     assignments.count()
     val t0 = System.nanoTime()
     val rho = args.lift(2).getOrElse("0.25").toDouble
-    val knn = GraphAnn.nnDescent(corpus, "vec_id", "embedding", k = 20, iters = 4, sampleRate = rho)
+    val slices = args.lift(5).getOrElse("1").toInt
+    val knn = GraphAnn.nnDescent(corpus, "vec_id", "embedding", k = 20,
+      iters = 4, sampleRate = rho, candidateSlices = slices)
     val nsw = GraphAnn.knnToNswSegments(assignments, knn, m = 8).localCheckpoint(true)
     nsw.count()
     val tB = (System.nanoTime() - t0) / 1e9

@@ -42,12 +42,7 @@ object Probe {
           ()
         }
       })
-    def drain(): Unit =
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: Throwable => Thread.sleep(30) }
+    def drain(): Unit = ListenerDrain.drain(spark)
     // SPARK_GRAFT_PROBE_GC=1 reproduces the Bench inter-query System.gc()
     // so warm-defeat hypotheses can be tested in isolation
     val gcBetween = sys.env.get("SPARK_GRAFT_PROBE_GC").contains("1")

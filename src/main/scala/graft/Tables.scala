@@ -117,16 +117,19 @@ object Tables {
     * [[graft.pipeline.ZOrder.withZValue]] produce bit-identical output
     * either way. Returns None (caller falls back to the aggregate) when
     * any requested column lacks integral stats in any row group.
-    * Memoized per (path, cols) for the JVM lifetime — the same
-    * discipline as a catalog stats cache; the driver-side footer walk is
-    * bounded by file count, which a 100 TB deployment bounds through its
-    * table format's manifest anyway.
+    * Memoized per (path, cols, file fingerprint) — the fingerprint is the
+    * files' (name, length, mtime) list, so an in-process rewrite of the
+    * path gets FRESH stats (a lifetime memo would hand back the old
+    * min/max and silently mis-bucket the new data); the same discipline
+    * as a catalog stats cache keyed by table snapshot. The driver-side
+    * listing + footer walk is bounded by file count, which a 100 TB
+    * deployment bounds through its table format's manifest anyway.
     */
   def parquetLongStats(spark: SparkSession, path: String,
-      cols: Seq[String]): Option[Map[String, (Long, Long)]] =
-    statsMemo.getOrElseUpdate((path, cols), {
+      cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val listed =
       try {
-        val conf = spark.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(conf)
         val files =
@@ -134,6 +137,16 @@ object Tables {
             fs.listStatus(p).map(_.getPath)
               .filter(f => f.getName.endsWith(".parquet"))
           else Array(p)
+        val fp = files.map { f =>
+          val st = f.getFileSystem(conf).getFileStatus(f)
+          s"${f.getName}:${st.getLen}:${st.getModificationTime}"
+        }.sorted.mkString(",")
+        Some((files, fp))
+      } catch { case _: Throwable => None }
+    if (listed.isEmpty) return None
+    val (files, fingerprint) = listed.get
+    statsMemo.getOrElseUpdate((s"$path#$fingerprint", cols), {
+      try {
         var acc = Map.empty[String, (Long, Long)]
         files.foreach { f =>
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -162,4 +175,5 @@ object Tables {
         if (cols.forall(acc.contains)) Some(acc) else None
       } catch { case _: Throwable => None }
     })
+}
 }

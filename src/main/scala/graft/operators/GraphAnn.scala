@@ -396,16 +396,23 @@ object GraphAnn {
     * MEMORY SIZING: the per-iteration candidate shuffle is n·(2k)² rows
     * — at 512k×k=20 that is ~800 M pairs, which exceeds a single 8 GB
     * JVM running 32 concurrent tasks (measured: the GraphStudy harness
-    * OOMs; SCALING.md "512k stress"). On a cluster, size executor
-    * memory to the per-task candidate slice; locally, `sampleRate` is
-    * the paper's ρ knob (0.25 completes 512k in 277 s) — with the
-    * measured caveat that sampling in a heavy-clump regime erodes the
-    * edge quality the [[knnToNswSegments]] composition's recall
-    * advantage rests on.
+    * OOMs; SCALING.md "512k stress"). `candidateSlices` makes peak
+    * candidate volume a TUNABLE instead of a cliff: the 2-hop generation
+    * splits into S hash-bands of the PIVOT node (the join key), and each
+    * band's candidates fold through the bounded-heap top-k into the
+    * accumulator before the next band generates — top-k under the
+    * deterministic (sim desc, id asc) order is an associative merge, so
+    * the sliced build's edges are IDENTICAL to the unsliced build's
+    * (spec-pinned), only ≤ 1/S of the candidate volume is ever in
+    * flight, at the price of S aggregate rounds per iteration.
+    * `sampleRate` remains the paper's ρ knob (0.25 completes 512k in
+    * 277 s) — with the measured caveat that sampling in a heavy-clump
+    * regime erodes the edge quality the [[knnToNswSegments]]
+    * composition's recall advantage rests on; slicing erodes nothing.
     */
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 4, sampleRate: Double = 1.0,
-      adjCap: Int = -1): DataFrame = {
+      adjCap: Int = -1, candidateSlices: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(k > 0 && iters >= 0, "k and iters must be positive")
@@ -413,23 +420,37 @@ object GraphAnn {
       col(vecCol).as("vec")).localCheckpoint(true)
     val n = vecs.count()
     val topk = udaf(new graft.functions.TopKByScore(k))
+    // vecs is the WHOLE corpus — it must never broadcast (at 512k the
+    // hashed relation is ~0.5 GB and the size estimator undercounts the
+    // synth-fixture lineage, so the planner tried; measured OOM). The
+    // shuffle-hash hint pins the honest 100 TB strategy: both sides
+    // partition by the key, each task builds only its ~n/partitions
+    // slice of the vectors, and the candidate stream is never sorted.
     def bestK(pairs: DataFrame): DataFrame =
       pairs
         .dropDuplicates("id", "nbr") // dup candidates would repeat in top-k
-        .join(vecs.select(col("id"), col("vec").as("_va")), Seq("id"))
-        .join(vecs.select(col("id").as("nbr"), col("vec").as("_vb")), Seq("nbr"))
+        .join(vecs.select(col("id"), col("vec").as("_va"))
+          .hint("shuffle_hash"), Seq("id"))
+        .join(vecs.select(col("id").as("nbr"), col("vec").as("_vb"))
+          .hint("shuffle_hash"), Seq("nbr"))
         .withColumn("sim",
           graft.functions.GraftFunctions.cosine_f32(col("_va"), col("_vb")))
         .groupBy(col("id"))
         .agg(topk(col("nbr"), col("sim")).as("top"))
         .select(col("id"), explode(col("top")).as("e"))
         .select(col("id"), col("e._1").as("nbr"), col("e._2").as("sim"))
-    // two salted bucket families; ~2k expected co-bucketed mates per node
+    // two salted bucket families; ~2k expected co-bucketed mates per node.
+    // Every edge-list self-join below carries a CORPUS-SCALE side (n·2k
+    // rows) that must never broadcast — but the size estimator can
+    // misfire on checkpoint+filter chains (measured at 512k: AQE
+    // broadcast a 20M-row edge slice and the ~270 MB hashed relation
+    // OOM'd the 8 GB driver mid-build), so the sort-merge hint pins the
+    // join strategy the 100 TB plan needs anyway
     val nBuckets = math.max(1L, n / math.max(1, 2 * k))
     val seeds = (0 to 1).map { salt =>
       val b = vecs.select(col("id"),
         pmod(hash(col("id"), lit(salt)), lit(nBuckets)).as("b"))
-      b.join(b.select(col("id").as("nbr"), col("b")), Seq("b"))
+      b.join(b.select(col("id").as("nbr"), col("b")).hint("merge"), Seq("b"))
         .filter(col("id") =!= col("nbr"))
         .select(col("id"), col("nbr"))
     }.reduce(_.unionByName(_))
@@ -461,20 +482,42 @@ object GraphAnn {
           .select(col("id"), explode(col("top")).as("e"))
           .select(col("id"), col("e._1").as("nbr")))
         .localCheckpoint(true) // read twice by the self-join
-      val twoHop = undirected
-        .join(undirected.select(col("id").as("nbr"), col("nbr").as("nbr2")),
-          Seq("nbr"))
-        .select(col("id"), col("nbr2").as("nbr"))
-        .filter(col("id") =!= col("nbr"))
-      val sampled =
-        if (sampleRate >= 1.0) twoHop
-        else twoHop.filter(
+      val slices = math.max(1, candidateSlices)
+      def thin(pairs: DataFrame): DataFrame =
+        if (sampleRate >= 1.0) pairs
+        else pairs.filter(
           pmod(hash(col("id"), col("nbr")), lit(1000000)) <
             lit((sampleRate * 1000000).toLong))
-      // the capped adjacency always contains the node's current top-k
-      // (the cap keeps the best 2k incident sims) -> per-node best-k
-      // stays monotone across iterations
-      edges = bestK(sampled.unionByName(undirected)).localCheckpoint(true)
+      if (slices == 1) {
+        val twoHop = undirected
+          .join(undirected.select(col("id").as("nbr"), col("nbr").as("nbr2"))
+            .hint("merge"), Seq("nbr"))
+          .select(col("id"), col("nbr2").as("nbr"))
+          .filter(col("id") =!= col("nbr"))
+        // the capped adjacency always contains the node's current top-k
+        // (the cap keeps the best 2k incident sims) -> per-node best-k
+        // stays monotone across iterations
+        edges = bestK(thin(twoHop).unionByName(undirected)).localCheckpoint(true)
+      } else {
+        // sliced generation: band the PIVOT node (the 2-hop join key), fold
+        // each band through the top-k accumulator before the next band
+        // generates — identical edges, ≤1/S candidate volume in flight
+        for (s <- 0 until slices) {
+          val hop = undirected
+            .filter(pmod(hash(col("nbr")), lit(slices)) === s)
+            .join(undirected
+                .filter(pmod(hash(col("id")), lit(slices)) === s)
+                .select(col("id").as("nbr"), col("nbr").as("nbr2"))
+                .hint("merge"),
+              Seq("nbr"))
+            .select(col("id"), col("nbr2").as("nbr"))
+            .filter(col("id") =!= col("nbr"))
+          val cand = thin(hop)
+            .unionByName(if (s == 0) undirected
+              else edges.select(col("id"), col("nbr")))
+          edges = bestK(cand).localCheckpoint(true)
+        }
+      }
     }
     edges
   }
@@ -1116,12 +1159,13 @@ object GraphAnn {
         idCol, vecCol, probes, probeId, probeVec, a, nprobe, k, ef,
         rerankFactor, clumpGuard, clumpBound, tombstones)
     case None =>
+      // route ONCE: the same map prunes the scan and drives the beams
       val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
       val cells = routes.keys.toSeq
       val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
         .repartition(col("part"), col("seg"))
-      searchGraphRoutedPq(nodes, index, corpus, idCol, vecCol, probes,
-        probeId, probeVec, nprobe, k, ef, rerankFactor, clumpGuard,
+      searchGraphRoutedPqWithRoutes(nodes, index, corpus, idCol, vecCol,
+        probes, probeId, probeVec, routes, k, ef, rerankFactor, clumpGuard,
         clumpBound, tombstones)
   }
 
@@ -1352,10 +1396,13 @@ object GraphAnn {
     }
     if (clump + k > k * rerankFactor)
       log.warn(s"PQ clump guard widened the survivor pool to ${clump + k} " +
-        s"(measured clump $clump > k*rerankFactor ${k * rerankFactor}): " +
-        "serving cost grows linearly with the clump; dedup the corpus " +
-        "before indexing, or precompute pqClumpBound at build time to " +
-        "skip the per-call measurement")
+        s"(clump $clump > k*rerankFactor ${k * rerankFactor}): serving " +
+        "cost grows linearly with the clump; dedup the corpus before " +
+        "indexing (d8/d10) to remove the regime" +
+        (if (supplied.isEmpty)
+          "; also precompute pqClumpBound at build time to skip the " +
+            "per-call measurement"
+         else ""))
     clump
   }
 
@@ -1465,10 +1512,26 @@ object GraphAnn {
       probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
       rerankFactor: Int = 4, clumpGuard: Boolean = true,
       clumpBound: Option[Int] = None,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None): DataFrame =
+    searchGraphRoutedPqWithRoutes(nodes, index, corpus, idCol, vecCol,
+      probes, probeId, probeVec,
+      routePqBatch(probes, probeId, probeVec, index, nprobe), k, ef,
+      rerankFactor, clumpGuard, clumpBound, tombstones)
+
+  /** [[searchGraphRoutedPq]] body with the routing PRECOMPUTED — shared
+    * with [[searchGraphRoutedPqPersisted]], which routes once to prune
+    * the scan and must drive the beams with that SAME map (routing twice
+    * would collect the probe batch twice, and a nondeterministic probes
+    * frame could then prune one cell set while beaming another).
+    */
+  private def searchGraphRoutedPqWithRoutes(nodes: DataFrame,
+      index: Similarity.IvfPqIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
+      routes: Map[Int, Array[(Long, Array[Float])]], k: Int, ef: Int,
+      rerankFactor: Int, clumpGuard: Boolean, clumpBound: Option[Int],
+      tombstones: Option[DataFrame]): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
     val bcR = spark.sparkContext.broadcast(
       (routes, index.centroids.toMap, index.book))
     val routedCells = routes.keys.toSeq

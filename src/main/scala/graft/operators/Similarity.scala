@@ -638,12 +638,22 @@ object Similarity {
     */
   def encodeIntoIvfPq(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, index: IvfPqIndex): DataFrame = {
-    val bc = spark.sparkContext.broadcast((index.centroids, index.book))
+    // centroid lookup map built ONCE (a find/sort inside the per-row UDF
+    // would multiply encode cost by O(nCells) at production cell counts)
+    val bc = spark.sparkContext.broadcast(
+      (index.centroids, index.centroids.toMap, index.book))
     val enc = udf((v: Seq[Float]) => {
-      val (cents, book) = bc.value
+      val (cents, centroidOf, book) = bc.value
       val u = l2unit(v)
-      val cell = nearestCells(cents, u, 1).head
-      val c = cents.find(_._1 == cell).get._2
+      var cell = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val c0 = cents(ci)._2; var d = 0.0; var i = 0
+        while (i < u.length) { val x = u(i) - c0(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; cell = cents(ci)._1 }
+        ci += 1
+      }
+      val c = centroidOf(cell)
       val resid = new Array[Float](u.length)
       var i = 0
       while (i < u.length) { resid(i) = u(i) - c(i); i += 1 }

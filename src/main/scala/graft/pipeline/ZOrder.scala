@@ -69,8 +69,15 @@ object ZOrder {
         throw new IllegalArgumentException(s"no range supplied for $c"))
       val range = mx - mn + 1
       // integer-exact: (v − min)·2^bits div range — reproducible by any
-      // engine with 64-bit integer arithmetic (the k9 oracle mirrors it)
-      expr(s"((cast(`$c` as bigint) - ${mn}L) * ${1L << bits}L) div ${range}L")
+      // engine with 64-bit integer arithmetic (the k9 oracle mirrors it).
+      // Clamped to [0, 2^bits): a value OUTSIDE the supplied range (stale
+      // catalog stats, a range narrower than the data) lands in the edge
+      // bucket — the lakehouse arrival semantics — instead of leaking
+      // high bits that interleave() would silently mask into a wrong
+      // slot. A no-op when ranges are the true min/max (the
+      // self-computing overload), so both overloads stay bit-identical.
+      greatest(lit(0L), least(lit((1L << bits) - 1L),
+        expr(s"((cast(`$c` as bigint) - ${mn}L) * ${1L << bits}L) div ${range}L")))
     }
     df.withColumn("zval", interleave(buckets, bits))
   }

@@ -951,7 +951,12 @@ object VectorQueries {
       val purged = GraphAnn.purgeTombstones(merged, tombs, m = m,
           efConstruction = 48)
         .localCheckpoint(true)
-      val root = java.nio.file.Files.createTempDirectory("graft-v32").toString
+      // ONE root per (session, sf): each run publishes a fresh version
+      // into it and publishInto's keepVersions retention reaps the old
+      // ones — repeated samples exercise the real re-publication loop
+      // instead of leaking a full index copy per run
+      val root = Fixtures.cachedObj(s, s"v32_root:$d")(
+        java.nio.file.Files.createTempDirectory("graft-v32").toString)
       GraphAnn.publishGraphCells(purged, root)
       val published = graft.pipeline.VersionedIndex.currentVersion(root)
         .isDefined
@@ -1020,7 +1025,9 @@ object VectorQueries {
       val purged = GraphAnn.purgeTombstonesPq(appended, tombs, emb,
           "vec_id", "embedding", m = 8, efConstruction = 48)
         .localCheckpoint(true)
-      val root = java.nio.file.Files.createTempDirectory("graft-v33").toString
+      // one root per (session, sf), re-published per run (v32 note)
+      val root = Fixtures.cachedObj(s, s"v33_root:$d")(
+        java.nio.file.Files.createTempDirectory("graft-v33").toString)
       GraphAnn.publishGraphCellsPq(purged, root)
       val allowed = emb.filter($"vec_id" % 3 =!= 1).select($"vec_id".as("id"))
       val tombs2 = emb.filter($"vec_id" % 7 === 3).select($"vec_id".as("id"))

@@ -121,6 +121,27 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"mean k-NN graph recall $recall%.3f below floor")
   }
 
+  test("nnDescent sliced candidate generation is edge-identical to unsliced") {
+    // candidateSlices bounds PEAK candidate volume (the 512k rho=1 OOM
+    // fix); top-k folding under the deterministic (sim desc, id asc)
+    // order is an associative merge, so slicing must change NOTHING
+    val k = 10
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val whole = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k, iters = 2))
+    val sliced = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k,
+      iters = 2, candidateSlices = 4))
+    assert(sliced == whole, "sliced build diverged from the unsliced build")
+    // and with rho-sampling on top (the thin filter is per-row, so it
+    // commutes with slicing)
+    val wholeR = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k,
+      iters = 2, sampleRate = 0.5))
+    val slicedR = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k,
+      iters = 2, sampleRate = 0.5, candidateSlices = 3))
+    assert(slicedR == wholeR, "sliced+sampled build diverged")
+  }
+
   test("orphaned directed components are still found (multi-entry roots)") {
     // hand-crafted segment: node 4 points INTO the graph but nothing
     // points at it — pruning produces exactly this shape at scale, and a
