@@ -420,37 +420,40 @@ object GraphAnn {
       col(vecCol).as("vec")).localCheckpoint(true)
     val n = vecs.count()
     val topk = udaf(new graft.functions.TopKByScore(k))
-    // vecs is the WHOLE corpus — it must never broadcast (at 512k the
+    // At corpus scale the vector side must never broadcast (at 512k the
     // hashed relation is ~0.5 GB and the size estimator undercounts the
-    // synth-fixture lineage, so the planner tried; measured OOM). The
-    // shuffle-hash hint pins the honest 100 TB strategy: both sides
-    // partition by the key, each task builds only its ~n/partitions
-    // slice of the vectors, and the candidate stream is never sorted.
+    // synth-fixture lineage, so the planner tried; measured OOM) and the
+    // edge-list self-joins must not either (measured: a 20M-row slice
+    // broadcast OOM'd the same harness). The strategy pins key off the
+    // MEASURED corpus count — the correct stat the estimator lacked:
+    // small corpora keep the planner's broadcast plans (faster at gate
+    // scale), big ones pin shuffle-hash for the vector lookups (each
+    // task builds only its ~n/partitions slice, candidate stream never
+    // sorted) and sort-merge for the edge self-joins.
+    val big = n > 100000
+    def pinned(df: DataFrame, strategy: String): DataFrame =
+      if (big) df.hint(strategy) else df
     def bestK(pairs: DataFrame): DataFrame =
       pairs
         .dropDuplicates("id", "nbr") // dup candidates would repeat in top-k
-        .join(vecs.select(col("id"), col("vec").as("_va"))
-          .hint("shuffle_hash"), Seq("id"))
-        .join(vecs.select(col("id").as("nbr"), col("vec").as("_vb"))
-          .hint("shuffle_hash"), Seq("nbr"))
+        .join(pinned(vecs.select(col("id"), col("vec").as("_va")),
+          "shuffle_hash"), Seq("id"))
+        .join(pinned(vecs.select(col("id").as("nbr"), col("vec").as("_vb")),
+          "shuffle_hash"), Seq("nbr"))
         .withColumn("sim",
           graft.functions.GraftFunctions.cosine_f32(col("_va"), col("_vb")))
         .groupBy(col("id"))
         .agg(topk(col("nbr"), col("sim")).as("top"))
         .select(col("id"), explode(col("top")).as("e"))
         .select(col("id"), col("e._1").as("nbr"), col("e._2").as("sim"))
-    // two salted bucket families; ~2k expected co-bucketed mates per node.
-    // Every edge-list self-join below carries a CORPUS-SCALE side (n·2k
-    // rows) that must never broadcast — but the size estimator can
-    // misfire on checkpoint+filter chains (measured at 512k: AQE
-    // broadcast a 20M-row edge slice and the ~270 MB hashed relation
-    // OOM'd the 8 GB driver mid-build), so the sort-merge hint pins the
-    // join strategy the 100 TB plan needs anyway
+    // two salted bucket families; ~2k expected co-bucketed mates per node
+    // (edge self-joins pinned to sort-merge above the size threshold —
+    // see `pinned`)
     val nBuckets = math.max(1L, n / math.max(1, 2 * k))
     val seeds = (0 to 1).map { salt =>
       val b = vecs.select(col("id"),
         pmod(hash(col("id"), lit(salt)), lit(nBuckets)).as("b"))
-      b.join(b.select(col("id").as("nbr"), col("b")).hint("merge"), Seq("b"))
+      b.join(pinned(b.select(col("id").as("nbr"), col("b")), "merge"), Seq("b"))
         .filter(col("id") =!= col("nbr"))
         .select(col("id"), col("nbr"))
     }.reduce(_.unionByName(_))
@@ -490,8 +493,9 @@ object GraphAnn {
             lit((sampleRate * 1000000).toLong))
       if (slices == 1) {
         val twoHop = undirected
-          .join(undirected.select(col("id").as("nbr"), col("nbr").as("nbr2"))
-            .hint("merge"), Seq("nbr"))
+          .join(pinned(undirected
+            .select(col("id").as("nbr"), col("nbr").as("nbr2")), "merge"),
+            Seq("nbr"))
           .select(col("id"), col("nbr2").as("nbr"))
           .filter(col("id") =!= col("nbr"))
         // the capped adjacency always contains the node's current top-k
@@ -505,10 +509,9 @@ object GraphAnn {
         for (s <- 0 until slices) {
           val hop = undirected
             .filter(pmod(hash(col("nbr")), lit(slices)) === s)
-            .join(undirected
+            .join(pinned(undirected
                 .filter(pmod(hash(col("id")), lit(slices)) === s)
-                .select(col("id").as("nbr"), col("nbr").as("nbr2"))
-                .hint("merge"),
+                .select(col("id").as("nbr"), col("nbr").as("nbr2")), "merge"),
               Seq("nbr"))
             .select(col("id"), col("nbr2").as("nbr"))
             .filter(col("id") =!= col("nbr"))
