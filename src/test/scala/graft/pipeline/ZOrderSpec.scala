@@ -51,6 +51,39 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ySpans.forall(_ > 3000), "sorted-by-x slots must NOT cluster y")
   }
 
+  test("footer-stats ranges reproduce the self-computed zvals bit-identically") {
+    val orders = graft.Tables.load(spark, graft.TestSpark.sf, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val cols = Seq("o_custkey", "o_orderkey")
+    val stats = graft.Tables.parquetLongStats(spark,
+      s"${graft.TestSpark.sf}/orders.parquet", cols)
+    assert(stats.isDefined, "orders footers must carry integral stats")
+    // footer stats are exact: equal to the aggregate min/max
+    val r = orders.agg(min($"o_custkey"), max($"o_custkey"),
+      min($"o_orderkey"), max($"o_orderkey")).head()
+    assert(stats.get("o_custkey") == ((r.getLong(0), r.getLong(1))))
+    assert(stats.get("o_orderkey") == ((r.getLong(2), r.getLong(3))))
+    val self = ZOrder.withZValue(orders, cols, 8)
+      .select($"o_orderkey", $"zval").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val ranged = ZOrder.withZValue(orders, cols, 8, stats.get)
+      .select($"o_orderkey", $"zval").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(self.sameElements(ranged), "ranges overload must be bit-identical")
+  }
+
+  test("ranges narrower than the data clamp to edge buckets instead of corrupting the interleave") {
+    val df = Seq(-5L, 0L, 3L, 7L, 12L).toDF("a")
+    // supplied range [0, 7] misses -5 and 12 (stale-stats scenario)
+    val z = ZOrder.withZValue(df, Seq("a"), bits = 3,
+        Map("a" -> ((0L, 7L))))
+      .select($"a", $"zval").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // in-range values bucket exactly as the arithmetic says: v*8 div 8 = v
+    assert(z(0L) == 0L && z(3L) == 3L && z(7L) == 7L)
+    // out-of-range values land in the EDGE buckets (never leak high bits)
+    assert(z(-5L) == 0L, "below-range must clamp to bucket 0")
+    assert(z(12L) == 7L, "above-range must clamp to the top bucket")
+    assert(z.values.forall(v => v >= 0 && v < 8))
+  }
+
   test("empty input yields zero rows with the zval column present") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     val z = ZOrder.withZValue(empty, Seq("x", "y"), bits = 8)
