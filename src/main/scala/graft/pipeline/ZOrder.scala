@@ -88,10 +88,14 @@ object ZOrder {
     * rows z-sorted within each slot. Returns the slotted frame.
     */
   def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int,
-      nSlots: Int, dir: String): DataFrame = {
+      nSlots: Int, dir: String,
+      ranges: Option[Map[String, (Long, Long)]] = None): DataFrame = {
     require(nSlots >= 1 && Integer.bitCount(nSlots) == 1, "nSlots must be a power of two")
     val slotBits = 31 - Integer.numberOfLeadingZeros(nSlots)
-    val z = withZValue(df, cols, bits)
+    // ranges from table metadata (Tables.parquetLongStats) make the whole
+    // rewrite map-side + one shuffle — no stats pre-aggregate
+    val z = ranges.map(withZValue(df, cols, bits, _))
+      .getOrElse(withZValue(df, cols, bits))
       .withColumn("_slot",
         shiftright(col("zval"), bits * cols.length - slotBits).cast("int"))
     z.repartition(nSlots, col("_slot"))
