@@ -827,6 +827,51 @@ class GraphAnnSpec extends AnyFunSuite {
     finally rm.close()
   }
 
+  test("appendGraphCellsPq: fresh slices past each cell's max, oversized batches slice, keystone exact") {
+    // a REAL even-subset build (pruning pqNodes would leave dangling
+    // odd adjacency ids and trip the segment-locality fail-fast)
+    val even = GraphAnn.buildGraphPerCellPq(spark,
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", ivfPq,
+        m = M, efConstruction = 48)
+      .as[GraphAnn.PqGraphNode].localCheckpoint(true)
+    // maxSegmentSize forces the arrival batch to hash-slice per cell,
+    // like the float twin's spec — the shared buildCellSegmentsPq body
+    val appended = GraphAnn.appendGraphCellsPq(even.toDF(),
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", ivfPq,
+      m = M, efConstruction = 48, maxSegmentSize = 20).localCheckpoint(true)
+    val gs = appended.as[GraphAnn.PqGraphNode].collect()
+    assert(gs.length == emb.count().toInt, "node conservation")
+    // fresh slices sit past the cell's previous max; old nodes untouched
+    val beforeSegs = even.collect().groupBy(_.part)
+      .map { case (p, ns) => p -> ns.map(_.seg).max }
+    gs.filter(_.id % 2 == 1).foreach(g =>
+      assert(g.seg > beforeSegs.getOrElse(g.part, -1),
+        s"appended ${g.id} landed in a pre-existing slice"))
+    // the APPENDED slices' adjacency stays closed over (part, seg) even
+    // when the batch hash-slices (the existing fixture nodes reference
+    // pruned odd ids — a fixture artifact, not an operator property)
+    val segOf = gs.map(g => g.id -> (g.part, g.seg)).toMap
+    gs.filter(_.id % 2 == 1).foreach(g => g.neighbors.foreach(_.foreach(nb =>
+      assert(segOf(nb) == ((g.part, g.seg)), "cross-slice edge"))))
+    def flat(xs: Array[GraphAnn.PqGraphNode]) = xs
+      .map(g => (g.id, g.part, g.seg, g.codes.toSeq,
+        g.neighbors.map(_.toSeq).toSeq))
+      .sortBy(_._1).toSeq
+    assert(flat(gs.filter(_.id % 2 == 0)) == flat(even.collect()),
+      "existing segments must pass through byte-identical")
+    // keystone: full fan-out + exhaustive rerank over the appended,
+    // sliced layout recovers exact top-k
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val n = emb.count().toInt
+    val got = topIds(GraphAnn.searchGraphRoutedPq(appended, ivfPq, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 8, k = 5, ef = n, rerankFactor = n))
+    val exact = topIds(Similarity.topKPerProbe(probes, "probe_id",
+      "probe_vec", emb, "vec_id", "embedding", k = 5))
+    assert(got.sameElements(exact))
+  }
+
   test("appendGraphCellsPq: empty existing and empty batch are both safe; arrivals match the coded table") {
     // onto-empty: segBase is empty, slices start at 0 — the r12
     // appendSegments-onto-empty NPE class, guarded on the PQ tier too
