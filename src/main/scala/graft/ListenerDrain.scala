@@ -15,5 +15,18 @@ object ListenerDrain {
       val sc = spark.sparkContext
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-    } catch { case _: Throwable => Thread.sleep(30) }
+    } catch {
+      // an interrupt is a request to STOP, not to nap: restore the flag so
+      // the caller's next blocking point sees it (reflection delivers it
+      // wrapped in InvocationTargetException)
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case e: java.lang.reflect.InvocationTargetException
+          if e.getCause.isInstanceOf[InterruptedException] =>
+        Thread.currentThread().interrupt()
+      // fatal errors (OOM etc.) propagate; only the expected
+      // internal-API-moved case falls back to the short settle sleep
+      case scala.util.control.NonFatal(_) =>
+        try Thread.sleep(30)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
 }

@@ -106,8 +106,15 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  // keyed by (path, cols) with the file fingerprint INSIDE the value: a
+  // rewrite of the path replaces (never accumulates beside) the old entry,
+  // so a long-lived process rewriting one table holds exactly one entry per
+  // (path, cols) — and only SUCCESSFUL reads memoize, so a transient IO
+  // error during the footer walk never pins the aggregate fallback.
   private val statsMemo = new scala.collection.concurrent.TrieMap[
-    (String, Seq[String]), Option[Map[String, (Long, Long)]]]()
+    (String, Seq[String]), (String, Map[String, (Long, Long)])]()
+
+  private[graft] def statsMemoSize: Int = statsMemo.size
 
   /** Global column min/max straight from parquet FOOTER statistics — the
     * lakehouse stats path (Delta/Iceberg keep exactly these in table
@@ -117,13 +124,17 @@ object Tables {
     * [[graft.pipeline.ZOrder.withZValue]] produce bit-identical output
     * either way. Returns None (caller falls back to the aggregate) when
     * any requested column lacks integral stats in any row group.
-    * Memoized per (path, cols, file fingerprint) — the fingerprint is the
-    * files' (name, length, mtime) list, so an in-process rewrite of the
-    * path gets FRESH stats (a lifetime memo would hand back the old
-    * min/max and silently mis-bucket the new data); the same discipline
-    * as a catalog stats cache keyed by table snapshot. The driver-side
-    * listing + footer walk is bounded by file count, which a 100 TB
-    * deployment bounds through its table format's manifest anyway.
+    * Memoized per (path, cols) validated by file fingerprint — the
+    * fingerprint is the files' (name, length, mtime) list, so an
+    * in-process rewrite of the path gets FRESH stats (a lifetime memo
+    * would hand back the old min/max and silently mis-bucket the new
+    * data) and EVICTS the superseded entry (the memo stays bounded at one
+    * entry per live (path, cols) however many rewrites land); the same
+    * discipline as a catalog stats cache keyed by table snapshot. Only
+    * successful footer walks memoize — a transient IO failure falls back
+    * to the aggregate ONCE, not permanently. The driver-side listing +
+    * footer walk is bounded by file count, which a 100 TB deployment
+    * bounds through its table format's manifest anyway.
     */
   def parquetLongStats(spark: SparkSession, path: String,
       cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
@@ -142,10 +153,14 @@ object Tables {
           s"${f.getName}:${st.getLen}:${st.getModificationTime}"
         }.sorted.mkString(",")
         Some((files, fp))
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     if (listed.isEmpty) return None
     val (files, fingerprint) = listed.get
-    statsMemo.getOrElseUpdate((s"$path#$fingerprint", cols), {
+    statsMemo.get((path, cols)) match {
+      case Some((fp, stats)) if fp == fingerprint => return Some(stats)
+      case _ => ()
+    }
+    val computed: Option[Map[String, (Long, Long)]] =
       try {
         var acc = Map.empty[String, (Long, Long)]
         files.foreach { f =>
@@ -173,7 +188,16 @@ object Tables {
           } finally reader.close()
         }
         if (cols.forall(acc.contains)) Some(acc) else None
-      } catch { case _: Throwable => None }
-    })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    computed match {
+      // replace-on-write: the fingerprint lives in the value, so a rewrite
+      // of the path swaps the entry instead of growing the memo
+      case Some(stats) => statsMemo.update((path, cols), (fingerprint, stats))
+      // a None (transient IO error, or genuinely missing stats) is never
+      // cached — and a stale entry for a superseded fingerprint is dropped
+      // rather than left to shadow the next successful read
+      case None => statsMemo.remove((path, cols))
+    }
+    computed
 }
 }

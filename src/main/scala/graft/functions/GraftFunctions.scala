@@ -27,6 +27,9 @@ object GraftFunctions {
       es => BinaryDotF32(es(0), es(1)), "scala_udf")
     // one-to-many chunking as a native Generator (LATERAL VIEW-able)
     reg.createOrReplaceTempFunction("chunk_document", es => ChunkDocument(es), "scala_udf")
+    // hot-path: the a7 speaker-turn fold — one generator call per group
+    // replaces lag + running-sum WindowExec + a second aggregate exchange
+    reg.createOrReplaceTempFunction("graft_turn_merge", es => TurnMerge(es), "scala_udf")
     // hot-path: runs per chunk in every chunking pipeline → codegen'd
     reg.createOrReplaceTempFunction("graft_token_count", es => TokenCount(es(0)), "scala_udf")
     // hot-path: one sketch per document in every near-dup family → codegen'd
@@ -86,6 +89,7 @@ object GraftFunctions {
     call_function("graft_overlap_shingles", c, k)
   def para_windows(c: Column, w: Column): Column =
     call_function("graft_para_windows", c, w)
+  def turn_merge(c: Column): Column = call_function("graft_turn_merge", c)
   def set_jaccard(a: Column, b: Column): Column = call_function("graft_set_jaccard", a, b)
   def fingerprint(c: Column): Column = call_function("graft_fingerprint", c)
 }

@@ -1135,6 +1135,52 @@ object GraphAnn {
       keepVersions: Int = 2): String =
     publishGraphCells(nodes, root, keepVersions)
 
+  /** Publish the COMPLETE PQ serving state under one version — graph
+    * cells AND the training artifacts ([[Similarity.writeIvfPq]]:
+    * centroids, codebook, coded table, clump-bound manifest) — so a
+    * single pointer flip covers codes, adjacency and the state a fresh
+    * process needs to serve them. This closes the cold-start gap the
+    * split publish left: [[publishGraphCellsPq]] made the ADJACENCY
+    * durable while the `IvfPqIndex` stayed a JVM object, so a restarted
+    * server could read the graph but not rebuild ADC tables (and
+    * retraining would orphan every persisted code byte). Layout:
+    * `<root>/v<NNN>/cells` + `<root>/v<NNN>/artifacts`. Pass the
+    * build-time [[pqClumpBound]] so serving skips the guard scan.
+    */
+  def publishPqServing(nodes: DataFrame, index: Similarity.IvfPqIndex,
+      root: String, clumpBound: Option[Int] = None,
+      keepVersions: Int = 2): String =
+    graft.pipeline.VersionedIndex.publishInto(root, keepVersions) { dir =>
+      writeGraphCellsPq(nodes, s"$dir/cells")
+      Similarity.writeIvfPq(index, s"$dir/artifacts", clumpBound)
+    }
+
+  /** COLD-START published serving: a fresh session (no in-memory
+    * [[Similarity.IvfPqIndex]], no clump memo) resolves CURRENT once,
+    * reads centroids + codebook + clump bound from the version's
+    * artifacts ([[Similarity.readIvfPq]] — bit-exact round-trip), and
+    * serves through [[searchGraphRoutedPqPersisted]] — row-identical to
+    * the in-memory path over the same files (gate v34), the reference's
+    * self-contained-index property. `corpus` is the float table for the
+    * exact rerank (in a deployment, the documents/embeddings table —
+    * index artifacts never duplicate it). Artifacts are one tiny read
+    * per probe BATCH; a long-lived server calls [[Similarity.readIvfPq]]
+    * once per published version instead.
+    */
+  def searchGraphRoutedPqColdStart(spark: SparkSession, root: String,
+      corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
+      rerankFactor: Int = 4, tombstones: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published PQ serving state under $root"))
+    val art = Similarity.readIvfPq(spark, s"$root/$v/artifacts")
+    searchGraphRoutedPqPersisted(spark, s"$root/$v/cells", art.index,
+      corpus, idCol, vecCol, probes, probeId, probeVec, nprobe, k, ef,
+      rerankFactor, clumpGuard = true, clumpBound = art.clumpBound,
+      tombstones = tombstones, allowed = allowed)
+  }
+
   /** [[searchGraphRoutedPq]] against the PERSISTED partition-per-cell
     * layout — the tier a 100 TB deployment actually serves from (DiskANN
     * posture: codes + adjacency on disk, ~40 B/node at 8 subspaces +
@@ -1341,6 +1387,36 @@ object GraphAnn {
       .as[(Int, Long, Array[Float], Array[Byte])]
     existing.unionByName(
       buildCellSegmentsPq(base, m, efConstruction, maxSegmentSize, segBase))
+  }
+
+  /** [[appendGraphCellsPq]] with the drift monitor wired in (the float
+    * IVF twin is [[Similarity.appendToIvfMonitored]]): the batch scores
+    * against the build-time unit-space distribution `ref`
+    * ([[Similarity.driftStats]] over the training corpus — store it with
+    * [[Similarity.writeIvfPq]] so a cold-started server has it), a
+    * drifted batch logs a WARN naming the rebuild remedy, and the report
+    * returns WITH the appended graph so the caller's scheduler sees the
+    * signal. The append itself lands either way — arrivals must be
+    * searchable immediately; drift degrades recall, not correctness, and
+    * the remedy (retrain + republish through [[publishPqServing]]) is a
+    * scheduled job, not a per-batch veto.
+    */
+  def appendGraphCellsPqMonitored(existing: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, index: Similarity.IvfPqIndex,
+      ref: Similarity.DriftStats, m: Int = 8, efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue, residRatioMax: Double = 1.25,
+      klMax: Double = 0.5): (DataFrame, Similarity.DriftReport) = {
+    val spark = existing.sparkSession
+    val report = Similarity.driftReport(spark, batch.select(col(vecCol)),
+      vecCol, index.centroids, ref, unit = true, residRatioMax, klMax)
+    if (report.drifted)
+      log.warn(f"PQ append batch drifted from the trained distribution " +
+        f"(residRatio ${report.residRatio}%.3f vs max $residRatioMax, " +
+        f"massKl ${report.massKl}%.3f vs max $klMax over ${report.n} rows): " +
+        "appended vectors encode with growing quantization error — " +
+        "schedule a retrain and republish via publishPqServing")
+    (appendGraphCellsPq(existing, batch, idCol, vecCol, index, m,
+      efConstruction, maxSegmentSize), report)
   }
 
   /** The index's clump bound — the largest group of nodes sharing one

@@ -258,10 +258,18 @@ object Similarity {
     */
   def writeIvf(index: IvfIndex, dir: String): Unit = {
     index.assignments.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
-    import index.assignments.sparkSession.implicits._
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
     index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // the build-time distribution reference the append drift monitor
+    // compares against ([[appendToIvfMonitored]]): computed once here
+    // where the full training set is at hand, tiny on disk
+    writeDriftStats(spark,
+      driftStats(spark, index.assignments, "vec", index.centroids,
+        unit = false),
+      s"$dir/drift_stats")
   }
 
   /** Incremental append to a persisted IVF index: new vectors are assigned
@@ -281,6 +289,162 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", assignUdf(spark, centroids)(col("vec")))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  // ------------------------------------------------------------- drift ----
+
+  /** The build-time distribution summary a drift monitor compares append
+    * batches against: per-cell assignment mass and the residual-norm
+    * distribution (mean + p95 of |v − c_assigned|). Tiny (≤ nCells rows
+    * + three scalars) — stored beside the index like the centroid table.
+    */
+  final case class DriftStats(n: Long, cellMass: Array[(Int, Double)],
+      meanResidNorm: Double, p95ResidNorm: Double)
+
+  /** One append batch's drift verdict: `residRatio` is the batch's mean
+    * residual norm over the build-time mean (how much worse the trained
+    * centroids explain the arrivals), `massKl` is the smoothed
+    * KL(arrival cell mass ‖ trained cell mass) (how differently the
+    * arrivals route). `drifted` trips when either exceeds its threshold.
+    */
+  final case class DriftReport(n: Long, meanResidNorm: Double,
+      p95ResidNorm: Double, residRatio: Double, massKl: Double,
+      drifted: Boolean)
+
+  /** Assign each vector to its nearest centroid and return
+    * (cell, residual L2 norm) — the distance to the assigned centroid IS
+    * the residual norm, so one broadcast + one map computes both.
+    */
+  private def assignResidUdf(spark: SparkSession,
+      centroids: Array[(Int, Array[Float])], unit: Boolean) = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    udf((v: Seq[Float]) => {
+      val cents = bc.value
+      val u = if (unit) l2unit(v) else v.toArray
+      var best = cents(0)._1; var bestD = Double.MaxValue; var ci = 0
+      while (ci < cents.length) {
+        val c = cents(ci)._2; var d = 0.0; var i = 0
+        while (i < u.length) { val x = u(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = cents(ci)._1 }
+        ci += 1
+      }
+      (best, math.sqrt(bestD))
+    })
+  }
+
+  /** Measure a vector set's distribution relative to `centroids` — at
+    * build time this is the reference ([[writeIvf]] stores it beside the
+    * index), per append batch it feeds [[driftReport]]. `unit = true`
+    * measures in the unit-sphere space IVF-PQ routes in
+    * ([[buildIvfPq]]); `false` in the raw space [[buildIvf]] trains in.
+    * One broadcast + two bounded aggregates; driver state ≤ nCells rows.
+    */
+  def driftStats(spark: SparkSession, df: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Float])], unit: Boolean): DriftStats = {
+    val ar = assignResidUdf(spark, centroids, unit)
+    val assigned = df.filter(col(vecCol).isNotNull)
+      .select(ar(col(vecCol)).as("a"))
+      .select(col("a._1").as("cell"), col("a._2").as("rn"))
+      .localCheckpoint(true) // one assignment pass feeds both aggregates
+    val r = assigned.agg(count(lit(1)), avg(col("rn")),
+      expr("percentile_approx(rn, 0.95, 10000)")).head()
+    val n = r.getLong(0)
+    if (n == 0) return DriftStats(0, Array.empty, 0.0, 0.0)
+    val mass = assigned.groupBy(col("cell")).count().collect()
+      .map(x => (x.getInt(0), x.getLong(1).toDouble / n)).sortBy(_._1)
+    DriftStats(n, mass, r.getDouble(1), r.getDouble(2))
+  }
+
+  /** Score an append batch against the build-time distribution — the
+    * monitoring half the no-retrain append discipline needs: both
+    * [[appendToIvf]] and the PQ graph append accept arrivals the trained
+    * centroids explain arbitrarily badly (recall decays silently as the
+    * distribution drifts; the docs say "retrain via a scheduled rebuild"
+    * but nothing MEASURES when). A drifted batch (residual norms growing
+    * past `residRatioMax`×, or routing mass diverging past `klMax` nats)
+    * flags `drifted` — the signal to schedule the rebuild. Thresholds
+    * default loose enough that in-distribution sampling noise never
+    * trips them (gate v35 pins both directions).
+    */
+  def driftReport(spark: SparkSession, batch: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Float])], ref: DriftStats, unit: Boolean,
+      residRatioMax: Double = 1.25, klMax: Double = 0.5): DriftReport = {
+    val cur = driftStats(spark, batch, vecCol, centroids, unit)
+    if (cur.n == 0)
+      return DriftReport(0, 0.0, 0.0, 1.0, 0.0, drifted = false)
+    val ratio =
+      if (ref.meanResidNorm > 0) cur.meanResidNorm / ref.meanResidNorm
+      else if (cur.meanResidNorm > 0) Double.PositiveInfinity
+      else 1.0
+    // smoothed KL(arrival ‖ trained): epsilon keeps cells one side never
+    // routed to finite instead of infinite — a monitor, not an estimator
+    val refMass = ref.cellMass.toMap
+    val curMass = cur.cellMass.toMap
+    val eps = 1e-6
+    val kl = (refMass.keySet ++ curMass.keySet).iterator.map { c =>
+      val p = curMass.getOrElse(c, 0.0) + eps
+      val q = refMass.getOrElse(c, 0.0) + eps
+      p * math.log(p / q)
+    }.sum
+    DriftReport(cur.n, cur.meanResidNorm, cur.p95ResidNorm, ratio, kl,
+      drifted = ratio > residRatioMax || kl > klMax)
+  }
+
+  private def writeDriftStats(spark: SparkSession, st: DriftStats,
+      path: String): Unit = {
+    import spark.implicits._
+    st.cellMass.toSeq.map { case (c, m) =>
+      (c, m, st.n, st.meanResidNorm, st.p95ResidNorm) }
+      .toDF("cell", "mass", "n", "mean_rn", "p95_rn")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeDriftStats]] table back (None if never written —
+    * pre-drift-monitor indexes stay readable).
+    */
+  def readDriftStats(spark: SparkSession, path: String): Option[DriftStats] = {
+    val rows =
+      try spark.read.parquet(path).collect()
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (rows.isEmpty) return Some(DriftStats(0, Array.empty, 0.0, 0.0))
+    val h = rows.head
+    Some(DriftStats(h.getLong(h.fieldIndex("n")),
+      rows.map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getDouble(r.fieldIndex("mass")))).sortBy(_._1),
+      h.getDouble(h.fieldIndex("mean_rn")),
+      h.getDouble(h.fieldIndex("p95_rn"))))
+  }
+
+  /** [[appendToIvf]] with the drift monitor wired in: score the batch
+    * against the index's stored build-time distribution (backfilling the
+    * stats from the persisted assignments if the index predates the
+    * monitor), append exactly as [[appendToIvf]] does, log the report as
+    * one row in the `drift_log` side table, and return it. A `drifted`
+    * report is the rebuild signal — the append still lands (arrivals
+    * must be searchable immediately; the DEGRADATION is recall, not
+    * correctness), mirroring how a lakehouse ingests first and compacts
+    * on signal.
+    */
+  def appendToIvfMonitored(spark: SparkSession, dir: String, df: DataFrame,
+      idCol: String, vecCol: String, residRatioMax: Double = 1.25,
+      klMax: Double = 0.5): DriftReport = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val ref = readDriftStats(spark, s"$dir/drift_stats").getOrElse {
+      val st = driftStats(spark, spark.read.parquet(s"$dir/assignments"),
+        "vec", centroids, unit = false)
+      writeDriftStats(spark, st, s"$dir/drift_stats") // backfill once
+      st
+    }
+    val report = driftReport(spark, df.select(col(vecCol)), vecCol,
+      centroids, ref, unit = false, residRatioMax, klMax)
+    appendToIvf(spark, dir, df, idCol, vecCol)
+    Seq((report.n, report.meanResidNorm, report.p95ResidNorm,
+        report.residRatio, report.massKl, report.drifted))
+      .toDF("n", "mean_rn", "p95_rn", "resid_ratio", "mass_kl", "drifted")
+      .coalesce(1).write.mode("append").parquet(s"$dir/drift_log")
+    report
   }
 
   /** Search a persisted IVF index: rank cells from the (tiny) centroid
@@ -669,6 +833,85 @@ object Similarity {
     })
     df.select(col(idCol).cast("long").as("id"), enc(col(vecCol)).as("e"))
       .select(col("id"), col("e._1").as("cell"), col("e._2").as("pq_codes"))
+  }
+
+  /** A durable [[IvfPqIndex]] plus its serving configuration — what
+    * [[readIvfPq]] reconstructs from disk. `clumpBound` is the build-time
+    * [[graft.operators.GraphAnn.pqClumpBound]] carried in the manifest so
+    * a fresh serving process passes it straight to the clump guard
+    * without re-scanning the corpus.
+    */
+  final case class IvfPqArtifacts(index: IvfPqIndex, clumpBound: Option[Int],
+      driftStats: Option[DriftStats] = None)
+
+  /** Persist EVERY training artifact of an IVF-PQ index — centroids, the
+    * per-subspace PQ codebook, the coded table (partitioned by cell, the
+    * [[writeIvf]] layout), and a one-row manifest carrying the subspace
+    * geometry and the build-time clump bound. This is what makes the PQ
+    * serving tier cold-start self-contained (the reference's index is
+    * always durable — `tools/aisearch.py:162-212` needs no training
+    * artifact at query time): without the codebook on disk, a fresh
+    * process cannot rebuild ADC tables, and a RETRAINED codebook would
+    * make every persisted code byte garbage. Artifacts are tiny
+    * (nCells·dim + subspaces·codes·subDim floats); the coded table is the
+    * only data-sized piece and it partition-prunes like the float tier's.
+    */
+  def writeIvfPq(index: IvfPqIndex, dir: String,
+      clumpBound: Option[Int] = None,
+      driftStats: Option[DriftStats] = None): Unit = {
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    // the coded table carries no float vectors, so the drift reference
+    // (unit-space [[Similarity.driftStats]] over the training corpus) is
+    // supplied by the builder — stored beside the codebook when given
+    driftStats.foreach(st =>
+      writeDriftStats(spark, st, s"$dir/drift_stats"))
+    index.coded.select(col("id"), col("cell"), col("pq_codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/coded")
+    index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val b = index.book
+    (for { sc <- 0 until b.subspaces; code <- b.centroids(sc).indices }
+      yield (sc, code, b.centroids(sc)(code).toSeq))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    Seq((b.subspaces, b.subDim, clumpBound))
+      .toDF("subspaces", "sub_dim", "clump_bound")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Reconstruct an [[IvfPqIndex]] from a [[writeIvfPq]] directory in a
+    * FRESH process — no in-memory training state survives, so every float
+    * must round-trip bit-exactly (parquet floats do): the rebuilt ADC
+    * tables, routing order (centroids sort by cell, [[buildIvf]]'s own
+    * order) and code bytes are identical to the build-time index, which
+    * is what pins cold-start searches row-identical to in-memory ones
+    * (gate v34). Driver state: centroids + codebook only; the coded
+    * table stays a lazy partition-pruned scan.
+    */
+  def readIvfPq(spark: SparkSession, dir: String): IvfPqArtifacts = {
+    val man = spark.read.parquet(s"$dir/manifest").head()
+    val subspaces = man.getInt(man.fieldIndex("subspaces"))
+    val subDim = man.getInt(man.fieldIndex("sub_dim"))
+    val cbIdx = man.fieldIndex("clump_bound")
+    val clump = if (man.isNullAt(cbIdx)) None else Some(man.getInt(cbIdx))
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("centroid")).toArray))
+      .sortBy(_._1)
+    val bySub = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
+        r.getSeq[Float](r.fieldIndex("centroid")).toArray))
+      .groupBy(_._1)
+    val centroids = Array.tabulate(subspaces) { sc =>
+      bySub(sc).sortBy(_._2).map(_._3)
+    }
+    val coded = spark.read.parquet(s"$dir/coded")
+      .select(col("id"), col("cell"), col("pq_codes"))
+    IvfPqArtifacts(
+      IvfPqIndex(cents, PqCodebook(subspaces, subDim, centroids), coded),
+      clump, readDriftStats(spark, s"$dir/drift_stats"))
   }
 
   /** Contrastive training triplets mined from the corpus itself — the

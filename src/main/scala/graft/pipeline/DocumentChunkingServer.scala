@@ -39,6 +39,24 @@ object DocumentChunkingServer {
         exchange.getResponseBody.write(bytes)
       } finally exchange.close()
     })
+    // the second skill endpoint the reference exposes (main.py:457-505):
+    // per-record embedding with errors-in-envelope — same one-line-wrapper
+    // discipline, all behavior in the pure TextEmbeddingJson edge
+    server.createContext("/text-embedding", (exchange: HttpExchange) => {
+      try {
+        val (status, body) =
+          if (exchange.getRequestMethod != "POST")
+            (405, """{"error":"method not allowed"}""")
+          else {
+            val request = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
+            TextEmbeddingJson.handle(request, embedder)
+          }
+        val bytes = body.getBytes(UTF_8)
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        exchange.sendResponseHeaders(status, bytes.length)
+        exchange.getResponseBody.write(bytes)
+      } finally exchange.close()
+    })
     server.setExecutor(null) // request-thread executor; one doc per call
     server.start()
     server

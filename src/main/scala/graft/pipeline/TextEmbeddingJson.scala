@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.services.{Embedder, HashingEmbedder}
+
+/** The `POST /text-embedding` skill edge as a pure function (SURVEY §3.1;
+  * /root/reference/main.py:457-505): the second skill API the reference
+  * exposes — `{values:[{recordId, data:{text}}]}` in,
+  * `{values:[{recordId, data:{embedding}, errors, warnings}]}` out, one
+  * output record per input record (unlike `/document-chunking`'s
+  * last-item-wins batch rule, this endpoint processes EVERY item), with
+  * per-record errors-in-envelope (an embed failure never 5xxs the batch).
+  *
+  * Same edge discipline as [[DocumentChunkingJson]]: `(requestJson,
+  * embedder) → (status, responseJson)` so the HTTP layer stays a one-line
+  * wrapper and the envelope is hermetically testable. The reference is
+  * deliberately tolerant here — no draft-04 schema: a missing `recordId`
+  * round-trips as null, a missing `data` or `text` embeds the empty
+  * string (`item.get("data", {}).get("text", "")`).
+  */
+object TextEmbeddingJson {
+
+  private val mapper = new ObjectMapper()
+
+  /** Handle one request. `embedder` is the AOAI boundary
+    * (main.py:472-489 `aoai_client.get_embeddings`); any exception it
+    * throws becomes that record's `errors` entry, mirroring the
+    * reference's per-record try/except.
+    */
+  def handle(requestJson: String,
+      embedder: Embedder = new HashingEmbedder(64)): (Int, String) = {
+    val body = try mapper.readTree(requestJson) catch {
+      case e: Exception => return (400, quoteError(s"Invalid JSON: ${e.getMessage}"))
+    }
+    // main.py:467-469: `if not body or "values" not in body` → 400
+    if (body == null || !body.isObject || body.get("values") == null ||
+        !body.get("values").isArray)
+      return (400, quoteError("Invalid body."))
+    val values = body.get("values")
+    val root = mapper.createObjectNode()
+    val out = root.putArray("values")
+    values.elements().forEachRemaining { item =>
+      val rec = out.addObject()
+      val rid: JsonNode = if (item.isObject) item.get("recordId") else null
+      if (rid == null) rec.putNull("recordId")
+      else rec.set("recordId", rid)
+      val data = if (item.isObject) item.get("data") else null
+      val text =
+        if (data != null && data.isObject && data.get("text") != null &&
+            data.get("text").isTextual) data.get("text").asText
+        else ""
+      val dataOut = rec.putObject("data")
+      val errs = rec.putArray("errors")
+      try {
+        val vec = embedder.embed(text)
+        val arr = dataOut.putArray("embedding")
+        vec.foreach(arr.add(_))
+      } catch {
+        case e: Exception =>
+          // data stays {} (main.py:481: data_payload only set on success)
+          dataOut.removeAll()
+          errs.addObject().put("message",
+            s"Error generating embeddings: ${e.getMessage}")
+      }
+      rec.putArray("warnings")
+    }
+    (200, mapper.writeValueAsString(root))
+  }
+
+  private def quoteError(msg: String): String = {
+    val n = mapper.createObjectNode()
+    n.put("error", msg)
+    mapper.writeValueAsString(n)
+  }
+}

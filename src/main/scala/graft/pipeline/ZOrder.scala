@@ -70,14 +70,16 @@ object ZOrder {
       val range = mx - mn + 1
       // integer-exact: (v − min)·2^bits div range — reproducible by any
       // engine with 64-bit integer arithmetic (the k9 oracle mirrors it).
-      // Clamped to [0, 2^bits): a value OUTSIDE the supplied range (stale
-      // catalog stats, a range narrower than the data) lands in the edge
-      // bucket — the lakehouse arrival semantics — instead of leaking
-      // high bits that interleave() would silently mask into a wrong
-      // slot. A no-op when ranges are the true min/max (the
-      // self-computing overload), so both overloads stay bit-identical.
-      greatest(lit(0L), least(lit((1L << bits) - 1L),
-        expr(s"((cast(`$c` as bigint) - ${mn}L) * ${1L << bits}L) div ${range}L")))
+      // The VALUE clamps into [mn, mx] BEFORE the multiply: a value far
+      // outside the supplied range (stale catalog stats, a range narrower
+      // than the data) must land in the edge bucket — the lakehouse
+      // arrival semantics — and clamping after the multiply would let
+      // (v − mn)·2^bits overflow Long, wrap negative, and clamp to the
+      // WRONG edge. Clamp-first bounds the product by range·2^bits. A
+      // no-op when ranges are the true min/max (the self-computing
+      // overload), so both overloads stay bit-identical.
+      expr(s"((greatest(${mn}L, least(${mx}L, cast(`$c` as bigint)))" +
+        s" - ${mn}L) * ${1L << bits}L) div ${range}L")
     }
     df.withColumn("zval", interleave(buckets, bits))
   }

@@ -175,18 +175,24 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
-    // A7: speaker-turn merge — fold consecutive same-key rows via lag +
-    // running sum (chunking/chunkers/transcription_chunker.py:83-102).
+    // A7: speaker-turn merge — fold consecutive same-key rows
+    // (chunking/chunkers/transcription_chunker.py:83-102), fused into the
+    // graft_turn_merge generator kernel (functions/TurnMerge.scala): ONE
+    // shuffle on the group key + a per-group in-memory sort-and-fold
+    // replaces the lag → running-sum → re-aggregate plan (exchange + sort
+    // + row-at-a-time WindowExec + a second exchange). Identical output:
+    // the fold order is the window's (ts, event_id) order, key equality
+    // is null-safe, and the oracle below is the declarative spec.
     "a7_turn_merge" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      graft.functions.GraftFunctions.register(s)
       load(s, d, "events")
-        .withColumn("chg",
-          when(lag($"event_type", 1).over(w) <=> $"event_type", lit(0)).otherwise(lit(1)))
-        .withColumn("run_id",
-          sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"run_id", $"event_type")
-        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .groupBy($"user_id")
+        .agg(collect_list(struct($"ts", $"event_id", $"event_type", $"value")).as("evs"))
+        .select($"user_id", graft.functions.GraftFunctions.turn_merge($"evs").as(
+          Seq("run_id", "event_type", "n_events", "sum_value")))
+        .select($"user_id", $"run_id", $"event_type", $"n_events",
+          round($"sum_value", 2).as("sum_value"))
         .orderBy($"user_id", $"run_id")
     }),
 

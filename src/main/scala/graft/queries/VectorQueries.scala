@@ -1057,6 +1057,164 @@ object VectorQueries {
       setsOk.crossJoin(broadcast(leaks)).crossJoin(broadcast(purgeOk))
     }),
 
+    // V34: COLD-START serving (r14 verdict item 1) — the PQ tier's one
+    // missing durability link: publishPqServing writes graph cells AND
+    // training artifacts (centroids + codebook + coded table + clump
+    // manifest) under ONE version, then a FRESH read path (readIvfPq —
+    // no in-memory IvfPqIndex, no clump memo, no retrain) serves through
+    // the published files row-identically to the in-memory index,
+    // unfiltered and filtered — the reference's self-contained-index
+    // property (tools/aisearch.py:162-212: query time needs no training
+    // state). Also pins the bit-exact artifact round-trip itself:
+    // centroids, codebook, clump bound, and the coded table.
+    "v34_pq_cold_start" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val nodes = Fixtures.cached(s, s"v28_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, emb, "vec_id", "embedding", index,
+          m = 8, efConstruction = 48))
+      val bound = Fixtures.cachedObj(s, s"v31_clump:$d")(
+        GraphAnn.pqClumpBound(nodes))
+      // one root per (session, sf), re-published per run (v32 note)
+      val root = Fixtures.cachedObj(s, s"v34_root:$d")(
+        java.nio.file.Files.createTempDirectory("graft-v34").toString)
+      GraphAnn.publishPqServing(nodes, index, root, Some(bound))
+      val v = graft.pipeline.VersionedIndex.currentVersion(root)
+        .getOrElse(sys.error(s"no published version under $root"))
+      // artifact round-trip: every float bit-exact, bound carried, coded
+      // table row-identical (a lossy round-trip would silently degrade
+      // every cold search instead of failing loudly here)
+      val art = Similarity.readIvfPq(s, s"$root/$v/artifacts")
+      val centsOk = art.index.centroids.length == index.centroids.length &&
+        art.index.centroids.zip(index.centroids).forall {
+          case ((ci, a), (cj, b)) =>
+            ci == cj && java.util.Arrays.equals(a, b) }
+      val bookOk = art.index.book.subspaces == index.book.subspaces &&
+        art.index.book.subDim == index.book.subDim &&
+        art.index.book.centroids.zip(index.book.centroids).forall {
+          case (sa, sb) => sa.length == sb.length &&
+            sa.zip(sb).forall { case (x, y) => java.util.Arrays.equals(x, y) } }
+      val boundOk = art.clumpBound.contains(bound)
+      def codedNorm(df: org.apache.spark.sql.DataFrame) =
+        df.select($"id", $"cell", $"pq_codes")
+      val codedDiff = codedNorm(art.index.coded)
+        .exceptAll(codedNorm(index.coded))
+        .unionByName(codedNorm(index.coded)
+          .exceptAll(codedNorm(art.index.coded)))
+        .agg((count(lit(1)) === 0).as("coded_roundtrip"))
+      val probes = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val nprobe = 4
+      val cold = GraphAnn.searchGraphRoutedPqColdStart(s, root, emb,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe,
+          k, ef = 64, rerankFactor = 16)
+        .localCheckpoint(true)
+      val mem = GraphAnn.searchGraphRoutedPq(
+        GraphAnn.restoreSegmentLocality(s.read.parquet(s"$root/$v/cells")),
+        index, emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe, k, ef = 64, rerankFactor = 16, clumpBound = Some(bound))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"probe_id", $"id", $"rank")
+      val diff = rows(cold).exceptAll(rows(mem))
+        .unionByName(rows(mem).exceptAll(rows(cold)))
+        .agg((count(lit(1)) === 0).as("matches_memory"))
+      // the filtered cold path too (v28 widths — survivor pool binds)
+      val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id".as("id"))
+      val fcold = GraphAnn.searchGraphRoutedPqColdStart(s, root, emb,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe, k,
+        ef = 256, rerankFactor = 64, allowed = Some(allowed))
+      val fmem = GraphAnn.searchGraphRoutedPqFiltered(
+        GraphAnn.restoreSegmentLocality(s.read.parquet(s"$root/$v/cells")),
+        index, emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        allowed, nprobe, k, ef = 256, rerankFactor = 64,
+        clumpBound = Some(bound))
+      val fdiff = rows(fcold).exceptAll(rows(fmem))
+        .unionByName(rows(fmem).exceptAll(rows(fcold)))
+        .agg((count(lit(1)) === 0).as("filtered_matches"))
+      val layoutOk = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/$v/cells")) &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/$v/artifacts/codebook"))
+      cold.groupBy($"probe_id").count()
+        .agg(count(lit(1)).as("n_probes"),
+          (min($"count") === k && max($"count") === k).as("all_k8"))
+        .crossJoin(broadcast(codedDiff)).crossJoin(broadcast(diff))
+        .crossJoin(broadcast(fdiff))
+        .select($"n_probes", $"all_k8", $"coded_roundtrip",
+          $"matches_memory", $"filtered_matches",
+          lit(centsOk && bookOk && boundOk).as("artifacts_bitexact"),
+          lit(layoutOk).as("one_version_layout"))
+    }),
+
+    // V35: append-path DRIFT MONITOR (r14 verdict item 4) — the
+    // no-retrain append discipline (appendToIvf, appendGraphCellsPq)
+    // accepts unbounded distribution drift silently; this gate pins the
+    // monitor that makes "retrain via a scheduled rebuild" an actionable
+    // signal instead of a doc comment. Float tier: writeIvf stores the
+    // build-time distribution, appendToIvfMonitored scores each batch,
+    // logs it to the drift_log side table, and still lands the append.
+    // PQ tier: appendGraphCellsPqMonitored scores in the index's unit
+    // space. Both directions pinned: an in-distribution batch (a modular
+    // sample of the corpus) must NOT trip; a planted drifted batch
+    // (+2.0 per dimension — new raw region AND new routing mass) MUST.
+    "v35_append_drift" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val index = Fixtures.cachedObj(s, s"v15_ivf:$d")(
+        Similarity.buildIvf(s, emb, "vec_id", "embedding", nCells = 16,
+          iters = 2))
+      // fresh persisted dir per run: the gate exercises the real
+      // write → append → drift_log loop end to end
+      val dir = java.nio.file.Files.createTempDirectory("graft-v35")
+        .toString + "/ivf"
+      Similarity.writeIvf(index, dir)
+      val nEmb = emb.count()
+      val inDist = emb.filter($"vec_id" % 3 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      val drifted = emb.filter($"vec_id" % 3 === 1)
+        .select(($"vec_id" + 2000000L).as("vec_id"),
+          expr("transform(embedding, x -> x + 2.0f)").as("embedding"))
+      val r1 = Similarity.appendToIvfMonitored(s, dir, inDist,
+        "vec_id", "embedding")
+      val r2 = Similarity.appendToIvfMonitored(s, dir, drifted,
+        "vec_id", "embedding")
+      val logRows = s.read.parquet(s"$dir/drift_log").count()
+      val landed = s.read.parquet(s"$dir/assignments").count() ==
+        nEmb + r1.n + r2.n
+      // PQ tier: the unit-space monitor on the graph append
+      val pq = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val ref = Fixtures.cachedObj(s, s"v35_ref:$d")(
+        Similarity.driftStats(s, emb.select($"embedding"), "embedding",
+          pq.centroids, unit = true))
+      val nodes = Fixtures.cached(s, s"v28_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, emb, "vec_id", "embedding", pq,
+          m = 8, efConstruction = 48))
+      val (g1, p1) = GraphAnn.appendGraphCellsPqMonitored(nodes, inDist,
+        "vec_id", "embedding", pq, ref, m = 8, efConstruction = 48)
+      val (_, p2) = GraphAnn.appendGraphCellsPqMonitored(nodes, drifted,
+        "vec_id", "embedding", pq, ref, m = 8, efConstruction = 48)
+      val pqLanded = g1.count() == nodes.count() + p1.n
+      s.range(1).select(
+        lit(!r1.drifted).as("float_in_dist_clean"),
+        lit(r2.drifted).as("float_drift_tripped"),
+        lit(!p1.drifted).as("pq_in_dist_clean"),
+        lit(p2.drifted).as("pq_drift_tripped"),
+        lit(r2.residRatio > r1.residRatio && p2.massKl > p1.massKl)
+          .as("metrics_ordered"),
+        lit(logRows == 2L).as("log_rows_ok"),
+        lit(landed && pqLanded).as("appends_landed"))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -1434,6 +1592,16 @@ object VectorQueries {
     "v33_pq_lifecycle_published" ->
       """SELECT true AS keystone_ok, true AS no_leaks,
         | true AS purge_conserved""".stripMargin,
+    "v34_pq_cold_start" ->
+      """SELECT CAST(4 AS BIGINT) AS n_probes, true AS all_k8,
+        | true AS coded_roundtrip, true AS matches_memory,
+        | true AS filtered_matches, true AS artifacts_bitexact,
+        | true AS one_version_layout""".stripMargin,
+    "v35_append_drift" ->
+      """SELECT true AS float_in_dist_clean, true AS float_drift_tripped,
+        | true AS pq_in_dist_clean, true AS pq_drift_tripped,
+        | true AS metrics_ordered, true AS log_rows_ok,
+        | true AS appends_landed""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",

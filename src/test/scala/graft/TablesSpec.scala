@@ -68,4 +68,28 @@ class TablesSpec extends AnyFunSuite {
     val n = df.select(unix_millis(max(col("ts")))).as[Long].head()
     assert(n > 0L)
   }
+
+  test("parquetLongStats memo stays bounded across rewrites and serves fresh stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString + "/t"
+    val before = Tables.statsMemoSize
+    // a rewrite-heavy loop (the zOrderWrite usage pattern): each rewrite
+    // changes the fingerprint, so a fingerprint-keyed memo would grow by
+    // one dead entry per pass — the bounded memo REPLACES its entry
+    for (i <- 1 to 5) {
+      Seq((i.toLong, i.toLong * 10), (i.toLong + 100, i.toLong * 20))
+        .toDF("a", "b").write.mode("overwrite").parquet(dir)
+      val s = Tables.parquetLongStats(spark, dir, Seq("a", "b"))
+      assert(s.isDefined, s"pass $i must read footer stats")
+      assert(s.get("a") == ((i.toLong, i.toLong + 100)),
+        s"pass $i must see the FRESH min/max, not a stale memo entry")
+      // memoized path returns the same result
+      assert(Tables.parquetLongStats(spark, dir, Seq("a", "b")) == s)
+    }
+    assert(Tables.statsMemoSize <= before + 1,
+      "five rewrites of one path must hold at most ONE memo entry")
+    // a failed read (missing column) is not cached: the entry for the
+    // path is dropped, and a subsequent good read succeeds
+    assert(Tables.parquetLongStats(spark, dir, Seq("a", "nope")).isEmpty)
+    assert(Tables.parquetLongStats(spark, dir, Seq("a", "b")).isDefined)
+  }
 }

@@ -113,4 +113,32 @@ class IvfPqSpec extends AnyFunSuite {
     assert(batch.length == singles.length)
     assert(batch.sameElements(singles))
   }
+
+  test("writeIvfPq/readIvfPq round-trips every artifact bit-exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt").toString
+    Similarity.writeIvfPq(index, s"$base/art", clumpBound = Some(7))
+    val art = Similarity.readIvfPq(spark, s"$base/art")
+    assert(art.clumpBound.contains(7), "manifest must carry the clump bound")
+    assert(art.index.centroids.length == index.centroids.length)
+    art.index.centroids.zip(index.centroids).foreach { case ((ci, a), (cj, b)) =>
+      assert(ci == cj, "centroid order must be the build order (cell asc)")
+      assert(java.util.Arrays.equals(a, b), s"centroid $ci must round-trip bit-exactly")
+    }
+    assert(art.index.book.subspaces == index.book.subspaces)
+    assert(art.index.book.subDim == index.book.subDim)
+    art.index.book.centroids.zip(index.book.centroids).zipWithIndex.foreach {
+      case ((sa, sb), sc) =>
+        assert(sa.length == sb.length)
+        sa.zip(sb).foreach { case (x, y) =>
+          assert(java.util.Arrays.equals(x, y), s"codebook sub $sc must round-trip") }
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cell", $"pq_codes")
+    assert(norm(art.index.coded).exceptAll(norm(index.coded)).isEmpty &&
+      norm(index.coded).exceptAll(norm(art.index.coded)).isEmpty,
+      "coded table must round-trip row-identically")
+    // an unset clump bound round-trips as None, not 0
+    Similarity.writeIvfPq(index, s"$base/art2")
+    assert(Similarity.readIvfPq(spark, s"$base/art2").clumpBound.isEmpty)
+  }
 }

@@ -84,6 +84,19 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z.values.forall(v => v >= 0 && v < 8))
   }
 
+  test("values FAR outside the range (multiply-overflow scenario) clamp to the correct edge") {
+    // (v − mn)·2^bits overflows Long for v ≈ 2^61 at bits=3 — clamp-first
+    // semantics must still land these in the intended edge buckets, not
+    // wrap negative and clamp to the wrong side
+    val df = Seq(Long.MaxValue / 4, Long.MinValue / 4, 3L).toDF("a")
+    val z = ZOrder.withZValue(df, Seq("a"), bits = 3,
+        Map("a" -> ((0L, 7L))))
+      .select($"a", $"zval").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(z(Long.MaxValue / 4) == 7L, "huge above-range value must clamp to the TOP bucket")
+    assert(z(Long.MinValue / 4) == 0L, "huge below-range value must clamp to bucket 0")
+    assert(z(3L) == 3L)
+  }
+
   test("empty input yields zero rows with the zval column present") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     val z = ZOrder.withZValue(empty, Seq("x", "y"), bits = 8)
