@@ -44,12 +44,21 @@ def main(sf_dir, out_dir):
     for q in QUERIES:
         sql = oracle[q]
         con.execute(sql).fetchall()  # warm: footers, casts, plan
-        t0 = time.monotonic()
-        n = len(con.execute(sql).fetchall())
-        times[q] = round(time.monotonic() - t0, 3)
+        # best-of-3 timed samples — the SAME sampling policy Bench.scala
+        # applies to the Spark side (warm + up to 3 samples, min). A
+        # single draw vs best-of-N is an asymmetric estimator; keeping
+        # both sides min-of-N makes the anchor ratio comparable.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            n = len(con.execute(sql).fetchall())
+            best = min(best, time.monotonic() - t0)
+        times[q] = round(best, 3)
         print(f"{q}: {times[q]}s ({n} rows)")
     anchor = {"engine": "duckdb", "version": duckdb.__version__,
-              "threads": os.cpu_count(), "sf": sf_dir, "queries": times}
+              "threads": os.cpu_count(), "sf": sf_dir,
+              "sampling": "warm + best-of-3 (matches Bench.scala best-of sampling)",
+              "queries": times}
     with open("DUCKDB_ANCHOR.json", "w") as f:
         json.dump(anchor, f, indent=1)
     print("wrote DUCKDB_ANCHOR.json")

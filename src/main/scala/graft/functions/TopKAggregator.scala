@@ -48,3 +48,37 @@ class TopKByScore(k: Int)
   override def outputEncoder: Encoder[List[(Long, Double)]] =
     ExpressionEncoder[List[(Long, Double)]]()
 }
+
+/** [[TopKByScore]] for (token, count) pairs ordered by (count desc, token
+  * asc) — the vocabulary-selection order. Lets a model trainer take its
+  * top-V vocabulary IN THE SAME aggregate as corpus-level sums
+  * (`agg(sum(c), topTokens(tok, c))`), replacing an agg action + a
+  * TakeOrdered action with one job over the counts table.
+  */
+class TopTokensByCount(k: Int)
+    extends Aggregator[(String, Long), List[(String, Long)], List[(String, Long)]] {
+  require(k > 0, s"k must be positive, got $k")
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+  private val ord: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), (Long, String)] { case (tok, c) => (-c, tok) }
+
+  override def zero: List[(String, Long)] = Nil
+
+  private def bounded(xs: List[(String, Long)]): List[(String, Long)] =
+    xs.sorted(ord).take(k)
+
+  override def reduce(buf: List[(String, Long)], in: (String, Long)): List[(String, Long)] =
+    if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && ord.lteq(buf.last, in)) buf
+    else bounded(in :: buf)
+
+  override def merge(a: List[(String, Long)], b: List[(String, Long)]): List[(String, Long)] =
+    bounded(a ::: b)
+
+  override def finish(buf: List[(String, Long)]): List[(String, Long)] = buf.sorted(ord)
+
+  override def bufferEncoder: Encoder[List[(String, Long)]] =
+    ExpressionEncoder[List[(String, Long)]]()
+  override def outputEncoder: Encoder[List[(String, Long)]] =
+    ExpressionEncoder[List[(String, Long)]]()
+}

@@ -698,8 +698,11 @@ object Dedup {
     * was claimed elsewhere disappear (n_paras would be 0).
     */
   def dropDuplicateParagraphs(df: DataFrame, idCol: String,
-      paragraphs: Column, sep: String = " "): DataFrame = {
-    val paras = explodeParas(df, idCol, paragraphs)
+      paragraphs: Column, sep: String = " ",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val paras = df.select(col(idCol).cast("long").as("id") +:
+        carryCols.map(col) :+
+        posexplode(paragraphs).as(Seq("p_idx", "p_text")): _*)
       .withColumn("_fp", md5(col("p_text")))
     // The keeper CARRIES ITS OWN TEXT: min over (id, p_idx, p_text) picks
     // the same (min id, min p_idx) occurrence — the pair is unique within
@@ -710,16 +713,24 @@ object Dedup {
     // full occurrence list a second time for the join): one scan, two
     // aggregations, and the shuffle after partial combine carries one
     // struct per distinct paragraph per partition, exactly what the old
-    // keeper side alone carried.
+    // keeper side alone carried. `carryCols` (id-functional columns the
+    // caller needs downstream, e.g. lang) ride the same structs — struct
+    // min compares fields in order and (id, p_idx) is already unique, so
+    // appended fields never decide a keeper; carrying them removes the
+    // caller's join back to the source table (one exchange + a broadcast
+    // build at any scale).
     paras.groupBy(col("_fp"))
-      .agg(min(struct(col("id"), col("p_idx"), col("p_text"))).as("_k"))
-      .select(col("_k.id").as("id"), col("_k.p_idx").as("p_idx"),
-        col("_k.p_text").as("p_text"))
+      .agg(min(struct(Seq(col("id"), col("p_idx"), col("p_text")) ++
+        carryCols.map(col): _*)).as("_k"))
+      .select(col("_k.id").as("id") +: col("_k.p_idx").as("p_idx") +:
+        col("_k.p_text").as("p_text") +:
+        carryCols.map(c => col(s"_k.$c").as(c)): _*)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_paras"),
         array_join(transform(
           array_sort(collect_list(struct(col("p_idx"), col("p_text")))),
-          x => x.getField("p_text")), sep).as("text_deduped"))
+          x => x.getField("p_text")), sep).as("text_deduped") +:
+        carryCols.map(c => min(col(c)).as(c)): _*)
   }
 
   /** Ingest-time paragraph dedup against an EXISTING corpus index: incoming

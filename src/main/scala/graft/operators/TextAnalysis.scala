@@ -317,14 +317,19 @@ object TextAnalysis {
     // separate corpus-sized count() pass is gone
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val nRef = Option(counts.agg(sum(col("c"))).head().get(0))
+    // corpus total AND top-V vocabulary from ONE action: the bounded-heap
+    // TopTokensByCount rides the same aggregate as the sum (same (count
+    // desc, token asc) selection order the orderBy+limit pass used), so
+    // training costs one job here instead of an agg action + a
+    // TakeOrdered action
+    val topTokens = udaf(new graft.functions.TopTokensByCount(vocabSize))
+    val statsRow = counts.agg(sum(col("c")).as("n"),
+      topTokens(col("tok"), col("c")).as("top")).head()
+      val nRef = Option(statsRow.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val top = counts
-        .orderBy(col("c").desc, col("tok").asc)
-        .limit(vocabSize)
-        .collect()
-      val vocab: Map[String, Long] =
-        top.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vocab: Map[String, Long] = statsRow
+        .getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       val oov = nRef - vocab.valuesIterator.sum
       val proto = BigramLm(vocab, Map.empty, nRef, oov, alpha)
       val bVocab = spark.sparkContext.broadcast(proto)

@@ -431,9 +431,12 @@ object Coverage8 {
     "d11_paragraph_dedup" -> ((s, d) => {
       import s.implicits._
       val docs = load(s, d, "documents")
-      Dedup.dropDuplicateParagraphs(docs, "doc_id", paraWindows($"text"))
+      // lang is id-functional: carrying it through the dedup aggregates
+      // replaces the join back to documents (one exchange + a broadcast
+      // build fewer at any scale)
+      Dedup.dropDuplicateParagraphs(docs, "doc_id", paraWindows($"text"),
+          carryCols = Seq("lang"))
         .withColumnRenamed("id", "doc_id")
-        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_paras").as("paras_kept"),
           sum(length($"text_deduped")).as("chars_kept"))

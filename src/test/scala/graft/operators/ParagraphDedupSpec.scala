@@ -33,6 +33,27 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(got == Set(1L))
   }
 
+  test("carryCols ride through unchanged and never decide a keeper") {
+    val docs = Seq(
+      (1L, "boiler|alpha|beta", "en", 10L),
+      (2L, "boiler|gamma", "de", 20L),
+      (3L, "delta|boiler|alpha", "zz", 30L) // carry sorts OPPOSITE to id
+    ).toDF("doc_id", "text", "lang", "w")
+    val base = Dedup.dropDuplicateParagraphs(docs, "doc_id", paras, "|")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val carried = Dedup.dropDuplicateParagraphs(docs, "doc_id", paras, "|",
+        carryCols = Seq("lang", "w"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    // identical dedup outcome (keeper choice unaffected by carried fields)
+    assert(base.keySet == carried.keySet)
+    base.foreach { case (id, (n, text)) =>
+      assert((carried(id)._1, carried(id)._2) == ((n, text))) }
+    // carried values are the source row's own
+    assert(carried(1L)._3 == "en" && carried(1L)._4 == 10L)
+    assert(carried(3L)._3 == "zz" && carried(3L)._4 == 30L)
+  }
+
   test("bloomAntiJoin equals the exact anti-join on real corpus fingerprints") {
     val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
       .select($"doc_id", md5($"text").as("_fp"))
