@@ -380,11 +380,14 @@ object GraphAnn {
     * from ONE self-join of the capped edge list, scores from the
     * codegen'd cosine kernel after joining the vectors back in, and each
     * node keeps its best k via the bounded-heap aggregator — one
-    * iteration is two vector joins plus an ≤ n·(2k)² candidate shuffle,
-    * the documented NN-Descent cost (`sampleRate` further thins pairs as
-    * a deterministic hash filter). Per-node best-k is MONOTONE across
-    * iterations (the capped adjacency always contains the node's current
-    * top-k), which the spec pins.
+    * iteration is two vector joins over the FRESH candidates plus an
+    * ≤ n·(2k)² candidate shuffle, the documented NN-Descent cost
+    * (`sampleRate` further thins pairs as a deterministic hash filter;
+    * pairs the running adjacency already carries re-enter the fold with
+    * their stored sims instead of re-joining the vector table — r15, a
+    * pure cost cut since cosine is deterministic). Per-node best-k is
+    * MONOTONE across iterations (the capped adjacency always contains
+    * the node's current top-k), which the spec pins.
     *
     * Init is deterministic LSH-style bucketing under two hash salts
     * (nodes sharing either bucket are initial candidates), so the whole
@@ -412,7 +415,8 @@ object GraphAnn {
     */
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 4, sampleRate: Double = 1.0,
-      adjCap: Int = -1, candidateSlices: Int = 1): DataFrame = {
+      adjCap: Int = -1, candidateSlices: Int = 1,
+      foldCarriedSims: Option[Boolean] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(k > 0 && iters >= 0, "k and iters must be positive")
@@ -433,7 +437,10 @@ object GraphAnn {
     val big = n > 100000
     def pinned(df: DataFrame, strategy: String): DataFrame =
       if (big) df.hint(strategy) else df
-    def bestK(pairs: DataFrame): DataFrame =
+    // score NEW candidate pairs only — known pairs carry their sims
+    // through the fold (cosine is deterministic, so a carried sim equals
+    // a recomputed one bit-for-bit and the fold order cannot change)
+    def scorePairs(pairs: DataFrame): DataFrame =
       pairs
         .dropDuplicates("id", "nbr") // dup candidates would repeat in top-k
         .join(pinned(vecs.select(col("id"), col("vec").as("_va")),
@@ -442,10 +449,15 @@ object GraphAnn {
           "shuffle_hash"), Seq("nbr"))
         .withColumn("sim",
           graft.functions.GraftFunctions.cosine_f32(col("_va"), col("_vb")))
+        .select(col("id"), col("nbr"), col("sim"))
+    def foldTopK(cands: DataFrame): DataFrame =
+      cands
+        .dropDuplicates("id", "nbr") // a pair can arrive via two pivots
         .groupBy(col("id"))
         .agg(topk(col("nbr"), col("sim")).as("top"))
         .select(col("id"), explode(col("top")).as("e"))
         .select(col("id"), col("e._1").as("nbr"), col("e._2").as("sim"))
+    def bestK(pairs: DataFrame): DataFrame = foldTopK(scorePairs(pairs))
     // two salted bucket families; ~2k expected co-bucketed mates per node
     // (edge self-joins pinned to sort-merge above the size threshold —
     // see `pinned`)
@@ -478,12 +490,19 @@ object GraphAnn {
       // adjacency at its best 2k by sim (the paper's ρ-sampling made
       // deterministic and similarity-aware) so pairs through ANY node are
       // ≤ (2k)² however clumped the corpus.
-      val undirected = (if (cap == Int.MaxValue) sym.select(col("id"), col("nbr"))
+      // undirected CARRIES its sims (the stored edge sims — cosine is
+      // symmetric, so a reversed edge's sim is the original's): the fold
+      // below then re-joins vectors ONLY for fresh 2-hop candidates,
+      // never for the running adjacency — per round that removes two
+      // vector joins over the n·cap running set, the dominant repeated
+      // cost of the sliced build's S sequential folds (and one full
+      // re-score per iteration of the unsliced build)
+      val undirected = (if (cap == Int.MaxValue) sym
         else sym
           .groupBy(col("id"))
           .agg(topCap(col("nbr"), col("sim")).as("top"))
           .select(col("id"), explode(col("top")).as("e"))
-          .select(col("id"), col("e._1").as("nbr")))
+          .select(col("id"), col("e._1").as("nbr"), col("e._2").as("sim")))
         .localCheckpoint(true) // read twice by the self-join
       val slices = math.max(1, candidateSlices)
       def thin(pairs: DataFrame): DataFrame =
@@ -491,6 +510,28 @@ object GraphAnn {
         else pairs.filter(
           pmod(hash(col("id"), col("nbr")), lit(1000000)) <
             lit((sampleRate * 1000000).toLong))
+      // score only pairs NOT already carried by `base`, then fold the
+      // union — candidate set and sims identical to scoring everything
+      // (spec-pinned as `foldCarriedSims`-invariant). Size-gated like
+      // `pinned`: at corpus scale the two saved vector joins over the
+      // n·cap running set dominate the anti-join's extra stages; at gate
+      // scale the extra stages dominate (A/B measured: v22 8.3 → 9.0 s,
+      // 66 → 78 jobs carried), so small builds keep the score-everything
+      // shape. `foldCarriedSims = Some(true)` lets the spec pin path
+      // equality at unit scale.
+      val carry = foldCarriedSims.getOrElse(big)
+      def foldFresh(hop: DataFrame, base: DataFrame): DataFrame =
+        if (carry)
+          // the anti-join's base side MUST pin like every other corpus-
+          // scale join here: the estimator undercounts the checkpoint
+          // lineage and broadcasts the n·cap edge set (measured: OOM at
+          // 512k in the 8 GB/16-thread harness, stage-71 heap death —
+          // the r14 misfire class, #9)
+          foldTopK(scorePairs(thin(hop)
+              .join(pinned(base.select(col("id"), col("nbr")), "merge"),
+                Seq("id", "nbr"), "left_anti"))
+            .unionByName(base))
+        else bestK(thin(hop).unionByName(base.select(col("id"), col("nbr"))))
       if (slices == 1) {
         val twoHop = undirected
           .join(pinned(undirected
@@ -501,7 +542,7 @@ object GraphAnn {
         // the capped adjacency always contains the node's current top-k
         // (the cap keeps the best 2k incident sims) -> per-node best-k
         // stays monotone across iterations
-        edges = bestK(thin(twoHop).unionByName(undirected)).localCheckpoint(true)
+        edges = foldFresh(twoHop, undirected).localCheckpoint(true)
       } else {
         // sliced generation: band the PIVOT node (the 2-hop join key), fold
         // each band through the top-k accumulator before the next band
@@ -515,10 +556,8 @@ object GraphAnn {
               Seq("nbr"))
             .select(col("id"), col("nbr2").as("nbr"))
             .filter(col("id") =!= col("nbr"))
-          val cand = thin(hop)
-            .unionByName(if (s == 0) undirected
-              else edges.select(col("id"), col("nbr")))
-          edges = bestK(cand).localCheckpoint(true)
+          edges = foldFresh(hop, if (s == 0) undirected else edges)
+            .localCheckpoint(true)
         }
       }
     }

@@ -140,6 +140,20 @@ class GraphAnnSpec extends AnyFunSuite {
     val slicedR = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k,
       iters = 2, sampleRate = 0.5, candidateSlices = 3))
     assert(slicedR == wholeR, "sliced+sampled build diverged")
+    // the carried-sims fold (the corpus-scale path: known pairs re-enter
+    // the fold with stored sims instead of re-joining the vector table)
+    // is edge-identical on every combination — cosine is deterministic,
+    // so a carried sim equals a recomputed one bit-for-bit
+    val carried = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k,
+      iters = 2, foldCarriedSims = Some(true)))
+    assert(carried == whole, "carried-sims fold diverged (unsliced)")
+    val carriedS = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k,
+      iters = 2, candidateSlices = 4, foldCarriedSims = Some(true)))
+    assert(carriedS == whole, "carried-sims fold diverged (sliced)")
+    val carriedR = flat(GraphAnn.nnDescent(emb, "vec_id", "embedding", k,
+      iters = 2, sampleRate = 0.5, candidateSlices = 3,
+      foldCarriedSims = Some(true)))
+    assert(carriedR == wholeR, "carried-sims fold diverged (sliced+sampled)")
   }
 
   test("orphaned directed components are still found (multi-entry roots)") {
