@@ -17,16 +17,24 @@ object ListenerDrain {
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
     } catch {
       // an interrupt is a request to STOP, not to nap: restore the flag so
-      // the caller's next blocking point sees it (reflection delivers it
-      // wrapped in InvocationTargetException)
+      // the caller's next blocking point sees it
       case _: InterruptedException => Thread.currentThread().interrupt()
-      case e: java.lang.reflect.InvocationTargetException
-          if e.getCause.isInstanceOf[InterruptedException] =>
-        Thread.currentThread().interrupt()
-      // fatal errors (OOM etc.) propagate; only the expected
-      // internal-API-moved case falls back to the short settle sleep
-      case scala.util.control.NonFatal(_) =>
-        try Thread.sleep(30)
-        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      // Method.invoke wraps EVERY throwable from the target in
+      // InvocationTargetException — which NonFatal would match — so the
+      // cause must be unwrapped first or a wrapped OutOfMemoryError would
+      // be swallowed into a 30 ms nap. Fatal causes rethrow; an
+      // interrupted target restores the flag; only genuinely non-fatal
+      // failures (the internal API moved) fall back to the settle sleep.
+      case e: java.lang.reflect.InvocationTargetException =>
+        e.getCause match {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case c if c != null && !scala.util.control.NonFatal(c) => throw c
+          case _ => settle()
+        }
+      case scala.util.control.NonFatal(_) => settle()
     }
+
+  private def settle(): Unit =
+    try Thread.sleep(30)
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
 }

@@ -109,10 +109,12 @@ object Tables {
   // keyed by (path, cols) with the file fingerprint INSIDE the value: a
   // rewrite of the path replaces (never accumulates beside) the old entry,
   // so a long-lived process rewriting one table holds exactly one entry per
-  // (path, cols) — and only SUCCESSFUL reads memoize, so a transient IO
-  // error during the footer walk never pins the aggregate fallback.
+  // (path, cols). DETERMINISTIC results memoize — including the negative
+  // "this fingerprint has no integral stats" (or the call re-walks every
+  // footer on every call forever); a transient IO error never caches, so
+  // it cannot pin the aggregate fallback.
   private val statsMemo = new scala.collection.concurrent.TrieMap[
-    (String, Seq[String]), (String, Map[String, (Long, Long)])]()
+    (String, Seq[String]), (String, Option[Map[String, (Long, Long)]])]()
 
   private[graft] def statsMemoSize: Int = statsMemo.size
 
@@ -157,10 +159,12 @@ object Tables {
     if (listed.isEmpty) return None
     val (files, fingerprint) = listed.get
     statsMemo.get((path, cols)) match {
-      case Some((fp, stats)) if fp == fingerprint => return Some(stats)
+      case Some((fp, cached)) if fp == fingerprint => return cached
       case _ => ()
     }
-    val computed: Option[Map[String, (Long, Long)]] =
+    // Some(result) = deterministic walk outcome (cacheable, even when the
+    // result is "no stats"); None = transient failure (never cached)
+    val walked: Option[Option[Map[String, (Long, Long)]]] =
       try {
         var acc = Map.empty[String, (Long, Long)]
         files.foreach { f =>
@@ -187,17 +191,23 @@ object Tables {
             }
           } finally reader.close()
         }
-        if (cols.forall(acc.contains)) Some(acc) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-    computed match {
+        Some(if (cols.forall(acc.contains)) Some(acc) else None)
+      } catch {
+        // thrown by the walk itself when a row group lacks integral
+        // stats — deterministic for this fingerprint, cache the negative
+        case _: IllegalStateException => Some(None)
+        // IO/transient: do not cache, retry next call
+        case scala.util.control.NonFatal(_) => None
+      }
+    walked match {
       // replace-on-write: the fingerprint lives in the value, so a rewrite
       // of the path swaps the entry instead of growing the memo
-      case Some(stats) => statsMemo.update((path, cols), (fingerprint, stats))
-      // a None (transient IO error, or genuinely missing stats) is never
-      // cached — and a stale entry for a superseded fingerprint is dropped
-      // rather than left to shadow the next successful read
+      case Some(result) => statsMemo.update((path, cols), (fingerprint, result))
+      // a transient failure is never cached — and a stale entry for a
+      // superseded fingerprint is dropped rather than left to shadow the
+      // next successful read
       case None => statsMemo.remove((path, cols))
     }
-    computed
+    walked.flatten
 }
 }

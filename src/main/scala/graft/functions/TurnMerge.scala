@@ -21,12 +21,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * shape: after one partial-agg-free `collect_list` shuffle on the group
   * key, the whole chain is a tight in-memory loop, and the fold order is
   * exactly the window's (ts, event_id) order so results are identical.
-  * The per-group buffer equals WindowExec's own unbounded-frame buffer,
-  * so the memory profile at 100 TB is the same — one group in memory per
-  * task at a time.
   *
-  * Key comparison is null-safe (`lag(...) <=> key` in the declarative
-  * form): two consecutive null keys continue one run.
+  * MEMORY, honestly: WindowExec's unbounded-frame buffer is an
+  * `ExternalAppendOnlyUnsafeRowArray` that SPILLS a hot partition to
+  * disk; `collect_list` + this kernel hold one group's events as JVM
+  * objects and do not. The fused form is therefore for the
+  * bounded-per-group regime (events per user/speaker — the a7 shape);
+  * a corpus with million-event hot keys should keep the declarative
+  * window form, which stays available as the oracle's spec.
+  *
+  * Null semantics match the declarative form exactly (spec-pinned):
+  * key comparison is null-safe (`lag(...) <=> key`) so consecutive null
+  * keys continue one run; a group whose FIRST key is null starts at
+  * run_id 0 (the lag seed is null, so `null <=> null` makes the first
+  * chg 0) while a non-null first key starts at 1; a run whose every
+  * value is null sums to NULL, not 0.0. Null ARRAY ELEMENTS are skipped
+  * (no declarative analog — rows cannot be null); null ts/event_id sort
+  * as 0, matching nothing in particular — the a7 table's keys are
+  * non-null by construction.
   */
 case class TurnMerge(children: Seq[Expression])
     extends Generator with CodegenFallback {
@@ -50,29 +62,40 @@ case class TurnMerge(children: Seq[Expression])
     StructField("run_id", LongType, nullable = false),
     StructField("event_type", StringType, nullable = true),
     StructField("n_events", LongType, nullable = false),
-    StructField("sum_value", DoubleType, nullable = false)))
+    // null when every value in the run is null — sum()'s semantics
+    StructField("sum_value", DoubleType, nullable = true)))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = children.head.eval(input).asInstanceOf[ArrayData]
     if (arr == null || arr.numElements() == 0) return Iterator.empty
-    val n = arr.numElements()
+    val total = arr.numElements()
     // materialize (ts, id, key, value); key is copied out of the unsafe
-    // buffer (UTF8String from an UnsafeArrayData aliases backing bytes)
-    val ts = new Array[Long](n)
-    val ids = new Array[Long](n)
-    val keys = new Array[UTF8String](n)
-    val vals = new Array[Double](n)
+    // buffer (UTF8String from an UnsafeArrayData aliases backing bytes);
+    // null array ELEMENTS are skipped (rows cannot be null in the
+    // declarative form, so there is nothing to reproduce for them)
+    val ts = new Array[Long](total)
+    val ids = new Array[Long](total)
+    val keys = new Array[UTF8String](total)
+    val vals = new Array[Double](total)
+    val valNull = new Array[Boolean](total)
+    var n = 0
+    var e = 0
+    while (e < total) {
+      if (!arr.isNullAt(e)) {
+        val r = arr.getStruct(e, 4)
+        ts(n) = if (r.isNullAt(0)) 0L else r.getLong(0)
+        ids(n) = if (r.isNullAt(1)) 0L else r.getLong(1)
+        keys(n) = if (r.isNullAt(2)) null else r.getUTF8String(2).clone()
+        valNull(n) = r.isNullAt(3)
+        vals(n) = if (valNull(n)) 0.0 else r.getDouble(3)
+        n += 1
+      }
+      e += 1
+    }
+    if (n == 0) return Iterator.empty
     val order = new Array[Integer](n)
     var i = 0
-    while (i < n) {
-      val r = arr.getStruct(i, 4)
-      ts(i) = r.getLong(0)
-      ids(i) = r.getLong(1)
-      keys(i) = if (r.isNullAt(2)) null else r.getUTF8String(2).clone()
-      vals(i) = if (r.isNullAt(3)) 0.0 else r.getDouble(3)
-      order(i) = i
-      i += 1
-    }
+    while (i < n) { order(i) = i; i += 1 }
     // the window's ORDER BY (ts, event_id)
     java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
       val c = java.lang.Long.compare(ts(a), ts(b))
@@ -84,19 +107,29 @@ case class TurnMerge(children: Seq[Expression])
     var runKey: UTF8String = null
     var runN = 0L
     var runSum = 0.0
+    var runNonNull = 0L // sum over all-null values is NULL, like sum()
     var started = false
     def emit(): Unit =
-      out += InternalRow(runId, runKey, runN, runSum)
+      out += InternalRow(runId, runKey, runN,
+        if (runNonNull == 0) null else runSum)
     i = 0
     while (i < n) {
       val j = order(i)
       val k = keys(j)
       val same = started &&
         (if (runKey == null) k == null else k != null && runKey.equals(k))
-      if (same) { runN += 1; runSum += vals(j) }
-      else {
+      if (same) {
+        runN += 1
+        if (!valNull(j)) { runSum += vals(j); runNonNull += 1 }
+      } else {
         if (started) emit()
-        runId += 1; runKey = k; runN = 1; runSum = vals(j); started = true
+        // the lag seed is null, so a null FIRST key compares equal to it
+        // (null <=> null) and the declarative running sum starts at 0;
+        // any later run change adds 1 — reproduced exactly
+        runId += (if (!started && k == null) 0 else 1)
+        runKey = k; runN = 1; started = true
+        runNonNull = if (valNull(j)) 0 else 1
+        runSum = if (valNull(j)) 0.0 else vals(j)
       }
       i += 1
     }

@@ -1184,14 +1184,19 @@ object GraphAnn {
     * server could read the graph but not rebuild ADC tables (and
     * retraining would orphan every persisted code byte). Layout:
     * `<root>/v<NNN>/cells` + `<root>/v<NNN>/artifacts`. Pass the
-    * build-time [[pqClumpBound]] so serving skips the guard scan.
+    * build-time [[pqClumpBound]] so serving skips the guard scan, and
+    * the training corpus's [[Similarity.driftStats]] (unit space) so a
+    * cold-started server can run [[appendGraphCellsPqMonitored]] without
+    * re-scanning a corpus it may not even have — the reference lands in
+    * the artifacts and comes back through [[Similarity.readIvfPq]].
     */
   def publishPqServing(nodes: DataFrame, index: Similarity.IvfPqIndex,
       root: String, clumpBound: Option[Int] = None,
+      driftStats: Option[Similarity.DriftStats] = None,
       keepVersions: Int = 2): String =
     graft.pipeline.VersionedIndex.publishInto(root, keepVersions) { dir =>
       writeGraphCellsPq(nodes, s"$dir/cells")
-      Similarity.writeIvfPq(index, s"$dir/artifacts", clumpBound)
+      Similarity.writeIvfPq(index, s"$dir/artifacts", clumpBound, driftStats)
     }
 
   /** COLD-START published serving: a fresh session (no in-memory

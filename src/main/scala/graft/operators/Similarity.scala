@@ -265,10 +265,11 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     // the build-time distribution reference the append drift monitor
     // compares against ([[appendToIvfMonitored]]): computed once here
-    // where the full training set is at hand, tiny on disk
+    // where the full training set is at hand, tiny on disk — via the
+    // known-assignment path (O(dim)/row, not a re-search)
     writeDriftStats(spark,
-      driftStats(spark, index.assignments, "vec", index.centroids,
-        unit = false),
+      driftStatsAssigned(spark, index.assignments, "cell", "vec",
+        index.centroids),
       s"$dir/drift_stats")
   }
 
@@ -342,9 +343,35 @@ object Similarity {
   def driftStats(spark: SparkSession, df: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Float])], unit: Boolean): DriftStats = {
     val ar = assignResidUdf(spark, centroids, unit)
-    val assigned = df.filter(col(vecCol).isNotNull)
+    statsOverCellRn(df.filter(col(vecCol).isNotNull)
       .select(ar(col(vecCol)).as("a"))
-      .select(col("a._1").as("cell"), col("a._2").as("rn"))
+      .select(col("a._1").as("cell"), col("a._2").as("rn")))
+  }
+
+  /** [[driftStats]] for a frame that ALREADY CARRIES its assignment
+    * (an [[IvfIndex]]'s `assignments` table): the residual norm only
+    * needs the distance to the KNOWN assigned centroid — an O(dim)
+    * lookup per row instead of [[driftStats]]' O(nCells·dim)
+    * nearest-centroid search, and since the cell was assigned by the
+    * same nearest rule, the result is identical. This is what
+    * [[writeIvf]] runs at build time.
+    */
+  def driftStatsAssigned(spark: SparkSession, assigned: DataFrame,
+      cellCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DriftStats = {
+    val bc = spark.sparkContext.broadcast(centroids.toMap)
+    val rn = udf((cell: Int, v: Seq[Float]) => {
+      val c = bc.value(cell)
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+      math.sqrt(d)
+    })
+    statsOverCellRn(assigned.filter(col(vecCol).isNotNull)
+      .select(col(cellCol).as("cell"), rn(col(cellCol), col(vecCol)).as("rn")))
+  }
+
+  private def statsOverCellRn(cellRn: DataFrame): DriftStats = {
+    val assigned = cellRn
       .localCheckpoint(true) // one assignment pass feeds both aggregates
     val r = assigned.agg(count(lit(1)), avg(col("rn")),
       expr("percentile_approx(rn, 0.95, 10000)")).head()
@@ -432,8 +459,8 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val ref = readDriftStats(spark, s"$dir/drift_stats").getOrElse {
-      val st = driftStats(spark, spark.read.parquet(s"$dir/assignments"),
-        "vec", centroids, unit = false)
+      val st = driftStatsAssigned(spark,
+        spark.read.parquet(s"$dir/assignments"), "cell", "vec", centroids)
       writeDriftStats(spark, st, s"$dir/drift_stats") // backfill once
       st
     }

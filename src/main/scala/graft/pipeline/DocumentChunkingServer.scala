@@ -24,39 +24,28 @@ object DocumentChunkingServer {
       p: SplitParams = SplitParams(maxTokens = 512, overlapTokens = 64, minChunkTokens = 10),
       embedder: Embedder = new HashingEmbedder(64)): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/document-chunking", (exchange: HttpExchange) => {
-      try {
-        val (status, body) =
-          if (exchange.getRequestMethod != "POST")
-            (405, """{"error":"method not allowed"}""")
-          else {
-            val request = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
-            DocumentChunkingJson.handle(request, fetch, p, embedder)
-          }
-        val bytes = body.getBytes(UTF_8)
-        exchange.getResponseHeaders.set("Content-Type", "application/json")
-        exchange.sendResponseHeaders(status, bytes.length)
-        exchange.getResponseBody.write(bytes)
-      } finally exchange.close()
-    })
+    // ONE copy of the HTTP envelope (method check, body read, JSON
+    // headers, write, close) — each skill endpoint is its pure handler
+    // plus this wrapper, so an envelope fix lands on every endpoint
+    def postJson(path: String)(handle: String => (Int, String)): Unit =
+      server.createContext(path, (exchange: HttpExchange) => {
+        try {
+          val (status, body) =
+            if (exchange.getRequestMethod != "POST")
+              (405, """{"error":"method not allowed"}""")
+            else handle(
+              new String(exchange.getRequestBody.readAllBytes(), UTF_8))
+          val bytes = body.getBytes(UTF_8)
+          exchange.getResponseHeaders.set("Content-Type", "application/json")
+          exchange.sendResponseHeaders(status, bytes.length)
+          exchange.getResponseBody.write(bytes)
+        } finally exchange.close()
+      })
+    postJson("/document-chunking")(
+      DocumentChunkingJson.handle(_, fetch, p, embedder))
     // the second skill endpoint the reference exposes (main.py:457-505):
-    // per-record embedding with errors-in-envelope — same one-line-wrapper
-    // discipline, all behavior in the pure TextEmbeddingJson edge
-    server.createContext("/text-embedding", (exchange: HttpExchange) => {
-      try {
-        val (status, body) =
-          if (exchange.getRequestMethod != "POST")
-            (405, """{"error":"method not allowed"}""")
-          else {
-            val request = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
-            TextEmbeddingJson.handle(request, embedder)
-          }
-        val bytes = body.getBytes(UTF_8)
-        exchange.getResponseHeaders.set("Content-Type", "application/json")
-        exchange.sendResponseHeaders(status, bytes.length)
-        exchange.getResponseBody.write(bytes)
-      } finally exchange.close()
-    })
+    // per-record embedding with errors-in-envelope
+    postJson("/text-embedding")(TextEmbeddingJson.handle(_, embedder))
     server.setExecutor(null) // request-thread executor; one doc per call
     server.start()
     server

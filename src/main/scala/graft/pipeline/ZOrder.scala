@@ -67,7 +67,6 @@ object ZOrder {
     val buckets = cols.map { c =>
       val (mn, mx) = ranges.getOrElse(c,
         throw new IllegalArgumentException(s"no range supplied for $c"))
-      val range = mx - mn + 1
       // integer-exact: (v − min)·2^bits div range — reproducible by any
       // engine with 64-bit integer arithmetic (the k9 oracle mirrors it).
       // The VALUE clamps into [mn, mx] BEFORE the multiply: a value far
@@ -75,11 +74,25 @@ object ZOrder {
       // than the data) must land in the edge bucket — the lakehouse
       // arrival semantics — and clamping after the multiply would let
       // (v − mn)·2^bits overflow Long, wrap negative, and clamp to the
-      // WRONG edge. Clamp-first bounds the product by range·2^bits. A
-      // no-op when ranges are the true min/max (the self-computing
-      // overload), so both overloads stay bit-identical.
-      expr(s"((greatest(${mn}L, least(${mx}L, cast(`$c` as bigint)))" +
-        s" - ${mn}L) * ${1L << bits}L) div ${range}L")
+      // WRONG edge. Clamp-first bounds the product by range·2^bits —
+      // which itself fits a Long only while range ≤ 2^(63−bits), so the
+      // branch is decided HERE, at plan time, where mn/mx are known:
+      // beyond that (nanosecond-epoch spans, near-full-Long ranges,
+      // including mx−mn itself overflowing) a double-precision bucket
+      // with an output clamp takes over — monotone and bounded, at most
+      // one boundary row per 2^52 values off the integer form, which a
+      // LAYOUT bucketing tolerates (the exact form remains the oracle's
+      // contract for every range it can represent).
+      val rangeBig = BigInt(mx) - BigInt(mn) + 1
+      if (rangeBig <= (BigInt(Long.MaxValue) >> bits))
+        expr(s"((greatest(${mn}L, least(${mx}L, cast(`$c` as bigint)))" +
+          s" - ${mn}L) * ${1L << bits}L) div ${rangeBig.toLong}L")
+      else {
+        val stepD = (rangeBig.toDouble / (1L << bits).toDouble)
+        expr(s"greatest(0L, least(${(1L << bits) - 1}L, " +
+          s"cast(floor((cast(`$c` as double) - ${mn}.0D) / ${stepD}D)" +
+          s" as bigint)))")
+      }
     }
     df.withColumn("zval", interleave(buckets, bits))
   }

@@ -1083,7 +1083,12 @@ object VectorQueries {
       // one root per (session, sf), re-published per run (v32 note)
       val root = Fixtures.cachedObj(s, s"v34_root:$d")(
         java.nio.file.Files.createTempDirectory("graft-v34").toString)
-      GraphAnn.publishPqServing(nodes, index, root, Some(bound))
+      // the drift reference travels WITH the artifacts so a cold-started
+      // server can run the monitored append (v35) without the corpus
+      val ref = Fixtures.cachedObj(s, s"v35_ref:$d")(
+        Similarity.driftStats(s, emb.select($"embedding"), "embedding",
+          index.centroids, unit = true))
+      GraphAnn.publishPqServing(nodes, index, root, Some(bound), Some(ref))
       val v = graft.pipeline.VersionedIndex.currentVersion(root)
         .getOrElse(sys.error(s"no published version under $root"))
       // artifact round-trip: every float bit-exact, bound carried, coded
@@ -1100,6 +1105,10 @@ object VectorQueries {
           case (sa, sb) => sa.length == sb.length &&
             sa.zip(sb).forall { case (x, y) => java.util.Arrays.equals(x, y) } }
       val boundOk = art.clumpBound.contains(bound)
+      val driftOk = art.driftStats.exists(d => d.n == ref.n &&
+        d.meanResidNorm == ref.meanResidNorm &&
+        d.p95ResidNorm == ref.p95ResidNorm &&
+        d.cellMass.toSeq == ref.cellMass.toSeq)
       def codedNorm(df: org.apache.spark.sql.DataFrame) =
         df.select($"id", $"cell", $"pq_codes")
       val codedDiff = codedNorm(art.index.coded)
@@ -1148,7 +1157,7 @@ object VectorQueries {
         .crossJoin(broadcast(fdiff))
         .select($"n_probes", $"all_k8", $"coded_roundtrip",
           $"matches_memory", $"filtered_matches",
-          lit(centsOk && bookOk && boundOk).as("artifacts_bitexact"),
+          lit(centsOk && bookOk && boundOk && driftOk).as("artifacts_bitexact"),
           lit(layoutOk).as("one_version_layout"))
     }),
 
