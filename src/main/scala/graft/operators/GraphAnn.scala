@@ -1433,6 +1433,33 @@ object GraphAnn {
       buildCellSegmentsPq(base, m, efConstruction, maxSegmentSize, segBase))
   }
 
+  /** [[appendGraphCells]] with the drift monitor wired in — the float
+    * graph tier's leg of the monitored-append surface (the three
+    * no-retrain appends are [[Similarity.appendToIvfMonitored]] /
+    * this / [[appendGraphCellsPqMonitored]]; with this the whole
+    * surface reports drift). The float tier assigns in RAW space
+    * ([[Similarity.buildIvf]] trains on vectors as given), so `ref` is
+    * [[Similarity.driftStatsAssigned]] over the index's assignments
+    * (or [[Similarity.driftStats]] with `unit = false`). Same
+    * land-then-signal contract as the other two legs.
+    */
+  def appendGraphCellsMonitored(existing: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[(Int, Array[Float])],
+      ref: Similarity.DriftStats, m: Int = 8, efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue, residRatioMax: Double = 1.25,
+      klMax: Double = 0.5): (DataFrame, Similarity.DriftReport) = {
+    val spark = existing.sparkSession
+    val report = Similarity.driftReport(spark, batch.select(col(vecCol)),
+      vecCol, centroids, ref, unit = false, residRatioMax, klMax)
+    if (report.drifted)
+      log.warn(f"graph append batch drifted from the trained distribution " +
+        f"(residRatio ${report.residRatio}%.3f vs max $residRatioMax, " +
+        f"massKl ${report.massKl}%.3f vs max $klMax over ${report.n} rows): " +
+        "schedule a retrain and republish via publishGraphCells")
+    (appendGraphCells(existing, batch, idCol, vecCol, centroids, m,
+      efConstruction, maxSegmentSize), report)
+  }
+
   /** [[appendGraphCellsPq]] with the drift monitor wired in (the float
     * IVF twin is [[Similarity.appendToIvfMonitored]]): the batch scores
     * against the build-time unit-space distribution `ref`

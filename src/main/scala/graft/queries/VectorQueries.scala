@@ -1213,15 +1213,32 @@ object VectorQueries {
       val (_, p2) = GraphAnn.appendGraphCellsPqMonitored(nodes, drifted,
         "vec_id", "embedding", pq, ref, m = 8, efConstruction = 48)
       val pqLanded = g1.count() == nodes.count() + p1.n
+      // float GRAPH tier: the third leg of the monitored-append surface
+      // (raw space — the reference comes from the known assignments)
+      val fgNodes = Fixtures.cached(s, s"v24_nodes:$d")(
+        GraphAnn.buildGraphPerCell(s, index.assignments, m = 8,
+          efConstruction = 48))
+      val fgRef = Fixtures.cachedObj(s, s"v35_fgref:$d")(
+        Similarity.driftStatsAssigned(s, index.assignments, "cell", "vec",
+          index.centroids))
+      val (fg1, f1) = GraphAnn.appendGraphCellsMonitored(fgNodes, inDist,
+        "vec_id", "embedding", index.centroids, fgRef, m = 8,
+        efConstruction = 48)
+      val (_, f2) = GraphAnn.appendGraphCellsMonitored(fgNodes, drifted,
+        "vec_id", "embedding", index.centroids, fgRef, m = 8,
+        efConstruction = 48)
+      val fgLanded = fg1.count() == fgNodes.count() + f1.n
       s.range(1).select(
         lit(!r1.drifted).as("float_in_dist_clean"),
         lit(r2.drifted).as("float_drift_tripped"),
         lit(!p1.drifted).as("pq_in_dist_clean"),
         lit(p2.drifted).as("pq_drift_tripped"),
-        lit(r2.residRatio > r1.residRatio && p2.massKl > p1.massKl)
-          .as("metrics_ordered"),
+        lit(!f1.drifted).as("fg_in_dist_clean"),
+        lit(f2.drifted).as("fg_drift_tripped"),
+        lit(r2.residRatio > r1.residRatio && p2.massKl > p1.massKl &&
+          f2.residRatio > f1.residRatio).as("metrics_ordered"),
         lit(logRows == 2L).as("log_rows_ok"),
-        lit(landed && pqLanded).as("appends_landed"))
+        lit(landed && pqLanded && fgLanded).as("appends_landed"))
     }),
 
     // V15: BATCH ANN — many probes through one IVF candidate join (the
@@ -1609,6 +1626,7 @@ object VectorQueries {
     "v35_append_drift" ->
       """SELECT true AS float_in_dist_clean, true AS float_drift_tripped,
         | true AS pq_in_dist_clean, true AS pq_drift_tripped,
+        | true AS fg_in_dist_clean, true AS fg_drift_tripped,
         | true AS metrics_ordered, true AS log_rows_ok,
         | true AS appends_landed""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
