@@ -1241,6 +1241,100 @@ object VectorQueries {
         lit(landed && pqLanded && fgLanded).as("appends_landed"))
     }),
 
+    // V36: the drift-triggered REBUILD keystone — v35's signal composed
+    // with v34's publish into the complete maintenance loop the docs
+    // promise ("retrain drift via a scheduled rebuild"): build+publish
+    // on the base corpus → a DRIFTED batch arrives through the monitored
+    // append (the monitor must trip — that is the scheduler's signal) →
+    // retrain on base ∪ arrivals → republish through ONE pointer flip →
+    // (a) the same batch re-scored against the NEW artifacts reads
+    // IN-distribution (the rebuild absorbs the drift), (b) a cold-start
+    // search through the republished root for DRIFTED probes recovers
+    // brute force over the union (the drifted clump, hopeless under the
+    // stale codebook's saturated residuals, is first-class after
+    // retraining), (c) retention holds the version count.
+    "v36_drift_rebuild" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val base = emb.filter($"vec_id" % 2 === 0)
+      val baseIx = Fixtures.cachedObj(s, s"v36_base:$d")(
+        Similarity.buildIvfPq(s, base, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val baseNodes = Fixtures.cached(s, s"v36_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, base, "vec_id", "embedding",
+          baseIx, m = 8, efConstruction = 48))
+      val baseRef = Fixtures.cachedObj(s, s"v36_ref:$d")(
+        Similarity.driftStats(s, base.select($"embedding"), "embedding",
+          baseIx.centroids, unit = true))
+      val root = Fixtures.cachedObj(s, s"v36_root:$d")(
+        java.nio.file.Files.createTempDirectory("graft-v36").toString)
+      GraphAnn.publishPqServing(baseNodes, baseIx, root,
+        Some(GraphAnn.pqClumpBound(baseNodes)), Some(baseRef))
+      // a drifted batch arrives (new region of the space, new ids)
+      val arrivals = emb.filter($"vec_id" % 2 === 1)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          expr("transform(embedding, x -> x + 2.0f)").as("embedding"))
+        .localCheckpoint(true)
+      val (_, report) = GraphAnn.appendGraphCellsPqMonitored(baseNodes,
+        arrivals, "vec_id", "embedding", baseIx, baseRef,
+        m = 8, efConstruction = 48)
+      // THE SIGNAL fires → the scheduled rebuild runs on the union and
+      // republishes: one pointer flip swaps codes, adjacency, centroids,
+      // codebook, clump bound AND the refreshed drift reference
+      val union = base.select($"vec_id", $"embedding")
+        .unionByName(arrivals.select($"vec_id", $"embedding"))
+        .localCheckpoint(true)
+      val newIx = Similarity.buildIvfPq(s, union, "vec_id", "embedding",
+        nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+        pqIters = 2)
+      val newNodes = GraphAnn.buildGraphPerCellPq(s, union, "vec_id",
+        "embedding", newIx, m = 8, efConstruction = 48)
+      val newRef = Similarity.driftStats(s, union.select($"embedding"),
+        "embedding", newIx.centroids, unit = true)
+      GraphAnn.publishPqServing(newNodes, newIx, root,
+        Some(GraphAnn.pqClumpBound(newNodes)), Some(newRef))
+      // (a) the rebuild ABSORBS the drift — stated the way a monitor can
+      // honestly measure it: the drifted batch's metrics strictly improve
+      // against the new artifacts (its residuals are now explained by its
+      // own centroids; its routing KL falls from ~ln(1/staleCellMass) to
+      // the structural ~ln 2 any re-scored half-corpus mode carries —
+      // which is WHY "!after.drifted" would be the wrong invariant), and
+      // a batch drawn from the NEW mixed reality reads in-distribution.
+      val art = Similarity.readIvfPq(s,
+        s"$root/${graft.pipeline.VersionedIndex.currentVersion(root).get}/artifacts")
+      val after = Similarity.driftReport(s, arrivals.select($"embedding"),
+        "embedding", art.index.centroids, art.driftStats.get, unit = true)
+      val nextTraffic = union.filter($"vec_id" % 3 === 0)
+      val mixed = Similarity.driftReport(s, nextTraffic.select($"embedding"),
+        "embedding", art.index.centroids, art.driftStats.get, unit = true)
+      // (b) cold-start serve through the republished root, DRIFTED probes
+      val probes = arrivals.filter($"vec_id" < 1000008L)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val got = GraphAnn.searchGraphRoutedPqColdStart(s, root, union,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec",
+          nprobe = 16, k = k, ef = 256, rerankFactor = 64)
+        .localCheckpoint(true)
+      val nProbes = probes.count()
+      val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+          union, "vec_id", "embedding", k = k)
+        .select($"probe_id".cast("long").as("probe_id"),
+          $"vec_id".cast("long").as("id"))
+      val keystone = got.join(exact, Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === nProbes && min($"count") >= k - 1)
+          .as("keystone_ok"))
+      val versions = graft.pipeline.VersionedIndex.versions(root).size
+      keystone.select($"keystone_ok",
+        lit(report.drifted).as("signal_tripped"),
+        lit(after.residRatio < report.residRatio &&
+          after.massKl < report.massKl && !mixed.drifted)
+          .as("rebuild_absorbs_drift"),
+        lit(versions <= 2).as("retention_ok"))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -1629,6 +1723,9 @@ object VectorQueries {
         | true AS fg_in_dist_clean, true AS fg_drift_tripped,
         | true AS metrics_ordered, true AS log_rows_ok,
         | true AS appends_landed""".stripMargin,
+    "v36_drift_rebuild" ->
+      """SELECT true AS keystone_ok, true AS signal_tripped,
+        | true AS rebuild_absorbs_drift, true AS retention_ok""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
