@@ -116,6 +116,12 @@ object Tables {
   private val statsMemo = new scala.collection.concurrent.TrieMap[
     (String, Seq[String]), (String, Option[Map[String, (Long, Long)]])]()
 
+  /** The footer walk's OWN deterministic-negative sentinel — a dedicated
+    * class so no third-party exception can impersonate it.
+    */
+  private final class NoIntegralStats(msg: String)
+      extends RuntimeException(msg)
+
   private[graft] def statsMemoSize: Int = statsMemo.size
 
   /** Global column min/max straight from parquet FOOTER statistics — the
@@ -180,7 +186,7 @@ object Tables {
                         if s.hasNonNullValue => (s.getMin, s.getMax)
                     case s: org.apache.parquet.column.statistics.IntStatistics
                         if s.hasNonNullValue => (s.getMin.toLong, s.getMax.toLong)
-                    case _ => throw new IllegalStateException(
+                    case _ => throw new NoIntegralStats(
                       s"no integral stats for $name in $f")
                   }
                   acc = acc.updated(name, acc.get(name)
@@ -193,9 +199,13 @@ object Tables {
         }
         Some(if (cols.forall(acc.contains)) Some(acc) else None)
       } catch {
-        // thrown by the walk itself when a row group lacks integral
-        // stats — deterministic for this fingerprint, cache the negative
-        case _: IllegalStateException => Some(None)
+        // the walk's OWN sentinel for a row group lacking integral
+        // stats — deterministic for this fingerprint, cache the negative.
+        // A dedicated private class, NOT IllegalStateException: HTTP/FS
+        // client layers throw transient ISEs ("Connection pool shut
+        // down") out of ParquetFileReader.open, and classifying those as
+        // the deterministic negative would pin the aggregate fallback
+        case _: NoIntegralStats => Some(None)
         // IO/transient: do not cache, retry next call
         case scala.util.control.NonFatal(_) => None
       }

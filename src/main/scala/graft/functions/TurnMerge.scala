@@ -35,10 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * keys continue one run; a group whose FIRST key is null starts at
   * run_id 0 (the lag seed is null, so `null <=> null` makes the first
   * chg 0) while a non-null first key starts at 1; a run whose every
-  * value is null sums to NULL, not 0.0. Null ARRAY ELEMENTS are skipped
-  * (no declarative analog — rows cannot be null); null ts/event_id sort
-  * as 0, matching nothing in particular — the a7 table's keys are
-  * non-null by construction.
+  * value is null sums to NULL, not 0.0; null ts/event_id sort NULLS
+  * FIRST (Spark's ascending default — before a pre-1970 negative
+  * timestamp, not as 0). Null ARRAY ELEMENTS are skipped (no
+  * declarative analog — rows cannot be null).
   */
 case class TurnMerge(children: Seq[Expression])
     extends Generator with CodegenFallback {
@@ -74,7 +74,9 @@ case class TurnMerge(children: Seq[Expression])
     // null array ELEMENTS are skipped (rows cannot be null in the
     // declarative form, so there is nothing to reproduce for them)
     val ts = new Array[Long](total)
+    val tsNull = new Array[Boolean](total)
     val ids = new Array[Long](total)
+    val idNull = new Array[Boolean](total)
     val keys = new Array[UTF8String](total)
     val vals = new Array[Double](total)
     val valNull = new Array[Boolean](total)
@@ -83,8 +85,10 @@ case class TurnMerge(children: Seq[Expression])
     while (e < total) {
       if (!arr.isNullAt(e)) {
         val r = arr.getStruct(e, 4)
-        ts(n) = if (r.isNullAt(0)) 0L else r.getLong(0)
-        ids(n) = if (r.isNullAt(1)) 0L else r.getLong(1)
+        tsNull(n) = r.isNullAt(0)
+        ts(n) = if (tsNull(n)) 0L else r.getLong(0)
+        idNull(n) = r.isNullAt(1)
+        ids(n) = if (idNull(n)) 0L else r.getLong(1)
         keys(n) = if (r.isNullAt(2)) null else r.getUTF8String(2).clone()
         valNull(n) = r.isNullAt(3)
         vals(n) = if (valNull(n)) 0.0 else r.getDouble(3)
@@ -96,10 +100,20 @@ case class TurnMerge(children: Seq[Expression])
     val order = new Array[Integer](n)
     var i = 0
     while (i < n) { order(i) = i; i += 1 }
-    // the window's ORDER BY (ts, event_id)
+    // the window's ORDER BY (ts, event_id) — ascending with NULLS FIRST
+    // on both keys, exactly Spark's default (a null ts must sort before
+    // a pre-1970 negative timestamp, not as 0)
     java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
-      val c = java.lang.Long.compare(ts(a), ts(b))
-      if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+      val tn = java.lang.Boolean.compare(tsNull(b), tsNull(a)) // nulls first
+      if (tn != 0) tn
+      else {
+        val c = java.lang.Long.compare(ts(a), ts(b))
+        if (c != 0) c
+        else {
+          val in = java.lang.Boolean.compare(idNull(b), idNull(a))
+          if (in != 0) in else java.lang.Long.compare(ids(a), ids(b))
+        }
+      }
     })
     // fold consecutive same-key rows (null-safe) into runs
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]

@@ -1448,16 +1448,34 @@ object GraphAnn {
       ref: Similarity.DriftStats, m: Int = 8, efConstruction: Int = 64,
       maxSegmentSize: Int = Int.MaxValue, residRatioMax: Double = 1.25,
       klMax: Double = 0.5): (DataFrame, Similarity.DriftReport) = {
-    val spark = existing.sparkSession
-    val report = Similarity.driftReport(spark, batch.select(col(vecCol)),
-      vecCol, centroids, ref, unit = false, residRatioMax, klMax)
-    if (report.drifted)
-      log.warn(f"graph append batch drifted from the trained distribution " +
-        f"(residRatio ${report.residRatio}%.3f vs max $residRatioMax, " +
-        f"massKl ${report.massKl}%.3f vs max $klMax over ${report.n} rows): " +
-        "schedule a retrain and republish via publishGraphCells")
+    val report = monitorBatch(batch, vecCol, centroids, ref, unit = false,
+      residRatioMax, klMax, remedy = "publishGraphCells")
     (appendGraphCells(existing, batch, idCol, vecCol, centroids, m,
       efConstruction, maxSegmentSize), report)
+  }
+
+  /** ONE copy of the score-warn choreography both graph-tier monitored
+    * appends share (a threshold-semantics or warn-format fix lands on
+    * every leg). The monitor pass is one broadcast map over the ARRIVAL
+    * batch only — the append's own assignment repeats it, a bounded
+    * second map with no shuffle, which keeps the append entry points
+    * untouched (the float IVF leg, whose write is a plain projection,
+    * does fuse the two — [[Similarity.appendToIvfMonitored]]).
+    */
+  private def monitorBatch(batch: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Float])], ref: Similarity.DriftStats,
+      unit: Boolean, residRatioMax: Double, klMax: Double,
+      remedy: String): Similarity.DriftReport = {
+    val report = Similarity.driftReport(batch.sparkSession,
+      batch.select(col(vecCol)), vecCol, centroids, ref, unit,
+      residRatioMax, klMax)
+    if (report.drifted)
+      log.warn(f"append batch drifted from the trained distribution " +
+        f"(residRatio ${report.residRatio}%.3f vs max $residRatioMax, " +
+        f"massKl ${report.massKl}%.3f vs max $klMax over ${report.n} rows): " +
+        s"appended vectors degrade recall as drift grows — schedule a " +
+        s"retrain and republish via $remedy")
+    report
   }
 
   /** [[appendGraphCellsPq]] with the drift monitor wired in (the float
@@ -1477,15 +1495,8 @@ object GraphAnn {
       ref: Similarity.DriftStats, m: Int = 8, efConstruction: Int = 64,
       maxSegmentSize: Int = Int.MaxValue, residRatioMax: Double = 1.25,
       klMax: Double = 0.5): (DataFrame, Similarity.DriftReport) = {
-    val spark = existing.sparkSession
-    val report = Similarity.driftReport(spark, batch.select(col(vecCol)),
-      vecCol, index.centroids, ref, unit = true, residRatioMax, klMax)
-    if (report.drifted)
-      log.warn(f"PQ append batch drifted from the trained distribution " +
-        f"(residRatio ${report.residRatio}%.3f vs max $residRatioMax, " +
-        f"massKl ${report.massKl}%.3f vs max $klMax over ${report.n} rows): " +
-        "appended vectors encode with growing quantization error — " +
-        "schedule a retrain and republish via publishPqServing")
+    val report = monitorBatch(batch, vecCol, index.centroids, ref,
+      unit = true, residRatioMax, klMax, remedy = "publishPqServing")
     (appendGraphCellsPq(existing, batch, idCol, vecCol, index, m,
       efConstruction, maxSegmentSize), report)
   }

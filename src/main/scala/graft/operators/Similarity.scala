@@ -395,8 +395,16 @@ object Similarity {
     */
   def driftReport(spark: SparkSession, batch: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Float])], ref: DriftStats, unit: Boolean,
+      residRatioMax: Double = 1.25, klMax: Double = 0.5): DriftReport =
+    driftReportFrom(driftStats(spark, batch, vecCol, centroids, unit), ref,
+      residRatioMax, klMax)
+
+  /** [[driftReport]] from a PRECOMPUTED batch summary — for callers that
+    * already assigned the batch (a monitored append assigns once and
+    * feeds both the monitor and the write).
+    */
+  def driftReportFrom(cur: DriftStats, ref: DriftStats,
       residRatioMax: Double = 1.25, klMax: Double = 0.5): DriftReport = {
-    val cur = driftStats(spark, batch, vecCol, centroids, unit)
     if (cur.n == 0)
       return DriftReport(0, 0.0, 0.0, 1.0, 0.0, drifted = false)
     val ratio =
@@ -464,9 +472,25 @@ object Similarity {
       writeDriftStats(spark, st, s"$dir/drift_stats") // backfill once
       st
     }
-    val report = driftReport(spark, df.select(col(vecCol)), vecCol,
-      centroids, ref, unit = false, residRatioMax, klMax)
-    appendToIvf(spark, dir, df, idCol, vecCol)
+    // ONE assignment pass feeds BOTH the monitor and the write (the
+    // nearest-centroid distance IS the residual norm; the assign rule is
+    // [[appendToIvf]]'s own, same array order + strict <, so the written
+    // cells are identical to an unmonitored append's)
+    val ar = assignResidUdf(spark, centroids, unit = false)
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        ar(col(vecCol)).as("a"))
+      .select(col("id"), col("vec"), col("a._1").as("cell"),
+        col("a._2").as("rn"))
+      .localCheckpoint(true)
+    // null vectors stay out of the stats ([[driftStats]]' own filter)
+    // but write through unchanged, as the unmonitored append would
+    val report = driftReportFrom(
+      statsOverCellRn(assigned.filter(col("rn").isNotNull)
+        .select(col("cell"), col("rn"))),
+      ref, residRatioMax, klMax)
+    assigned.select(col("id"), col("vec"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
     Seq((report.n, report.meanResidNorm, report.p95ResidNorm,
         report.residRatio, report.massKl, report.drifted))
       .toDF("n", "mean_rn", "p95_rn", "resid_ratio", "mass_kl", "drifted")
@@ -890,9 +914,19 @@ object Similarity {
     import spark.implicits._
     // the coded table carries no float vectors, so the drift reference
     // (unit-space [[Similarity.driftStats]] over the training corpus) is
-    // supplied by the builder — stored beside the codebook when given
-    driftStats.foreach(st =>
-      writeDriftStats(spark, st, s"$dir/drift_stats"))
+    // supplied by the builder — stored beside the codebook when given.
+    // When NOT given, any prior write's reference is DELETED: every other
+    // artifact here is mode(overwrite), and an in-place rewrite that left
+    // the old index's drift_stats behind would hand the monitor a
+    // reference from the WRONG centroids (silently mis-scoring every
+    // batch) instead of the honest "no reference stored".
+    driftStats match {
+      case Some(st) => writeDriftStats(spark, st, s"$dir/drift_stats")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/drift_stats")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+    }
     index.coded.select(col("id"), col("cell"), col("pq_codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/coded")
     index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
