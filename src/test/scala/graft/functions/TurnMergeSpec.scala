@@ -70,6 +70,28 @@ class TurnMergeSpec extends AnyFunSuite {
     assert(want.exists(t => t._1 == 2L && t._3 == "x" && t._5 == null))
   }
 
+  test("null ts sorts NULLS FIRST — before a pre-1970 negative timestamp") {
+    // user 1: a null-ts event and a negative-µs (pre-1970) event share a
+    // key; the declarative window orders the null FIRST (Spark ascending
+    // default), so the null-ts row OPENS the run — a kernel coercing
+    // null to 0 would order it after the negative row and, with the 'b'
+    // row between them, segment differently
+    val df = Seq[(Long, Option[Long], Long, Option[String], Option[Double])](
+      (1L, None, 1L, Some("a"), Some(1.0)),
+      (1L, Some(-5L), 2L, Some("b"), Some(2.0)),
+      (1L, Some(3L), 3L, Some("a"), Some(3.0)),
+      (2L, None, 1L, Some("x"), Some(4.0)),
+      (2L, None, 2L, Some("x"), Some(5.0))
+    ).toDF("user_id", "raw_s", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"raw_s" * 1000000L))
+      .drop("raw_s")
+    assert(rows(fused(df)) == rows(declarative(df)),
+      "kernel must order null ts NULLS FIRST like the window")
+    // the two null-ts 'x' rows fold into ONE run ordered by event_id
+    val u2 = rows(fused(df)).filter(_._1 == 2L)
+    assert(u2 == Seq((2L, 1L, "x", 2L, 9.0: java.lang.Double)))
+  }
+
   test("null array elements are skipped, empty groups emit nothing") {
     GraftFunctions.register(spark)
     // a generator in a SELECT emits its element schema as columns

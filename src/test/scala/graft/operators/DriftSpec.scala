@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The drift-monitor stack: the cheap known-assignment stats path equals
+  * the search path, monitored appends write/return exactly what the
+  * unmonitored ones do plus a sane report, the fused single-assignment
+  * IVF append matches the plain one, and a stale drift reference cannot
+  * survive an in-place artifact rewrite.
+  */
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.load(spark, graft.TestSpark.sf, "embeddings")
+  private lazy val ivf = Similarity.buildIvf(spark, emb, "vec_id", "embedding",
+    nCells = 8, iters = 2)
+
+  test("driftStatsAssigned over the index's assignments ≡ driftStats(unit=false)") {
+    val a = Similarity.driftStatsAssigned(spark, ivf.assignments,
+      "cell", "vec", ivf.centroids)
+    val b = Similarity.driftStats(spark,
+      ivf.assignments.select($"vec".as("v")), "v", ivf.centroids, unit = false)
+    assert(a.n == b.n)
+    assert(a.cellMass.toSeq == b.cellMass.toSeq,
+      "the known cell IS the nearest cell — masses must agree exactly")
+    assert(math.abs(a.meanResidNorm - b.meanResidNorm) < 1e-12)
+    assert(math.abs(a.p95ResidNorm - b.p95ResidNorm) < 1e-12)
+  }
+
+  test("the training set scores clean against its own reference") {
+    val ref = Similarity.driftStatsAssigned(spark, ivf.assignments,
+      "cell", "vec", ivf.centroids)
+    val r = Similarity.driftReport(spark, emb.select($"embedding"),
+      "embedding", ivf.centroids, ref, unit = false)
+    assert(!r.drifted)
+    assert(math.abs(r.residRatio - 1.0) < 1e-9, "same data, same mean residual")
+    assert(r.massKl < 1e-6, "same data routes identically")
+  }
+
+  test("an empty batch reports clean with n=0") {
+    val ref = Similarity.driftStatsAssigned(spark, ivf.assignments,
+      "cell", "vec", ivf.centroids)
+    val r = Similarity.driftReport(spark,
+      emb.filter($"vec_id" < 0).select($"embedding"), "embedding",
+      ivf.centroids, ref, unit = false)
+    assert(r.n == 0 && !r.drifted && r.residRatio == 1.0 && r.massKl == 0.0)
+  }
+
+  test("monitored graph append ≡ unmonitored append + a sane report") {
+    val existing = GraphAnn.buildGraphPerCell(spark,
+      ivf.assignments.filter($"id" % 2 === 0), m = 4, efConstruction = 16)
+      .localCheckpoint(true)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding")
+    val ref = Similarity.driftStatsAssigned(spark, ivf.assignments,
+      "cell", "vec", ivf.centroids)
+    val plain = GraphAnn.appendGraphCells(existing, batch, "vec_id",
+      "embedding", ivf.centroids, m = 4, efConstruction = 16)
+    val (monitored, report) = GraphAnn.appendGraphCellsMonitored(existing,
+      batch, "vec_id", "embedding", ivf.centroids, ref, m = 4,
+      efConstruction = 16)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"part", $"id", $"level", $"seg")
+    assert(norm(monitored).exceptAll(norm(plain)).isEmpty &&
+      norm(plain).exceptAll(norm(monitored)).isEmpty,
+      "the monitor must not change what the append builds")
+    assert(report.n == batch.count())
+    assert(!report.drifted, "an in-distribution half of the corpus is clean")
+  }
+
+  test("appendToIvfMonitored writes exactly what appendToIvf writes") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-drift1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-drift2").toString
+    Similarity.writeIvf(ivf, d1)
+    Similarity.writeIvf(ivf, d2)
+    val batch = emb.filter($"vec_id" % 3 === 0)
+      .select(($"vec_id" + 50000L).as("vec_id"), $"embedding")
+    Similarity.appendToIvf(spark, d1, batch, "vec_id", "embedding")
+    val r = Similarity.appendToIvfMonitored(spark, d2, batch, "vec_id", "embedding")
+    assert(!r.drifted)
+    def cells(dir: String) = spark.read.parquet(s"$dir/assignments")
+      .select($"id", $"cell").collect().map(x => (x.getLong(0), x.getInt(1)))
+      .sortBy(_._1).toSeq
+    assert(cells(d1) == cells(d2),
+      "the fused single-assignment write must place every row in the same cell")
+    assert(spark.read.parquet(s"$d2/drift_log").count() == 1)
+  }
+
+  test("writeIvfPq without a drift reference clears a stale one") {
+    val pq = Similarity.buildIvfPq(spark, emb, "vec_id", "embedding",
+      nCells = 8, subspaces = 8, codesPerSub = 8, ivfIters = 1, pqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift3").toString + "/art"
+    val ref = Similarity.driftStats(spark, emb.select($"embedding"),
+      "embedding", pq.centroids, unit = true)
+    Similarity.writeIvfPq(pq, dir, driftStats = Some(ref))
+    assert(Similarity.readIvfPq(spark, dir).driftStats.isDefined)
+    // in-place rewrite WITHOUT a reference: the old one must not survive
+    // to mis-score batches against superseded centroids
+    Similarity.writeIvfPq(pq, dir)
+    assert(Similarity.readIvfPq(spark, dir).driftStats.isEmpty)
+  }
+}
