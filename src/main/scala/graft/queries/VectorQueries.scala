@@ -1208,11 +1208,15 @@ object VectorQueries {
       val nodes = Fixtures.cached(s, s"v28_nodes:$d")(
         GraphAnn.buildGraphPerCellPq(s, emb, "vec_id", "embedding", pq,
           m = 8, efConstruction = 48))
-      val (g1, p1) = GraphAnn.appendGraphCellsPqMonitored(nodes, inDist,
+      // in-dist legs score through the REPORT path alone (the monitor's
+      // claim); each tier's DRIFTED leg goes through the full monitored
+      // APPEND (the integration claim: report + the append still lands)
+      // — DriftSpec pins monitored ≡ unmonitored append row-identity
+      val p1 = Similarity.driftReport(s, inDist.select($"embedding"),
+        "embedding", pq.centroids, ref, unit = true)
+      val (g2, p2) = GraphAnn.appendGraphCellsPqMonitored(nodes, drifted,
         "vec_id", "embedding", pq, ref, m = 8, efConstruction = 48)
-      val (_, p2) = GraphAnn.appendGraphCellsPqMonitored(nodes, drifted,
-        "vec_id", "embedding", pq, ref, m = 8, efConstruction = 48)
-      val pqLanded = g1.count() == nodes.count() + p1.n
+      val pqLanded = g2.count() == nodes.count() + p2.n
       // float GRAPH tier: the third leg of the monitored-append surface
       // (raw space — the reference comes from the known assignments)
       val fgNodes = Fixtures.cached(s, s"v24_nodes:$d")(
@@ -1221,13 +1225,12 @@ object VectorQueries {
       val fgRef = Fixtures.cachedObj(s, s"v35_fgref:$d")(
         Similarity.driftStatsAssigned(s, index.assignments, "cell", "vec",
           index.centroids))
-      val (fg1, f1) = GraphAnn.appendGraphCellsMonitored(fgNodes, inDist,
+      val f1 = Similarity.driftReport(s, inDist.select($"embedding"),
+        "embedding", index.centroids, fgRef, unit = false)
+      val (fg2, f2) = GraphAnn.appendGraphCellsMonitored(fgNodes, drifted,
         "vec_id", "embedding", index.centroids, fgRef, m = 8,
         efConstruction = 48)
-      val (_, f2) = GraphAnn.appendGraphCellsMonitored(fgNodes, drifted,
-        "vec_id", "embedding", index.centroids, fgRef, m = 8,
-        efConstruction = 48)
-      val fgLanded = fg1.count() == fgNodes.count() + f1.n
+      val fgLanded = fg2.count() == fgNodes.count() + f2.n
       s.range(1).select(
         lit(!r1.drifted).as("float_in_dist_clean"),
         lit(r2.drifted).as("float_drift_tripped"),
