@@ -304,4 +304,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       "bounded-heap aggregate missing:\n" + p.take(2000))
   }
+
+  test("a7: the turn-merge fusion plans as one group aggregate + generate — no WindowExec") {
+    val p = plan("a7_turn_merge")
+    // the fusion's whole claim, structurally: the lag → running-sum →
+    // re-aggregate chain (exchange + sort + row-at-a-time WindowExec +
+    // a SECOND exchange) is gone; what remains is the collect_list
+    // aggregate, the generator, and the final-order exchange
+    assert(!p.contains("Window"), "WindowExec reappeared:\n" + p.take(2000))
+    assert(p.contains("Generate"), "turn_merge generator missing:\n" + p.take(2000))
+    // formatted plans list each node once in the tree header — count there
+    val tree = p.split("\n\n").head
+    val nExch = "Exchange".r.findAllIn(tree).size
+    assert(nExch <= 2,
+      s"fusion should need at most the group exchange + the orderBy range exchange, got $nExch:\n" + tree)
+  }
 }

@@ -92,6 +92,42 @@ class TurnMergeSpec extends AnyFunSuite {
     assert(u2 == Seq((2L, 1L, "x", 2L, 9.0: java.lang.Double)))
   }
 
+  test("randomized property: 60 null-laden groups, fused ≡ declarative") {
+    // deterministic pseudo-random corpus: every group draws sizes, key
+    // alphabets, null rates and ts ties from a seeded RNG — one batched
+    // comparison covers all groups in two Spark queries
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 60L).flatMap { uid =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map { i =>
+        val ts: Option[Long] =
+          if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextInt(5).toLong - 2) // few distinct values → ties
+        val key: Option[String] =
+          if (rnd.nextInt(5) == 0) None else Some(("abc" (rnd.nextInt(3))).toString)
+        val value: Option[Double] =
+          if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(100) / 10.0)
+        (uid, ts, i.toLong, key, value)
+      }
+    }
+    val df = rows.toDF("user_id", "raw_s", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"raw_s" * 1000000L))
+      .drop("raw_s")
+    val want = rows2(declarative(df))
+    val got = rows2(fused(df))
+    assert(got == want, {
+      val diff = (got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)
+      s"fused diverged on ${diff.size} rows, e.g. ${diff.take(5)}"
+    })
+  }
+
+  // like rows() but total-ordered for multi-run-per-user corpora
+  private def rows2(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getString(2), r.getLong(3),
+      if (r.isNullAt(4)) null else r.getDouble(4).asInstanceOf[AnyRef]))
+    .sortBy(t => (t._1, t._2, String.valueOf(t._3))).toSeq
+
   test("null array elements are skipped, empty groups emit nothing") {
     GraftFunctions.register(spark)
     // a generator in a SELECT emits its element schema as columns
