@@ -119,6 +119,18 @@ object StreamingIngest {
     * crash/replay safety as the text twin: a replayed batch's vectors
     * all match their own indexed sketches (cosine 1.0 ≥ minCosine) and
     * drop, appending nothing.
+    *
+    * `driftMonitor` wires the v35 drift monitor into the ARRIVAL POINT:
+    * given the serving index's (centroids, build-time
+    * [[graft.operators.Similarity.DriftStats]]) — both durable under a
+    * [[graft.operators.GraphAnn.publishPqServing]] root — every
+    * micro-batch scores a [[graft.operators.Similarity.DriftReport]]
+    * (unit space) and appends one row keyed by the STREAM's batch id to
+    * `indexDir/drift_log`, so the rebuild signal (v36) fires from the
+    * ingest loop itself instead of a separate scan. The log is a
+    * monitor, not state: a crash-replayed batch appends a second row
+    * with the SAME batch id (read with `dropDuplicates("batch_id")`);
+    * the ingest's own exactly-once contract is unchanged.
     */
   def runAvailableNowNearDupEmbeddings(spark: SparkSession, vecsDir: String,
       indexDir: String, checkpointDir: String, idCol: String = "vec_id",
@@ -126,7 +138,9 @@ object StreamingIngest {
       bands: Int = 8, rowsPerBand: Int = 8,
       expectedBandKeys: Long = 1L << 20,
       maxFilesPerTrigger: Option[Int] = None,
-      buckets: Int = Buckets): Long = {
+      buckets: Int = Buckets,
+      driftMonitor: Option[(Array[(Int, Array[Float])],
+        graft.operators.Similarity.DriftStats)] = None): Long = {
     val sksDir = s"$indexDir/sks"
     val bandsDir = s"$indexDir/bands"
     val schema = spark.read.parquet(vecsDir).schema
@@ -139,10 +153,21 @@ object StreamingIngest {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batches += 1
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          driftMonitor.foreach { case (centroids, ref) =>
+            import s.implicits._
+            val rep = graft.operators.Similarity.driftReport(s,
+              batch.select(col(vecCol)), vecCol, centroids, ref, unit = true)
+            Seq((batchId, rep.n, rep.meanResidNorm, rep.residRatio,
+                rep.massKl, rep.drifted))
+              .toDF("batch_id", "n", "mean_rn", "resid_ratio", "mass_kl",
+                "drifted")
+              .coalesce(1).write.mode("append")
+              .parquet(s"$indexDir/drift_log")
+          }
           val haveIndex = graft.core.Fs.exists(s, sksDir)
           def emptyTyped(cols: (String, String)*): DataFrame =
             s.emptyDataFrame.select(cols.map { case (n, t) =>

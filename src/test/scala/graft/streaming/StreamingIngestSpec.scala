@@ -218,6 +218,55 @@ class StreamingIngestSpec extends AnyFunSuite {
       .filter($"id" % 2 === 1).count() == 3L)
   }
 
+  test("drift monitor at the arrival point: per-micro-batch log, planted batch trips") {
+    import graft.operators.{Dedup, Similarity}
+    val root = Files.createTempDirectory("graft-ingest-drift").toString
+    val vecs = s"$root/vecs"; val index = s"$root/index"
+    val emb = graft.Tables.load(spark, graft.TestSpark.sf, "embeddings")
+    val corpus = emb.filter($"vec_id" % 2 === 0)
+      .select($"vec_id", $"embedding")
+    // file 0: an in-distribution sample; file 1: the planted drift
+    val inDist = emb.filter($"vec_id" % 4 === 1)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val drifted = emb.filter($"vec_id" % 4 === 3)
+      .select(($"vec_id" + 200000L).as("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> x + 2.0f)").as("embedding"))
+    def stage(df: org.apache.spark.sql.DataFrame, i: Int): Unit =
+      writeStagedVecs(vecs, i, df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq)
+    stage(inDist, 0)
+    stage(drifted, 1)
+    val sk = Dedup.embeddingSketches(corpus, "vec_id", "embedding",
+      bands = 8, rowsPerBand = 4)
+    PartitionedUpsert.writeInitial(sk, s"$index/sks", "id", 8)
+    PartitionedUpsert.writeInitial(Dedup.embeddingBandIndex(sk),
+      s"$index/bands", "id", 8)
+    // the serving index's trained distribution (what publishPqServing
+    // persists) is the monitor's reference
+    val ivf = Similarity.buildIvf(spark,
+      corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    val ref = Similarity.driftStats(spark, corpus.select($"embedding"),
+      "embedding", ivf.centroids, unit = true)
+    val n = StreamingIngest.runAvailableNowNearDupEmbeddings(spark, vecs,
+      index, s"$root/ckpt", minCosine = 0.9, bands = 8, rowsPerBand = 4,
+      maxFilesPerTrigger = Some(1), buckets = 8,
+      driftMonitor = Some((ivf.centroids, ref)))
+    assert(n >= 2, "one micro-batch per staged file")
+    val log = spark.read.parquet(s"$index/drift_log")
+      .dropDuplicates("batch_id").orderBy($"batch_id")
+      .select($"batch_id", $"drifted", $"mass_kl").collect()
+    assert(log.length == 2, s"one monitor row per micro-batch: ${log.length}")
+    assert(!log(0).getBoolean(1), "the in-distribution batch must not trip")
+    assert(log(1).getBoolean(1), "the planted batch must trip")
+    assert(log(1).getDouble(2) > log(0).getDouble(2), "KL must order the two")
+    // the monitor never interferes with the ingest: both batches landed
+    val landed = PartitionedUpsert.read(spark, s"$index/sks")
+      .filter($"id" >= 100000L).count()
+    assert(landed > 0, "arrivals must still index through the monitored run")
+  }
+
   test("chain split across micro-batches: streaming keeps what batch CC drops (documented non-equivalence)") {
     import graft.operators.Dedup
     // A~B and B~C but A!~C (0°, 25°, 50° at threshold cos 0.9 = 25.8°):
