@@ -273,6 +273,22 @@ object Similarity {
       s"$dir/drift_stats")
   }
 
+  /** Reconstruct an [[IvfIndex]] from a [[writeIvf]] directory —
+    * [[readIvfPq]]'s float-tier twin, completing cold-start API symmetry
+    * (the persisted-path searches read the directory directly; this is
+    * for callers that want the in-memory API — [[searchIvf]],
+    * [[buildGraphPerCell]]-style consumers — in a fresh process).
+    * Centroids round-trip bit-exactly and sort in build order (cell
+    * asc); the assignments stay a lazy partition-pruned scan.
+    */
+  def readIvf(spark: SparkSession, dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(cents, spark.read.parquet(s"$dir/assignments")
+      .select(col("id"), col("vec"), col("cell")))
+  }
+
   /** Incremental append to a persisted IVF index: new vectors are assigned
     * to the EXISTING centroids (the k-row side table broadcasts; nothing
     * retrains) and appended to their cell partitions — untouched cells gain

@@ -52,4 +52,30 @@ class IvfAppendSpec extends AnyFunSuite {
     val grown = filesAfter.filter { case (cell, n) => n > filesBefore.getOrElse(cell, 0) }
     assert(grown.size == 1, s"expected one grown cell, got $grown")
   }
+
+  test("readIvf round-trips the index: cold-start searchIvf ≡ in-memory") {
+    val dir = Files.createTempDirectory("graft-ivf-rt")
+    val emb = graft.Tables.load(spark, graft.TestSpark.sf, "embeddings")
+    val index = Similarity.buildIvf(spark, emb, "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    Similarity.writeIvf(index, dir.toString)
+    val back = Similarity.readIvf(spark, dir.toString)
+    assert(back.centroids.length == index.centroids.length)
+    back.centroids.zip(index.centroids).foreach { case ((ci, a), (cj, b)) =>
+      assert(ci == cj && java.util.Arrays.equals(a, b),
+        s"centroid $ci must round-trip bit-exactly")
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cell")
+    assert(norm(back.assignments).exceptAll(norm(index.assignments)).isEmpty &&
+      norm(index.assignments).exceptAll(norm(back.assignments)).isEmpty,
+      "assignments must round-trip row-identically")
+    val probe = emb.filter($"vec_id" === 3L)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val mem = Similarity.searchIvf(index, probe, nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cold = Similarity.searchIvf(back, probe, nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(cold == mem, "cold-start search must be row-identical")
+  }
 }
