@@ -220,4 +220,47 @@ object Tables {
     }
     walked.flatten
 }
+
+  private val rowCountMemo =
+    new scala.collection.concurrent.TrieMap[String, (String, Long)]()
+
+  private[graft] def rowCountMemoSize: Int = rowCountMemo.size
+
+  /** Exact table row count straight from parquet FOOTER metadata (every
+    * row group records its row count) — ZERO Spark jobs, same lakehouse
+    * stats posture and fingerprint-validated replace-on-write memo as
+    * [[parquetLongStats]]. None on any IO trouble (caller falls back to
+    * `df.count()`). Feeds size gates that pick a plan BEFORE running it
+    * (e.g. [[graft.operators.TurnMergeOp.merge]]'s kernel-vs-window
+    * choice) without spending a job on the probe.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet"))
+        else Array(p)
+      val fingerprint = files.map { f =>
+        val st = f.getFileSystem(conf).getFileStatus(f)
+        s"${f.getName}:${st.getLen}:${st.getModificationTime}"
+      }.sorted.mkString(",")
+      rowCountMemo.get(path) match {
+        case Some((fp, n)) if fp == fingerprint => return Some(n)
+        case _ => ()
+      }
+      var n = 0L
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+        finally reader.close()
+      }
+      rowCountMemo.update(path, (fingerprint, n))
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

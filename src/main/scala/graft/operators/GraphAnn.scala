@@ -1447,25 +1447,34 @@ object GraphAnn {
       idCol: String, vecCol: String, centroids: Array[(Int, Array[Float])],
       ref: Similarity.DriftStats, m: Int = 8, efConstruction: Int = 64,
       maxSegmentSize: Int = Int.MaxValue, residRatioMax: Double = 1.25,
-      klMax: Double = 0.5): (DataFrame, Similarity.DriftReport) = {
+      klMax: Double = 0.5,
+      logTo: Option[String] = None): (DataFrame, Similarity.DriftReport) = {
     val report = monitorBatch(batch, vecCol, centroids, ref, unit = false,
-      residRatioMax, klMax, remedy = "publishGraphCells")
+      residRatioMax, klMax, remedy = "publishGraphCells", logTo = logTo)
     (appendGraphCells(existing, batch, idCol, vecCol, centroids, m,
       efConstruction, maxSegmentSize), report)
   }
 
-  /** ONE copy of the score-warn choreography both graph-tier monitored
-    * appends share (a threshold-semantics or warn-format fix lands on
-    * every leg). The monitor pass is one broadcast map over the ARRIVAL
-    * batch only — the append's own assignment repeats it, a bounded
-    * second map with no shuffle, which keeps the append entry points
-    * untouched (the float IVF leg, whose write is a plain projection,
-    * does fuse the two — [[Similarity.appendToIvfMonitored]]).
+  /** ONE copy of the score-warn-log choreography both graph-tier
+    * monitored appends share (a threshold-semantics or warn-format fix
+    * lands on every leg). The monitor pass is one broadcast map over the
+    * ARRIVAL batch only — the append's own assignment repeats it, a
+    * bounded second map with no shuffle, which keeps the append entry
+    * points untouched (the float IVF leg, whose write is a plain
+    * projection, does fuse the two —
+    * [[Similarity.appendToIvfMonitored]]). `logTo` is the serving root
+    * the caller publishes to (e.g. a [[publishPqServing]] root): when
+    * set, the report lands as one durable `<logTo>/drift_log` row in the
+    * same format as the IVF-dir and streaming legs, so a v36-style
+    * scheduler reads one log across all three and a cold-started root
+    * carries its drift history. The graph legs stay
+    * DataFrame-in/DataFrame-out when it's None — an in-memory build has
+    * no directory to log beside.
     */
   private def monitorBatch(batch: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Float])], ref: Similarity.DriftStats,
       unit: Boolean, residRatioMax: Double, klMax: Double,
-      remedy: String): Similarity.DriftReport = {
+      remedy: String, logTo: Option[String]): Similarity.DriftReport = {
     val report = Similarity.driftReport(batch.sparkSession,
       batch.select(col(vecCol)), vecCol, centroids, ref, unit,
       residRatioMax, klMax)
@@ -1475,6 +1484,8 @@ object GraphAnn {
         f"massKl ${report.massKl}%.3f vs max $klMax over ${report.n} rows): " +
         s"appended vectors degrade recall as drift grows — schedule a " +
         s"retrain and republish via $remedy")
+    logTo.foreach(root => Similarity.appendDriftLog(batch.sparkSession,
+      s"$root/drift_log", report))
     report
   }
 
@@ -1494,9 +1505,11 @@ object GraphAnn {
       idCol: String, vecCol: String, index: Similarity.IvfPqIndex,
       ref: Similarity.DriftStats, m: Int = 8, efConstruction: Int = 64,
       maxSegmentSize: Int = Int.MaxValue, residRatioMax: Double = 1.25,
-      klMax: Double = 0.5): (DataFrame, Similarity.DriftReport) = {
+      klMax: Double = 0.5,
+      logTo: Option[String] = None): (DataFrame, Similarity.DriftReport) = {
     val report = monitorBatch(batch, vecCol, index.centroids, ref,
-      unit = true, residRatioMax, klMax, remedy = "publishPqServing")
+      unit = true, residRatioMax, klMax, remedy = "publishPqServing",
+      logTo = logTo)
     (appendGraphCellsPq(existing, batch, idCol, vecCol, index, m,
       efConstruction, maxSegmentSize), report)
   }

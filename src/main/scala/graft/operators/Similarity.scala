@@ -298,12 +298,18 @@ object Similarity {
     * (publish via [[graft.pipeline.VersionedIndex]]), not a per-batch cost;
     * recall only degrades as far as the data distribution drifts from the
     * trained centroids.
+    *
+    * Null-vector rows are DROPPED, not written: they can never be
+    * retrieved by a vector search (no cell routes to them), and the
+    * assignments table doubles as the rebuild corpus (v36 retrains from
+    * it), where a null vector would poison Lloyd training.
     */
   def appendToIvf(spark: SparkSession, dir: String, df: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val centroids = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", assignUdf(spark, centroids)(col("vec")))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
   }
@@ -492,26 +498,44 @@ object Similarity {
     // nearest-centroid distance IS the residual norm; the assign rule is
     // [[appendToIvf]]'s own, same array order + strict <, so the written
     // cells are identical to an unmonitored append's)
+    // null vectors are dropped before assignment — [[appendToIvf]]'s own
+    // rule (unsearchable + they'd poison a v36 retrain from this table),
+    // so the monitor's n counts exactly the rows the append writes
     val ar = assignResidUdf(spark, centroids, unit = false)
     val assigned = df
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         ar(col(vecCol)).as("a"))
       .select(col("id"), col("vec"), col("a._1").as("cell"),
         col("a._2").as("rn"))
       .localCheckpoint(true)
-    // null vectors stay out of the stats ([[driftStats]]' own filter)
-    // but write through unchanged, as the unmonitored append would
     val report = driftReportFrom(
-      statsOverCellRn(assigned.filter(col("rn").isNotNull)
-        .select(col("cell"), col("rn"))),
+      statsOverCellRn(assigned.select(col("cell"), col("rn"))),
       ref, residRatioMax, klMax)
     assigned.select(col("id"), col("vec"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
-    Seq((report.n, report.meanResidNorm, report.p95ResidNorm,
-        report.residRatio, report.massKl, report.drifted))
-      .toDF("n", "mean_rn", "p95_rn", "resid_ratio", "mass_kl", "drifted")
-      .coalesce(1).write.mode("append").parquet(s"$dir/drift_log")
+    appendDriftLog(spark, s"$dir/drift_log", report)
     report
+  }
+
+  /** ONE drift-log row format for every monitored leg (the IVF-dir
+    * append above, the streaming arrival point, and the graph tiers'
+    * `logTo`) — v36's scheduler reads a single schema across all three.
+    * `batchId` is the streaming micro-batch id when there is one (crash
+    * replays append a second row with the SAME id — read with
+    * `dropDuplicates("batch_id")`); batch legs log null. One tiny file
+    * per call — bound the count with
+    * [[graft.pipeline.Compaction.compactFlat]] (the streaming ingest's
+    * `compactIndex` includes the log).
+    */
+  def appendDriftLog(spark: SparkSession, logDir: String,
+      report: DriftReport, batchId: Option[Long] = None): Unit = {
+    import spark.implicits._
+    Seq((batchId, report.n, report.meanResidNorm, report.p95ResidNorm,
+        report.residRatio, report.massKl, report.drifted))
+      .toDF("batch_id", "n", "mean_rn", "p95_rn", "resid_ratio",
+        "mass_kl", "drifted")
+      .coalesce(1).write.mode("append").parquet(logDir)
   }
 
   /** Search a persisted IVF index: rank cells from the (tiny) centroid

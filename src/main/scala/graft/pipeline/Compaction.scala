@@ -120,4 +120,34 @@ object Compaction {
     Report(before.size, rewritten, filesBefore,
       after.valuesIterator.map(_._1).sum, rows)
   }
+
+  /** Compaction for FLAT (unpartitioned) append-log directories — the
+    * drift logs: every monitored append / streaming micro-batch lands
+    * one single-row file, so a year of hourly batches means 8 760 footer
+    * reads per monitor scan. When the dir holds more than `maxFiles`
+    * data files, rewrite it as `ceil(bytes / targetFileBytes)` files
+    * (for a drift log: one). Content is preserved exactly — rows only
+    * move between files, so `dropDuplicates("batch_id")` reads the same
+    * before and after. Idempotent; no-op below the threshold. The
+    * checkpoint-then-overwrite is the [[PartitionedUpsert]] discipline
+    * (never overwrite the files being read).
+    */
+  def compactFlat(spark: SparkSession, dir: String,
+      maxFiles: Int = 8, targetFileBytes: Long = 128L << 20): Report = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Report(0, 0, 0, 0, 0)
+    val files = fs.listStatus(p).filter(f => f.isFile && isDataFile(f.getPath.getName))
+    val nBefore = files.length.toLong
+    if (nBefore <= maxFiles) return Report(1, 0, nBefore, nBefore, 0)
+    val nTarget = math.max(1L,
+      (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val packed = spark.read.parquet(dir).coalesce(nTarget).localCheckpoint(true)
+    val rows = packed.count()
+    packed.write.mode(SaveMode.Overwrite).parquet(dir)
+    val after = fs.listStatus(p)
+      .count(f => f.isFile && isDataFile(f.getPath.getName)).toLong
+    Report(1, 1, nBefore, after, rows)
+  }
 }

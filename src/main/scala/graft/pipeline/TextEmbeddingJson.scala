@@ -17,7 +17,9 @@ import graft.services.{Embedder, HashingEmbedder}
   * wrapper and the envelope is hermetically testable. The reference is
   * deliberately tolerant here — no draft-04 schema: a missing `recordId`
   * round-trips as null, a missing `data` or `text` embeds the empty
-  * string (`item.get("data", {}).get("text", "")`).
+  * string (`item.get("data", {}).get("text", "")`); a PRESENT but
+  * non-textual `text` (the default doesn't apply — the raw value reaches
+  * the embedder and raises) surfaces as that record's `errors` entry.
   */
 object TextEmbeddingJson {
 
@@ -46,22 +48,36 @@ object TextEmbeddingJson {
       if (rid == null) rec.putNull("recordId")
       else rec.set("recordId", rid)
       val data = if (item.isObject) item.get("data") else null
-      val text =
-        if (data != null && data.isObject && data.get("text") != null &&
-            data.get("text").isTextual) data.get("text").asText
-        else ""
+      val textNode: JsonNode =
+        if (data != null && data.isObject) data.get("text") else null
       val dataOut = rec.putObject("data")
       val errs = rec.putArray("errors")
-      try {
-        val vec = embedder.embed(text)
-        val arr = dataOut.putArray("embedding")
-        vec.foreach(arr.add(_))
-      } catch {
-        case e: Exception =>
-          // data stays {} (main.py:481: data_payload only set on success)
-          dataOut.removeAll()
-          errs.addObject().put("message",
-            s"Error generating embeddings: ${e.getMessage}")
+      if (textNode != null && !textNode.isTextual) {
+        // a PRESENT but non-textual text node (number, object, explicit
+        // null) is a malformed record, not an empty document: the
+        // reference's `.get("text", "")` only defaults when the key is
+        // ABSENT, so the raw value reaches the embedder, which raises,
+        // and the per-record try/except surfaces it as an errors entry —
+        // embedding "" here would hand a plausible-looking vector to a
+        // record that should signal
+        errs.addObject().put("message",
+          "Error generating embeddings: data.text is not a string")
+      } else {
+        // a MISSING data/text embeds the empty string
+        // — main.py:471 `item.get("data", {}).get("text", "")`
+        val text = if (textNode != null && textNode.isTextual)
+          textNode.asText else ""
+        try {
+          val vec = embedder.embed(text)
+          val arr = dataOut.putArray("embedding")
+          vec.foreach(arr.add(_))
+        } catch {
+          case e: Exception =>
+            // data stays {} (main.py:481: data_payload only set on success)
+            dataOut.removeAll()
+            errs.addObject().put("message",
+              s"Error generating embeddings: ${e.getMessage}")
+        }
       }
       rec.putArray("warnings")
     }

@@ -176,21 +176,21 @@ object Relational {
     }),
 
     // A7: speaker-turn merge — fold consecutive same-key rows
-    // (chunking/chunkers/transcription_chunker.py:83-102), fused into the
-    // graft_turn_merge generator kernel (functions/TurnMerge.scala): ONE
-    // shuffle on the group key + a per-group in-memory sort-and-fold
-    // replaces the lag → running-sum → re-aggregate plan (exchange + sort
-    // + row-at-a-time WindowExec + a second exchange). Identical output:
-    // the fold order is the window's (ts, event_id) order, key equality
-    // is null-safe, and the oracle below is the declarative spec.
+    // (chunking/chunkers/transcription_chunker.py:83-102) through the
+    // size-gated TurnMergeOp: the fused graft_turn_merge generator kernel
+    // (ONE shuffle + per-group in-memory sort-and-fold replacing the
+    // lag → running-sum → re-aggregate plan) below the max-group bound,
+    // the spilling declarative window form above it. The gate's cheap
+    // tier is the parquet footer row count — zero extra jobs here — so
+    // the plan stays the audited aggregate+Generate shape; a planted
+    // million-event hot key would take the window path instead of
+    // holding the group as JVM objects (TurnMergeOpSpec pins both path
+    // equality and the choice). The oracle below is the declarative spec.
     "a7_turn_merge" -> ((s, d) => {
       import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      load(s, d, "events")
-        .groupBy($"user_id")
-        .agg(collect_list(struct($"ts", $"event_id", $"event_type", $"value")).as("evs"))
-        .select($"user_id", graft.functions.GraftFunctions.turn_merge($"evs").as(
-          Seq("run_id", "event_type", "n_events", "sum_value")))
+      graft.operators.TurnMergeOp.merge(load(s, d, "events"),
+          "user_id", "ts", "event_id", "event_type", "value",
+          totalRowsHint = graft.Tables.parquetRowCount(s, s"$d/events.parquet"))
         .select($"user_id", $"run_id", $"event_type", $"n_events",
           round($"sum_value", 2).as("sum_value"))
         .orderBy($"user_id", $"run_id")

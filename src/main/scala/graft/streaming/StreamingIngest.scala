@@ -21,6 +21,21 @@ import graft.pipeline.PartitionedUpsert
   */
 object StreamingIngest {
 
+  /** Everything the arrival-point drift monitor needs, with the same
+    * tunable thresholds the batch append legs
+    * ([[graft.operators.Similarity.appendToIvfMonitored]],
+    * [[graft.operators.GraphAnn.appendGraphCellsPqMonitored]]) expose —
+    * a deployment tunes the monitor here instead of forking the ingest
+    * loop. `centroids` + `ref` are the serving index's build-time
+    * distribution, both durable under a
+    * [[graft.operators.GraphAnn.publishPqServing]] root.
+    */
+  final case class DriftMonitorConfig(
+      centroids: Array[(Int, Array[Float])],
+      ref: graft.operators.Similarity.DriftStats,
+      residRatioMax: Double = 1.25,
+      klMax: Double = 0.5)
+
   /** Default hash-bucket count for the index tables. Size it to the
     * index's data, not its row count at gate scale: each micro-batch's
     * upsert rewrites every touched bucket, so an oversharded index pays
@@ -46,8 +61,15 @@ object StreamingIngest {
     val sub = Seq("sigs", "bands").map(n => s"$indexDir/$n")
       .filter(graft.core.Fs.exists(spark, _))
     val dirs = if (sub.nonEmpty) sub else Seq(indexDir)
-    dirs.map(Compaction.compactPartitioned(spark, _, "_bucket",
-        maxFilesPerPartition, targetFileBytes))
+    // the drift log fragments one tiny file per micro-batch — include it
+    // (flat dir, so the flat compactor; content preserved exactly, the
+    // dropDuplicates("batch_id") read is unchanged)
+    val logReports = Seq(s"$indexDir/drift_log")
+      .filter(graft.core.Fs.exists(spark, _))
+      .map(Compaction.compactFlat(spark, _, maxFilesPerPartition,
+        targetFileBytes))
+    (dirs.map(Compaction.compactPartitioned(spark, _, "_bucket",
+        maxFilesPerPartition, targetFileBytes)) ++ logReports)
       .reduce((a, b) => graft.pipeline.Compaction.Report(
         a.partitionsScanned + b.partitionsScanned,
         a.partitionsCompacted + b.partitionsCompacted,
@@ -121,9 +143,10 @@ object StreamingIngest {
     * drop, appending nothing.
     *
     * `driftMonitor` wires the v35 drift monitor into the ARRIVAL POINT:
-    * given the serving index's (centroids, build-time
-    * [[graft.operators.Similarity.DriftStats]]) — both durable under a
-    * [[graft.operators.GraphAnn.publishPqServing]] root — every
+    * given a [[DriftMonitorConfig]] (the serving index's centroids +
+    * build-time [[graft.operators.Similarity.DriftStats]], both durable
+    * under a [[graft.operators.GraphAnn.publishPqServing]] root, plus
+    * the same tunable thresholds the batch legs expose) — every
     * micro-batch scores a [[graft.operators.Similarity.DriftReport]]
     * (unit space) and appends one row keyed by the STREAM's batch id to
     * `indexDir/drift_log`, so the rebuild signal (v36) fires from the
@@ -139,8 +162,7 @@ object StreamingIngest {
       expectedBandKeys: Long = 1L << 20,
       maxFilesPerTrigger: Option[Int] = None,
       buckets: Int = Buckets,
-      driftMonitor: Option[(Array[(Int, Array[Float])],
-        graft.operators.Similarity.DriftStats)] = None): Long = {
+      driftMonitor: Option[DriftMonitorConfig] = None): Long = {
     val sksDir = s"$indexDir/sks"
     val bandsDir = s"$indexDir/bands"
     val schema = spark.read.parquet(vecsDir).schema
@@ -157,16 +179,13 @@ object StreamingIngest {
         batches += 1
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          driftMonitor.foreach { case (centroids, ref) =>
-            import s.implicits._
+          driftMonitor.foreach { cfg =>
             val rep = graft.operators.Similarity.driftReport(s,
-              batch.select(col(vecCol)), vecCol, centroids, ref, unit = true)
-            Seq((batchId, rep.n, rep.meanResidNorm, rep.residRatio,
-                rep.massKl, rep.drifted))
-              .toDF("batch_id", "n", "mean_rn", "resid_ratio", "mass_kl",
-                "drifted")
-              .coalesce(1).write.mode("append")
-              .parquet(s"$indexDir/drift_log")
+              batch.select(col(vecCol)), vecCol, cfg.centroids, cfg.ref,
+              unit = true, residRatioMax = cfg.residRatioMax,
+              klMax = cfg.klMax)
+            graft.operators.Similarity.appendDriftLog(s,
+              s"$indexDir/drift_log", rep, batchId = Some(batchId))
           }
           val haveIndex = graft.core.Fs.exists(s, sksDir)
           def emptyTyped(cols: (String, String)*): DataFrame =

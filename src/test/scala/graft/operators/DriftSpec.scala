@@ -88,6 +88,79 @@ class DriftSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$d2/drift_log").count() == 1)
   }
 
+  test("graph-tier monitored appends log durably to a serving root (logTo)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-driftlog").toString
+    val unified = Seq("batch_id", "n", "mean_rn", "p95_rn", "resid_ratio",
+      "mass_kl", "drifted")
+    val existing = GraphAnn.buildGraphPerCell(spark,
+      ivf.assignments.filter($"id" % 2 === 0), m = 4, efConstruction = 16)
+      .localCheckpoint(true)
+    val batch = emb.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding")
+    val ref = Similarity.driftStatsAssigned(spark, ivf.assignments,
+      "cell", "vec", ivf.centroids)
+    // float leg: exactly one row per monitored append, the unified schema
+    val (_, r1) = GraphAnn.appendGraphCellsMonitored(existing, batch,
+      "vec_id", "embedding", ivf.centroids, ref, m = 4, efConstruction = 16,
+      logTo = Some(root))
+    val log1 = spark.read.parquet(s"$root/drift_log")
+    assert(log1.columns.toSeq == unified, log1.columns.mkString(","))
+    val row = log1.collect()
+    assert(row.length == 1, "one monitored append = one log row")
+    assert(row(0).isNullAt(0), "a batch leg logs a null batch_id")
+    assert(row(0).getLong(1) == r1.n &&
+      row(0).getBoolean(6) == r1.drifted)
+    // history accumulates: a second append is a second row
+    GraphAnn.appendGraphCellsMonitored(existing, batch, "vec_id",
+      "embedding", ivf.centroids, ref, m = 4, efConstruction = 16,
+      logTo = Some(root))
+    assert(spark.read.parquet(s"$root/drift_log").count() == 2)
+    // PQ leg: same schema, same one-row contract, on its own root
+    val root2 = java.nio.file.Files.createTempDirectory("graft-driftlog2").toString
+    val pq = Similarity.buildIvfPq(spark, emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", nCells = 8, subspaces = 8, codesPerSub = 8,
+      ivfIters = 1, pqIters = 1)
+    val pqNodes = GraphAnn.buildGraphPerCellPq(spark,
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", pq, m = 4,
+      efConstruction = 16).localCheckpoint(true)
+    val refPq = Similarity.driftStats(spark,
+      emb.filter($"vec_id" % 2 === 0).select($"embedding"), "embedding",
+      pq.centroids, unit = true)
+    val (_, r2) = GraphAnn.appendGraphCellsPqMonitored(pqNodes, batch,
+      "vec_id", "embedding", pq, refPq, m = 4, efConstruction = 16,
+      logTo = Some(root2))
+    val log2 = spark.read.parquet(s"$root2/drift_log")
+    assert(log2.columns.toSeq == unified, log2.columns.mkString(","))
+    assert(log2.count() == 1)
+    assert(log2.head().getLong(1) == r2.n)
+    // default stays DataFrame-in/DataFrame-out: no log dir appears
+    GraphAnn.appendGraphCellsMonitored(existing, batch, "vec_id",
+      "embedding", ivf.centroids, ref, m = 4, efConstruction = 16)
+    assert(!new java.io.File(s"$root2/extra").exists())
+  }
+
+  test("null-vector rows are dropped by both IVF append legs, not crashed on") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-driftn1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-driftn2").toString
+    Similarity.writeIvf(ivf, d1)
+    Similarity.writeIvf(ivf, d2)
+    val good = emb.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 90000L).as("vec_id"), $"embedding")
+    val batch = good.unionByName(
+      good.limit(3).select(($"vec_id" + 1000000L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val before = spark.read.parquet(s"$d1/assignments").count()
+    Similarity.appendToIvf(spark, d1, batch, "vec_id", "embedding")
+    val r = Similarity.appendToIvfMonitored(spark, d2, batch, "vec_id", "embedding")
+    val nGood = good.count()
+    assert(spark.read.parquet(s"$d1/assignments").count() == before + nGood,
+      "unmonitored append lands exactly the non-null rows")
+    assert(spark.read.parquet(s"$d2/assignments")
+      .filter($"id" >= 1000000L).isEmpty,
+      "null-vector rows never reach the assignments table")
+    assert(r.n == nGood, "the monitor counts exactly the rows the append writes")
+    assert(!r.drifted)
+  }
+
   test("writeIvfPq without a drift reference clears a stale one") {
     val pq = Similarity.buildIvfPq(spark, emb, "vec_id", "embedding",
       nCells = 8, subspaces = 8, codesPerSub = 8, ivfIters = 1, pqIters = 1)

@@ -97,6 +97,41 @@ class CompactionSpec extends AnyFunSuite {
     assert(rpt == Compaction.Report(0, 0, 0, 0, 0))
   }
 
+  test("compactFlat bounds a drift-log dir, preserves rows exactly, no-ops below threshold") {
+    import spark.implicits._
+    val dir = freshDir()
+    // the drift-log shape: N single-row appends (two sharing a batch_id —
+    // a crash replay — so the dropDuplicates read is part of the check)
+    val ids = Seq(0L, 1L, 2L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    ids.zipWithIndex.foreach { case (b, i) =>
+      Seq((b, 100L + i, 0.5 + i * 0.01, i % 3 == 0))
+        .toDF("batch_id", "n", "mean_rn", "drifted")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def files() = new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).size
+    assert(files() == ids.length, "fixture: one file per append")
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val dedupBefore = spark.read.parquet(dir).dropDuplicates("batch_id").count()
+
+    val rpt = Compaction.compactFlat(spark, dir, maxFiles = 4)
+    assert(rpt.filesBefore == ids.length && rpt.filesAfter == 1, rpt.toString)
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(after == before, "rows must only move between files")
+    assert(spark.read.parquet(dir).dropDuplicates("batch_id").count() == dedupBefore)
+    // idempotent: the compacted dir is below threshold → untouched
+    val again = Compaction.compactFlat(spark, dir, maxFiles = 4)
+    assert(again.partitionsCompacted == 0 && again.filesAfter == 1, again.toString)
+    // missing dir reports zeros
+    assert(Compaction.compactFlat(spark, dir + "/nope", 4) ==
+      Compaction.Report(0, 0, 0, 0, 0))
+  }
+
   test("escaped partition values (spaces, colons) and nulls still compact") {
     import spark.implicits._
     val dir = freshDir()

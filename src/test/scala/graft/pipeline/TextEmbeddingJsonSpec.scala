@@ -78,6 +78,30 @@ class TextEmbeddingJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("present-but-non-textual text is a per-record error, not an empty embed") {
+    // the reference's .get("text", "") only defaults when the key is
+    // ABSENT — a number/object/null value reaches the embedder and
+    // raises, so these records must surface errors, not a ""-embedding
+    val (status, body) = TextEmbeddingJson.handle(
+      """{"values":[{"recordId":"n1","data":{"text":42}},
+        |           {"recordId":"n2","data":{"text":{"nested":true}}},
+        |           {"recordId":"n3","data":{"text":null}},
+        |           {"recordId":"ok","data":{"text":"fine"}}]}""".stripMargin,
+      new HashingEmbedder(8))
+    assert(status == 200)
+    val values = mapper.readTree(body).get("values")
+    (0 until 3).foreach { i =>
+      val rec = values.get(i)
+      assert(rec.get("data").size() == 0, s"record $i data must stay {}")
+      assert(rec.get("errors").size() == 1, s"record $i must error")
+      assert(rec.get("errors").get(0).get("message").asText
+        .startsWith("Error generating embeddings:"))
+    }
+    val ok = values.get(3)
+    assert(ok.get("data").get("embedding").size() == 8)
+    assert(ok.get("errors").size() == 0)
+  }
+
   test("missing recordId round-trips as null, reference-style") {
     val (status, body) = TextEmbeddingJson.handle(
       """{"values":[{"data":{"text":"anonymous"}}]}""", new HashingEmbedder(8))

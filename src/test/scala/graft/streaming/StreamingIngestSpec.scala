@@ -252,7 +252,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     val n = StreamingIngest.runAvailableNowNearDupEmbeddings(spark, vecs,
       index, s"$root/ckpt", minCosine = 0.9, bands = 8, rowsPerBand = 4,
       maxFilesPerTrigger = Some(1), buckets = 8,
-      driftMonitor = Some((ivf.centroids, ref)))
+      driftMonitor = Some(StreamingIngest.DriftMonitorConfig(ivf.centroids, ref)))
     assert(n >= 2, "one micro-batch per staged file")
     val log = spark.read.parquet(s"$index/drift_log")
       .dropDuplicates("batch_id").orderBy($"batch_id")
