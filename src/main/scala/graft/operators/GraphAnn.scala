@@ -1418,6 +1418,18 @@ object GraphAnn {
   def appendGraphCellsPq(existing: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, index: Similarity.IvfPqIndex,
       m: Int = 8, efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue): DataFrame =
+    existing.unionByName(buildAppendSegmentsPq(existing, batch, idCol,
+      vecCol, index, m, efConstruction, maxSegmentSize))
+
+  /** [[appendGraphCellsPq]]'s fresh-segment half on its own — ONLY the
+    * new slices (existing rows are the caller's to union). The partial
+    * rebuild needs the new rows separately so its clump-bound merge
+    * measures just the rows this batch added, not the whole index.
+    */
+  private[graft] def buildAppendSegmentsPq(existing: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      index: Similarity.IvfPqIndex, m: Int = 8, efConstruction: Int = 64,
       maxSegmentSize: Int = Int.MaxValue): DataFrame = {
     val spark = existing.sparkSession
     import spark.implicits._
@@ -1429,8 +1441,7 @@ object GraphAnn {
         Seq("id"))
       .select(col("cell").cast("int"), col("id"), col("vec"), col("pq_codes"))
       .as[(Int, Long, Array[Float], Array[Byte])]
-    existing.unionByName(
-      buildCellSegmentsPq(base, m, efConstruction, maxSegmentSize, segBase))
+    buildCellSegmentsPq(base, m, efConstruction, maxSegmentSize, segBase)
   }
 
   /** [[appendGraphCells]] with the drift monitor wired in — the float
@@ -1512,6 +1523,138 @@ object GraphAnn {
       logTo = logTo)
     (appendGraphCellsPq(existing, batch, idCol, vecCol, index, m,
       efConstruction, maxSegmentSize), report)
+  }
+
+  /** One bounded maintenance cycle's receipt: the republished version,
+    * which cells tripped (now retired), their replacement cell ids, and
+    * the two work sizes — the retrained region's rows and the
+    * in-distribution remainder appended as fresh segments.
+    */
+  final case class PartialRebuildReport(version: String, tripped: Array[Int],
+      newCells: Array[Int], regionRows: Long, restRows: Long)
+
+  /** The bounded response to a drift signal — v36's full-retrain loop
+    * with the retrain confined to the drifted region (FreshDiskANN
+    * discipline, Singh et al. 2021: maintenance cost scales with the
+    * CHANGED region, not the corpus — the cost lever the reference names
+    * too, CHANGELOG v2.2.5 "full re-index = significant cost
+    * implications"). Against the CURRENT published version under `root`:
+    *
+    *  1. Localize: score `batch` against the stored drift reference and
+    *     take [[Similarity.trippedCells]] — the per-cell work list. No
+    *     tripped cells → None (the signal was global noise; the caller's
+    *     normal monitored append is the right path).
+    *  2. Split the batch by the index's OWN routing: rows landing in
+    *     tripped cells join the retrain region; the in-distribution
+    *     remainder appends as fresh segments ([[appendGraphCellsPq]]'s
+    *     no-retrain discipline) — every arrival lands exactly once.
+    *  3. Retrain ONLY the region ([[Similarity.retrainCellsIvfPq]]):
+    *     tripped cells' members (floats fetched from `corpus` by one
+    *     id-join) plus the batch's tripped rows re-center, re-encode
+    *     against the UNCHANGED codebook, and rebuild their graph
+    *     segments; untouched cells' coded rows and adjacency pass
+    *     through physically unchanged (gate v37 pins row-identity).
+    *  4. Republish through the same ONE [[publishPqServing]] flip:
+    *     codes + adjacency + centroids + codebook + merged clump bound +
+    *     the EXACTLY-merged drift reference swap atomically.
+    *
+    * Lloyd training, PQ encoding and graph construction — the costs that
+    * make the full rebuild O(corpus) — all run over O(region + batch)
+    * rows here; the publish's pass-through write of untouched cells is a
+    * copy, not a rebuild. The clump bound merges conservatively
+    * (max(stored, fresh-rows bound) — a guard may widen a search it
+    * didn't need to, never narrow one it did). The merged reference
+    * omits the appended remainder's rows (in-distribution by this very
+    * split's verdict) — the same bounded omission any post-reference
+    * append already carries. Batch ids must be globally unique vs the
+    * index ([[appendGraphCellsPq]]'s contract).
+    */
+  def rebuildDriftedPqServing(spark: SparkSession, root: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      batch: DataFrame, batchIdCol: String, batchVecCol: String,
+      splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
+      efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
+      residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
+      minMass: Double = 0.01,
+      keepVersions: Int = 2): Option[PartialRebuildReport] = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"no published PQ serving state under $root"))
+    val art = Similarity.readIvfPq(spark, s"$root/$v/artifacts")
+    val ref = art.driftStats.getOrElse(throw new IllegalStateException(
+      s"$root/$v carries no drift reference — republish with one " +
+        "(publishPqServing(driftStats = Some(...)))"))
+    val batchStats = Similarity.driftStats(spark,
+      batch.select(col(batchVecCol)), batchVecCol, art.index.centroids,
+      unit = true)
+    val tripped = Similarity.trippedCells(batchStats, ref, residRatioMax,
+      massRatioMax, minMass)
+    if (tripped.isEmpty) {
+      log.info(s"no cell of $root/$v trips on this batch " +
+        s"(n=${batchStats.n}) — appending normally is the right response")
+      return None
+    }
+    val trippedSeq = tripped.toSeq
+    val nodes = spark.read.parquet(s"$root/$v/cells")
+    val untouched = nodes.filter(!col("part").isin(trippedSeq: _*))
+    // region floats: tripped cells' CURRENT members (ids from the graph —
+    // it carries post-publish appends the artifacts' coded table may
+    // lack; this rebuild heals that asymmetry for the region) + the
+    // batch's tripped rows. One id-join against the corpus, O(region).
+    val memberFloats = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(nodes.filter(col("part").isin(trippedSeq: _*)).select(col("id")),
+        Seq("id"))
+    val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
+      batchVecCol, art.index.centroids).localCheckpoint(true)
+    val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
+      .select(col("id"), col("vec"))
+    val batchRest = assignedBatch.filter(!col("cell").isin(trippedSeq: _*))
+      .select(col("id"), col("vec"))
+    val regionFloats = memberFloats.unionByName(batchTripped)
+      .localCheckpoint(true) // feeds retrain, graph build and the count
+    val partial = Similarity.retrainCellsIvfPq(spark, art, regionFloats,
+      "id", "vec", tripped, splitFactor, ivfIters)
+    // graph build joins against the REGION-restricted coded view so it
+    // touches only region rows (the full view would re-scan the corpus)
+    val regionIndex = Similarity.IvfPqIndex(partial.index.centroids,
+      partial.index.book, partial.regionCoded)
+    val regionNodes = buildGraphPerCellPq(spark, regionFloats, "id", "vec",
+        regionIndex, m, efConstruction, maxSegmentSize)
+      .localCheckpoint(true)
+    val withRegion = untouched.unionByName(regionNodes)
+    val restRows = batchRest.count()
+    val (newNodes, newCoded, freshBound) =
+      if (restRows == 0L)
+        (withRegion, partial.index.coded, clumpBoundOf(regionNodes))
+      else {
+        val freshSegs = buildAppendSegmentsPq(withRegion, batchRest, "id",
+            "vec", partial.index, m, efConstruction, maxSegmentSize)
+          .localCheckpoint(true)
+        // the segments already carry the codes — derive the coded rows
+        // instead of encoding the remainder twice (emit yields exactly
+        // one row per node; neighbors nest the levels)
+        val restCoded = freshSegs.select(col("id"),
+          col("part").as("cell"), col("codes").as("pq_codes"))
+        (withRegion.unionByName(freshSegs),
+          partial.index.coded.unionByName(restCoded),
+          clumpBoundOf(regionNodes.unionByName(freshSegs)))
+      }
+    val bound = art.clumpBound match {
+      case Some(b) => math.max(b, freshBound)
+      case None => clumpBoundOf(newNodes) // no stored bound to merge with
+    }
+    val index = Similarity.IvfPqIndex(partial.index.centroids,
+      partial.index.book, newCoded)
+    val newV = publishPqServing(newNodes, index, root, Some(bound),
+      Some(partial.mergedStats), keepVersions)
+    val regionRows = regionFloats.count()
+    log.info(s"partial rebuild of $root: cells " +
+      s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +
+      s"$regionRows region rows retrained, $restRows appended, " +
+      s"published $newV")
+    Some(PartialRebuildReport(newV, tripped, partial.newCells, regionRows,
+      restRows))
   }
 
   /** The index's clump bound — the largest group of nodes sharing one

@@ -320,9 +320,18 @@ object Similarity {
     * batches against: per-cell assignment mass and the residual-norm
     * distribution (mean + p95 of |v − c_assigned|). Tiny (≤ nCells rows
     * + three scalars) — stored beside the index like the centroid table.
+    *
+    * `cellMeanRn` is the per-cell mean residual norm — the field that
+    * makes the reference MERGEABLE: a partial rebuild
+    * ([[retrainCellsIvfPq]]) freezes untouched cells, so their exact
+    * (count, mean) pairs carry straight into the refreshed reference
+    * while only the retrained region re-measures. Empty on references
+    * written before this field existed (readers fall back; the partial
+    * rebuild refuses and names the full rebuild as the remedy).
     */
   final case class DriftStats(n: Long, cellMass: Array[(Int, Double)],
-      meanResidNorm: Double, p95ResidNorm: Double)
+      meanResidNorm: Double, p95ResidNorm: Double,
+      cellMeanRn: Array[(Int, Double)] = Array.empty)
 
   /** One append batch's drift verdict: `residRatio` is the batch's mean
     * residual norm over the build-time mean (how much worse the trained
@@ -353,6 +362,23 @@ object Similarity {
       }
       (best, math.sqrt(bestD))
     })
+  }
+
+  /** Route rows to their nearest centroid in UNIT space — the IVF-PQ
+    * tier's own routing rule ([[buildIvfPq]] trains on unit vectors), as
+    * a reusable (id, vec, cell) projection. The partial rebuild uses it
+    * to split an arrival batch into the rows that land in tripped cells
+    * (retrained with the region) vs the in-distribution remainder
+    * (appended normally). One broadcast, one map, no shuffle.
+    */
+  private[graft] def assignUnitCells(spark: SparkSession, df: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val ar = assignResidUdf(spark, centroids, unit = true)
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        ar(col(vecCol)).as("a"))
+      .select(col("id"), col("vec"), col("a._1").as("cell"))
   }
 
   /** Measure a vector set's distribution relative to `centroids` — at
@@ -399,9 +425,13 @@ object Similarity {
       expr("percentile_approx(rn, 0.95, 10000)")).head()
     val n = r.getLong(0)
     if (n == 0) return DriftStats(0, Array.empty, 0.0, 0.0)
-    val mass = assigned.groupBy(col("cell")).count().collect()
-      .map(x => (x.getInt(0), x.getLong(1).toDouble / n)).sortBy(_._1)
-    DriftStats(n, mass, r.getDouble(1), r.getDouble(2))
+    // one grouped pass yields BOTH per-cell tables (mass for the KL leg,
+    // mean rn for per-cell attribution + exact partial-rebuild merges)
+    val perCell = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), avg(col("rn")).as("mrn")).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    DriftStats(n, perCell.map(c => (c._1, c._2.toDouble / n)),
+      r.getDouble(1), r.getDouble(2), perCell.map(c => (c._1, c._3)))
   }
 
   /** Score an append batch against the build-time distribution — the
@@ -447,29 +477,75 @@ object Similarity {
       drifted = ratio > residRatioMax || kl > klMax)
   }
 
+  /** LOCALIZE a drift signal: the cells of a batch's [[DriftStats]] that
+    * carry the drift, by either leg the global monitor trips on —
+    * (a) routing: the batch's mass in the cell exceeds `massRatioMax`×
+    * the reference's (a new mode flooding a cell that used to be quiet),
+    * or (b) residuals: the batch's per-cell mean residual norm exceeds
+    * `residRatioMax`× the reference's mean FOR THAT CELL (arrivals
+    * landing in the cell but far from its centroid; per-cell, so an
+    * intrinsically wide cell is judged against its own width — global
+    * mean only as the fallback for a cell the reference never saw).
+    * Cells below `minMass` of the batch never trip — a handful of
+    * stray rows is noise, not a mode.
+    * Only cells the batch actually routes into are candidates (the
+    * drift a batch CARRIES lives where the batch LANDS). Pure driver
+    * arithmetic over two ≤ nCells tables — this is what turns the v35
+    * monitor's boolean into the bounded work list a partial rebuild
+    * ([[retrainCellsIvfPq]]) needs instead of an O(corpus) retrain.
+    */
+  def trippedCells(cur: DriftStats, ref: DriftStats,
+      residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
+      minMass: Double = 0.01): Array[Int] = {
+    if (cur.n == 0) return Array.empty
+    val refMass = ref.cellMass.toMap
+    val refMean = ref.cellMeanRn.toMap
+    val curMean = cur.cellMeanRn.toMap
+    val eps = 1e-6
+    cur.cellMass.collect { case (c, p)
+      if p >= minMass &&
+        ((p + eps) / (refMass.getOrElse(c, 0.0) + eps) > massRatioMax || {
+          val base = refMean.getOrElse(c, ref.meanResidNorm)
+          base > 0 && curMean.getOrElse(c, 0.0) / base > residRatioMax
+        }) =>
+      c
+    }.sorted
+  }
+
   private def writeDriftStats(spark: SparkSession, st: DriftStats,
       path: String): Unit = {
     import spark.implicits._
+    val meanOf = st.cellMeanRn.toMap
     st.cellMass.toSeq.map { case (c, m) =>
-      (c, m, st.n, st.meanResidNorm, st.p95ResidNorm) }
-      .toDF("cell", "mass", "n", "mean_rn", "p95_rn")
+      (c, m, st.n, st.meanResidNorm, st.p95ResidNorm,
+        meanOf.get(c)) }
+      .toDF("cell", "mass", "n", "mean_rn", "p95_rn", "cell_mean_rn")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Read a [[writeDriftStats]] table back (None if never written —
-    * pre-drift-monitor indexes stay readable).
+    * pre-drift-monitor indexes stay readable; tables written before the
+    * `cell_mean_rn` column read back with `cellMeanRn` empty).
     */
   def readDriftStats(spark: SparkSession, path: String): Option[DriftStats] = {
-    val rows =
-      try spark.read.parquet(path).collect()
+    val df =
+      try spark.read.parquet(path)
       catch { case scala.util.control.NonFatal(_) => return None }
+    val rows = df.collect()
     if (rows.isEmpty) return Some(DriftStats(0, Array.empty, 0.0, 0.0))
     val h = rows.head
+    val cellMean =
+      if (!df.schema.fieldNames.contains("cell_mean_rn")) Array.empty[(Int, Double)]
+      else rows.flatMap { r =>
+        val i = r.fieldIndex("cell_mean_rn")
+        if (r.isNullAt(i)) None
+        else Some((r.getInt(r.fieldIndex("cell")), r.getDouble(i)))
+      }.sortBy(_._1)
     Some(DriftStats(h.getLong(h.fieldIndex("n")),
       rows.map(r => (r.getInt(r.fieldIndex("cell")),
         r.getDouble(r.fieldIndex("mass")))).sortBy(_._1),
       h.getDouble(h.fieldIndex("mean_rn")),
-      h.getDouble(h.fieldIndex("p95_rn"))))
+      h.getDouble(h.fieldIndex("p95_rn")), cellMean))
   }
 
   /** [[appendToIvf]] with the drift monitor wired in: score the batch
@@ -740,7 +816,7 @@ object Similarity {
       }
     }
 
-  private def l2unit(v: Seq[Float]): Array[Float] = {
+  private[graft] def l2unit(v: Seq[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
     val n = math.sqrt(s)
@@ -1013,6 +1089,120 @@ object Similarity {
     IvfPqArtifacts(
       IvfPqIndex(cents, PqCodebook(subspaces, subDim, centroids), coded),
       clump, readDriftStats(spark, s"$dir/drift_stats"))
+  }
+
+  /** One partial retrain's output: the index with ONLY the tripped
+    * cells replaced (new cell ids past the old max; untouched cells'
+    * centroids and coded rows pass through physically unchanged), the
+    * exactly-merged drift reference, and the region's own pieces for the
+    * caller's graph rebuild and clump-bound merge.
+    */
+  final case class IvfPqPartial(index: IvfPqIndex, mergedStats: DriftStats,
+      newCells: Array[Int], regionCoded: DataFrame, regionStats: DriftStats)
+
+  /** Retrain ONLY the tripped cells of an IVF-PQ index — the bounded
+    * maintenance response to a localized drift signal (the FreshDiskANN
+    * direction, Singh et al. 2021 arXiv:2105.09613: merge/rebuild the
+    * affected region, never the corpus; [[buildIvfPq]] on the union is
+    * the O(corpus) alternative this replaces when [[trippedCells]]
+    * confines the drift). `regionFloats` is the float rows of the
+    * drifted region — the tripped cells' current members plus the
+    * drifted arrivals; everything here is linear in THAT region:
+    *
+    *  - `tripped.length × splitFactor` fresh centroids train by the same
+    *    deterministic Lloyd as [[buildIvf]], on the region only. New
+    *    cells take ids past the old max; tripped ids RETIRE (never
+    *    reused), so the old cell partitions drop cleanly and a stale
+    *    reader can never confuse old and new members.
+    *  - Region rows re-assign among the NEW centroids only — the
+    *    locality contract that keeps untouched cells frozen. (Trained on
+    *    exactly these rows, the new centroids dominate the region
+    *    anyway; a boundary row remains reachable through nprobe > 1.)
+    *  - Residuals re-encode with the EXISTING codebook — the invariant
+    *    that keeps every untouched cell's code bytes valid (a retrained
+    *    codebook would orphan them all, v34's lesson). Residual
+    *    distributions re-center under the new centroids, which is
+    *    precisely what un-saturates the drifted mode's codes.
+    *  - The drift reference merges EXACTLY: untouched cells' (count,
+    *    mean residual) pairs are unchanged by construction (same
+    *    centroid, same members), the region's re-measure on its new
+    *    cells; the global mean is the count-weighted combination. Only
+    *    p95 is approximate — the max of the two legs, a conservative
+    *    upper bound (it is reporting-only; [[driftReportFrom]] trips on
+    *    mean ratio and mass KL, both exact).
+    *
+    * Requires a reference with per-cell means (`cellMeanRn`) — an old
+    * reference cannot merge exactly, so this refuses and names the full
+    * rebuild as the remedy rather than guessing.
+    */
+  def retrainCellsIvfPq(spark: SparkSession, art: IvfPqArtifacts,
+      regionFloats: DataFrame, idCol: String, vecCol: String,
+      tripped: Array[Int], splitFactor: Int = 2,
+      ivfIters: Int = 3): IvfPqPartial = {
+    val ref = art.driftStats.getOrElse(throw new IllegalStateException(
+      "partial rebuild needs the index's drift reference — republish with " +
+        "writeIvfPq(driftStats = Some(...)) or run a full buildIvfPq rebuild"))
+    if (ref.cellMass.nonEmpty && ref.cellMeanRn.isEmpty)
+      throw new IllegalStateException(
+        "drift reference predates per-cell residual stats and cannot merge " +
+          "exactly — run one full buildIvfPq rebuild (its writeIvfPq " +
+          "refreshes the reference with per-cell stats), then partial " +
+          "rebuilds apply")
+    val existing = art.index.centroids.map(_._1).toSet
+    require(tripped.nonEmpty && tripped.forall(existing.contains),
+      s"tripped cells ${tripped.mkString(",")} must be existing cells")
+    val trippedSet = tripped.toSet
+    val nNew = math.max(1, tripped.length * splitFactor)
+    val normUdf = udf((v: Seq[Float]) => l2unit(v).toSeq)
+    val regionUnit = regionFloats
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), normUdf(col(vecCol)).as("vec"))
+    // same deterministic Lloyd as the full build, region-sized
+    val sub = buildIvf(spark, regionUnit, "id", "vec", nNew, ivfIters)
+    val offset = art.index.centroids.map(_._1).max + 1
+    val newCents = sub.centroids.map { case (ci, c) => (ci + offset, c) }
+    val shifted = sub.assignments
+      .withColumn("cell", (col("cell") + offset).cast("int"))
+    // known-assignment path: O(dim)/row, measures the region's own
+    // reference legs (per-cell count + mean rn) for the exact merge
+    val regionStats = driftStatsAssigned(spark, shifted, "cell", "vec",
+      newCents)
+    val bcC = spark.sparkContext.broadcast(newCents.toMap)
+    val residUdf = udf((cell: Int, v: Seq[Float]) => {
+      val c = bcC.value(cell)
+      (0 until v.length).map(i => v(i) - c(i))
+    })
+    val regionCoded = encodePq(spark,
+      shifted.withColumn("resid", residUdf(col("cell"), col("vec")))
+        .select(col("id"), col("cell"), col("resid")),
+      "id", "resid", art.index.book, normalize = false,
+      extraCols = Seq("cell"))
+      .select(col("id"), col("cell"), col("pq_codes"))
+      .localCheckpoint(true)
+    // exact merge: counts recover from mass (mass = count/n exactly)
+    val refMeanOf = ref.cellMeanRn.toMap
+    val regMeanOf = regionStats.cellMeanRn.toMap
+    val kept = ref.cellMass.collect { case (c, m) if !trippedSet.contains(c) =>
+      (c, math.round(m * ref.n), refMeanOf(c)) }
+    val reg = regionStats.cellMass.map { case (c, m) =>
+      (c, math.round(m * regionStats.n), regMeanOf(c)) }
+    val all = kept ++ reg
+    val total = all.map(_._2).sum
+    val mergedMean =
+      if (total == 0) 0.0 else all.map(x => x._2 * x._3).sum / total
+    val merged = DriftStats(total,
+      all.map(x => (x._1, x._2.toDouble / total)).sortBy(_._1),
+      mergedMean,
+      math.max(ref.p95ResidNorm, regionStats.p95ResidNorm),
+      all.map(x => (x._1, x._3)).sortBy(_._1))
+    val newIndex = IvfPqIndex(
+      (art.index.centroids.filterNot(c => trippedSet.contains(c._1)) ++
+        newCents).sortBy(_._1),
+      art.index.book,
+      art.index.coded.filter(!col("cell").isin(tripped.map(Int.box): _*))
+        .unionByName(regionCoded))
+    IvfPqPartial(newIndex, merged, newCents.map(_._1), regionCoded,
+      regionStats)
   }
 
   /** Contrastive training triplets mined from the corpus itself — the

@@ -222,6 +222,120 @@ object TextAnalysis {
         round(-sum(term) / sum(col("nb")), 4).as("nll"))
   }
 
+  /** A trained quality classifier over hashed-unigram features — the
+    * DCLM / FineWeb-Edu curation discipline (Li et al. 2024
+    * arXiv:2406.11794; Penedo et al. 2024 arXiv:2406.17557): fit a
+    * logistic regression to SEED labels (reference-domain provenance,
+    * an LLM-graded sample, a planted rule — any deterministic Column),
+    * then score EVERY document map-side with the broadcast weights.
+    * Features are the per-doc normalized bucket histogram
+    * x_b = n_b / n_tokens over [[portableTokenBucket]]'s `buckets`
+    * hashed unigrams (the t10/t11 kernel), plus a constant bias slot at
+    * index `buckets`.
+    *
+    * Scale shape: feature rows build ONCE (one text scan, in-row
+    * histograms — per-token rows never exist) and checkpoint; each
+    * full-batch GD epoch is ONE map pass (margin + residual computed
+    * in-row against the broadcast weights) feeding ONE ≤ buckets+1-row
+    * aggregate; the driver holds only the (buckets+1)-double weight
+    * vector. Scoring is map-only: broadcast weights, no shuffle, no
+    * join ([[scoreQualityLr]]).
+    *
+    * Determinism across engines (the oracle retrains the same model in
+    * SQL): per-doc residuals round to 7 dp through the same `round`
+    * the t-family oracles already pin, and weights quantize to 6 dp
+    * after every update ([[roundHalfUp]]), so double summation order
+    * can never compound across epochs.
+    */
+  final case class QualityLrModel(weights: Array[Double], buckets: Int)
+
+  /** Spark `round(col, s)`'s exact arithmetic on a driver double
+    * (BigDecimal HALF_UP — DuckDB's `round` agrees; both are pinned by
+    * every 4-dp hash-matched t-family oracle).
+    */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-doc sparse feature rows: (bk, x) for each non-empty bucket in
+    * ascending order, then the bias feature (buckets, 1.0). Empty docs
+    * (no tokens) yield null → dropped by the callers.
+    */
+  private def featUdf(buckets: Int) = udf((t: String) => {
+    val h = bucketHistogram(t, buckets)
+    var n = 0L
+    var i = 0
+    while (i < h.length) { n += h(i); i += 1 }
+    if (n == 0L) null
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      i = 0
+      while (i < h.length) {
+        if (h(i) > 0L) out += ((i, h(i).toDouble / n))
+        i += 1
+      }
+      out += ((buckets, 1.0))
+      out.toSeq
+    }
+  })
+
+  def trainQualityLr(df: DataFrame, idCol: String, textCol: String,
+      label: Column, seed: Column, buckets: Int = 256, epochs: Int = 8,
+      lr: Double = 2.0): QualityLrModel = {
+    val spark = df.sparkSession
+    val feats = df.filter(seed)
+      .select(col(idCol).as("id"),
+        when(label, 1.0).otherwise(0.0).as("y"),
+        featUdf(buckets)(col(textCol)).as("fs"))
+      .filter(col("fs").isNotNull)
+      .localCheckpoint(true)
+    val nSeed = feats.count()
+    require(nSeed > 0, "the seed slice is empty")
+    val w = new Array[Double](buckets + 1)
+    for (_ <- 1 to epochs) {
+      val bcW = spark.sparkContext.broadcast(w.clone())
+      val marginUdf = udf((fs: Seq[org.apache.spark.sql.Row]) => {
+        val wv = bcW.value
+        var m = 0.0
+        fs.foreach(f => m += f.getDouble(1) * wv(f.getInt(0)))
+        1.0 / (1.0 + math.exp(-m))
+      })
+      // residual rounds through the builtin round (the cross-engine-
+      // pinned path); gradient = ONE ≤ buckets+1-row aggregate
+      val grad = feats
+        .withColumn("r", round(marginUdf(col("fs")) - col("y"), 7))
+        .select(explode(col("fs")).as("f"), col("r"))
+        .groupBy(col("f._1").as("bk"))
+        .agg(sum(col("r") * col("f._2")).as("g"))
+        .collect()
+      grad.foreach { row =>
+        val bk = row.getInt(0)
+        w(bk) = roundHalfUp(w(bk) - lr * row.getDouble(1) / nSeed, 6)
+      }
+    }
+    QualityLrModel(w, buckets)
+  }
+
+  /** Score every document with a [[trainQualityLr]] model — map-only:
+    * one in-row pass against the broadcast weights, no shuffle, no
+    * join. Emits (id, quality_score) at 4 dp (empty docs drop, like
+    * the oracle's missing feature rows).
+    */
+  def scoreQualityLr(df: DataFrame, idCol: String, textCol: String,
+      model: QualityLrModel): DataFrame = {
+    val bcW = df.sparkSession.sparkContext.broadcast(model.weights)
+    val scoreUdf = udf((fs: Seq[org.apache.spark.sql.Row]) => {
+      val wv = bcW.value
+      var m = 0.0
+      fs.foreach(f => m += f.getDouble(1) * wv(f.getInt(0)))
+      1.0 / (1.0 + math.exp(-m))
+    })
+    df.select(col(idCol).as("id"),
+        featUdf(model.buckets)(col(textCol)).as("fs"))
+      .filter(col("fs").isNotNull)
+      .select(col("id"), round(scoreUdf(col("fs")), 4).as("quality_score"))
+  }
+
   /** Tokens of one text, mirroring `split(trim(text), " ")` with empties
     * dropped — the same tokenization [[bucketHistogram]] inlines.
     */

@@ -143,6 +143,26 @@ object Coverage8 {
         .orderBy($"lang")
     }),
 
+    // T15: TRAINED quality classifier (DCLM / FineWeb-Edu discipline,
+    // the t10 hashed-unigram kernel reused) — logistic regression fit
+    // to seed labels ('en' provenance on the doc_id%3=0 slice; 8
+    // full-batch GD epochs, each ONE aggregate), then every document
+    // scored map-only with the broadcast weights. The oracle RETRAINS
+    // the identical model in SQL (same features, same unrolled epochs,
+    // same per-epoch quantization) — full per-doc score set
+    // hash-matched at 4 dp. QualityLrSpec pins learnability on a
+    // separable planted corpus, train determinism, and the
+    // shuffle-free scoring plan.
+    "t15_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val model = TextAnalysis.trainQualityLr(docs, "doc_id", "text",
+        $"lang" === "en", $"doc_id" % 3 === 0)
+      TextAnalysis.scoreQualityLr(docs, "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // T12: one-scan column profile (ANALYZE analog) — row count, per-column
     // non-null and exact distinct counts; the multi-distinct plans through
     // Expand so the whole profile is one shuffle.
@@ -484,7 +504,59 @@ object Coverage8 {
     })
   )
 
+  /** t15's oracle: retrain the identical logistic regression in SQL —
+    * same portable-bucket features, the same `epochs` full-batch GD
+    * steps unrolled as CTE pairs, residuals rounded to 7 dp and weights
+    * quantized to 6 dp exactly where the Scala trainer rounds (the
+    * cross-engine discipline that stops double summation order from
+    * compounding across epochs). Change [[TextAnalysis.trainQualityLr]],
+    * change this with it.
+    */
+  private def t15Oracle(buckets: Int = 256, epochs: Int = 8,
+      lr: Double = 2.0): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH toks AS (
+      | SELECT doc_id,
+      |  (31*len(t) + 17*ascii(regexp_replace(t,'[^a-zA-Z0-9]','','g'))
+      |   + 7*ascii(reverse(regexp_replace(t,'[^a-zA-Z0-9]','','g')))
+      |   + 3*len(regexp_replace(t,'[^a-zA-Z0-9]','','g'))) % $buckets AS bk
+      | FROM documents,
+      |  unnest(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS u(t)),
+      |pd AS (SELECT doc_id, bk, count(*) AS nb FROM toks GROUP BY 1, 2),
+      |dn AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n FROM pd GROUP BY 1),
+      |feat AS MATERIALIZED (
+      | SELECT p.doc_id, p.bk, p.nb * 1.0 / d.n AS x FROM pd p JOIN dn d USING (doc_id)
+      | UNION ALL SELECT doc_id, $buckets AS bk, 1.0 AS x FROM dn),
+      |seed AS MATERIALIZED (
+      | SELECT f.doc_id, f.bk, f.x,
+      |  CASE WHEN l.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      | FROM feat f JOIN documents l USING (doc_id) WHERE l.doc_id % 3 = 0),
+      |ns AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS nseed FROM seed),
+      |w0 AS (SELECT CAST(range AS BIGINT) AS bk, 0.0 AS w FROM range(${buckets + 1}))"""
+      .stripMargin
+    // each w{e} is read twice (the residual join and the update) and
+    // chains into the next epoch — MATERIALIZED, or a CTE-inlining
+    // engine (DuckDB 1.0) re-evaluates the whole prefix 2^epochs times
+    for (e <- 0 until epochs) {
+      b ++= s""",
+      |r$e AS MATERIALIZED (
+      | SELECT s.doc_id, round(1.0/(1.0+exp(-sum(s.x * w.w))) - any_value(s.y), 7) AS r
+      | FROM seed s JOIN w$e w USING (bk) GROUP BY 1),
+      |w${e + 1} AS MATERIALIZED (
+      | SELECT w.bk, round(w.w - $lr * coalesce(g.g, 0.0) / ns.nseed, 6) AS w
+      | FROM w$e w LEFT JOIN (
+      |   SELECT s.bk, sum(r.r * s.x) AS g FROM seed s JOIN r$e r USING (doc_id)
+      |   GROUP BY 1) g USING (bk) CROSS JOIN ns)""".stripMargin
+    }
+    b ++= s"""
+      |SELECT f.doc_id, round(1.0/(1.0+exp(-sum(f.x * w.w))), 4) AS quality_score
+      |FROM feat f JOIN w$epochs w USING (bk)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+    b.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "t15_quality_classifier" -> t15Oracle(),
     "d10_semdedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS partition_ok,
         | true AS pruned_some, true AS dropped_covered, true AS kept_separated

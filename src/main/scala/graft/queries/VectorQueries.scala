@@ -1363,6 +1363,156 @@ object VectorQueries {
         lit(versions <= 2).as("retention_ok"))
     }),
 
+    // V37: BOUNDED drift maintenance — v36's loop with the retrain
+    // confined to the DRIFTED REGION (the FreshDiskANN discipline,
+    // Singh et al. 2021 arXiv:2105.09613: maintenance cost scales with
+    // the changed region, never the corpus — the cost lever the
+    // reference names too, CHANGELOG v2.2.5 "full re-index =
+    // significant cost implications"). Plant a drift that LOCALIZES to
+    // a strict cell subset; the partial rebuild must (a) retire exactly
+    // those cells and retrain only their members + the drifted
+    // arrivals, (b) pass every untouched cell's coded rows and
+    // adjacency through PHYSICALLY unchanged (two-way exceptAll; the
+    // only additions outside the replacement cells are appended batch
+    // rows), (c) keep the codebook byte-identical (the invariant that
+    // keeps untouched codes valid), (d) merge the drift reference
+    // EXACTLY (count-weighted per-cell merge ≡ a direct recompute),
+    // (e) serve the drifted mode cold-start at brute-force recall
+    // through the ONE republish flip, with mixed traffic reading
+    // in-distribution and retention holding.
+    "v37_partial_rebuild" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val base = emb.filter($"vec_id" % 4 === 0)
+      // v36's fixtures verbatim — same base corpus, same index/graph/
+      // reference build (deployment state, built once per session)
+      val baseIx = Fixtures.cachedObj(s, s"v36_base:$d")(
+        Similarity.buildIvfPq(s, base, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val baseNodes = Fixtures.cached(s, s"v36_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, base, "vec_id", "embedding",
+          baseIx, m = 8, efConstruction = 48))
+      val baseRef = Fixtures.cachedObj(s, s"v36_ref:$d")(
+        Similarity.driftStats(s, base.select($"embedding"), "embedding",
+          baseIx.centroids, unit = true))
+      // fresh root per run: the orchestrator reads the root's CURRENT
+      // version, so a cached root would see its own previous rebuild
+      val root = java.nio.file.Files.createTempDirectory("graft-v37")
+        .toString
+      val v0 = GraphAnn.publishPqServing(baseNodes, baseIx, root,
+        Some(GraphAnn.pqClumpBound(baseNodes)), Some(baseRef))
+      // v36's +0.5/dim plant (mode-preserving, see its comment), but
+      // an EIGHTH of the corpus: a confined mode, not a second corpus
+      val batch = Fixtures.cached(s, s"v37_batch:$d")(
+        emb.filter($"vec_id" % 8 === 1)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x + 0.5f)").as("embedding")))
+      val corpus = Fixtures.cached(s, s"v37_corpus:$d")(
+        base.select($"vec_id", $"embedding")
+          .unionByName(batch.select($"vec_id", $"embedding")))
+      val res = GraphAnn.rebuildDriftedPqServing(s, root, corpus,
+        "vec_id", "embedding", batch, "vec_id", "embedding",
+        splitFactor = 2, ivfIters = 2, m = 8, efConstruction = 48)
+        .getOrElse(throw new IllegalStateException(
+          "planted drift must trigger the partial rebuild"))
+      val tripped = res.tripped.toSeq
+      val corpusN = corpus.count()
+      val batchN = batch.count()
+      // (b) untouched cells: nothing lost or changed, additions are
+      // exactly region + remainder, and what an untouched cell gains
+      // is appended batch rows only
+      val oldArt = s"$root/$v0/artifacts"
+      val newArt = s"$root/${res.version}/artifacts"
+      def coded(p: String) = s.read.parquet(s"$p/coded")
+        .filter(!$"cell".isin(tripped: _*))
+        .select($"id", $"cell", $"pq_codes")
+      val codedA = coded(oldArt); val codedB = coded(newArt)
+      val codedAdds = codedB.exceptAll(codedA).localCheckpoint(true)
+      val batchIds = batch.select($"vec_id".cast("long").as("id"))
+      val codedNew = s.read.parquet(s"$newArt/coded")
+        .join(batchIds, Seq("id"), "left_semi").localCheckpoint(true)
+      val untouchedCodedOk = codedA.exceptAll(codedB).isEmpty &&
+        codedAdds.count() == res.regionRows + res.restRows &&
+        codedAdds.filter(!$"cell".isin(res.newCells.toSeq: _*))
+          .join(batchIds, Seq("id"), "left_anti").isEmpty &&
+        codedNew.count() == batchN &&
+        codedNew.select($"id").distinct().count() == batchN
+      def adj(p: String) = s.read.parquet(s"$root/$p/cells")
+        .filter(!$"part".isin(tripped: _*))
+        .select($"part", $"id", $"codes", $"level", $"neighbors", $"seg")
+      val adjA = adj(v0); val adjB = adj(res.version)
+      val untouchedAdjOk = adjA.exceptAll(adjB).isEmpty &&
+        adjB.exceptAll(adjA)
+          .filter(!$"part".isin(res.newCells.toSeq: _*))
+          .join(batchIds, Seq("id"), "left_anti").isEmpty
+      // (a)+(c) retire + frozen codebook
+      val art = Similarity.readIvfPq(s, newArt)
+      val liveCells = art.index.centroids.map(_._1).toSet
+      val oldMax = baseIx.centroids.map(_._1).max
+      val retireOk = res.tripped.forall(c => !liveCells.contains(c)) &&
+        res.newCells.forall(_ > oldMax) &&
+        s.read.parquet(s"$newArt/coded")
+          .filter($"cell".isin(tripped: _*)).isEmpty
+      val bookOk = art.index.book.centroids.zip(baseIx.book.centroids)
+        .forall { case (sa, sb) => sa.zip(sb).forall {
+          case (x, y) => java.util.Arrays.equals(x, y) } }
+      // (d) the merged reference ≡ a direct recompute over the rows it
+      // covers (the index minus the re-routed appended remainder)
+      val restIds = Similarity.assignUnitCells(s, batch, "vec_id",
+          "embedding", baseIx.centroids)
+        .filter(!$"cell".isin(tripped: _*)).select($"id")
+      val covered = s.read.parquet(s"$newArt/coded").select($"id", $"cell")
+        .join(restIds, Seq("id"), "left_anti")
+        .join(corpus.select($"vec_id".cast("long").as("id"), $"embedding"),
+          Seq("id"))
+      val unitU = udf((v: Seq[Float]) => Similarity.l2unit(v).toSeq)
+      val direct = Similarity.driftStatsAssigned(s,
+        covered.withColumn("vec", unitU($"embedding")), "cell", "vec",
+        art.index.centroids)
+      val merged = art.driftStats.get
+      val mergeOk = merged.n == direct.n &&
+        math.abs(merged.meanResidNorm - direct.meanResidNorm) < 1e-9 &&
+        merged.cellMass.toSeq == direct.cellMass.toSeq
+      // (e) the drifted mode is first-class: cold-start drifted probes
+      // recover brute force over the union; mixed traffic trips nothing
+      val probes = batch.filter($"vec_id" < 1000020L)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val got = GraphAnn.searchGraphRoutedPqColdStart(s, root, corpus,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec",
+          nprobe = 16, k = k, ef = 256, rerankFactor = 256)
+        .localCheckpoint(true)
+      val nProbes = probes.count()
+      val exact = Fixtures.cached(s, s"v37_exact:$d")(
+        Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+            corpus, "vec_id", "embedding", k = k)
+          .select($"probe_id".cast("long").as("probe_id"),
+            $"vec_id".cast("long").as("id")))
+      val keystone = got.join(exact, Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === nProbes && min($"count") >= k - 1)
+          .as("keystone_ok"))
+      val mixedStats = Similarity.driftStats(s,
+        corpus.select($"embedding"), "embedding", art.index.centroids,
+        unit = true)
+      val nCells = baseIx.centroids.length
+      keystone.select($"keystone_ok",
+        lit(res.tripped.nonEmpty && res.tripped.length < nCells)
+          .as("signal_localized"),
+        lit(res.regionRows + res.restRows < corpusN &&
+          res.regionRows + res.restRows >= batchN).as("region_bounded"),
+        lit(untouchedCodedOk).as("untouched_coded_ok"),
+        lit(untouchedAdjOk).as("untouched_adj_ok"),
+        lit(retireOk && bookOk).as("retire_and_book_ok"),
+        lit(mergeOk).as("merge_exact"),
+        lit(Similarity.trippedCells(mixedStats, merged).isEmpty)
+          .as("mixed_clean"),
+        lit(graft.pipeline.VersionedIndex.versions(root).size <= 2)
+          .as("retention_ok"))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -1754,6 +1904,12 @@ object VectorQueries {
     "v36_drift_rebuild" ->
       """SELECT true AS keystone_ok, true AS signal_tripped,
         | true AS rebuild_absorbs_drift, true AS retention_ok""".stripMargin,
+    "v37_partial_rebuild" ->
+      """SELECT true AS keystone_ok, true AS signal_localized,
+        | true AS region_bounded, true AS untouched_coded_ok,
+        | true AS untouched_adj_ok, true AS retire_and_book_ok,
+        | true AS merge_exact, true AS mixed_clean,
+        | true AS retention_ok""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
