@@ -144,24 +144,36 @@ object Tables {
     * footer walk is bounded by file count, which a 100 TB deployment
     * bounds through its table format's manifest anyway.
     */
+  /** Shared listing for the footer-stats helpers: the path's top-level
+    * `.parquet` files plus a (name, length, mtime) fingerprint — built
+    * from the SAME FileStatus array `listStatus` already returned (no
+    * second per-file RPC). None on IO trouble OR when a directory holds
+    * no top-level data files: a nested layout (partitionBy subdirs)
+    * looks identical to an empty table from here, and "I can't tell"
+    * must never read as "zero rows" to a size gate.
+    */
+  private def listParquetFiles(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[(Array[org.apache.hadoop.fs.Path], String)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val statuses =
+        if (fs.getFileStatus(p).isDirectory) {
+          val ls = fs.listStatus(p)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (ls.isEmpty) return None
+          ls
+        } else Array(fs.getFileStatus(p))
+      val fp = statuses.map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+      Some((statuses.map(_.getPath), fp))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def parquetLongStats(spark: SparkSession, path: String,
       cols: Seq[String]): Option[Map[String, (Long, Long)]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val listed =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(conf)
-        val files =
-          if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p).map(_.getPath)
-              .filter(f => f.getName.endsWith(".parquet"))
-          else Array(p)
-        val fp = files.map { f =>
-          val st = f.getFileSystem(conf).getFileStatus(f)
-          s"${f.getName}:${st.getLen}:${st.getModificationTime}"
-        }.sorted.mkString(",")
-        Some((files, fp))
-      } catch { case scala.util.control.NonFatal(_) => None }
+    val listed = listParquetFiles(conf, path)
     if (listed.isEmpty) return None
     val (files, fingerprint) = listed.get
     statsMemo.get((path, cols)) match {
@@ -237,17 +249,13 @@ object Tables {
   def parquetRowCount(spark: SparkSession, path: String): Option[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
     try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(f => f.getName.endsWith(".parquet"))
-        else Array(p)
-      val fingerprint = files.map { f =>
-        val st = f.getFileSystem(conf).getFileStatus(f)
-        s"${f.getName}:${st.getLen}:${st.getModificationTime}"
-      }.sorted.mkString(",")
+      val (files, fingerprint) = listParquetFiles(conf, path) match {
+        case Some(x) => x
+        // includes the no-top-level-files directory (nested/partitioned
+        // layout): Some(0) there would tell a size gate "tiny table"
+        // about an arbitrarily large one
+        case None => return None
+      }
       rowCountMemo.get(path) match {
         case Some((fp, n)) if fp == fingerprint => return Some(n)
         case _ => ()

@@ -1461,9 +1461,9 @@ object GraphAnn {
       klMax: Double = 0.5,
       logTo: Option[String] = None): (DataFrame, Similarity.DriftReport) = {
     val report = monitorBatch(batch, vecCol, centroids, ref, unit = false,
-      residRatioMax, klMax, remedy = "publishGraphCells", logTo = logTo)
-    (appendGraphCells(existing, batch, idCol, vecCol, centroids, m,
-      efConstruction, maxSegmentSize), report)
+      residRatioMax, klMax, remedy = "publishGraphCells")
+    (landThenLog(appendGraphCells(existing, batch, idCol, vecCol, centroids,
+      m, efConstruction, maxSegmentSize), report, logTo), report)
   }
 
   /** ONE copy of the score-warn-log choreography both graph-tier
@@ -1473,19 +1473,19 @@ object GraphAnn {
     * bounded second map with no shuffle, which keeps the append entry
     * points untouched (the float IVF leg, whose write is a plain
     * projection, does fuse the two —
-    * [[Similarity.appendToIvfMonitored]]). `logTo` is the serving root
-    * the caller publishes to (e.g. a [[publishPqServing]] root): when
-    * set, the report lands as one durable `<logTo>/drift_log` row in the
-    * same format as the IVF-dir and streaming legs, so a v36-style
-    * scheduler reads one log across all three and a cold-started root
-    * carries its drift history. The graph legs stay
-    * DataFrame-in/DataFrame-out when it's None — an in-memory build has
-    * no directory to log beside.
+    * [[Similarity.appendToIvfMonitored]]). The durable-history half
+    * lives in [[landThenLog]]: `logTo` is the serving root the caller
+    * publishes to (e.g. a [[publishPqServing]] root) — when set, the
+    * report lands as one `<logTo>/drift_log` row in the same format as
+    * the IVF-dir and streaming legs, so a v36-style scheduler reads one
+    * log across all three and a cold-started root carries its drift
+    * history. The graph legs stay DataFrame-in/DataFrame-out when it's
+    * None — an in-memory build has no directory to log beside.
     */
   private def monitorBatch(batch: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Float])], ref: Similarity.DriftStats,
       unit: Boolean, residRatioMax: Double, klMax: Double,
-      remedy: String, logTo: Option[String]): Similarity.DriftReport = {
+      remedy: String): Similarity.DriftReport = {
     val report = Similarity.driftReport(batch.sparkSession,
       batch.select(col(vecCol)), vecCol, centroids, ref, unit,
       residRatioMax, klMax)
@@ -1495,9 +1495,26 @@ object GraphAnn {
         f"massKl ${report.massKl}%.3f vs max $klMax over ${report.n} rows): " +
         s"appended vectors degrade recall as drift grows — schedule a " +
         s"retrain and republish via $remedy")
-    logTo.foreach(root => Similarity.appendDriftLog(batch.sparkSession,
-      s"$root/drift_log", report))
     report
+  }
+
+  /** Land-then-log, the IVF leg's ordering: a durable `drift_log` row
+    * must record a batch that actually ENTERED the graph, so with
+    * `logTo` set the appended graph materializes (localCheckpoint)
+    * before the row writes — logging beside a still-lazy plan would
+    * leave phantom drift history (and a v36-style scheduler reacting to
+    * it) if the caller's downstream action failed or was discarded.
+    * Without `logTo` the legs stay fully lazy DataFrame-in/out.
+    */
+  private def landThenLog(appended: DataFrame,
+      report: Similarity.DriftReport,
+      logTo: Option[String]): DataFrame = logTo match {
+    case None => appended
+    case Some(root) =>
+      val landed = appended.localCheckpoint(true)
+      Similarity.appendDriftLog(landed.sparkSession, s"$root/drift_log",
+        report)
+      landed
   }
 
   /** [[appendGraphCellsPq]] with the drift monitor wired in (the float
@@ -1519,10 +1536,9 @@ object GraphAnn {
       klMax: Double = 0.5,
       logTo: Option[String] = None): (DataFrame, Similarity.DriftReport) = {
     val report = monitorBatch(batch, vecCol, index.centroids, ref,
-      unit = true, residRatioMax, klMax, remedy = "publishPqServing",
-      logTo = logTo)
-    (appendGraphCellsPq(existing, batch, idCol, vecCol, index, m,
-      efConstruction, maxSegmentSize), report)
+      unit = true, residRatioMax, klMax, remedy = "publishPqServing")
+    (landThenLog(appendGraphCellsPq(existing, batch, idCol, vecCol, index,
+      m, efConstruction, maxSegmentSize), report, logTo), report)
   }
 
   /** One bounded maintenance cycle's receipt: the republished version,
@@ -1601,10 +1617,20 @@ object GraphAnn {
     // it carries post-publish appends the artifacts' coded table may
     // lack; this rebuild heals that asymmetry for the region) + the
     // batch's tripped rows. One id-join against the corpus, O(region).
+    // The join must cover EVERY member: a corpus view missing indexed
+    // ids (stale snapshot, filtered table) would otherwise silently
+    // shrink the index — tripped cells drop unconditionally and only
+    // what the join returns comes back.
+    val memberIds = nodes.filter(col("part").isin(trippedSeq: _*))
+      .select(col("id")).localCheckpoint(true)
     val memberFloats = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(nodes.filter(col("part").isin(trippedSeq: _*)).select(col("id")),
-        Seq("id"))
+      .join(memberIds, Seq("id"))
+    val missing = memberIds.count() - memberFloats.count()
+    require(missing == 0L,
+      s"corpus is missing $missing indexed member row(s) of tripped cells " +
+        s"[${tripped.mkString(",")}] — a partial rebuild would drop them; " +
+        "pass the corpus view the index was built/appended from")
     val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
       batchVecCol, art.index.centroids).localCheckpoint(true)
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))

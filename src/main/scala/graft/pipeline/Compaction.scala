@@ -143,7 +143,13 @@ object Compaction {
     if (nBefore <= maxFiles) return Report(1, 0, nBefore, nBefore, 0)
     val nTarget = math.max(1L,
       (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
-    val packed = spark.read.parquet(dir).coalesce(nTarget).localCheckpoint(true)
+    // mergeSchema: an append log accumulated across code versions mixes
+    // footer schemas (e.g. old drift_log files without p95_rn beside new
+    // ones with it); the default single-footer read would silently drop
+    // the columns the sampled footer lacks and the Overwrite would make
+    // that loss permanent
+    val packed = spark.read.option("mergeSchema", "true").parquet(dir)
+      .coalesce(nTarget).localCheckpoint(true)
     val rows = packed.count()
     packed.write.mode(SaveMode.Overwrite).parquet(dir)
     val after = fs.listStatus(p)

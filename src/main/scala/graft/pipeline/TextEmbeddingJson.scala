@@ -52,7 +52,15 @@ object TextEmbeddingJson {
         if (data != null && data.isObject) data.get("text") else null
       val dataOut = rec.putObject("data")
       val errs = rec.putArray("errors")
-      if (textNode != null && !textNode.isTextual) {
+      if (data != null && !data.isObject) {
+        // a PRESENT but non-object data node is the same malformed-record
+        // class as non-textual text below: the reference's
+        // `item.get("data", {})` only defaults when the key is ABSENT, so
+        // `.get("text", "")` raises on the raw value and the per-record
+        // try/except surfaces it
+        errs.addObject().put("message",
+          "Error generating embeddings: data is not an object")
+      } else if (textNode != null && !textNode.isTextual) {
         // a PRESENT but non-textual text node (number, object, explicit
         // null) is a malformed record, not an empty document: the
         // reference's `.get("text", "")` only defaults when the key is

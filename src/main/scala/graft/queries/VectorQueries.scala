@@ -1498,7 +1498,15 @@ object VectorQueries {
         corpus.select($"embedding"), "embedding", art.index.centroids,
         unit = true)
       val nCells = baseIx.centroids.length
-      keystone.select($"keystone_ok",
+      // materialize every verdict now so the per-run temp root can be
+      // reaped (a fresh root per run is the gate's design — see above —
+      // but N bench samples must not leave N published index trees)
+      val keystoneOk = keystone.head().getBoolean(0)
+      val mixedClean = Similarity.trippedCells(mixedStats, merged).isEmpty
+      val retentionOk = graft.pipeline.VersionedIndex.versions(root).size <= 2
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(1).select(
+        lit(keystoneOk).as("keystone_ok"),
         lit(res.tripped.nonEmpty && res.tripped.length < nCells)
           .as("signal_localized"),
         lit(res.regionRows + res.restRows < corpusN &&
@@ -1507,10 +1515,8 @@ object VectorQueries {
         lit(untouchedAdjOk).as("untouched_adj_ok"),
         lit(retireOk && bookOk).as("retire_and_book_ok"),
         lit(mergeOk).as("merge_exact"),
-        lit(Similarity.trippedCells(mixedStats, merged).isEmpty)
-          .as("mixed_clean"),
-        lit(graft.pipeline.VersionedIndex.versions(root).size <= 2)
-          .as("retention_ok"))
+        lit(mixedClean).as("mixed_clean"),
+        lit(retentionOk).as("retention_ok"))
     }),
 
     // V15: BATCH ANN — many probes through one IVF candidate join (the

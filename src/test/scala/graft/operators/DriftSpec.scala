@@ -132,10 +132,14 @@ class DriftSpec extends AnyFunSuite {
     assert(log2.columns.toSeq == unified, log2.columns.mkString(","))
     assert(log2.count() == 1)
     assert(log2.head().getLong(1) == r2.n)
-    // default stays DataFrame-in/DataFrame-out: no log dir appears
+    // default stays DataFrame-in/DataFrame-out: a logTo-less append on
+    // the SAME roots adds no drift_log row anywhere
     GraphAnn.appendGraphCellsMonitored(existing, batch, "vec_id",
       "embedding", ivf.centroids, ref, m = 4, efConstruction = 16)
-    assert(!new java.io.File(s"$root2/extra").exists())
+    GraphAnn.appendGraphCellsPqMonitored(pqNodes, batch, "vec_id",
+      "embedding", pq, refPq, m = 4, efConstruction = 16)
+    assert(spark.read.parquet(s"$root/drift_log").count() == 2)
+    assert(spark.read.parquet(s"$root2/drift_log").count() == 1)
   }
 
   test("null-vector rows are dropped by both IVF append legs, not crashed on") {

@@ -209,6 +209,33 @@ class PartialRebuildSpec extends AnyFunSuite {
       "cold-start search through the republished root recovers brute force")
   }
 
+  test("a corpus view missing indexed member rows is a refusal, not silent loss") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pr5").toString
+    val baseNodes = GraphAnn.buildGraphPerCellPq(spark, base, "vec_id",
+      "embedding", baseIx, m = 4, efConstruction = 16)
+    GraphAnn.publishPqServing(baseNodes, baseIx, root,
+      Some(GraphAnn.pqClumpBound(baseNodes)), Some(baseRef))
+    val batch = driftedBatch.localCheckpoint(true)
+    // the stale view: batch present, but the tripped cells' own members
+    // gone — tripped cells drop unconditionally, so any member row the
+    // join can't recover would vanish from the republished index
+    val tripped = Similarity.trippedCells(
+      Similarity.driftStats(spark, batch.select($"embedding"), "embedding",
+        baseIx.centroids, unit = true), baseRef)
+    val memberIds = baseIx.coded.filter($"cell".isin(tripped.toSeq: _*))
+      .select($"id".as("vec_id")).localCheckpoint(true)
+    assert(memberIds.count() > 0, "fixture: tripped cells must have members")
+    val stale = base.join(memberIds, Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.rebuildDriftedPqServing(spark, root, stale,
+        "vec_id", "embedding", batch, "vec_id", "embedding",
+        splitFactor = 2, ivfIters = 2, m = 4, efConstruction = 16)
+    }
+    assert(e.getMessage.contains("missing") &&
+      e.getMessage.contains("tripped cells"), e.getMessage)
+  }
+
   test("a clean batch is a refusal: None, version unchanged") {
     val root = java.nio.file.Files.createTempDirectory("graft-pr4").toString
     val baseNodes = GraphAnn.buildGraphPerCellPq(spark, base, "vec_id",

@@ -52,6 +52,17 @@ class TurnMergeOpSpec extends AnyFunSuite {
     assert(planOf(df).contains("Generate") && !planOf(df).contains("Window"))
   }
 
+  test("parquetRowCount answers None, never Some(0), for a nested layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tmrc").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+      .write.partitionBy("cat").parquet(dir)
+    // data lives in cat=*/ subdirs: a non-recursive footer walk cannot
+    // see it — "can't tell" must not read as "zero rows" to a size gate
+    // (Some(0) here would send a million-event table down the kernel path)
+    assert(graft.Tables.parquetRowCount(spark, dir).isEmpty)
+  }
+
   test("a large table whose groups are all small keeps the kernel (tier-3 probe)") {
     // hint ABOVE the bound forces the per-group probe; max group ≈ 40
     // rows, so the probe finds the kernel safe

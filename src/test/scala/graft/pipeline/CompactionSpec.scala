@@ -132,6 +132,27 @@ class CompactionSpec extends AnyFunSuite {
       Compaction.Report(0, 0, 0, 0, 0))
   }
 
+  test("compactFlat merges mixed footer schemas instead of dropping columns") {
+    import spark.implicits._
+    val dir = freshDir()
+    // an append log across code versions: old files lack p95_rn, new
+    // ones carry it — a single-footer read would lose one column forever
+    (0 until 3).foreach { k =>
+      Seq((s"old$k", 1L)).toDF("batch_id", "n")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    (0 until 3).foreach { k =>
+      Seq((s"new$k", 2L, 0.5)).toDF("batch_id", "n", "p95_rn")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val rpt = Compaction.compactFlat(spark, dir, maxFiles = 4)
+    assert(rpt.partitionsCompacted == 1 && rpt.rowsRewritten == 6, rpt.toString)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("batch_id", "n", "p95_rn"))
+    assert(back.filter($"p95_rn".isNotNull).count() == 3)
+    assert(back.select($"batch_id").distinct().count() == 6)
+  }
+
   test("escaped partition values (spaces, colons) and nulls still compact") {
     import spark.implicits._
     val dir = freshDir()

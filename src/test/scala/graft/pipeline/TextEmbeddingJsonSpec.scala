@@ -111,6 +111,24 @@ class TextEmbeddingJsonSpec extends AnyFunSuite {
     assert(rec.get("data").get("embedding").size() == 8)
   }
 
+  test("present-but-non-object data surfaces a per-record error") {
+    // the reference's item.get("data", {}) only defaults when the key is
+    // ABSENT: {"data": 5} reaches .get("text", "") and raises, so the
+    // record must error, not embed "" (same class as non-textual text)
+    val (st, body) = TextEmbeddingJson.handle(
+      """{"values":[{"recordId":"a","data":5},
+        |{"recordId":"b","data":{"text":"fine"}}]}""".stripMargin)
+    assert(st == 200)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val recs = n.get("values")
+    assert(recs.get(0).get("errors").size() == 1 &&
+      recs.get(0).get("errors").get(0).get("message").asText
+        .contains("data is not an object"))
+    assert(recs.get(0).get("data").size() == 0)
+    assert(recs.get(1).get("errors").size() == 0 &&
+      recs.get(1).get("data").has("embedding"))
+  }
+
   test("invalid JSON and missing values are 400") {
     assert(TextEmbeddingJson.handle("{not json")._1 == 400)
     val (s1, b1) = TextEmbeddingJson.handle("""{"nope":1}""")
