@@ -1160,6 +1160,43 @@ object GraphAnn {
       routedSearchCore(nodes, routes, k, ef, tombstones)
   }
 
+  /** Publish the COMPLETE FLOAT serving state under one version — graph
+    * cells AND the routing head ([[Similarity.writeIvfHead]]: centroids
+    * + drift reference; the nodes table already carries the vectors, so
+    * no corpus-sized artifact duplicates) — the float tier's
+    * [[publishPqServing]]: one pointer flip covers adjacency, routing
+    * and the monitor's reference, and a fresh process serves from the
+    * root alone ([[searchGraphRoutedColdStart]]). Layout:
+    * `<root>/v<NNN>/cells` + `<root>/v<NNN>/artifacts`.
+    */
+  def publishServing(nodes: DataFrame,
+      centroids: Array[(Int, Array[Float])], root: String,
+      driftStats: Option[Similarity.DriftStats] = None,
+      keepVersions: Int = 2): String =
+    graft.pipeline.VersionedIndex.publishInto(root, keepVersions) { dir =>
+      writeGraphCells(nodes, s"$dir/cells")
+      Similarity.writeIvfHead(nodes.sparkSession, centroids,
+        s"$dir/artifacts", driftStats)
+    }
+
+  /** COLD-START float serving — [[searchGraphRoutedPqColdStart]]'s
+    * float twin: resolve CURRENT once, read the routing head from the
+    * version's artifacts, serve through [[searchGraphRoutedPersisted]]
+    * (row-identical to the in-memory routed search over the same
+    * files). No corpus handle needed — the cells carry the floats.
+    */
+  def searchGraphRoutedColdStart(spark: SparkSession, root: String,
+      probes: DataFrame, probeId: String, probeVec: String, nprobe: Int,
+      k: Int, ef: Int, tombstones: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"no published serving state under $root"))
+    val (centroids, _) = Similarity.readIvfHead(spark, s"$root/$v/artifacts")
+    searchGraphRoutedPersisted(spark, s"$root/$v/cells", centroids, probes,
+      probeId, probeVec, nprobe, k, ef, tombstones, allowed)
+  }
+
   /** [[writeGraphCells]] for a PQ index — the writer is schema-agnostic
     * (partition-per-cell on `part`), named so the PQ serving surface is
     * complete on its own: this is the layout
@@ -1617,20 +1654,7 @@ object GraphAnn {
     // it carries post-publish appends the artifacts' coded table may
     // lack; this rebuild heals that asymmetry for the region) + the
     // batch's tripped rows. One id-join against the corpus, O(region).
-    // The join must cover EVERY member: a corpus view missing indexed
-    // ids (stale snapshot, filtered table) would otherwise silently
-    // shrink the index — tripped cells drop unconditionally and only
-    // what the join returns comes back.
-    val memberIds = nodes.filter(col("part").isin(trippedSeq: _*))
-      .select(col("id")).localCheckpoint(true)
-    val memberFloats = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(memberIds, Seq("id"))
-    val missing = memberIds.count() - memberFloats.count()
-    require(missing == 0L,
-      s"corpus is missing $missing indexed member row(s) of tripped cells " +
-        s"[${tripped.mkString(",")}] — a partial rebuild would drop them; " +
-        "pass the corpus view the index was built/appended from")
+    val memberFloats = trippedMembers(nodes, corpus, idCol, vecCol, tripped)
     val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
       batchVecCol, art.index.centroids).localCheckpoint(true)
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
@@ -1673,6 +1697,101 @@ object GraphAnn {
     val index = Similarity.IvfPqIndex(partial.index.centroids,
       partial.index.book, newCoded)
     val newV = publishPqServing(newNodes, index, root, Some(bound),
+      Some(partial.mergedStats), keepVersions)
+    val regionRows = regionFloats.count()
+    log.info(s"partial rebuild of $root: cells " +
+      s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +
+      s"$regionRows region rows retrained, $restRows appended, " +
+      s"published $newV")
+    Some(PartialRebuildReport(newV, tripped, partial.newCells, regionRows,
+      restRows))
+  }
+
+  /** The tripped cells' member floats, fetched from `corpus` by one
+    * id-join — shared by both partial-rebuild orchestrators. The join
+    * must cover EVERY member: a corpus view missing indexed ids (stale
+    * snapshot, filtered table) would otherwise silently shrink the
+    * index — tripped cells drop unconditionally and only what the join
+    * returns comes back, so a shortfall is a refusal.
+    */
+  private def trippedMembers(nodes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, tripped: Array[Int]): DataFrame = {
+    val memberIds = nodes.filter(col("part").isin(tripped.toSeq: _*))
+      .select(col("id")).localCheckpoint(true)
+    val memberFloats = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(memberIds, Seq("id"))
+    val missing = memberIds.count() - memberFloats.count()
+    require(missing == 0L,
+      s"corpus is missing $missing indexed member row(s) of tripped cells " +
+        s"[${tripped.mkString(",")}] — a partial rebuild would drop them; " +
+        "pass the corpus view the index was built/appended from")
+    memberFloats
+  }
+
+  /** [[rebuildDriftedPqServing]]'s FLOAT-tier twin — the bounded drift
+    * response against a [[publishServing]] root: localize via
+    * [[Similarity.trippedCells]] (raw-space stats — this tier routes
+    * vectors as given), split the batch by the index's own routing,
+    * retrain ONLY the region ([[Similarity.retrainCellsIvf]] — no
+    * codebook here, so the only frozen state is the untouched cells'
+    * adjacency, passed through physically unchanged), rebuild the
+    * region's graph segments, append the in-distribution remainder as
+    * fresh segments, republish cells + routing head + the
+    * exactly-merged reference through ONE [[publishServing]] flip.
+    * Same cost shape: Lloyd, graph construction and the publish's
+    * pass-through copy are all O(region + batch) work over a corpus
+    * that only the one id-join ever scans.
+    */
+  def rebuildDriftedServing(spark: SparkSession, root: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      batch: DataFrame, batchIdCol: String, batchVecCol: String,
+      splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
+      efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
+      residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
+      minMass: Double = 0.01,
+      keepVersions: Int = 2): Option[PartialRebuildReport] = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"no published serving state under $root"))
+    val (centroids, refOpt) = Similarity.readIvfHead(spark,
+      s"$root/$v/artifacts")
+    val ref = refOpt.getOrElse(throw new IllegalStateException(
+      s"$root/$v carries no drift reference — republish with one " +
+        "(publishServing(driftStats = Some(...)))"))
+    val batchStats = Similarity.driftStats(spark,
+      batch.select(col(batchVecCol)), batchVecCol, centroids,
+      unit = false)
+    val tripped = Similarity.trippedCells(batchStats, ref, residRatioMax,
+      massRatioMax, minMass)
+    if (tripped.isEmpty) {
+      log.info(s"no cell of $root/$v trips on this batch " +
+        s"(n=${batchStats.n}) — appending normally is the right response")
+      return None
+    }
+    val trippedSeq = tripped.toSeq
+    val nodes = spark.read.parquet(s"$root/$v/cells")
+    val untouched = nodes.filter(!col("part").isin(trippedSeq: _*))
+    val memberFloats = trippedMembers(nodes, corpus, idCol, vecCol, tripped)
+    val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
+      batchVecCol, centroids, unit = false).localCheckpoint(true)
+    val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
+      .select(col("id"), col("vec"))
+    val batchRest = assignedBatch.filter(!col("cell").isin(trippedSeq: _*))
+      .select(col("id"), col("vec"))
+    val regionFloats = memberFloats.unionByName(batchTripped)
+      .localCheckpoint(true)
+    val partial = Similarity.retrainCellsIvf(spark, centroids, Some(ref),
+      regionFloats, "id", "vec", tripped, splitFactor, ivfIters)
+    val regionNodes = buildGraphPerCell(spark, partial.regionAssignments,
+      m, efConstruction, maxSegmentSize).localCheckpoint(true)
+    val withRegion = untouched.unionByName(regionNodes)
+    val restRows = batchRest.count()
+    val newNodes =
+      if (restRows == 0L) withRegion
+      else appendGraphCells(withRegion, batchRest, "id", "vec",
+        partial.centroids, m, efConstruction, maxSegmentSize)
+    val newV = publishServing(newNodes, partial.centroids, root,
       Some(partial.mergedStats), keepVersions)
     val regionRows = regionFloats.count()
     log.info(s"partial rebuild of $root: cells " +

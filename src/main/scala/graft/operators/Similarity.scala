@@ -273,6 +273,36 @@ object Similarity {
       s"$dir/drift_stats")
   }
 
+  /** The float tier's SMALL serving artifacts: centroids + the drift
+    * reference, WITHOUT the assignments table — for roots whose graph
+    * cells already carry the vectors
+    * ([[graft.operators.GraphAnn.publishServing]]: the nodes table is
+    * (part, id, vec, …), so persisting assignments beside it would
+    * duplicate the corpus). [[writeIvf]] remains the full-index layout
+    * (its assignments ARE that tier's index).
+    */
+  def writeIvfHead(spark: SparkSession,
+      centroids: Array[(Int, Array[Float])], dir: String,
+      driftStats: Option[DriftStats] = None): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    driftStats.foreach(st => writeDriftStats(spark, st, s"$dir/drift_stats"))
+  }
+
+  /** [[writeIvfHead]]'s reader: (centroids in build order, drift
+    * reference if stored) — the cold-start head a float serving root
+    * needs (routing + the drift monitor), nothing corpus-sized.
+    */
+  def readIvfHead(spark: SparkSession, dir: String):
+      (Array[(Int, Array[Float])], Option[DriftStats]) = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    (cents, readDriftStats(spark, s"$dir/drift_stats"))
+  }
+
   /** Reconstruct an [[IvfIndex]] from a [[writeIvf]] directory —
     * [[readIvfPq]]'s float-tier twin, completing cold-start API symmetry
     * (the persisted-path searches read the directory directly; this is
@@ -364,17 +394,19 @@ object Similarity {
     })
   }
 
-  /** Route rows to their nearest centroid in UNIT space — the IVF-PQ
-    * tier's own routing rule ([[buildIvfPq]] trains on unit vectors), as
-    * a reusable (id, vec, cell) projection. The partial rebuild uses it
+  /** Route rows to their nearest centroid — in UNIT space by default
+    * (the IVF-PQ tier's routing rule; [[buildIvfPq]] trains on unit
+    * vectors) or raw space (`unit = false`, the float tier's) — as a
+    * reusable (id, vec, cell) projection. The partial rebuilds use it
     * to split an arrival batch into the rows that land in tripped cells
     * (retrained with the region) vs the in-distribution remainder
     * (appended normally). One broadcast, one map, no shuffle.
     */
   private[graft] def assignUnitCells(spark: SparkSession, df: DataFrame,
       idCol: String, vecCol: String,
-      centroids: Array[(Int, Array[Float])]): DataFrame = {
-    val ar = assignResidUdf(spark, centroids, unit = true)
+      centroids: Array[(Int, Array[Float])],
+      unit: Boolean = true): DataFrame = {
+    val ar = assignResidUdf(spark, centroids, unit)
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         ar(col(vecCol)).as("a"))
@@ -1139,15 +1171,7 @@ object Similarity {
       regionFloats: DataFrame, idCol: String, vecCol: String,
       tripped: Array[Int], splitFactor: Int = 2,
       ivfIters: Int = 3): IvfPqPartial = {
-    val ref = art.driftStats.getOrElse(throw new IllegalStateException(
-      "partial rebuild needs the index's drift reference — republish with " +
-        "writeIvfPq(driftStats = Some(...)) or run a full buildIvfPq rebuild"))
-    if (ref.cellMass.nonEmpty && ref.cellMeanRn.isEmpty)
-      throw new IllegalStateException(
-        "drift reference predates per-cell residual stats and cannot merge " +
-          "exactly — run one full buildIvfPq rebuild (its writeIvfPq " +
-          "refreshes the reference with per-cell stats), then partial " +
-          "rebuilds apply")
+    val ref = requireMergeableRef(art.driftStats, "buildIvfPq")
     val existing = art.index.centroids.map(_._1).toSet
     require(tripped.nonEmpty && tripped.forall(existing.contains),
       s"tripped cells ${tripped.mkString(",")} must be existing cells")
@@ -1179,22 +1203,7 @@ object Similarity {
       extraCols = Seq("cell"))
       .select(col("id"), col("cell"), col("pq_codes"))
       .localCheckpoint(true)
-    // exact merge: counts recover from mass (mass = count/n exactly)
-    val refMeanOf = ref.cellMeanRn.toMap
-    val regMeanOf = regionStats.cellMeanRn.toMap
-    val kept = ref.cellMass.collect { case (c, m) if !trippedSet.contains(c) =>
-      (c, math.round(m * ref.n), refMeanOf(c)) }
-    val reg = regionStats.cellMass.map { case (c, m) =>
-      (c, math.round(m * regionStats.n), regMeanOf(c)) }
-    val all = kept ++ reg
-    val total = all.map(_._2).sum
-    val mergedMean =
-      if (total == 0) 0.0 else all.map(x => x._2 * x._3).sum / total
-    val merged = DriftStats(total,
-      all.map(x => (x._1, x._2.toDouble / total)).sortBy(_._1),
-      mergedMean,
-      math.max(ref.p95ResidNorm, regionStats.p95ResidNorm),
-      all.map(x => (x._1, x._3)).sortBy(_._1))
+    val merged = mergeDriftRefs(ref, regionStats, trippedSet)
     val newIndex = IvfPqIndex(
       (art.index.centroids.filterNot(c => trippedSet.contains(c._1)) ++
         newCents).sortBy(_._1),
@@ -1203,6 +1212,100 @@ object Similarity {
         .unionByName(regionCoded))
     IvfPqPartial(newIndex, merged, newCents.map(_._1), regionCoded,
       regionStats)
+  }
+
+  /** EXACT merge of a partial rebuild's drift references — untouched
+    * cells' (count, mean residual) pairs carry over unchanged (same
+    * centroid, same members), the retrained region contributes its own
+    * re-measure, and the global mean is the count-weighted combination
+    * (counts recover from mass exactly: mass = count/n). p95 is the
+    * conservative max of the two legs — reporting-only; the monitor
+    * trips on mean ratio and mass KL, both exact. Shared by the PQ
+    * ([[retrainCellsIvfPq]]) and float ([[retrainCellsIvf]]) tiers.
+    */
+  private[operators] def mergeDriftRefs(ref: DriftStats,
+      regionStats: DriftStats, tripped: Set[Int]): DriftStats = {
+    val refMeanOf = ref.cellMeanRn.toMap
+    val regMeanOf = regionStats.cellMeanRn.toMap
+    val kept = ref.cellMass.collect { case (c, m) if !tripped.contains(c) =>
+      (c, math.round(m * ref.n), refMeanOf(c)) }
+    val reg = regionStats.cellMass.map { case (c, m) =>
+      (c, math.round(m * regionStats.n), regMeanOf(c)) }
+    val all = kept ++ reg
+    val total = all.map(_._2).sum
+    val mergedMean =
+      if (total == 0) 0.0 else all.map(x => x._2 * x._3).sum / total
+    DriftStats(total,
+      all.map(x => (x._1, x._2.toDouble / total)).sortBy(_._1),
+      mergedMean,
+      math.max(ref.p95ResidNorm, regionStats.p95ResidNorm),
+      all.map(x => (x._1, x._3)).sortBy(_._1))
+  }
+
+  /** The drift reference a partial retrain requires: present, and with
+    * per-cell stats (an old reference cannot merge exactly — the
+    * refusal names the full rebuild as the remedy).
+    */
+  private def requireMergeableRef(ref: Option[DriftStats],
+      fullRebuild: String): DriftStats = {
+    val r = ref.getOrElse(throw new IllegalStateException(
+      "partial rebuild needs the index's drift reference — republish " +
+        s"with one or run a full $fullRebuild rebuild"))
+    if (r.cellMass.nonEmpty && r.cellMeanRn.isEmpty)
+      throw new IllegalStateException(
+        "drift reference predates per-cell residual stats and cannot " +
+          s"merge exactly — run one full $fullRebuild rebuild (its " +
+          "publish refreshes the reference with per-cell stats), then " +
+          "partial rebuilds apply")
+    r
+  }
+
+  /** One float-tier partial retrain's output: the post-retrain centroid
+    * table (tripped ids retired, replacements past the old max), the
+    * region's new (id, vec, cell) assignments, the exactly-merged drift
+    * reference, and the region's own stats.
+    */
+  final case class IvfPartial(centroids: Array[(Int, Array[Float])],
+      regionAssignments: DataFrame, mergedStats: DriftStats,
+      newCells: Array[Int], regionStats: DriftStats)
+
+  /** [[retrainCellsIvfPq]]'s FLOAT-tier twin — retrain ONLY the tripped
+    * cells of a raw-space IVF cell layout (the [[buildIvf]] /
+    * [[graft.operators.GraphAnn.buildGraphPerCell]] tier: vectors as
+    * given, no codebook to freeze). Same contract: fresh centroids
+    * train by the same deterministic Lloyd on the region only, new
+    * cell ids take values past the old max and tripped ids retire,
+    * region rows re-assign among the NEW centroids only (untouched
+    * cells frozen), and the drift reference merges EXACTLY
+    * ([[mergeDriftRefs]]). Everything is linear in the region.
+    */
+  def retrainCellsIvf(spark: SparkSession,
+      centroids: Array[(Int, Array[Float])], ref: Option[DriftStats],
+      regionFloats: DataFrame, idCol: String, vecCol: String,
+      tripped: Array[Int], splitFactor: Int = 2,
+      ivfIters: Int = 3): IvfPartial = {
+    val mergeable = requireMergeableRef(ref, "rebuild (buildIvf + publish)")
+    val existing = centroids.map(_._1).toSet
+    require(tripped.nonEmpty && tripped.forall(existing.contains),
+      s"tripped cells ${tripped.mkString(",")} must be existing cells")
+    val trippedSet = tripped.toSet
+    val nNew = math.max(1, tripped.length * splitFactor)
+    val region = regionFloats
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val sub = buildIvf(spark, region, "id", "vec", nNew, ivfIters)
+    val offset = centroids.map(_._1).max + 1
+    val newCents = sub.centroids.map { case (ci, c) => (ci + offset, c) }
+    val shifted = sub.assignments
+      .withColumn("cell", (col("cell") + offset).cast("int"))
+      .localCheckpoint(true)
+    val regionStats = driftStatsAssigned(spark, shifted, "cell", "vec",
+      newCents)
+    IvfPartial(
+      (centroids.filterNot(c => trippedSet.contains(c._1)) ++ newCents)
+        .sortBy(_._1),
+      shifted, mergeDriftRefs(mergeable, regionStats, trippedSet),
+      newCents.map(_._1), regionStats)
   }
 
   /** Contrastive training triplets mined from the corpus itself — the

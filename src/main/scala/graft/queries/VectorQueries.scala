@@ -1519,6 +1519,134 @@ object VectorQueries {
         lit(retentionOk).as("retention_ok"))
     }),
 
+    // V38: FLOAT-tier serving lifecycle parity — the float graph gains
+    // the same one-flip self-contained publish (cells + routing head:
+    // centroids + drift reference, no corpus-sized artifact — the nodes
+    // carry the vectors), cold-start serving row-identical to the
+    // in-memory path, and v37's bounded drift response
+    // (rebuildDriftedServing: localize → retrain only tripped cells →
+    // region graph rebuild → remainder append → exact reference merge →
+    // one-flip republish). Untouched adjacency passes through
+    // row-identical; the drifted mode serves at brute-force recall from
+    // the republished root.
+    "v38_float_partial_rebuild" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val base = emb.filter($"vec_id" % 4 === 0)
+      val ivf = Fixtures.cachedObj(s, s"v38_ivf:$d") {
+        val ix = Similarity.buildIvf(s,
+          base.select($"vec_id".as("id"), $"embedding".as("vec")),
+          "id", "vec", nCells = 16, iters = 2)
+        Similarity.IvfIndex(ix.centroids, ix.assignments.localCheckpoint(true))
+      }
+      val baseNodes = Fixtures.cached(s, s"v38_nodes:$d")(
+        GraphAnn.buildGraphPerCell(s, ivf.assignments, m = 8,
+          efConstruction = 48))
+      val baseRef = Fixtures.cachedObj(s, s"v38_ref:$d")(
+        Similarity.driftStatsAssigned(s, ivf.assignments, "cell", "vec",
+          ivf.centroids))
+      val root = java.nio.file.Files.createTempDirectory("graft-v38")
+        .toString
+      val v0 = GraphAnn.publishServing(baseNodes, ivf.centroids, root,
+        Some(baseRef))
+      // cold start ≡ in-memory over the same files, BEFORE any rebuild
+      val probes0 = base.filter($"vec_id" < 16)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val cold0 = GraphAnn.searchGraphRoutedColdStart(s, root, probes0,
+        "probe_id", "probe_vec", nprobe = 6, k = 8, ef = 64)
+      val mem0 = GraphAnn.searchGraphRoutedPersisted(s, s"$root/$v0/cells",
+        ivf.centroids, probes0, "probe_id", "probe_vec", nprobe = 6,
+        k = 8, ef = 64)
+      val coldEqMemory = cold0.exceptAll(mem0).isEmpty &&
+        mem0.exceptAll(cold0).isEmpty
+      // v37's plant, the float tier's response
+      val batch = Fixtures.cached(s, s"v37_batch:$d")(
+        emb.filter($"vec_id" % 8 === 1)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x + 0.5f)").as("embedding")))
+      val corpus = Fixtures.cached(s, s"v38_corpus:$d")(
+        base.select($"vec_id", $"embedding")
+          .unionByName(batch.select($"vec_id", $"embedding")))
+      val res = GraphAnn.rebuildDriftedServing(s, root, corpus,
+        "vec_id", "embedding", batch, "vec_id", "embedding",
+        splitFactor = 2, ivfIters = 2, m = 8, efConstruction = 48)
+        .getOrElse(throw new IllegalStateException(
+          "planted drift must trigger the partial rebuild"))
+      val tripped = res.tripped.toSeq
+      val corpusN = corpus.count()
+      val batchN = batch.count()
+      val batchIds = batch.select($"vec_id".cast("long").as("id"))
+      def adj(p: String) = s.read.parquet(s"$root/$p/cells")
+        .filter(!$"part".isin(tripped: _*))
+        .select($"part", $"id", $"vec", $"level", $"neighbors", $"seg")
+      val adjA = adj(v0); val adjB = adj(res.version)
+      val untouchedAdjOk = adjA.exceptAll(adjB).isEmpty &&
+        adjB.exceptAll(adjA)
+          .filter(!$"part".isin(res.newCells.toSeq: _*))
+          .join(batchIds, Seq("id"), "left_anti").isEmpty
+      val (newCents, mergedOpt) = Similarity.readIvfHead(s,
+        s"$root/${res.version}/artifacts")
+      val retireOk = res.tripped.forall(c => !newCents.map(_._1).contains(c)) &&
+        res.newCells.forall(_ > ivf.centroids.map(_._1).max) &&
+        s.read.parquet(s"$root/${res.version}/cells")
+          .filter($"part".isin(tripped: _*)).isEmpty
+      // merged reference ≡ direct recompute (raw vecs from the corpus —
+      // nodes store unit vectors) over the covered rows
+      val restIds = Similarity.assignUnitCells(s, batch, "vec_id",
+          "embedding", ivf.centroids, unit = false)
+        .filter(!$"cell".isin(tripped: _*)).select($"id")
+      val covered = s.read.parquet(s"$root/${res.version}/cells")
+        .select($"part".as("cell"), $"id").distinct()
+        .join(restIds, Seq("id"), "left_anti")
+        .join(corpus.select($"vec_id".cast("long").as("id"),
+          $"embedding".as("vec")), Seq("id"))
+      val direct = Similarity.driftStatsAssigned(s, covered, "cell", "vec",
+        newCents)
+      val merged = mergedOpt.get
+      val mergeOk = merged.n == direct.n &&
+        math.abs(merged.meanResidNorm - direct.meanResidNorm) < 1e-9 &&
+        merged.cellMass.toSeq == direct.cellMass.toSeq
+      // drifted probes through the republished root recover brute force
+      val probes = batch.filter($"vec_id" < 1000020L)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val got = GraphAnn.searchGraphRoutedColdStart(s, root, probes,
+        "probe_id", "probe_vec", nprobe = 16, k = k, ef = 128)
+        .localCheckpoint(true)
+      val nProbes = probes.count()
+      val exact = Fixtures.cached(s, s"v38_exact:$d")(
+        Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+            corpus, "vec_id", "embedding", k = k)
+          .select($"probe_id".cast("long").as("probe_id"),
+            $"vec_id".cast("long").as("id")))
+      val keystoneOk = {
+        val hits = got.join(exact, Seq("probe_id", "id"), "left_semi")
+          .groupBy($"probe_id").count()
+          .agg((count(lit(1)) === nProbes && min($"count") >= k - 1))
+          .head().getBoolean(0)
+        hits
+      }
+      val mixedClean = Similarity.trippedCells(
+        Similarity.driftStats(s, corpus.select($"embedding"), "embedding",
+          newCents, unit = false), merged).isEmpty
+      val retentionOk =
+        graft.pipeline.VersionedIndex.versions(root).size <= 2
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(1).select(
+        lit(keystoneOk).as("keystone_ok"),
+        lit(coldEqMemory).as("cold_eq_memory"),
+        lit(res.tripped.nonEmpty &&
+          res.tripped.length < ivf.centroids.length).as("signal_localized"),
+        lit(res.regionRows + res.restRows < corpusN &&
+          res.regionRows + res.restRows >= batchN).as("region_bounded"),
+        lit(untouchedAdjOk).as("untouched_adj_ok"),
+        lit(retireOk).as("retire_ok"),
+        lit(mergeOk).as("merge_exact"),
+        lit(mixedClean).as("mixed_clean"),
+        lit(retentionOk).as("retention_ok"))
+    }),
+
     // V15: BATCH ANN — many probes through one IVF candidate join (the
     // serving/eval shape; a per-query loop multiplies the index scan by
     // |queries|). Gate: per-probe results are row-identical to the
@@ -1914,6 +2042,12 @@ object VectorQueries {
       """SELECT true AS keystone_ok, true AS signal_localized,
         | true AS region_bounded, true AS untouched_coded_ok,
         | true AS untouched_adj_ok, true AS retire_and_book_ok,
+        | true AS merge_exact, true AS mixed_clean,
+        | true AS retention_ok""".stripMargin,
+    "v38_float_partial_rebuild" ->
+      """SELECT true AS keystone_ok, true AS cold_eq_memory,
+        | true AS signal_localized, true AS region_bounded,
+        | true AS untouched_adj_ok, true AS retire_ok,
         | true AS merge_exact, true AS mixed_clean,
         | true AS retention_ok""".stripMargin,
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",

@@ -236,6 +236,100 @@ class PartialRebuildSpec extends AnyFunSuite {
       e.getMessage.contains("tripped cells"), e.getMessage)
   }
 
+  test("float tier: one-flip publish, cold-start serve, bounded partial rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pr6").toString
+    val ivf = Similarity.buildIvf(spark, base.select($"vec_id".as("id"),
+      $"embedding".as("vec")), "id", "vec", nCells = 8, iters = 2)
+    val assignments = ivf.assignments.localCheckpoint(true)
+    val nodes = GraphAnn.buildGraphPerCell(spark, assignments, m = 4,
+      efConstruction = 16).localCheckpoint(true)
+    val ref = Similarity.driftStatsAssigned(spark, assignments, "cell",
+      "vec", ivf.centroids)
+    val v0 = GraphAnn.publishServing(nodes, ivf.centroids, root, Some(ref))
+    // cold start: head round-trips, search is row-identical to in-memory
+    val (centsBack, refBack) = Similarity.readIvfHead(spark,
+      s"$root/$v0/artifacts")
+    assert(centsBack.map(_._1).toSeq == ivf.centroids.map(_._1).toSeq &&
+      centsBack.zip(ivf.centroids).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b) })
+    assert(refBack.get.cellMass.toSeq == ref.cellMass.toSeq &&
+      refBack.get.cellMeanRn.toSeq == ref.cellMeanRn.toSeq)
+    val probes0 = base.filter($"vec_id" < 48)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val cold = GraphAnn.searchGraphRoutedColdStart(spark, root, probes0,
+      "probe_id", "probe_vec", nprobe = 4, k = 5, ef = 32)
+    val mem = GraphAnn.searchGraphRoutedPersisted(spark, s"$root/$v0/cells",
+      ivf.centroids, probes0, "probe_id", "probe_vec", nprobe = 4, k = 5,
+      ef = 32)
+    assert(cold.exceptAll(mem).isEmpty && mem.exceptAll(cold).isEmpty)
+
+    // drifted batch → bounded rebuild through the same one-flip publish
+    val batch = driftedBatch.localCheckpoint(true)
+    val corpus = base.unionByName(batch).localCheckpoint(true)
+    val res = GraphAnn.rebuildDriftedServing(spark, root, corpus,
+      "vec_id", "embedding", batch, "vec_id", "embedding",
+      splitFactor = 2, ivfIters = 2, m = 4, efConstruction = 16)
+      .getOrElse(fail("the planted drift must trigger a partial rebuild"))
+    assert(res.tripped.nonEmpty && res.tripped.length < ivf.centroids.length)
+    assert(res.regionRows + res.restRows < corpus.count() &&
+      res.regionRows + res.restRows >= batch.count())
+    val batchIds = batch.select($"vec_id".cast("long").as("id"))
+    def adj(p: String) = spark.read.parquet(s"$root/$p/cells")
+      .filter(!$"part".isin(res.tripped.toSeq: _*))
+      .select($"part", $"id", $"vec", $"level", $"neighbors", $"seg")
+    val adjA = adj(v0); val adjB = adj(res.version)
+    assert(adjA.exceptAll(adjB).isEmpty,
+      "no untouched adjacency row may be lost or changed")
+    assert(adjB.exceptAll(adjA)
+      .filter(!$"part".isin(res.newCells.toSeq: _*))
+      .join(batchIds, Seq("id"), "left_anti").isEmpty,
+      "untouched cells gain only appended batch rows")
+    // retire + merged reference ≡ direct recompute over the covered rows
+    val (newCents, mergedOpt) = Similarity.readIvfHead(spark,
+      s"$root/${res.version}/artifacts")
+    assert(res.tripped.forall(c => !newCents.map(_._1).contains(c)))
+    assert(res.newCells.forall(_ > ivf.centroids.map(_._1).max))
+    val restIds = Similarity.assignUnitCells(spark, batch, "vec_id",
+        "embedding", ivf.centroids, unit = false)
+      .filter(!$"cell".isin(res.tripped.toSeq: _*)).select($"id")
+    // nodes store UNIT vectors (the builder normalizes); the reference
+    // is measured on RAW vectors, so the recompute takes them from the
+    // corpus by id
+    val covered = spark.read.parquet(s"$root/${res.version}/cells")
+      .select($"part".as("cell"), $"id").distinct()
+      .join(restIds, Seq("id"), "left_anti")
+      .join(corpus.select($"vec_id".cast("long").as("id"),
+        $"embedding".as("vec")), Seq("id"))
+    val direct = Similarity.driftStatsAssigned(spark, covered, "cell",
+      "vec", newCents)
+    val merged = mergedOpt.get
+    assert(merged.n == direct.n)
+    assert(math.abs(merged.meanResidNorm - direct.meanResidNorm) < 1e-9)
+    assert(merged.cellMass.toSeq == direct.cellMass.toSeq)
+    // the drifted mode is served: cold-start search recovers brute force
+    val probes = batch.filter($"vec_id" < 500024L)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val k = 5
+    val got = GraphAnn.searchGraphRoutedColdStart(spark, root, probes,
+      "probe_id", "probe_vec", nprobe = 8, k = k, ef = 64)
+    val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+        corpus, "vec_id", "embedding", k = k)
+      .select($"probe_id".cast("long").as("probe_id"),
+        $"vec_id".cast("long").as("id"))
+    val nProbes = probes.count()
+    val hits = got.select($"probe_id", $"id")
+      .join(exact, Seq("probe_id", "id"), "left_semi")
+      .groupBy($"probe_id").count()
+    assert(hits.count() == nProbes &&
+      hits.agg(min($"count")).head().getLong(0) >= k - 1,
+      "cold-start search through the republished float root recovers brute force")
+    // mixed traffic reads in-distribution against the merged reference
+    assert(Similarity.trippedCells(
+      Similarity.driftStats(spark,
+        corpus.select($"embedding"), "embedding", newCents, unit = false),
+      merged).isEmpty)
+  }
+
   test("a clean batch is a refusal: None, version unchanged") {
     val root = java.nio.file.Files.createTempDirectory("graft-pr4").toString
     val baseNodes = GraphAnn.buildGraphPerCellPq(spark, base, "vec_id",
