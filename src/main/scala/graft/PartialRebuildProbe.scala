@@ -69,6 +69,9 @@ object PartialRebuildProbe {
         "vec_id", "embedding", batch, "vec_id", "embedding",
         splitFactor = 2, ivfIters = 2, m = 8, efConstruction = 48)
       val wall = (System.nanoTime() - t0) / 1e9
+      // listener events dispatch async — drain before reading the count,
+      // or late onJobStart events undercount the headline jobs column
+      ListenerDrain.drain(spark)
       spark.sparkContext.removeSparkListener(listener)
       res match {
         case Some(r) =>

@@ -915,6 +915,19 @@ object GraphAnn {
   def appendGraphCells(existing: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, centroids: Array[(Int, Array[Float])], m: Int = 8,
       efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue): DataFrame =
+    existing.unionByName(buildAppendSegments(existing, batch, idCol,
+      vecCol, centroids, m, efConstruction, maxSegmentSize))
+
+  /** [[appendGraphCells]]'s fresh-segment half on its own — ONLY the new
+    * slices ([[buildAppendSegmentsPq]]'s float twin): the monitored
+    * append materializes just this delta before logging, and a partial
+    * rebuild's bookkeeping wants the added rows separately.
+    */
+  private[graft] def buildAppendSegments(existing: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Float])], m: Int = 8,
+      efConstruction: Int = 64,
       maxSegmentSize: Int = Int.MaxValue): DataFrame = {
     val spark = existing.sparkSession
     import spark.implicits._
@@ -927,8 +940,7 @@ object GraphAnn {
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         (Similarity.nearestCells(bcC.value, v, 1).head, id, v) }
-    existing.unionByName(
-      buildCellSegments(assigned, m, efConstruction, maxSegmentSize, segBase))
+    buildCellSegments(assigned, m, efConstruction, maxSegmentSize, segBase)
   }
 
   /** Slice counts for cells exceeding `maxSegmentSize` — the build-skew
@@ -1499,8 +1511,9 @@ object GraphAnn {
       logTo: Option[String] = None): (DataFrame, Similarity.DriftReport) = {
     val report = monitorBatch(batch, vecCol, centroids, ref, unit = false,
       residRatioMax, klMax, remedy = "publishGraphCells")
-    (landThenLog(appendGraphCells(existing, batch, idCol, vecCol, centroids,
-      m, efConstruction, maxSegmentSize), report, logTo), report)
+    (landThenLog(existing, buildAppendSegments(existing, batch, idCol,
+      vecCol, centroids, m, efConstruction, maxSegmentSize), report,
+      logTo), report)
   }
 
   /** ONE copy of the score-warn-log choreography both graph-tier
@@ -1535,23 +1548,27 @@ object GraphAnn {
     report
   }
 
-  /** Land-then-log, the IVF leg's ordering: a durable `drift_log` row
-    * must record a batch that actually ENTERED the graph, so with
-    * `logTo` set the appended graph materializes (localCheckpoint)
-    * before the row writes — logging beside a still-lazy plan would
-    * leave phantom drift history (and a v36-style scheduler reacting to
-    * it) if the caller's downstream action failed or was discarded.
-    * Without `logTo` the legs stay fully lazy DataFrame-in/out.
+  /** Compute-then-log: with `logTo` set, ONLY the fresh segments (the
+    * O(batch) delta — never the O(index) union) materialize before the
+    * `drift_log` row writes, so a plan that would fail never logs.
+    * Honestly stated: this is the strongest ordering a
+    * DataFrame-in/DataFrame-out leg can give — the delta provably
+    * COMPUTED, but durability stays the caller's publish (the IVF-dir
+    * leg is stronger because its append IS a durable write; if the
+    * process dies between this log row and the caller's publish, the
+    * root carries one log row whose append never landed durably —
+    * replay dedup by `batch_id` absorbs the retry). Without `logTo`
+    * the legs stay fully lazy.
     */
-  private def landThenLog(appended: DataFrame,
+  private def landThenLog(existing: DataFrame, freshSegs: DataFrame,
       report: Similarity.DriftReport,
       logTo: Option[String]): DataFrame = logTo match {
-    case None => appended
+    case None => existing.unionByName(freshSegs)
     case Some(root) =>
-      val landed = appended.localCheckpoint(true)
+      val landed = freshSegs.localCheckpoint(true)
       Similarity.appendDriftLog(landed.sparkSession, s"$root/drift_log",
         report)
-      landed
+      existing.unionByName(landed)
   }
 
   /** [[appendGraphCellsPq]] with the drift monitor wired in (the float
@@ -1574,8 +1591,9 @@ object GraphAnn {
       logTo: Option[String] = None): (DataFrame, Similarity.DriftReport) = {
     val report = monitorBatch(batch, vecCol, index.centroids, ref,
       unit = true, residRatioMax, klMax, remedy = "publishPqServing")
-    (landThenLog(appendGraphCellsPq(existing, batch, idCol, vecCol, index,
-      m, efConstruction, maxSegmentSize), report, logTo), report)
+    (landThenLog(existing, buildAppendSegmentsPq(existing, batch, idCol,
+      vecCol, index, m, efConstruction, maxSegmentSize), report, logTo),
+      report)
   }
 
   /** One bounded maintenance cycle's receipt: the republished version,
@@ -1637,9 +1655,12 @@ object GraphAnn {
     val ref = art.driftStats.getOrElse(throw new IllegalStateException(
       s"$root/$v carries no drift reference — republish with one " +
         "(publishPqServing(driftStats = Some(...)))"))
-    val batchStats = Similarity.driftStats(spark,
-      batch.select(col(batchVecCol)), batchVecCol, art.index.centroids,
-      unit = true)
+    // ONE nearest-centroid pass over the batch: the assignment drives
+    // BOTH the drift scoring and the tripped/rest split below
+    val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
+      batchVecCol, art.index.centroids).localCheckpoint(true)
+    val batchStats = Similarity.statsOverCellRn(
+      assignedBatch.select(col("cell"), col("rn")))
     val tripped = Similarity.trippedCells(batchStats, ref, residRatioMax,
       massRatioMax, minMass)
     if (tripped.isEmpty) {
@@ -1655,8 +1676,6 @@ object GraphAnn {
     // lack; this rebuild heals that asymmetry for the region) + the
     // batch's tripped rows. One id-join against the corpus, O(region).
     val memberFloats = trippedMembers(nodes, corpus, idCol, vecCol, tripped)
-    val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
-      batchVecCol, art.index.centroids).localCheckpoint(true)
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
       .select(col("id"), col("vec"))
     val batchRest = assignedBatch.filter(!col("cell").isin(trippedSeq: _*))
@@ -1718,10 +1737,17 @@ object GraphAnn {
       idCol: String, vecCol: String, tripped: Array[Int]): DataFrame = {
     val memberIds = nodes.filter(col("part").isin(tripped.toSeq: _*))
       .select(col("id")).localCheckpoint(true)
-    val memberFloats = corpus
+    val corpusKeyed = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(memberIds, Seq("id"))
-    val missing = memberIds.count() - memberFloats.count()
+    // the missing set directly (left_anti), NOT a row-count difference —
+    // a corpus with duplicated ids would otherwise mask a genuinely
+    // absent member behind the duplicate's extra join row. Checkpointed
+    // so the O(corpus) id-join runs ONCE (the refusal check and the
+    // region union both read these O(region) rows).
+    val memberFloats = corpusKeyed.join(memberIds, Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val missing = memberIds
+      .join(memberFloats.select(col("id")), Seq("id"), "left_anti").count()
     require(missing == 0L,
       s"corpus is missing $missing indexed member row(s) of tripped cells " +
         s"[${tripped.mkString(",")}] — a partial rebuild would drop them; " +
@@ -1759,9 +1785,11 @@ object GraphAnn {
     val ref = refOpt.getOrElse(throw new IllegalStateException(
       s"$root/$v carries no drift reference — republish with one " +
         "(publishServing(driftStats = Some(...)))"))
-    val batchStats = Similarity.driftStats(spark,
-      batch.select(col(batchVecCol)), batchVecCol, centroids,
-      unit = false)
+    // ONE nearest-centroid pass: assignment drives scoring AND the split
+    val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
+      batchVecCol, centroids, unit = false).localCheckpoint(true)
+    val batchStats = Similarity.statsOverCellRn(
+      assignedBatch.select(col("cell"), col("rn")))
     val tripped = Similarity.trippedCells(batchStats, ref, residRatioMax,
       massRatioMax, minMass)
     if (tripped.isEmpty) {
@@ -1773,8 +1801,6 @@ object GraphAnn {
     val nodes = spark.read.parquet(s"$root/$v/cells")
     val untouched = nodes.filter(!col("part").isin(trippedSeq: _*))
     val memberFloats = trippedMembers(nodes, corpus, idCol, vecCol, tripped)
-    val assignedBatch = Similarity.assignUnitCells(spark, batch, batchIdCol,
-      batchVecCol, centroids, unit = false).localCheckpoint(true)
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
       .select(col("id"), col("vec"))
     val batchRest = assignedBatch.filter(!col("cell").isin(trippedSeq: _*))

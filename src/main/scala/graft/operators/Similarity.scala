@@ -397,10 +397,14 @@ object Similarity {
   /** Route rows to their nearest centroid — in UNIT space by default
     * (the IVF-PQ tier's routing rule; [[buildIvfPq]] trains on unit
     * vectors) or raw space (`unit = false`, the float tier's) — as a
-    * reusable (id, vec, cell) projection. The partial rebuilds use it
-    * to split an arrival batch into the rows that land in tripped cells
-    * (retrained with the region) vs the in-distribution remainder
-    * (appended normally). One broadcast, one map, no shuffle.
+    * reusable (id, vec, cell, rn) projection — `rn` is the residual
+    * norm to the assigned centroid, already computed by the assignment
+    * UDF, so a caller that also needs drift stats
+    * ([[statsOverCellRn]]) pays ONE nearest-centroid pass, not two.
+    * The partial rebuilds use it to split an arrival batch into the
+    * rows that land in tripped cells (retrained with the region) vs
+    * the in-distribution remainder (appended normally). One broadcast,
+    * one map, no shuffle.
     */
   private[graft] def assignUnitCells(spark: SparkSession, df: DataFrame,
       idCol: String, vecCol: String,
@@ -410,7 +414,8 @@ object Similarity {
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         ar(col(vecCol)).as("a"))
-      .select(col("id"), col("vec"), col("a._1").as("cell"))
+      .select(col("id"), col("vec"), col("a._1").as("cell"),
+        col("a._2").as("rn"))
   }
 
   /** Measure a vector set's distribution relative to `centroids` — at
@@ -450,7 +455,7 @@ object Similarity {
       .select(col(cellCol).as("cell"), rn(col(cellCol), col(vecCol)).as("rn")))
   }
 
-  private def statsOverCellRn(cellRn: DataFrame): DriftStats = {
+  private[operators] def statsOverCellRn(cellRn: DataFrame): DriftStats = {
     val assigned = cellRn
       .localCheckpoint(true) // one assignment pass feeds both aggregates
     val r = assigned.agg(count(lit(1)), avg(col("rn")),
@@ -1284,7 +1289,7 @@ object Similarity {
       regionFloats: DataFrame, idCol: String, vecCol: String,
       tripped: Array[Int], splitFactor: Int = 2,
       ivfIters: Int = 3): IvfPartial = {
-    val mergeable = requireMergeableRef(ref, "rebuild (buildIvf + publish)")
+    val mergeable = requireMergeableRef(ref, "buildIvf + publishServing")
     val existing = centroids.map(_._1).toSet
     require(tripped.nonEmpty && tripped.forall(existing.contains),
       s"tripped cells ${tripped.mkString(",")} must be existing cells")
