@@ -51,7 +51,14 @@ object Probe {
       drain()
       val j0 = jobCounter.get()
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+      // SPARK_GRAFT_CONSUME=rdd: consume via toRdd.count() (executes the
+      // identical physical plan, skips count()'s extra two-stage agg —
+      // A/B harness for the Bench consumption question)
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val cnt =
+        if (sys.env.get("SPARK_GRAFT_CONSUME").contains("rdd"))
+          df.queryExecution.toRdd.count()
+        else df.count()
       val t = (System.nanoTime() - t0) / 1e9
       drain()
       println(f"PROBE $n rep=$r rows=$cnt t=$t%.2f jobs=${jobCounter.get() - j0}")

@@ -18,6 +18,13 @@ object Fs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Recursive delete under the session's Hadoop configuration (same
+    * resolution rule as [[exists]]); absent path is a no-op. */
+  def delete(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Serializable carrier for the session's Hadoop configuration — the
     * spark.hadoop.* settings (filesystem credentials, implementations)
     * live ONLY in `sparkContext.hadoopConfiguration`, never in a default

@@ -1635,10 +1635,12 @@ object GraphAnn {
     * copy, not a rebuild. The clump bound merges conservatively
     * (max(stored, fresh-rows bound) — a guard may widen a search it
     * didn't need to, never narrow one it did). The merged reference
-    * omits the appended remainder's rows (in-distribution by this very
-    * split's verdict) — the same bounded omission any post-reference
-    * append already carries. Batch ids must be globally unique vs the
-    * index ([[appendGraphCellsPq]]'s contract).
+    * FOLDS the appended remainder's post-append per-cell stats in
+    * (measured on the same assignment pass that drove the split), so
+    * the published reference covers every row the index serves —
+    * repeated partial rebuilds keep reference.n tracking the corpus
+    * instead of drifting behind it. Batch ids must be globally unique
+    * vs the index ([[appendGraphCellsPq]]'s contract).
     */
   def rebuildDriftedPqServing(spark: SparkSession, root: String,
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -1679,7 +1681,7 @@ object GraphAnn {
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
       .select(col("id"), col("vec"))
     val batchRest = assignedBatch.filter(!col("cell").isin(trippedSeq: _*))
-      .select(col("id"), col("vec"))
+      .select(col("id"), col("vec")).localCheckpoint(true)
     val regionFloats = memberFloats.unionByName(batchTripped)
       .localCheckpoint(true) // feeds retrain, graph build and the count
     val partial = Similarity.retrainCellsIvfPq(spark, art, regionFloats,
@@ -1693,9 +1695,10 @@ object GraphAnn {
       .localCheckpoint(true)
     val withRegion = untouched.unionByName(regionNodes)
     val restRows = batchRest.count()
-    val (newNodes, newCoded, freshBound) =
+    val (newNodes, newCoded, freshBound, publishedRef) =
       if (restRows == 0L)
-        (withRegion, partial.index.coded, clumpBoundOf(regionNodes))
+        (withRegion, partial.index.coded, clumpBoundOf(regionNodes),
+          partial.mergedStats)
       else {
         val freshSegs = buildAppendSegmentsPq(withRegion, batchRest, "id",
             "vec", partial.index, m, efConstruction, maxSegmentSize)
@@ -1705,9 +1708,21 @@ object GraphAnn {
         // one row per node; neighbors nest the levels)
         val restCoded = freshSegs.select(col("id"),
           col("part").as("cell"), col("codes").as("pq_codes"))
+        // the remainder's stats at its POST-APPEND routing (the append
+        // re-routes against the retrained centroid set, so a remainder
+        // row can land in a fresh cell — the pre-split assignment is the
+        // wrong basis), folded into the published reference so it covers
+        // EVERY row the index serves. O(rest) join + one bounded agg.
+        val unitU = udf((v: Seq[Float]) => Similarity.l2unit(v).toSeq)
+        val restStats = Similarity.driftStatsAssigned(spark,
+          batchRest.join(freshSegs.select(col("id"),
+            col("part").as("cell")), Seq("id"))
+            .withColumn("vec", unitU(col("vec"))),
+          "cell", "vec", partial.index.centroids)
         (withRegion.unionByName(freshSegs),
           partial.index.coded.unionByName(restCoded),
-          clumpBoundOf(regionNodes.unionByName(freshSegs)))
+          clumpBoundOf(regionNodes.unionByName(freshSegs)),
+          Similarity.combineRefs(partial.mergedStats, restStats))
       }
     val bound = art.clumpBound match {
       case Some(b) => math.max(b, freshBound)
@@ -1716,7 +1731,7 @@ object GraphAnn {
     val index = Similarity.IvfPqIndex(partial.index.centroids,
       partial.index.book, newCoded)
     val newV = publishPqServing(newNodes, index, root, Some(bound),
-      Some(partial.mergedStats), keepVersions)
+      Some(publishedRef), keepVersions)
     val regionRows = regionFloats.count()
     log.info(s"partial rebuild of $root: cells " +
       s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +
@@ -1752,6 +1767,17 @@ object GraphAnn {
       s"corpus is missing $missing indexed member row(s) of tripped cells " +
         s"[${tripped.mkString(",")}] — a partial rebuild would drop them; " +
         "pass the corpus view the index was built/appended from")
+    // ... and the dual failure: a corpus view with DUPLICATED ids passes
+    // the missing-set check (left_semi keeps every duplicate row), and
+    // each duplicate would become a duplicate node/coded row in the
+    // republished index — searches could emit one id twice. One bounded
+    // aggregate over the already-checkpointed O(region) rows.
+    val dup = memberFloats.agg(count(lit(1)),
+      countDistinct(col("id"))).head()
+    require(dup.getLong(0) == dup.getLong(1),
+      s"corpus has ${dup.getLong(0) - dup.getLong(1)} duplicated id row(s) " +
+        s"among tripped cells [${tripped.mkString(",")}] — a partial " +
+        "rebuild would publish duplicate nodes; dedup the corpus view first")
     memberFloats
   }
 
@@ -1804,7 +1830,7 @@ object GraphAnn {
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
       .select(col("id"), col("vec"))
     val batchRest = assignedBatch.filter(!col("cell").isin(trippedSeq: _*))
-      .select(col("id"), col("vec"))
+      .select(col("id"), col("vec")).localCheckpoint(true)
     val regionFloats = memberFloats.unionByName(batchTripped)
       .localCheckpoint(true)
     val partial = Similarity.retrainCellsIvf(spark, centroids, Some(ref),
@@ -1813,12 +1839,25 @@ object GraphAnn {
       m, efConstruction, maxSegmentSize).localCheckpoint(true)
     val withRegion = untouched.unionByName(regionNodes)
     val restRows = batchRest.count()
-    val newNodes =
-      if (restRows == 0L) withRegion
-      else appendGraphCells(withRegion, batchRest, "id", "vec",
-        partial.centroids, m, efConstruction, maxSegmentSize)
+    val (newNodes, publishedRef) =
+      if (restRows == 0L) (withRegion, partial.mergedStats)
+      else {
+        val appended = appendGraphCells(withRegion, batchRest, "id", "vec",
+          partial.centroids, m, efConstruction, maxSegmentSize)
+          .localCheckpoint(true)
+        // remainder stats at the POST-APPEND routing (see the PQ twin);
+        // this tier's reference is measured on RAW vectors, and the
+        // appended nodes store unit vectors, so the vecs come from
+        // batchRest by id. (id, part) distinct-ed: node rows may repeat
+        // an id across levels.
+        val restStats = Similarity.driftStatsAssigned(spark,
+          batchRest.join(appended.select(col("id"),
+            col("part").as("cell")).distinct(), Seq("id")),
+          "cell", "vec", partial.centroids)
+        (appended, Similarity.combineRefs(partial.mergedStats, restStats))
+      }
     val newV = publishServing(newNodes, partial.centroids, root,
-      Some(partial.mergedStats), keepVersions)
+      Some(publishedRef), keepVersions)
     val regionRows = regionFloats.count()
     log.info(s"partial rebuild of $root: cells " +
       s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +

@@ -651,6 +651,32 @@ object Similarity {
       .coalesce(1).write.mode("append").parquet(logDir)
   }
 
+  /** Bound the drift log's ROW history (the flat compactor bounds its
+    * file count; nothing bounded its rows): the maintenance scheduler
+    * ([[graft.streaming.Maintenance]]) only ever needs the window after
+    * the last rebuild, so each rebuild prunes the log through the
+    * batch ids it processed. Rows with `batch_id <= uptoBatchId` drop;
+    * null-id rows (the batch append legs' reports — no stream ordering
+    * to prune by) stay, as do later stream rows. Same in-place rewrite
+    * discipline as [[graft.pipeline.Compaction.compactFlat]]
+    * (mergeSchema read, localCheckpoint, Overwrite); the
+    * `dropDuplicates("batch_id")` read contract is unchanged. Returns
+    * rows removed; absent log is a no-op.
+    */
+  def pruneDriftLog(spark: SparkSession, logDir: String,
+      uptoBatchId: Long): Long = {
+    if (!graft.core.Fs.exists(spark, logDir)) return 0L
+    val log = spark.read.option("mergeSchema", "true").parquet(logDir)
+    val keep = log.filter(col("batch_id").isNull ||
+      col("batch_id") > uptoBatchId).localCheckpoint(true)
+    val before = log.count()
+    val after = keep.count()
+    if (after < before)
+      keep.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(logDir)
+    before - after
+  }
+
   /** Search a persisted IVF index: rank cells from the (tiny) centroid
     * table, then scan ONLY those cell partitions and exact-rerank. The
     * `cell IN (…)` predicate lands in the scan's PartitionFilters, so
@@ -1222,11 +1248,17 @@ object Similarity {
   /** EXACT merge of a partial rebuild's drift references — untouched
     * cells' (count, mean residual) pairs carry over unchanged (same
     * centroid, same members), the retrained region contributes its own
-    * re-measure, and the global mean is the count-weighted combination
-    * (counts recover from mass exactly: mass = count/n). p95 is the
-    * conservative max of the two legs — reporting-only; the monitor
-    * trips on mean ratio and mass KL, both exact. Shared by the PQ
-    * ([[retrainCellsIvfPq]]) and float ([[retrainCellsIvf]]) tiers.
+    * re-measure, and `restStats` — the appended in-distribution
+    * remainder, measured at its post-append routing — folds into the
+    * untouched cells it landed in, so the published reference covers
+    * EVERY row the index serves (without it, repeated partial rebuilds
+    * would leave the reference's n ever further behind the corpus and
+    * slowly skew future mass-ratio trips). The global mean is the
+    * count-weighted combination (counts recover from mass exactly:
+    * mass = count/n); per-cell means combine count-weighted the same
+    * way. p95 is the conservative max of the legs — reporting-only; the
+    * monitor trips on mean ratio and mass KL, both exact. Shared by the
+    * PQ ([[retrainCellsIvfPq]]) and float ([[retrainCellsIvf]]) tiers.
     */
   private[operators] def mergeDriftRefs(ref: DriftStats,
       regionStats: DriftStats, tripped: Set[Int]): DriftStats = {
@@ -1236,14 +1268,52 @@ object Similarity {
       (c, math.round(m * ref.n), refMeanOf(c)) }
     val reg = regionStats.cellMass.map { case (c, m) =>
       (c, math.round(m * regionStats.n), regMeanOf(c)) }
-    val all = kept ++ reg
+    weightedCombine(kept ++ reg,
+      math.max(ref.p95ResidNorm, regionStats.p95ResidNorm))
+  }
+
+  /** Count-weighted combination of two complete drift references — the
+    * partial-rebuild orchestrators fold the appended remainder's
+    * POST-APPEND stats (measured at the routing the published index
+    * actually serves) into the retrain's merged reference, so the
+    * published reference covers EVERY row the index serves; without the
+    * fold, repeated partial rebuilds would leave reference.n ever
+    * further behind the corpus and slowly skew future mass-ratio trips.
+    * Counts recover from mass exactly (mass = count/n); a cell present
+    * in both legs combines count-weighted; p95 is the conservative max
+    * (reporting-only, as in [[mergeDriftRefs]]).
+    */
+  private[operators] def combineRefs(a: DriftStats,
+      b: DriftStats): DriftStats = {
+    def legs(s: DriftStats): Array[(Int, Long, Double)] = {
+      val meanOf = s.cellMeanRn.toMap
+      s.cellMass.map { case (c, m) =>
+        (c, math.round(m * s.n), meanOf.getOrElse(c,
+          throw new IllegalStateException(
+            s"drift reference leg lacks a per-cell mean for cell $c")))
+      }
+    }
+    weightedCombine(legs(a) ++ legs(b),
+      math.max(a.p95ResidNorm, b.p95ResidNorm))
+  }
+
+  /** (cell, count, mean) legs → one DriftStats; a cell appearing in
+    * several legs combines count-weighted (each leg's mean is exact over
+    * its own rows, so the combination is the exact mean over the union).
+    */
+  private def weightedCombine(legs: Array[(Int, Long, Double)],
+      p95: Double): DriftStats = {
+    val all = legs.groupBy(_._1).toArray.map { case (c, xs) =>
+      val n = xs.map(_._2).sum
+      val mean = if (n == 0) 0.0 else xs.map(x => x._2 * x._3).sum / n
+      (c, n, mean)
+    }
     val total = all.map(_._2).sum
     val mergedMean =
       if (total == 0) 0.0 else all.map(x => x._2 * x._3).sum / total
     DriftStats(total,
       all.map(x => (x._1, x._2.toDouble / total)).sortBy(_._1),
-      mergedMean,
-      math.max(ref.p95ResidNorm, regionStats.p95ResidNorm),
+      mergedMean, p95,
       all.map(x => (x._1, x._3)).sortBy(_._1))
   }
 
@@ -1262,6 +1332,16 @@ object Similarity {
           s"merge exactly — run one full $fullRebuild rebuild (its " +
           "publish refreshes the reference with per-cell stats), then " +
           "partial rebuilds apply")
+    // Partial coverage is representable on disk (cell_mean_rn round-trips
+    // nullable per-row) and would otherwise surface as a bare map-lookup
+    // NoSuchElementException mid-merge — refuse it up front with the same
+    // remedy as the no-stats case.
+    val uncovered = r.cellMass.map(_._1).toSet -- r.cellMeanRn.map(_._1).toSet
+    if (uncovered.nonEmpty)
+      throw new IllegalStateException(
+        s"drift reference's per-cell residual stats cover only part of " +
+          s"its cells (missing ${uncovered.toSeq.sorted.mkString(",")}) " +
+          s"and cannot merge exactly — run one full $fullRebuild rebuild")
     r
   }
 

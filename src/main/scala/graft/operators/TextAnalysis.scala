@@ -316,6 +316,102 @@ object TextAnalysis {
     QualityLrModel(w, buckets)
   }
 
+  /** The second head the FineWeb-Edu discipline actually ships: 0–5
+    * integer GRADES (their classifier regresses LLM-annotated 0–5
+    * educational scores, then thresholds — arXiv:2406.17557), trained as
+    * a LINEAR head over the same hashed-unigram features with the same
+    * bounded distributed shape as [[trainQualityLr]]: one ≤ buckets+1-row
+    * aggregate per full-batch GD epoch, driver state = buckets+1 doubles,
+    * and the same 7 dp residual / 6 dp weight per-epoch quantization so a
+    * SQL oracle retrains bit-identically. `grade` is the integer label
+    * column (any planted or annotated 0–maxGrade rubric).
+    */
+  def trainQualityGrades(df: DataFrame, idCol: String, textCol: String,
+      grade: Column, seed: Column, buckets: Int = 256, epochs: Int = 8,
+      lr: Double = 0.5): QualityLrModel = {
+    val spark = df.sparkSession
+    val feats = df.filter(seed)
+      .select(col(idCol).as("id"), grade.cast("double").as("y"),
+        featUdf(buckets)(col(textCol)).as("fs"))
+      .filter(col("fs").isNotNull)
+      .localCheckpoint(true)
+    val nSeed = feats.count()
+    require(nSeed > 0, "the seed slice is empty")
+    val w = new Array[Double](buckets + 1)
+    for (_ <- 1 to epochs) {
+      val bcW = spark.sparkContext.broadcast(w.clone())
+      val predUdf = udf((fs: Seq[org.apache.spark.sql.Row]) => {
+        val wv = bcW.value
+        var m = 0.0
+        fs.foreach(f => m += f.getDouble(1) * wv(f.getInt(0)))
+        m
+      })
+      val grad = feats
+        .withColumn("r", round(predUdf(col("fs")) - col("y"), 7))
+        .select(explode(col("fs")).as("f"), col("r"))
+        .groupBy(col("f._1").as("bk"))
+        .agg(sum(col("r") * col("f._2")).as("g"))
+        .collect()
+      grad.foreach { row =>
+        val bk = row.getInt(0)
+        w(bk) = roundHalfUp(w(bk) - lr * row.getDouble(1) / nSeed, 6)
+      }
+    }
+    QualityLrModel(w, buckets)
+  }
+
+  /** Score the graded head map-only: raw regression score at 4 dp plus
+    * the clamped integer grade (`round` half-up, the FineWeb-Edu
+    * int-score surface). Empty docs drop, as in [[scoreQualityLr]].
+    */
+  def scoreQualityGrades(df: DataFrame, idCol: String, textCol: String,
+      model: QualityLrModel, maxGrade: Int = 5): DataFrame = {
+    val bcW = df.sparkSession.sparkContext.broadcast(model.weights)
+    val scoreUdf = udf((fs: Seq[org.apache.spark.sql.Row]) => {
+      val wv = bcW.value
+      var m = 0.0
+      fs.foreach(f => m += f.getDouble(1) * wv(f.getInt(0)))
+      m
+    })
+    df.select(col(idCol).as("id"),
+        featUdf(model.buckets)(col(textCol)).as("fs"))
+      .filter(col("fs").isNotNull)
+      .select(col("id"), round(scoreUdf(col("fs")), 4).as("grade_score"))
+      .withColumn("grade",
+        least(greatest(round(col("grade_score"), 0), lit(0.0)),
+          lit(maxGrade.toDouble)).cast("int"))
+  }
+
+  /** Exact average-rank ROC AUC of a bounded-domain score column — the
+    * held-out evaluation gate a TRAINED quality classifier needs (a
+    * hash-matched training path proves determinism, not usefulness).
+    * One aggregate: scores group to ≤ |score domain| rows (4 dp scores
+    * in [0,1] → ≤ 10 001; grades → ≤ 6), the rank arithmetic runs on
+    * that bounded histogram driver-side — scale-true at any corpus size,
+    * ties handled by the standard mid-rank convention.
+    */
+  def binaryAuc(scored: DataFrame, scoreCol: String,
+      labelCol: String): Double = {
+    val hist = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nPos = hist.map(_._3).sum.toDouble
+    val nNeg = hist.map(x => x._2 - x._3).sum.toDouble
+    if (nPos == 0 || nNeg == 0) return Double.NaN
+    var below = 0L // rows with strictly smaller score
+    var rankSum = 0.0
+    hist.foreach { case (_, n, np) =>
+      val midRank = below + (n + 1) / 2.0 // average rank of the tie group
+      rankSum += np * midRank
+      below += n
+    }
+    (rankSum - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+  }
+
   /** Score every document with a [[trainQualityLr]] model — map-only:
     * one in-row pass against the broadcast weights, no shuffle, no
     * join. Emits (id, quality_score) at 4 dp (empty docs drop, like
@@ -428,9 +524,10 @@ object TextAnalysis {
     // ONE token scan: the (tok, count) table is vocabulary-bounded (tiny
     // next to the raw token stream a cache of `toks` would pin), and both
     // nRef (sum of counts) and the top-V vocab read from it — the
-    // separate corpus-sized count() pass is gone
+    // separate corpus-sized count() pass is gone. No checkpoint: `counts`
+    // feeds exactly ONE action (the stats aggregate below), so an eager
+    // localCheckpoint would only add a materialization job.
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
     // corpus total AND top-V vocabulary from ONE action: the bounded-heap
     // TopTokensByCount rides the same aggregate as the sum (same (count
     // desc, token asc) selection order the orderBy+limit pass used), so

@@ -53,11 +53,14 @@ object TextEmbeddingJson {
       val dataOut = rec.putObject("data")
       val errs = rec.putArray("errors")
       if (data != null && !data.isObject) {
-        // a PRESENT but non-object data node is the same malformed-record
-        // class as non-textual text below: the reference's
-        // `item.get("data", {})` only defaults when the key is ABSENT, so
-        // `.get("text", "")` raises on the raw value and the per-record
-        // try/except surfaces it
+        // a PRESENT but non-object data node: INTENTIONAL DIVERGENCE from
+        // the reference, not parity. There `item.get("data", {}).get(
+        // "text", "")` runs BEFORE the per-record try block (main.py:478),
+        // so `{"data": 5}` raises an unhandled AttributeError and fails
+        // the WHOLE request with a 500; here the malformed record gets a
+        // per-record errors entry and its siblings still embed — the
+        // same per-record envelope the reference applies to embedder
+        // failures, extended to this malformed-input class
         errs.addObject().put("message",
           "Error generating embeddings: data is not an object")
       } else if (textNode != null && !textNode.isTextual) {

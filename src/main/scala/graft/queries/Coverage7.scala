@@ -102,14 +102,18 @@ object Coverage7 {
     // T9: corpus length-distribution stats — exact interpolated quantiles
     // of doc length per language (Spark `percentile` and DuckDB
     // `quantile_cont` both interpolate linearly on the sorted set).
+    // NOTE on the job count: the one-job histogram fold exists
+    // (ExactQuantiles.byKeyHistogram, spec-pinned double-identical to this
+    // plan) and is the right shape when raw values are too wide to buffer —
+    // but at this query's scale it measures SLOWER in-harness (0.20–0.30 s
+    // vs 0.11–0.14 s: two QueryExecutions' planning + the RDD row
+    // conversion exceed the one saved scheduler floor; SCALING.md r17), so
+    // the declarative plan stays.
     "t9_length_quantiles" -> ((s, d) => {
       import s.implicits._
-      load(s, d, "documents").groupBy($"lang")
-        .agg(count(lit(1)).as("n"),
-          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
-          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
-          round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
-          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+      graft.operators.ExactQuantiles.declarative(
+        load(s, d, "documents"), "lang", "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.95), Seq("p25", "p50", "p75", "p95"))
         .orderBy($"lang")
     }),
 

@@ -163,6 +163,30 @@ object Coverage8 {
         .orderBy($"doc_id")
     }),
 
+    // T15b: the FineWeb-Edu GRADED head (arXiv:2406.17557 regresses 0–5
+    // educational scores, then thresholds) — a linear second head over
+    // t15's hashed-unigram features, same bounded training shape (one
+    // ≤ buckets+1-row aggregate per epoch, 7/6 dp per-epoch quantization)
+    // fit to a planted 1–5 rubric (lang tier + two deterministic rubric
+    // bits), scored map-only into (grade_score@4dp, clamped int grade).
+    // The oracle retrains the identical model in SQL; full per-doc
+    // (score, grade) set hash-matched. QualityLrSpec holds the held-out
+    // evaluation gates (AUC above the untrained baseline on a grouped
+    // split — the half the hash-match can't prove).
+    "t15b_quality_grades" -> ((s, d) => {
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val grade = (when($"lang" === "en", 3)
+          .when($"lang".isin("de", "fr"), 2).otherwise(1) +
+        when($"n_chars" % 2 === 0, 1).otherwise(0) +
+        when($"doc_id" % 7 === 0, 1).otherwise(0)).cast("int")
+      val model = TextAnalysis.trainQualityGrades(docs, "doc_id", "text",
+        grade, $"doc_id" % 3 === 0)
+      TextAnalysis.scoreQualityGrades(docs, "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // T12: one-scan column profile (ANALYZE analog) — row count, per-column
     // non-null and exact distinct counts; the multi-distinct plans through
     // Expand so the whole profile is one shuffle.
@@ -512,6 +536,58 @@ object Coverage8 {
     * compounding across epochs). Change [[TextAnalysis.trainQualityLr]],
     * change this with it.
     */
+  /** [[t15Oracle]]'s graded twin: the LINEAR head (no sigmoid) retrained
+    * in SQL with the same unrolled MATERIALIZED epochs and 7/6 dp
+    * quantization, final score at 4 dp plus the clamped half-up int
+    * grade — mirrors `TextAnalysis.trainQualityGrades`/
+    * `scoreQualityGrades` exactly.
+    */
+  private def t15bOracle(buckets: Int = 256, epochs: Int = 8,
+      lr: Double = 0.5): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH toks AS (
+      | SELECT doc_id,
+      |  (31*len(t) + 17*ascii(regexp_replace(t,'[^a-zA-Z0-9]','','g'))
+      |   + 7*ascii(reverse(regexp_replace(t,'[^a-zA-Z0-9]','','g')))
+      |   + 3*len(regexp_replace(t,'[^a-zA-Z0-9]','','g'))) % $buckets AS bk
+      | FROM documents,
+      |  unnest(list_filter(string_split(trim(text),' '), x -> len(x) > 0)) AS u(t)),
+      |pd AS (SELECT doc_id, bk, count(*) AS nb FROM toks GROUP BY 1, 2),
+      |dn AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n FROM pd GROUP BY 1),
+      |feat AS MATERIALIZED (
+      | SELECT p.doc_id, p.bk, p.nb * 1.0 / d.n AS x FROM pd p JOIN dn d USING (doc_id)
+      | UNION ALL SELECT doc_id, $buckets AS bk, 1.0 AS x FROM dn),
+      |seed AS MATERIALIZED (
+      | SELECT f.doc_id, f.bk, f.x,
+      |  CAST(CASE WHEN l.lang = 'en' THEN 3
+      |            WHEN l.lang IN ('de','fr') THEN 2 ELSE 1 END
+      |   + CASE WHEN l.n_chars % 2 = 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN l.doc_id % 7 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+      | FROM feat f JOIN documents l USING (doc_id) WHERE l.doc_id % 3 = 0),
+      |ns AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS nseed FROM seed),
+      |w0 AS (SELECT CAST(range AS BIGINT) AS bk, 0.0 AS w FROM range(${buckets + 1}))"""
+      .stripMargin
+    for (e <- 0 until epochs) {
+      b ++= s""",
+      |r$e AS MATERIALIZED (
+      | SELECT s.doc_id, round(sum(s.x * w.w) - any_value(s.y), 7) AS r
+      | FROM seed s JOIN w$e w USING (bk) GROUP BY 1),
+      |w${e + 1} AS MATERIALIZED (
+      | SELECT w.bk, round(w.w - $lr * coalesce(g.g, 0.0) / ns.nseed, 6) AS w
+      | FROM w$e w LEFT JOIN (
+      |   SELECT s.bk, sum(r.r * s.x) AS g FROM seed s JOIN r$e r USING (doc_id)
+      |   GROUP BY 1) g USING (bk) CROSS JOIN ns)""".stripMargin
+    }
+    b ++= s"""
+      |SELECT doc_id, grade_score,
+      | CAST(least(greatest(round(grade_score, 0), 0), 5) AS INTEGER) AS grade
+      |FROM (
+      | SELECT f.doc_id, round(sum(f.x * w.w), 4) AS grade_score
+      | FROM feat f JOIN w$epochs w USING (bk) GROUP BY 1)
+      |ORDER BY doc_id""".stripMargin
+    b.toString
+  }
+
   private def t15Oracle(buckets: Int = 256, epochs: Int = 8,
       lr: Double = 2.0): String = {
     val b = new StringBuilder
@@ -557,6 +633,7 @@ object Coverage8 {
 
   val oracles: Map[String, String] = Map(
     "t15_quality_classifier" -> t15Oracle(),
+    "t15b_quality_grades" -> t15bOracle(),
     "d10_semdedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS partition_ok,
         | true AS pruned_some, true AS dropped_covered, true AS kept_separated

@@ -288,6 +288,163 @@ object PipelineQueries {
       out.orderBy($"label")
     }),
 
+    // ST8: the auto-maintenance loop CLOSED end-to-end — every piece the
+    // v35/v36/v37 ladder built, composed as the one orchestration the
+    // reference runs from cron (main.py:146-156): a drifted mode arrives
+    // THROUGH the streaming ingest (drift monitor at the arrival point
+    // lands the batch rows, then logs the trip), the scheduler tick
+    // (streaming/Maintenance.runDriftMaintenance) reads the log
+    // (dropDuplicates("batch_id")), retrains ONLY the tripped region
+    // (v37), republishes through one flip, prunes the processed log
+    // window and clears the landed rows — and a SECOND tick is a no-op
+    // against the republished root (the idempotence that makes the
+    // cron-shaped loop crash-safe). Cold-start search over the new root
+    // recovers brute force for the drifted mode; untouched cells pass
+    // through physically unchanged.
+    "st8_auto_maintenance" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      import graft.operators.{GraphAnn, Similarity}
+      val emb = load(s, d, "embeddings")
+      val base = emb.filter($"vec_id" % 4 === 0)
+      // v36/v37's deployment-state fixtures verbatim (same keys — built
+      // once per session): coarse index, graph cells, drift reference
+      val baseIx = Fixtures.cachedObj(s, s"v36_base:$d")(
+        Similarity.buildIvfPq(s, base, "vec_id", "embedding",
+          nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+          pqIters = 2))
+      val baseNodes = Fixtures.cached(s, s"v36_nodes:$d")(
+        GraphAnn.buildGraphPerCellPq(s, base, "vec_id", "embedding",
+          baseIx, m = 8, efConstruction = 48))
+      val baseRef = Fixtures.cachedObj(s, s"v36_ref:$d")(
+        Similarity.driftStats(s, base.select($"embedding"), "embedding",
+          baseIx.centroids, unit = true))
+      // two arrival files, one micro-batch each (ascending mtimes):
+      // b0 an in-distribution sample (must NOT trip), b1 the planted
+      // drifted mode (v37's +0.5/dim plant, disjoint id space)
+      val inDist = emb.filter($"vec_id" % 16 === 3)
+        .select(($"vec_id" + 3000000L).as("vec_id"), $"embedding")
+      val drifted = emb.filter($"vec_id" % 16 === 1)
+        .select(($"vec_id" + 2000000L).as("vec_id"),
+          expr("transform(embedding, x -> x + 0.5f)").as("embedding"))
+      val streamDir = Fixtures.cachedObj(s, s"st8_stream:$d") {
+        val t = java.nio.file.Files.createTempDirectory("graft-st8-stream")
+        Seq(inDist, drifted).zipWithIndex.foreach { case (df, i) =>
+          val scratch =
+            java.nio.file.Files.createTempDirectory("graft-st8-part")
+          df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+          val ls = java.nio.file.Files.list(scratch)
+          val part =
+            try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally ls.close()
+          val dst = t.resolve(s"b$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst, java.nio.file
+            .attribute.FileTime.fromMillis(1700000000000L + i * 3600000L))
+          val rm = java.nio.file.Files.walk(scratch)
+          try rm.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally rm.close()
+        }
+        t
+      }
+      // per-run mutable state: published serving root + ingest index
+      val root = java.nio.file.Files.createTempDirectory("graft-st8-root")
+        .toString
+      val run = java.nio.file.Files.createTempDirectory("graft-st8-run")
+      val v0 = GraphAnn.publishPqServing(baseNodes, baseIx, root,
+        Some(GraphAnn.pqClumpBound(baseNodes)), Some(baseRef))
+      graft.streaming.StreamingIngest.runAvailableNowNearDupEmbeddings(s,
+        streamDir.toString, s"$run/index", s"$run/ckpt",
+        minCosine = 0.4, bands = 8, rowsPerBand = 4,
+        maxFilesPerTrigger = Some(1), buckets = GateBuckets,
+        driftMonitor = Some(graft.streaming.StreamingIngest
+          .DriftMonitorConfig(baseIx.centroids, baseRef)))
+      // the stream's verdicts: exactly the planted batch logged drifted,
+      // its rows landed (land-then-log), the clean batch logged clean
+      val log0 = s.read.parquet(s"$run/index/drift_log")
+        .dropDuplicates("batch_id").localCheckpoint(true)
+      val driftedIds = log0.filter($"drifted").select($"batch_id")
+        .collect().map(_.getLong(0)).toSeq
+      val tripLogged = log0.count() == 2 && driftedIds.size == 1 &&
+        graft.core.Fs.exists(s,
+          s"$run/index/drift_batches/batch_id=${driftedIds.head}")
+      // the scheduler tick — corpus is the view the index serves
+      val corpus = Fixtures.cached(s, s"st8_corpus:$d")(
+        base.select($"vec_id", $"embedding")
+          .unionByName(drifted.select($"vec_id", $"embedding")))
+      val tick1 = graft.streaming.Maintenance.runDriftMaintenance(s,
+        s"$run/index", root, corpus, "vec_id", "embedding",
+        splitFactor = 2, ivfIters = 2, m = 8, efConstruction = 48)
+      val rebuildFired = tick1.rebuild.nonEmpty &&
+        tick1.pendingBatchIds == driftedIds
+      val res = tick1.rebuild.get
+      val tripped = res.tripped.toSeq
+      // untouched cells identical — ONE checksum+count pass per side
+      // (the strong two-way exceptAll row-identity lives in the v37
+      // gate, which pins the same orchestrator; st8's unique claims are
+      // the loop composition, so the cheaper multiset fingerprint keeps
+      // this gate's job count down without losing the loop's invariant)
+      val batchIds = drifted.select($"vec_id".cast("long").as("id"))
+      def codedSum(v: String) = s.read.parquet(s"$root/$v/artifacts/coded")
+        .filter(!$"cell".isin(tripped: _*) &&
+          !$"cell".isin(res.newCells.toSeq: _*))
+        .join(batchIds, Seq("id"), "left_anti") // minus appended arrivals
+        .agg(count(lit(1)).as("n"),
+          // decimal(38) sum: ANSI mode rejects a wrapping long sum
+          sum(xxhash64($"id", $"cell", $"pq_codes").cast("decimal(38,0)"))
+            .as("h")).head()
+      val (sumA, sumB) = (codedSum(v0), codedSum(res.version))
+      val untouchedOk = sumA.getLong(0) == sumB.getLong(0) &&
+        sumA.getDecimal(1) == sumB.getDecimal(1)
+      // cold-start keystone over the republished root
+      val probes = drifted.filter($"vec_id" < 2000020L)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val got = GraphAnn.searchGraphRoutedPqColdStart(s, root, corpus,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec",
+          nprobe = 16, k = k, ef = 128, rerankFactor = 64)
+        .localCheckpoint(true)
+      val nProbes = probes.count()
+      val exact = Fixtures.cached(s, s"st8_exact:$d")(
+        Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+            corpus, "vec_id", "embedding", k = k)
+          .select($"probe_id".cast("long").as("probe_id"),
+            $"vec_id".cast("long").as("id")))
+      val keystoneOk = got.join(exact, Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === nProbes && min($"count") >= k - 1)
+          .as("ok")).head().getBoolean(0)
+      // processed window cleared: log pruned through both batches,
+      // landed rows gone
+      val logAfter = s.read.parquet(s"$run/index/drift_log")
+      val logPruned = logAfter.filter(
+        $"batch_id" <= tick1.pendingBatchIds.max).isEmpty &&
+        tick1.logRowsPruned >= 2
+      val pendingCleared = !graft.core.Fs.exists(s,
+        s"$run/index/drift_batches/batch_id=${driftedIds.head}")
+      // a second tick is a no-op: nothing pending, no new version
+      val tick2 = graft.streaming.Maintenance.runDriftMaintenance(s,
+        s"$run/index", root, corpus, "vec_id", "embedding")
+      val secondNoop = tick2.pendingBatchIds.isEmpty &&
+        tick2.rebuild.isEmpty &&
+        graft.pipeline.VersionedIndex.currentVersion(root)
+          .contains(res.version)
+      val retentionOk = graft.pipeline.VersionedIndex.versions(root).size <= 2
+      Seq(root, run.toString).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      s.range(1).select(
+        lit(tripLogged).as("trip_logged"),
+        lit(rebuildFired).as("rebuild_fired"),
+        lit(untouchedOk).as("untouched_ok"),
+        lit(keystoneOk).as("keystone_ok"),
+        lit(logPruned).as("log_pruned"),
+        lit(pendingCleared).as("pending_cleared"),
+        lit(secondNoop).as("second_tick_noop"),
+        lit(retentionOk).as("retention_ok"))
+    }),
+
     // Full chunk+embed index build (flagship §7.2) — per-source summary with
     // vector sanity (avg L2 norm ≈ 1.0 for the hashing embedder). Rows-only.
     "p1_chunk_index_build" -> ((s, d) => {
@@ -303,6 +460,11 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st8_auto_maintenance" ->
+      """SELECT true AS trip_logged, true AS rebuild_fired,
+        | true AS untouched_ok, true AS keystone_ok, true AS log_pruned,
+        | true AS pending_cleared, true AS second_tick_noop,
+        | true AS retention_ok""".stripMargin,
     "k3_replace_parent" ->
       s"""WITH old_index AS (
          | SELECT d.doc_id, d.source, t.i AS chunk_id,

@@ -1458,13 +1458,10 @@ object VectorQueries {
       val bookOk = art.index.book.centroids.zip(baseIx.book.centroids)
         .forall { case (sa, sb) => sa.zip(sb).forall {
           case (x, y) => java.util.Arrays.equals(x, y) } }
-      // (d) the merged reference ≡ a direct recompute over the rows it
-      // covers (the index minus the re-routed appended remainder)
-      val restIds = Similarity.assignUnitCells(s, batch, "vec_id",
-          "embedding", baseIx.centroids)
-        .filter(!$"cell".isin(tripped: _*)).select($"id")
+      // (d) the merged reference ≡ a direct recompute over EVERY row the
+      // index serves — r17: the appended remainder's post-append stats
+      // now fold into the merge, so the coverage is the full coded table
       val covered = s.read.parquet(s"$newArt/coded").select($"id", $"cell")
-        .join(restIds, Seq("id"), "left_anti")
         .join(corpus.select($"vec_id".cast("long").as("id"), $"embedding"),
           Seq("id"))
       val unitU = udf((v: Seq[Float]) => Similarity.l2unit(v).toSeq)
@@ -1592,13 +1589,10 @@ object VectorQueries {
         s.read.parquet(s"$root/${res.version}/cells")
           .filter($"part".isin(tripped: _*)).isEmpty
       // merged reference ≡ direct recompute (raw vecs from the corpus —
-      // nodes store unit vectors) over the covered rows
-      val restIds = Similarity.assignUnitCells(s, batch, "vec_id",
-          "embedding", ivf.centroids, unit = false)
-        .filter(!$"cell".isin(tripped: _*)).select($"id")
+      // nodes store unit vectors) over EVERY served row — r17: the
+      // appended remainder's stats fold into the merge, full coverage
       val covered = s.read.parquet(s"$root/${res.version}/cells")
         .select($"part".as("cell"), $"id").distinct()
-        .join(restIds, Seq("id"), "left_anti")
         .join(corpus.select($"vec_id".cast("long").as("id"),
           $"embedding".as("vec")), Seq("id"))
       val direct = Similarity.driftStatsAssigned(s, covered, "cell", "vec",
@@ -1863,6 +1857,102 @@ object VectorQueries {
         .crossJoin(widthOk).crossJoin(bounded)
     }),
 
+    // V39: OPQ — the missing rung of the PQ ladder (Ge et al., CVPR
+    // 2013): a learned orthonormal rotation re-balances variance across
+    // the subspace blocks before coding, so the SAME 8 code bytes buy
+    // strictly less quantization error. Rotation preserves cosines, so
+    // the tier is the unchanged IVF-PQ machinery over rotated vectors.
+    // Gate: at v13's corpus and byte budget, (a) quantization MSE
+    // strictly improves over plain PQ (the training objective — Lloyd +
+    // Procrustes alternation from identity can only descend), (b)
+    // code-ranked recall@10 over an all-cells probe sweep is not worse,
+    // (c) the rotation is orthonormal, (d) the persisted index serves
+    // cold-start row-identically (rotation round-trips bit-exact).
+    "v39_opq_recall" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      import graft.operators.Opq
+      val emb = load(s, d, "embeddings")
+      val nCells = 16; val subs = 8; val codes = 16
+      // baseline book = the identity member of the SAME training loop
+      // (opqIters = 0 → plain PQ), so the comparison isolates the
+      // rotation, not training schedules
+      val (basePair, opqPair) = Fixtures.cachedObj(s, s"v39_models:$d")((
+        Opq.trainRotation(s, emb, "vec_id", "embedding", subs, codes,
+          opqIters = 0, pqIters = 2),
+        Opq.trainRotation(s, emb, "vec_id", "embedding", subs, codes,
+          opqIters = 3, pqIters = 2)))
+      val (rI, bookBase) = basePair
+      val (rOpq, bookOpq) = opqPair
+      val mseBase = Opq.quantizationMse(s, emb, "embedding", rI, bookBase)
+      val mseOpq = Opq.quantizationMse(s, emb, "embedding", rOpq, bookOpq)
+      // orthonormality: max |RᵀR − I|
+      val dim = rOpq.length
+      var maxDev = 0.0
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          var t = 0.0; var k2 = 0
+          while (k2 < dim) { t += rOpq(k2)(i).toDouble * rOpq(k2)(j); k2 += 1 }
+          maxDev = math.max(maxDev,
+            math.abs(t - (if (i == j) 1.0 else 0.0)))
+          j += 1
+        }
+        i += 1
+      }
+      // recall at equal bytes, rerankFactor=1 (code-ranked — the rerank
+      // would mask code quality) and nprobe=nCells (cell layouts differ
+      // between the spaces; probing all cells isolates the codes)
+      val probes = emb.filter($"vec_id" % 16 === 0)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val exact = Fixtures.cached(s, s"v39_exact:$d")(
+        Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+            emb, "vec_id", "embedding", k = k)
+          .select($"probe_id".cast("long").as("probe_id"),
+            $"vec_id".cast("long").as("id")))
+      val ixBase = Fixtures.cachedObj(s, s"v39_ixbase:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding", nCells,
+          subs, codes, ivfIters = 2, pqIters = 2))
+      val ixOpq = Fixtures.cachedObj(s, s"v39_ixopq:$d")(
+        Opq.buildIvfOpq(s, emb, "vec_id", "embedding", nCells, subs,
+          codes, ivfIters = 2, pqIters = 2, opqIters = 3))
+      def hits(got: org.apache.spark.sql.DataFrame): Long =
+        got.join(exact, Seq("probe_id", "id"), "left_semi").count()
+      val hitsBase = hits(Similarity.searchIvfPqBatch(s, ixBase, emb,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = nCells, k = k, rerankFactor = 1))
+      val hitsOpq = hits(Opq.searchIvfOpqBatch(s, ixOpq, emb,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = nCells, k = k, rerankFactor = 1))
+      // cold-start: rotation + artifacts round-trip, serving identical
+      val root = java.nio.file.Files.createTempDirectory("graft-v39")
+        .toString
+      Opq.writeIvfOpq(s, ixOpq, root)
+      val reread = Opq.readIvfOpq(s, root)
+      val rotRt = reread.rotation.zip(ixOpq.rotation).forall {
+        case (a, b) => java.util.Arrays.equals(a, b) }
+      val servedMem = Opq.searchIvfOpqBatch(s, ixOpq, emb, "vec_id",
+          "embedding", probes, "probe_id", "probe_vec", nprobe = 4,
+          k = k, rerankFactor = 4)
+        .select($"probe_id", $"id", $"rank").localCheckpoint(true)
+      val servedCold = Opq.searchIvfOpqBatch(s, reread, emb, "vec_id",
+          "embedding", probes, "probe_id", "probe_vec", nprobe = 4,
+          k = k, rerankFactor = 4)
+        .select($"probe_id", $"id", $"rank").localCheckpoint(true)
+      val coldEq = servedMem.exceptAll(servedCold).isEmpty &&
+        servedCold.exceptAll(servedMem).isEmpty
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(1).select(
+        // ≥ 3 % relative MSE cut, not just <: "strictly improves" must
+        // not ride float noise (measured ~16 % at sf0.01, ~14 % sf0.1)
+        lit(mseOpq < 0.97 * mseBase).as("mse_improves"),
+        lit(hitsOpq >= hitsBase).as("recall_not_worse"),
+        lit(maxDev < 1e-4).as("rotation_orthonormal"),
+        lit(rotRt && coldEq).as("cold_start_ok"))
+    }),
+
     // DC3: SEMANTIC decontamination — dc1/dc2 catch verbatim n-gram
     // leaks; this flags training rows whose EMBEDDING sits within cosine
     // tau of any eval-set row (paraphrased benchmark items). Eval matrix
@@ -2053,6 +2143,9 @@ object VectorQueries {
     "v11_pq_recall" -> "SELECT true AS recall_ok, true AS width_ok",
     "v13_ivfpq_recall" ->
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
+    "v39_opq_recall" ->
+      """SELECT true AS mse_improves, true AS recall_not_worse,
+        | true AS rotation_orthonormal, true AS cold_start_ok""".stripMargin,
     "v14_contrastive_triplets" ->
       """SELECT true AS has_triplets, true AS pos_ok, true AS neg_ok,
         | true AS margin_ok, true AS distinct_ok""".stripMargin,

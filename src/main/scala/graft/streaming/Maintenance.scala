@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphAnn, Similarity}
+
+/** The scheduler leg that closes the auto-maintenance loop (ST8) — the
+  * Spark-native analog of the reference's cron-driven index maintenance
+  * (main.py:146-156 registers the indexer jobs on APScheduler cron
+  * triggers; here the "cron tick" is this one idempotent batch call,
+  * invoked by whatever scheduler a deployment runs):
+  *
+  *   stream ingest ([[StreamingIngest.runAvailableNowNearDupEmbeddings]]
+  *   with a drift monitor) LANDS each drifted batch's rows under
+  *   `indexDir/drift_batches/batch_id=N` and THEN logs its report to
+  *   `indexDir/drift_log` (land-then-log: a log row implies the rows are
+  *   on disk; a crash between the two replays the batch and rewrites
+  *   both — same batch id, same rows)
+  *     →  [[runDriftMaintenance]] reads the log (`dropDuplicates
+  *        ("batch_id")` — the log is a monitor, replays append duplicate
+  *        rows), takes the drifted batch ids whose pending rows exist,
+  *        unions those rows into ONE batch, and hands it to
+  *        [[GraphAnn.rebuildDriftedPqServing]] — v37's bounded response:
+  *        localize → retrain tripped cells only → remainder append →
+  *        exact reference merge → one-flip republish
+  *     →  on ANY terminal verdict (rebuilt, or None = the signal is
+  *        already absorbed by the current reference) the pending state
+  *        clears: the processed window's log rows prune
+  *        ([[Similarity.pruneDriftLog]]) and the batch dirs delete.
+  *
+  * Crash safety is by idempotence, not transactions: the publish itself
+  * is atomic ([[graft.pipeline.VersionedIndex]] pointer flip), and a
+  * crash after the publish but before the cleanup re-runs the whole
+  * call — the re-scored batch reads in-distribution against the NEW
+  * merged reference, the rebuild returns None (nothing re-appends; ids
+  * stay unique), and the cleanup completes. The spec pins that replay
+  * path.
+  *
+  * A None verdict on FIRST contact (stream thresholds more sensitive
+  * than the rebuild's) also clears the pending state: the orchestrator's
+  * verdict is authoritative — "appending normally is the right response"
+  * — and those rows belong to the normal append leg
+  * ([[GraphAnn.appendGraphCellsPqMonitored]]), not to retrain.
+  */
+object Maintenance {
+
+  /** One maintenance tick's outcome: which logged batches were pending,
+    * the rebuild verdict (None = nothing tripped against the current
+    * reference), and how much history the prune removed.
+    */
+  final case class MaintenanceReport(pendingBatchIds: Seq[Long],
+      rebuild: Option[GraphAnn.PartialRebuildReport], logRowsPruned: Long)
+
+  private def driftLogDir(indexDir: String) = s"$indexDir/drift_log"
+  private def batchDir(indexDir: String, batchId: Long) =
+    s"$indexDir/drift_batches/batch_id=$batchId"
+
+  /** The drifted, still-pending batch ids: logged as drifted (first
+    * verdict per batch id — replays duplicate rows) AND with their
+    * landed rows still on disk (a missing dir means a finished tick's
+    * cleanup got them — or land-then-log was interrupted, in which case
+    * the stream's replay rewrites both under the same id).
+    */
+  def pendingDriftBatchIds(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val log = driftLogDir(indexDir)
+    if (!graft.core.Fs.exists(spark, log)) return Nil
+    spark.read.option("mergeSchema", "true").parquet(log)
+      .dropDuplicates("batch_id")
+      .filter(col("drifted") && col("batch_id").isNotNull)
+      .select(col("batch_id").cast("long")).collect().map(_.getLong(0))
+      .toSeq.sorted
+      .filter(id => graft.core.Fs.exists(spark, batchDir(indexDir, id)))
+  }
+
+  /** One maintenance tick against a [[GraphAnn.publishPqServing]] root.
+    * `corpus` is the view the index was built/appended from (the member
+    * fetch for tripped cells — [[GraphAnn.rebuildDriftedPqServing]]'s
+    * contract, including its missing-row and duplicate-id refusals).
+    * Nothing pending → cheap no-op (one log read).
+    */
+  def runDriftMaintenance(spark: SparkSession, indexDir: String,
+      servingRoot: String, corpus: DataFrame, idCol: String, vecCol: String,
+      splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
+      efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
+      residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
+      minMass: Double = 0.01, keepVersions: Int = 2): MaintenanceReport = {
+    val ids = pendingDriftBatchIds(spark, indexDir)
+    if (ids.isEmpty) return MaintenanceReport(Nil, None, 0L)
+    // one rebuild for the union: a single localize/retrain/publish beats
+    // one flip per logged batch (the monitor can trip several times on
+    // one mode). Already-served ids drop first — a crash-replayed tick
+    // re-pends rows the interrupted tick's publish already indexed, and
+    // handing them back to the rebuild would violate the append leg's
+    // id-uniqueness contract (duplicate nodes in the republished index);
+    // the anti-join makes the replay verdict deterministic instead of
+    // leaving it to whether the absorbed mode happens to re-trip.
+    val batch = novelPending(spark, indexDir, servingRoot, ids)
+    val rebuild =
+      if (batch.isEmpty) None
+      else GraphAnn.rebuildDriftedPqServing(spark, servingRoot,
+        corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
+        m, efConstruction, maxSegmentSize, residRatioMax, massRatioMax,
+        minMass, keepVersions)
+    // terminal either way — clear the processed window (prune first:
+    // a crash between the two leaves batch dirs without log rows, which
+    // the next tick ignores and a later prune's dir cleanup could adopt;
+    // the reverse order would leave log rows whose dirs are gone,
+    // pending forever)
+    val pruned = Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
+      uptoBatchId = ids.max)
+    ids.foreach(id => graft.core.Fs.delete(spark, batchDir(indexDir, id)))
+    MaintenanceReport(ids, rebuild, pruned)
+  }
+
+  /** The pending rows not yet served by the root's CURRENT version:
+    * one id anti-join against the published graph nodes (the graph
+    * carries post-publish appends the PQ artifacts' coded table may
+    * lack, so nodes are the authoritative membership). Checkpointed —
+    * the emptiness probe and the rebuild both read the O(batch) result.
+    */
+  private def novelPending(spark: SparkSession, indexDir: String,
+      servingRoot: String, ids: Seq[Long]): DataFrame = {
+    val pending = spark.read
+      .parquet(ids.map(batchDir(indexDir, _)): _*)
+      .select(col("id"), col("vec"))
+    graft.pipeline.VersionedIndex.currentVersion(servingRoot) match {
+      case Some(v) =>
+        val served = spark.read.parquet(s"$servingRoot/$v/cells")
+          .select(col("id"))
+        pending.join(served, Seq("id"), "left_anti").localCheckpoint(true)
+      case None => pending.localCheckpoint(true)
+    }
+  }
+
+  /** [[runDriftMaintenance]]'s float-tier twin, against a
+    * [[GraphAnn.publishServing]] root ([[GraphAnn.rebuildDriftedServing]]
+    * does the bounded response; same land-then-log pending contract).
+    */
+  def runDriftMaintenanceFloat(spark: SparkSession, indexDir: String,
+      servingRoot: String, corpus: DataFrame, idCol: String, vecCol: String,
+      splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
+      efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
+      residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
+      minMass: Double = 0.01, keepVersions: Int = 2): MaintenanceReport = {
+    val ids = pendingDriftBatchIds(spark, indexDir)
+    if (ids.isEmpty) return MaintenanceReport(Nil, None, 0L)
+    val batch = novelPending(spark, indexDir, servingRoot, ids)
+    val rebuild =
+      if (batch.isEmpty) None
+      else GraphAnn.rebuildDriftedServing(spark, servingRoot,
+        corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
+        m, efConstruction, maxSegmentSize, residRatioMax, massRatioMax,
+        minMass, keepVersions)
+    val pruned = Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
+      uptoBatchId = ids.max)
+    ids.foreach(id => graft.core.Fs.delete(spark, batchDir(indexDir, id)))
+    MaintenanceReport(ids, rebuild, pruned)
+  }
+}

@@ -184,6 +184,18 @@ object StreamingIngest {
               batch.select(col(vecCol)), vecCol, cfg.centroids, cfg.ref,
               unit = true, residRatioMax = cfg.residRatioMax,
               klMax = cfg.klMax)
+            // LAND-THEN-LOG (the graph legs' discipline): a drifted
+            // batch's rows persist under drift_batches/batch_id=N BEFORE
+            // its log row, so a logged trip always has its rows on disk
+            // for the maintenance scheduler ([[Maintenance]]) to retrain
+            // from. Overwrite per batch dir → crash replays rewrite the
+            // same dir with the same rows (idempotent, like the log's
+            // dropDuplicates contract).
+            if (rep.drifted)
+              batch.select(col(idCol).cast("long").as("id"),
+                  col(vecCol).as("vec"))
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$indexDir/drift_batches/batch_id=$batchId")
             graft.operators.Similarity.appendDriftLog(s,
               s"$indexDir/drift_log", rep, batchId = Some(batchId))
           }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OPQ (Ge et al. 2013): the Procrustes solver, rotation invariants,
+  * the monotone-objective claim against plain PQ, persistence, and the
+  * end-to-end serving equivalence of the rotated tier.
+  */
+class OpqSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.Tables.load(spark, graft.TestSpark.sf, "embeddings")
+
+  private def orthoDev(r: Array[Array[Float]]): Double = {
+    val n = r.length
+    var dev = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      var t = 0.0
+      for (k <- 0 until n) t += r(k)(i).toDouble * r(k)(j)
+      dev = math.max(dev, math.abs(t - (if (i == j) 1.0 else 0.0)))
+    }
+    dev
+  }
+
+  test("procrustes: recovers a planted rotation and is orthonormal") {
+    // a fixed 2D-block rotation embedded in 8 dims; M = R0 (orthonormal
+    // input → U Vᵀ must reproduce it)
+    val dim = 8
+    val th = 0.7
+    val r0 = Array.tabulate(dim, dim) { (i, j) =>
+      if (i < 2 && j < 2) {
+        if (i == j) math.cos(th) else if (i == 0) -math.sin(th)
+        else math.sin(th)
+      } else if (i == j) 1.0 else 0.0
+    }
+    val m = Array.tabulate(dim * dim)(x => r0(x / dim)(x % dim))
+    val r = Opq.procrustes(m, dim)
+    assert(orthoDev(r) < 1e-6, s"orthonormal: ${orthoDev(r)}") // float32 storage
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(math.abs(r(i)(j) - r0(i)(j)) < 1e-6,
+        s"recovered rotation at ($i,$j): ${r(i)(j)} vs ${r0(i)(j)}")
+  }
+
+  test("procrustes: rank-deficient M still yields an orthonormal matrix") {
+    val dim = 6
+    val m = new Array[Double](dim * dim)
+    m(0) = 2.0 // rank 1
+    val r = Opq.procrustes(m, dim)
+    assert(orthoDev(r) < 1e-6)
+  }
+
+  test("trained rotation is orthonormal, deterministic, and preserves cosine") {
+    val (r1, _) = Opq.trainRotation(spark, emb, "vec_id", "embedding",
+      subspaces = 8, codesPerSub = 8, opqIters = 2, pqIters = 1)
+    val (r2, _) = Opq.trainRotation(spark, emb, "vec_id", "embedding",
+      subspaces = 8, codesPerSub = 8, opqIters = 2, pqIters = 1)
+    assert(r1.zip(r2).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+      "training must be deterministic")
+    assert(orthoDev(r1) < 1e-4, s"orthonormal: ${orthoDev(r1)}")
+    // cosine preservation on real rows
+    val rows = emb.select($"embedding").limit(4).collect()
+      .map(r => Similarity.l2unit(r.getSeq[Float](0)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }; s
+    }
+    def rot(r: Array[Array[Float]], x: Array[Float]): Array[Float] =
+      Array.tabulate(x.length) { i =>
+        var s = 0.0; var j = 0
+        while (j < x.length) { s += r(i)(j) * x(j); j += 1 }; s.toFloat
+      }
+    for (i <- rows.indices; j <- i + 1 until rows.length)
+      assert(math.abs(cos(rows(i), rows(j)) -
+        cos(rot(r1, rows(i)), rot(r1, rows(j)))) < 1e-4)
+  }
+
+  test("OPQ strictly cuts quantization MSE vs plain PQ at equal bytes") {
+    val (rI, bookBase) = Opq.trainRotation(spark, emb, "vec_id",
+      "embedding", subspaces = 8, codesPerSub = 8, opqIters = 0,
+      pqIters = 2)
+    val (rO, bookOpq) = Opq.trainRotation(spark, emb, "vec_id",
+      "embedding", subspaces = 8, codesPerSub = 8, opqIters = 3,
+      pqIters = 2)
+    val base = Opq.quantizationMse(spark, emb, "embedding", rI, bookBase)
+    val opq = Opq.quantizationMse(spark, emb, "embedding", rO, bookOpq)
+    assert(opq < base, s"OPQ $opq must beat PQ $base")
+  }
+
+  test("write/read round-trip is bit-exact; cold serving row-identical") {
+    val ix = Opq.buildIvfOpq(spark, emb, "vec_id", "embedding",
+      nCells = 4, subspaces = 8, codesPerSub = 8, ivfIters = 1,
+      pqIters = 1, opqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq").toString
+    Opq.writeIvfOpq(spark, ix, dir)
+    val back = Opq.readIvfOpq(spark, dir)
+    assert(back.rotation.zip(ix.rotation).forall {
+      case (a, b) => java.util.Arrays.equals(a, b) })
+    val probes = emb.filter($"vec_id" % 16 === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def serve(i: Opq.IvfOpqIndex) =
+      Opq.searchIvfOpqBatch(spark, i, emb, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", nprobe = 2, k = 5)
+        .select($"probe_id", $"id", $"rank").localCheckpoint(true)
+    val a = serve(ix); val b = serve(back)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("end-to-end: all-cells probe + big rerank recovers brute force through the rotation") {
+    val ix = Opq.buildIvfOpq(spark, emb, "vec_id", "embedding",
+      nCells = 4, subspaces = 8, codesPerSub = 8, ivfIters = 1,
+      pqIters = 1, opqIters = 1)
+    val probes = emb.filter($"vec_id" % 32 === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val k = 5
+    val got = Opq.searchIvfOpqBatch(spark, ix, emb, "vec_id", "embedding",
+      probes, "probe_id", "probe_vec", nprobe = 4, k = k,
+      rerankFactor = 64)
+    val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+        emb, "vec_id", "embedding", k = k)
+      .select($"probe_id".cast("long").as("probe_id"),
+        $"vec_id".cast("long").as("id"))
+    val nProbes = probes.count()
+    val hits = got.join(exact, Seq("probe_id", "id"), "left_semi")
+      .groupBy($"probe_id").count()
+    assert(hits.count() == nProbes &&
+      hits.agg(min($"count")).head().getLong(0) >= k - 1,
+      "rotation must not break exact recovery under full probe + rerank")
+  }
+}

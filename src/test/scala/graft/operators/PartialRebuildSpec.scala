@@ -159,13 +159,9 @@ class PartialRebuildSpec extends AnyFunSuite {
       case (sa, sb) => sa.zip(sb).forall {
         case (x, y) => java.util.Arrays.equals(x, y) } })
 
-    // merged reference ≡ direct recompute over the rows it covers (the
-    // index minus the appended remainder), against the stored layout
-    val restIds = Similarity.assignUnitCells(spark, batch, "vec_id",
-        "embedding", baseIx.centroids)
-      .filter(!$"cell".isin(tripped.toSeq: _*)).select($"id")
+    // merged reference ≡ direct recompute over EVERY served row (r17:
+    // the appended remainder's stats fold in), against the stored layout
     val covered = spark.read.parquet(s"$newArt/coded").select($"id", $"cell")
-      .join(restIds, Seq("id"), "left_anti")
       .join(corpus.select($"vec_id".cast("long").as("id"),
         $"embedding"), Seq("id"))
     val unitU = udf((v: Seq[Float]) => Similarity.l2unit(v).toSeq)
@@ -236,6 +232,40 @@ class PartialRebuildSpec extends AnyFunSuite {
       e.getMessage.contains("tripped cells"), e.getMessage)
   }
 
+  test("a corpus view with duplicated ids is a refusal, not duplicate nodes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pr5b").toString
+    val baseNodes = GraphAnn.buildGraphPerCellPq(spark, base, "vec_id",
+      "embedding", baseIx, m = 4, efConstruction = 16)
+    GraphAnn.publishPqServing(baseNodes, baseIx, root,
+      Some(GraphAnn.pqClumpBound(baseNodes)), Some(baseRef))
+    val batch = driftedBatch.localCheckpoint(true)
+    // every row twice: passes the missing-set check (left_semi keeps the
+    // duplicates), and each duplicate would republish as a duplicate node
+    val dup = base.unionByName(base).unionByName(batch)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.rebuildDriftedPqServing(spark, root, dup,
+        "vec_id", "embedding", batch, "vec_id", "embedding",
+        splitFactor = 2, ivfIters = 2, m = 4, efConstruction = 16)
+    }
+    assert(e.getMessage.contains("duplicated id"), e.getMessage)
+  }
+
+  test("a reference with PARTIAL per-cell coverage is a refusal naming the remedy") {
+    // representable on disk: cell_mean_rn round-trips nullable per-row,
+    // so a subset-coverage reference can reach the retrain — it must
+    // refuse up front, not NoSuchElementException mid-merge
+    val partialRef = baseRef.copy(cellMeanRn = baseRef.cellMeanRn.drop(1))
+    val art = Similarity.IvfPqArtifacts(baseIx, None, Some(partialRef))
+    val region = base.limit(8)
+    val trippedCell = baseRef.cellMass.head._1
+    val e = intercept[IllegalStateException] {
+      Similarity.retrainCellsIvfPq(spark, art, region, "vec_id",
+        "embedding", Array(trippedCell), splitFactor = 1, ivfIters = 1)
+    }
+    assert(e.getMessage.contains("cover only part") &&
+      e.getMessage.contains("full"), e.getMessage)
+  }
+
   test("float tier: one-flip publish, cold-start serve, bounded partial rebuild") {
     val root = java.nio.file.Files.createTempDirectory("graft-pr6").toString
     val ivf = Similarity.buildIvf(spark, base.select($"vec_id".as("id"),
@@ -289,15 +319,11 @@ class PartialRebuildSpec extends AnyFunSuite {
       s"$root/${res.version}/artifacts")
     assert(res.tripped.forall(c => !newCents.map(_._1).contains(c)))
     assert(res.newCells.forall(_ > ivf.centroids.map(_._1).max))
-    val restIds = Similarity.assignUnitCells(spark, batch, "vec_id",
-        "embedding", ivf.centroids, unit = false)
-      .filter(!$"cell".isin(res.tripped.toSeq: _*)).select($"id")
     // nodes store UNIT vectors (the builder normalizes); the reference
     // is measured on RAW vectors, so the recompute takes them from the
-    // corpus by id
+    // corpus by id — over EVERY served row (r17 remainder fold)
     val covered = spark.read.parquet(s"$root/${res.version}/cells")
       .select($"part".as("cell"), $"id").distinct()
-      .join(restIds, Seq("id"), "left_anti")
       .join(corpus.select($"vec_id".cast("long").as("id"),
         $"embedding".as("vec")), Seq("id"))
     val direct = Similarity.driftStatsAssigned(spark, covered, "cell",

@@ -72,4 +72,106 @@ class QualityLrSpec extends AnyFunSuite {
     assert(scored.count() == 120)
     assert(scored.filter($"id" >= 998L).isEmpty)
   }
+
+  test("binaryAuc: exact mid-rank AUC on a hand case with ties") {
+    // scores asc: 0.1(neg) 0.2(pos,neg tie) 0.9(pos)
+    // ranks: 1, {2,3}→2.5 each, 4; rankSum(pos)=2.5+4=6.5
+    // AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    val df = Seq((0.1, false), (0.2, true), (0.2, false), (0.9, true))
+      .toDF("s", "y")
+    assert(TextAnalysis.binaryAuc(df, "s", "y") == 0.875)
+    // degenerate single-class input is NaN, not a crash
+    assert(TextAnalysis.binaryAuc(df.filter($"y"), "s", "y").isNaN)
+  }
+
+  test("held-out evaluation: grouped-split AUC beats the untrained baseline") {
+    // the evaluation discipline the hash-matched training path can't
+    // prove: split by GROUP (sp8 — near-dups can't straddle the
+    // boundary), train ONLY on the train split, measure ranking quality
+    // on docs the trainer never saw
+    val grouped = toy.withColumn("family", concat(lit("f"), $"doc_id" % 12))
+    val split = Sampling.groupedSplit(grouped, "family",
+      valPerMille = 0, testPerMille = 300).localCheckpoint(true)
+    val model = TextAnalysis.trainQualityLr(split, "doc_id", "text",
+      $"is_good", $"split" === "train", epochs = 30, lr = 8.0)
+    val heldOut = split.filter($"split" === "test")
+    assert(heldOut.count() > 10, "fixture: the test split must be real")
+    val scored = TextAnalysis.scoreQualityLr(heldOut, "doc_id", "text", model)
+      .join(heldOut.select($"doc_id".as("id"), $"is_good"), Seq("id"))
+    val auc = TextAnalysis.binaryAuc(scored, "quality_score", "is_good")
+    // untrained baseline: the zero-weight model scores every doc 0.5 —
+    // AUC exactly 0.5 by the mid-rank convention
+    val base = TextAnalysis.scoreQualityLr(heldOut, "doc_id", "text",
+      TextAnalysis.QualityLrModel(
+        new Array[Double](model.buckets + 1), model.buckets))
+      .join(heldOut.select($"doc_id".as("id"), $"is_good"), Seq("id"))
+    val baseAuc = TextAnalysis.binaryAuc(base, "quality_score", "is_good")
+    assert(baseAuc == 0.5, s"zero model is chance: $baseAuc")
+    assert(auc > 0.95, s"held-out AUC must show real ranking power: $auc")
+  }
+
+  test("held-out harness DETECTS an unlearnable label on the real documents table") {
+    // the synthetic corpus shares ONE 31-token vocabulary across all
+    // languages (verified in DuckDB), so lang is lexically unlearnable
+    // from unigram features BY CONSTRUCTION — the evaluation harness
+    // must say so (held-out AUC ≈ chance) even though training runs and
+    // the per-doc scores hash-match. This is the half of a trained
+    // classifier the t15 determinism gate cannot see: a converged,
+    // reproducible, USELESS model, caught by the grouped-split AUC.
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+      .withColumn("is_en", $"lang" === "en")
+    val split = Sampling.groupedSplit(docs, "source",
+      valPerMille = 0, testPerMille = 300).localCheckpoint(true)
+    val heldOut = split.filter($"split" === "test")
+    assert(heldOut.count() > 20, "fixture: held-out slice must be real")
+    val model = TextAnalysis.trainQualityLr(split, "doc_id", "text",
+      $"is_en", $"split" === "train", epochs = 8, lr = 2.0)
+    val scored = TextAnalysis.scoreQualityLr(heldOut, "doc_id", "text", model)
+      .join(heldOut.select($"doc_id".as("id"), $"is_en"), Seq("id"))
+    val auc = TextAnalysis.binaryAuc(scored, "quality_score", "is_en")
+    assert(auc > 0.35 && auc < 0.65,
+      s"an unlearnable label must read as chance, not signal: $auc")
+  }
+
+  // ---- the graded head (t15b) ----
+
+  // three vocabulary tiers → planted grades 1 / 3 / 5
+  private lazy val gradedToy = (0 until 150).map { i =>
+    val tier = i % 3
+    val base = tier match {
+      case 0 => "noise junk spam garbled mess clutter"
+      case 1 => "plain ordinary text average middling prose"
+      case _ => "lucid rigorous insightful educational exemplary exposition"
+    }
+    (i.toLong, s"$base token$i filler", 1 + 2 * tier)
+  }.toDF("doc_id", "text", "grade_true")
+
+  test("graded head learns a planted 1/3/5 rubric; grades clamp to [0,5]") {
+    // lr below the full-batch stability boundary (the bias feature alone
+    // has curvature ~1, so lr = 2.0 oscillates forever on a linear head)
+    val model = TextAnalysis.trainQualityGrades(gradedToy, "doc_id", "text",
+      $"grade_true", $"doc_id" % 3 < 3, epochs = 200, lr = 1.0)
+    val scored = TextAnalysis.scoreQualityGrades(gradedToy, "doc_id", "text",
+        model)
+      .join(gradedToy.select($"doc_id".as("id"), $"grade_true"), Seq("id"))
+      .localCheckpoint(true)
+    assert(scored.filter($"grade" < 0 || $"grade" > 5).isEmpty)
+    val mae = scored.agg(avg(abs($"grade" - $"grade_true"))).head().getDouble(0)
+    assert(mae < 0.5, s"tier rubric must be learnable: MAE $mae")
+    // monotone: per-tier mean scores order with the rubric
+    val m = scored.groupBy($"grade_true").agg(avg($"grade_score").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m(1) < m(3) && m(3) < m(5), s"tier means must order: $m")
+  }
+
+  test("graded-head training is deterministic and 6-dp quantized") {
+    val m1 = TextAnalysis.trainQualityGrades(gradedToy, "doc_id", "text",
+      $"grade_true", $"doc_id" % 3 === 0, epochs = 4)
+    val m2 = TextAnalysis.trainQualityGrades(gradedToy, "doc_id", "text",
+      $"grade_true", $"doc_id" % 3 === 0, epochs = 4)
+    assert(m1.weights.toSeq == m2.weights.toSeq)
+    assert(m1.weights.forall(w =>
+      java.math.BigDecimal.valueOf(w).setScale(6,
+        java.math.RoundingMode.HALF_UP).doubleValue() == w))
+  }
 }
