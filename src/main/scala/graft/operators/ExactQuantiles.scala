@@ -51,8 +51,13 @@ object ExactQuantiles {
       bins.put(key, bins.getOrDefault(key, 0L) + c)
       if (bins.size > maxBins) throw new BinsExceeded(maxBins)
     }
-    def addNull(k: String, c: Long): Unit =
+    def addNull(k: String, c: Long, maxBins: Int): Unit = {
       nulls.put(k, nulls.getOrDefault(k, 0L) + c)
+      // the null-count map is keyed by the key column alone, so a
+      // mostly-null column under a high-cardinality key would otherwise
+      // grow it past the driver budget with bins still tiny
+      if (nulls.size > maxBins) throw new BinsExceeded(maxBins)
+    }
   }
 
   /** One row per key: (key, n, <one rounded double column per prob>).
@@ -75,13 +80,13 @@ object ExactQuantiles {
       try {
         src.rdd.aggregate(new Hist)(
           (m, r) => {
-            if (r.isNullAt(1)) m.addNull(r.getString(0), 1L)
+            if (r.isNullAt(1)) m.addNull(r.getString(0), 1L, maxBins)
             else m.addValue(r.getString(0), r.getLong(1), 1L, maxBins)
             m
           },
           (a, b) => {
             b.bins.forEach((k, c) => a.addValue(k._1, k._2, c, maxBins))
-            b.nulls.forEach((k, c) => a.addNull(k, c))
+            b.nulls.forEach((k, c) => a.addNull(k, c, maxBins))
             a
           })
       } catch {
@@ -89,7 +94,13 @@ object ExactQuantiles {
         // means the integer domain was too wide for a driver histogram —
         // take the shuffle path instead of retrying a doomed job.
         case t: Throwable if causeChain(t).exists(_.isInstanceOf[BinsExceeded]) =>
-          return declarative(df, keyCol, valCol, probs, outNames, roundScale)
+          // schema/order parity with the histogram path: key as string,
+          // rows sorted — a caller must not see the contract flip with
+          // data volume
+          return declarative(
+            df.withColumn(keyCol, col(keyCol).cast("string")),
+            keyCol, valCol, probs, outNames, roundScale)
+            .orderBy(col(keyCol))
       }
     // Per key: sorted (value, count) runs → cumulative ranks → interpolate.
     val byKey = new scala.collection.mutable.HashMap[
@@ -104,7 +115,13 @@ object ExactQuantiles {
         byKey(k) = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       ()
     }
-    val rows = byKey.toSeq.sortBy(_._1).map { case (k, binsBuf) =>
+    // null keys are a real group (the declarative plan keeps them);
+    // sort them first rather than letting String ordering NPE
+    val rows = byKey.toSeq.sortWith { (a, b) =>
+      if (a._1 == null) b._1 != null
+      else if (b._1 == null) false
+      else a._1 < b._1
+    }.map { case (k, binsBuf) =>
       val sorted = binsBuf.sortBy(_._1).toArray
       val nVals = sorted.iterator.map(_._2).sum
       val n = nVals + hist.nulls.getOrDefault(k, 0L)

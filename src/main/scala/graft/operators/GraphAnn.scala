@@ -1842,19 +1842,23 @@ object GraphAnn {
     val (newNodes, publishedRef) =
       if (restRows == 0L) (withRegion, partial.mergedStats)
       else {
-        val appended = appendGraphCells(withRegion, batchRest, "id", "vec",
-          partial.centroids, m, efConstruction, maxSegmentSize)
+        // fresh segments ONLY (the PQ twin's shape): the remainder's
+        // post-append routing reads from the O(batch) delta, never a
+        // full-graph scan
+        val freshSegs = buildAppendSegments(withRegion, batchRest, "id",
+            "vec", partial.centroids, m, efConstruction, maxSegmentSize)
           .localCheckpoint(true)
-        // remainder stats at the POST-APPEND routing (see the PQ twin);
-        // this tier's reference is measured on RAW vectors, and the
-        // appended nodes store unit vectors, so the vecs come from
-        // batchRest by id. (id, part) distinct-ed: node rows may repeat
-        // an id across levels.
+        // remainder stats at the POST-APPEND routing; this tier's
+        // reference is measured on RAW vectors, and the appended nodes
+        // store unit vectors, so the vecs come from batchRest by id.
+        // (id, part) distinct-ed: node rows may repeat an id across
+        // levels.
         val restStats = Similarity.driftStatsAssigned(spark,
-          batchRest.join(appended.select(col("id"),
+          batchRest.join(freshSegs.select(col("id"),
             col("part").as("cell")).distinct(), Seq("id")),
           "cell", "vec", partial.centroids)
-        (appended, Similarity.combineRefs(partial.mergedStats, restStats))
+        (withRegion.unionByName(freshSegs),
+          Similarity.combineRefs(partial.mergedStats, restStats))
       }
     val newV = publishServing(newNodes, partial.centroids, root,
       Some(publishedRef), keepVersions)

@@ -393,7 +393,10 @@ object TextAnalysis {
   def binaryAuc(scored: DataFrame, scoreCol: String,
       labelCol: String): Double = {
     val hist = scored
-      .groupBy(col(scoreCol).as("s"))
+      // cast up front: integer scores (the grade column) would CCE on
+      // getDouble, and null scores carry no rank — drop them
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("s"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))
       .collect()

@@ -56,18 +56,24 @@ object Maintenance {
   private def batchDir(indexDir: String, batchId: Long) =
     s"$indexDir/drift_batches/batch_id=$batchId"
 
-  /** The drifted, still-pending batch ids: logged as drifted (first
-    * verdict per batch id — replays duplicate rows) AND with their
-    * landed rows still on disk (a missing dir means a finished tick's
-    * cleanup got them — or land-then-log was interrupted, in which case
-    * the stream's replay rewrites both under the same id).
+  /** The drifted, still-pending batch ids: ANY logged trip per batch id
+    * counts (a crash-replayed batch can log twice, and if a reference
+    * swap between the attempts makes the verdicts disagree, the
+    * conservative aggregate wins — parquet row order must never decide;
+    * the tick's own localize is the authority and returns None for a
+    * clean batch anyway) AND the landed rows are still on disk (a
+    * missing dir means a finished tick's cleanup got them — or
+    * land-then-log was interrupted, in which case the stream's replay
+    * rewrites both under the same id).
     */
   def pendingDriftBatchIds(spark: SparkSession, indexDir: String): Seq[Long] = {
     val log = driftLogDir(indexDir)
     if (!graft.core.Fs.exists(spark, log)) return Nil
     spark.read.option("mergeSchema", "true").parquet(log)
-      .dropDuplicates("batch_id")
-      .filter(col("drifted") && col("batch_id").isNotNull)
+      .filter(col("batch_id").isNotNull)
+      .groupBy(col("batch_id"))
+      .agg(max(col("drifted")).as("drifted"))
+      .filter(col("drifted"))
       .select(col("batch_id").cast("long")).collect().map(_.getLong(0))
       .toSeq.sorted
       .filter(id => graft.core.Fs.exists(spark, batchDir(indexDir, id)))
@@ -85,32 +91,58 @@ object Maintenance {
       efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
       residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
       minMass: Double = 0.01, keepVersions: Int = 2): MaintenanceReport = {
-    val ids = pendingDriftBatchIds(spark, indexDir)
-    if (ids.isEmpty) return MaintenanceReport(Nil, None, 0L)
-    // one rebuild for the union: a single localize/retrain/publish beats
-    // one flip per logged batch (the monitor can trip several times on
-    // one mode). Already-served ids drop first — a crash-replayed tick
-    // re-pends rows the interrupted tick's publish already indexed, and
-    // handing them back to the rebuild would violate the append leg's
-    // id-uniqueness contract (duplicate nodes in the republished index);
-    // the anti-join makes the replay verdict deterministic instead of
-    // leaving it to whether the absorbed mode happens to re-trip.
-    val batch = novelPending(spark, indexDir, servingRoot, ids)
-    val rebuild =
-      if (batch.isEmpty) None
-      else GraphAnn.rebuildDriftedPqServing(spark, servingRoot,
+    runTick(spark, indexDir, servingRoot,
+      batch => GraphAnn.rebuildDriftedPqServing(spark, servingRoot,
         corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
         m, efConstruction, maxSegmentSize, residRatioMax, massRatioMax,
-        minMass, keepVersions)
-    // terminal either way — clear the processed window (prune first:
-    // a crash between the two leaves batch dirs without log rows, which
-    // the next tick ignores and a later prune's dir cleanup could adopt;
-    // the reverse order would leave log rows whose dirs are gone,
-    // pending forever)
+        minMass, keepVersions))
+  }
+
+  /** The tick body both tiers share — only the rebuild call differs.
+    * One rebuild for the union of pending batches: a single localize/
+    * retrain/publish beats one flip per logged batch (the monitor can
+    * trip several times on one mode). Already-served ids drop first
+    * ([[novelPending]]) — a crash-replayed tick re-pends rows the
+    * interrupted tick's publish already indexed, and handing them back
+    * to the rebuild would violate the append leg's id-uniqueness
+    * contract (duplicate nodes in the republished index); the anti-join
+    * makes the replay verdict deterministic instead of leaving it to
+    * whether the absorbed mode happens to re-trip.
+    */
+  private def runTick(spark: SparkSession, indexDir: String,
+      servingRoot: String,
+      rebuildFn: DataFrame => Option[GraphAnn.PartialRebuildReport])
+      : MaintenanceReport = {
+    val ids = pendingDriftBatchIds(spark, indexDir)
+    if (ids.isEmpty) return MaintenanceReport(Nil, None, 0L)
+    val batch = novelPending(spark, indexDir, servingRoot, ids)
+    val rebuild = if (batch.isEmpty) None else rebuildFn(batch)
+    // terminal either way — clear the processed window: prune the log
+    // through ids.max, then delete EVERY landed dir in that window (not
+    // only this tick's ids: a crash between a previous tick's prune and
+    // its dir deletes leaves orphaned dirs whose log rows are gone —
+    // the window sweep adopts them, so landed rows never accumulate
+    // across crash windows)
     val pruned = Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
       uptoBatchId = ids.max)
-    ids.foreach(id => graft.core.Fs.delete(spark, batchDir(indexDir, id)))
+    landedBatchIds(spark, indexDir).filter(_ <= ids.max)
+      .foreach(id => graft.core.Fs.delete(spark, batchDir(indexDir, id)))
     MaintenanceReport(ids, rebuild, pruned)
+  }
+
+  /** Every batch id with landed rows under `drift_batches/` (one level:
+    * `batch_id=N` dirs).
+    */
+  private def landedBatchIds(spark: SparkSession,
+      indexDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/drift_batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id=") =>
+        st.getPath.getName.stripPrefix("batch_id=").toLong
+    }.sorted
   }
 
   /** The pending rows not yet served by the root's CURRENT version:
@@ -143,18 +175,10 @@ object Maintenance {
       efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
       residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
       minMass: Double = 0.01, keepVersions: Int = 2): MaintenanceReport = {
-    val ids = pendingDriftBatchIds(spark, indexDir)
-    if (ids.isEmpty) return MaintenanceReport(Nil, None, 0L)
-    val batch = novelPending(spark, indexDir, servingRoot, ids)
-    val rebuild =
-      if (batch.isEmpty) None
-      else GraphAnn.rebuildDriftedServing(spark, servingRoot,
+    runTick(spark, indexDir, servingRoot,
+      batch => GraphAnn.rebuildDriftedServing(spark, servingRoot,
         corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
         m, efConstruction, maxSegmentSize, residRatioMax, massRatioMax,
-        minMass, keepVersions)
-    val pruned = Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
-      uptoBatchId = ids.max)
-    ids.foreach(id => graft.core.Fs.delete(spark, batchDir(indexDir, id)))
-    MaintenanceReport(ids, rebuild, pruned)
+        minMass, keepVersions))
   }
 }

@@ -66,6 +66,19 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(b.getLong(1) == 2L && b.isNullAt(2))
   }
 
+  test("null KEYS are a real group on both paths (no NPE, declarative parity)") {
+    val df = Seq[(String, java.lang.Long)](
+      (null, 5L), (null, 15L), ("a", 10L)).toDF("k", "v")
+    val hist = ExactQuantiles.byKeyHistogram(
+        df, "k", "v", Seq(0.5), Seq("p50"))
+      .collect().toSeq.sortBy(r => Option(r.getString(0)))
+    val decl = ExactQuantiles.declarative(
+        df, "k", "v", Seq(0.5), Seq("p50"))
+      .collect().toSeq.sortBy(r => Option(r.getString(0)))
+    assert(hist == decl)
+    assert(hist.exists(r => r.isNullAt(0) && r.getDouble(2) == 10.0))
+  }
+
   test("exact boundary ranks: p=0, p=1, two-element interpolation") {
     val df = Seq(("k", 1L), ("k", 2L)).toDF("k", "v")
     val r = ExactQuantiles.byKeyHistogram(
