@@ -25,6 +25,15 @@ object Fs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Child DIRECTORY names of `dir` (same resolution rule as [[exists]]);
+    * absent path → empty. */
+  def listDirNames(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   /** Serializable carrier for the session's Hadoop configuration — the
     * spark.hadoop.* settings (filesystem credentials, implementations)
     * live ONLY in `sparkContext.hadoopConfiguration`, never in a default

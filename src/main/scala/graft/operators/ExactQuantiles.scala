@@ -116,11 +116,14 @@ object ExactQuantiles {
       ()
     }
     // null keys are a real group (the declarative plan keeps them);
-    // sort them first rather than letting String ordering NPE
+    // nulls sort first, then UTF-8 BINARY order — the ordering Spark's
+    // orderBy uses, so the maxBins fallback's sorted output and this
+    // path agree even on supplementary characters (where Java String
+    // '<' — UTF-16 code units — disagrees with UTF-8 bytes)
     val rows = byKey.toSeq.sortWith { (a, b) =>
       if (a._1 == null) b._1 != null
       else if (b._1 == null) false
-      else a._1 < b._1
+      else utf8Lt(a._1, b._1)
     }.map { case (k, binsBuf) =>
       val sorted = binsBuf.sortBy(_._1).toArray
       val nVals = sorted.iterator.map(_._2).sum
@@ -174,6 +177,20 @@ object ExactQuantiles {
       val hv = at(lo + 1)
       (lo + 1 - h) * lv + (h - lo) * hv
     }
+  }
+
+  /** Unsigned-lexicographic UTF-8 byte order — Spark's string orderBy. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   private def causeChain(t: Throwable): List[Throwable] = {

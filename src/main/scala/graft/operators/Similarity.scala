@@ -674,7 +674,41 @@ object Similarity {
     if (after < before)
       keep.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(logDir)
+    // durable prune watermark (monotonic): lets the maintenance sweep
+    // tell "pruned, its dirs are garbage" apart from "not logged yet,
+    // the stream may be mid-write" — the distinction that makes orphan
+    // adoption safe on ticks with nothing pending. SIBLING of the log
+    // dir, not inside it: both this function's Overwrite and
+    // Compaction.compactFlat truncate the dir wholesale, and the marker
+    // must survive both.
+    val cur = prunedUpto(spark, logDir)
+    if (uptoBatchId > cur) {
+      val mp = markerPath(logDir)
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(mp, true)
+      try out.write(uptoBatchId.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     before - after
+  }
+
+  private def markerPath(logDir: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${logDir.stripSuffix("/")}_pruned_upto")
+
+  /** The highest batch id any [[pruneDriftLog]] call has pruned through
+    * (−1 if never pruned / no marker).
+    */
+  def prunedUpto(spark: SparkSession, logDir: String): Long = {
+    val mp = markerPath(logDir)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) return -1L
+    val in = fs.open(mp)
+    try {
+      val raw = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      raw.toLongOption.getOrElse(-1L)
+    } finally in.close()
   }
 
   /** Search a persisted IVF index: rank cells from the (tiny) centroid

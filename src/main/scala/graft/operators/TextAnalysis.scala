@@ -394,8 +394,10 @@ object TextAnalysis {
       labelCol: String): Double = {
     val hist = scored
       // cast up front: integer scores (the grade column) would CCE on
-      // getDouble, and null scores carry no rank — drop them
-      .filter(col(scoreCol).isNotNull)
+      // getDouble; null scores AND uncastable values carry no rank —
+      // filter on the cast so a stringly score column can't smuggle a
+      // null group past the guard
+      .filter(col(scoreCol).cast("double").isNotNull)
       .groupBy(col(scoreCol).cast("double").as("s"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))

@@ -113,37 +113,48 @@ object Maintenance {
       servingRoot: String,
       rebuildFn: DataFrame => Option[GraphAnn.PartialRebuildReport])
       : MaintenanceReport = {
+    // adopt orphans FIRST, pending or not: a crash between a previous
+    // tick's prune and its dir deletes leaves landed dirs whose log rows
+    // are gone — they sit at or below the durable prune watermark, which
+    // is what distinguishes them from a dir the live stream is writing
+    // RIGHT NOW (not logged yet, id above every pruned id — batch ids
+    // are checkpoint-monotonic). Without this, a quiet stream would
+    // preserve crash orphans forever.
+    sweepLanded(spark, indexDir,
+      Similarity.prunedUpto(spark, driftLogDir(indexDir)))
     val ids = pendingDriftBatchIds(spark, indexDir)
     if (ids.isEmpty) return MaintenanceReport(Nil, None, 0L)
     val batch = novelPending(spark, indexDir, servingRoot, ids)
     val rebuild = if (batch.isEmpty) None else rebuildFn(batch)
     // terminal either way — clear the processed window: prune the log
-    // through ids.max, then delete EVERY landed dir in that window (not
-    // only this tick's ids: a crash between a previous tick's prune and
-    // its dir deletes leaves orphaned dirs whose log rows are gone —
-    // the window sweep adopts them, so landed rows never accumulate
-    // across crash windows)
+    // (which also advances the durable watermark), then sweep every
+    // landed dir in the window
     val pruned = Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
       uptoBatchId = ids.max)
-    landedBatchIds(spark, indexDir).filter(_ <= ids.max)
-      .foreach(id => graft.core.Fs.delete(spark, batchDir(indexDir, id)))
+    sweepLanded(spark, indexDir, ids.max)
     MaintenanceReport(ids, rebuild, pruned)
   }
 
+  /** Delete every landed batch dir with id ≤ `upto` (no-op for
+    * upto < 0 — never pruned).
+    */
+  private def sweepLanded(spark: SparkSession, indexDir: String,
+      upto: Long): Unit =
+    if (upto >= 0L)
+      landedBatchIds(spark, indexDir).filter(_ <= upto)
+        .foreach(id => graft.core.Fs.delete(spark, batchDir(indexDir, id)))
+
   /** Every batch id with landed rows under `drift_batches/` (one level:
-    * `batch_id=N` dirs).
+    * `batch_id=N` dirs; names that don't parse — a stray hand-copied or
+    * external-writer dir — are ignored rather than crashing every tick).
     */
   private def landedBatchIds(spark: SparkSession,
-      indexDir: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$indexDir/drift_batches")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Nil
-    fs.listStatus(root).toSeq.collect {
-      case st if st.isDirectory &&
-        st.getPath.getName.startsWith("batch_id=") =>
-        st.getPath.getName.stripPrefix("batch_id=").toLong
-    }.sorted
-  }
+      indexDir: String): Seq[Long] =
+    graft.core.Fs.listDirNames(spark, s"$indexDir/drift_batches")
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=") }
+      .flatMap(_.toLongOption)
+      .sorted
 
   /** The pending rows not yet served by the root's CURRENT version:
     * one id anti-join against the published graph nodes (the graph

@@ -79,6 +79,20 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(hist.exists(r => r.isNullAt(0) && r.getDouble(2) == 10.0))
   }
 
+  test("maxBins fallback keeps the histogram path's key type and order for int keys") {
+    val df = Seq((3, 30L), (1, 10L), (2, 20L), (1, 12L)).toDF("k", "v")
+    val fb = ExactQuantiles.byKeyHistogram(
+      df, "k", "v", Seq(0.5), Seq("p50"), maxBins = 1)
+    val hist = ExactQuantiles.byKeyHistogram(
+      df, "k", "v", Seq(0.5), Seq("p50"))
+    // same shape (name, type) and the same sorted rows on BOTH paths —
+    // the contract must not flip with data volume
+    assert(fb.schema.map(f => (f.name, f.dataType)) ==
+      hist.schema.map(f => (f.name, f.dataType)))
+    assert(fb.collect().toSeq == hist.collect().toSeq)
+    assert(fb.head().getString(0) == "1")
+  }
+
   test("exact boundary ranks: p=0, p=1, two-element interpolation") {
     val df = Seq(("k", 1L), ("k", 2L)).toDF("k", "v")
     val r = ExactQuantiles.byKeyHistogram(

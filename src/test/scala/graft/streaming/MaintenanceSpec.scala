@@ -140,41 +140,74 @@ class MaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
   }
 
-  test("crash replay after publish: re-pending the same batch is absorbed and cleared, no new version") {
-    val (root, ix, ref, _) = publishBase()
-    val run = Files.createTempDirectory("graft-mt-crash").toString
-    stageFiles(s"$run/vecs", Seq(drifted))
-    StreamingIngest.runAvailableNowNearDupEmbeddings(spark, s"$run/vecs",
-      s"$run/index", s"$run/ckpt", minCosine = 0.4, bands = 8,
-      rowsPerBand = 4, maxFilesPerTrigger = Some(1), buckets = 8,
-      driftMonitor = Some(StreamingIngest.DriftMonitorConfig(
-        ix.centroids, ref)))
-    val corpus = base.unionByName(drifted).localCheckpoint(true)
-    val tick1 = Maintenance.runDriftMaintenance(spark, s"$run/index", root,
-      corpus, "vec_id", "embedding", splitFactor = 2, ivfIters = 2,
-      m = 4, efConstruction = 16)
-    assert(tick1.rebuild.nonEmpty)
-    val v1 = tick1.rebuild.get.version
-    // simulate the crash window: the publish landed but the cleanup did
-    // not — re-land the batch rows and its log row under the same id
-    val bid = tick1.pendingBatchIds.head
-    drifted.select($"vec_id".cast("long").as("id"),
+  test("a crash between prune and dir-delete is adopted by the NEXT tick, pending or not") {
+    val run = Files.createTempDirectory("graft-mt-orphan").toString
+    val log = s"$run/index/drift_log"
+    // the crash window's on-disk shape: the tick pruned the log (and
+    // advanced the durable watermark) but died before deleting the dir
+    Similarity.appendDriftLog(spark, log,
+      Similarity.DriftReport(4, 1.0, 1.0, 2.0, 2.0, drifted = true),
+      Some(3L))
+    assert(Similarity.pruneDriftLog(spark, log, 3L) == 1L)
+    drifted.limit(4).select($"vec_id".cast("long").as("id"),
         $"embedding".as("vec"))
       .write.mode("overwrite")
-      .parquet(s"$run/index/drift_batches/batch_id=$bid")
+      .parquet(s"$run/index/drift_batches/batch_id=3")
+    // a stray unparseable dir must be ignored, not crash the tick
+    Files.createDirectories(java.nio.file.Paths.get(
+      s"$run/index/drift_batches/batch_id=5.bak"))
+    val tick = Maintenance.runDriftMaintenance(spark, s"$run/index",
+      s"$run/no-root", base, "vec_id", "embedding")
+    assert(tick.pendingBatchIds.isEmpty && tick.rebuild.isEmpty)
+    assert(!graft.core.Fs.exists(spark,
+      s"$run/index/drift_batches/batch_id=3"),
+      "the empty tick must adopt the pruned-window orphan")
+    assert(graft.core.Fs.exists(spark,
+      s"$run/index/drift_batches/batch_id=5.bak"),
+      "unparseable names are ignored, not deleted or fatal")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+  }
+
+  test("crash after publish, BEFORE prune: the pending replay is absorbed, no second flip") {
+    // construct the exact crash-window state: the rebuild PUBLISHED but
+    // the tick died before pruning — log row + landed dir present,
+    // watermark not advanced, every landed id already served
+    val (root, ix, ref, _) = publishBase()
+    val run = Files.createTempDirectory("graft-mt-crash").toString
+    val batch = drifted.localCheckpoint(true)
+    val corpus = base.unionByName(batch).localCheckpoint(true)
+    val res = graft.operators.GraphAnn.rebuildDriftedPqServing(spark, root,
+      corpus, "vec_id", "embedding", batch, "vec_id", "embedding",
+      splitFactor = 2, ivfIters = 2, m = 4, efConstruction = 16)
+    assert(res.nonEmpty, "fixture: the planted mode must rebuild")
+    val v1 = res.get.version
+    batch.select($"vec_id".cast("long").as("id"), $"embedding".as("vec"))
+      .write.mode("overwrite")
+      .parquet(s"$run/index/drift_batches/batch_id=7")
     Similarity.appendDriftLog(spark, s"$run/index/drift_log",
       Similarity.DriftReport(4, 1.0, 1.0, 2.0, 2.0, drifted = true),
-      Some(bid))
+      Some(7L))
     val replay = Maintenance.runDriftMaintenance(spark, s"$run/index", root,
       corpus, "vec_id", "embedding", splitFactor = 2, ivfIters = 2,
       m = 4, efConstruction = 16)
-    assert(replay.pendingBatchIds == Seq(bid), "the replayed batch pends")
+    assert(replay.pendingBatchIds == Seq(7L), "the replayed batch pends")
     assert(replay.rebuild.isEmpty,
-      "the absorbed mode must not trip against the merged reference")
+      "already-served rows drop in novelPending — nothing to rebuild")
     assert(Maintenance.pendingDriftBatchIds(spark, s"$run/index").isEmpty,
       "the replay still clears the pending state")
     assert(graft.pipeline.VersionedIndex.currentVersion(root).contains(v1),
       "no second flip")
+    // crash AFTER prune instead: the watermark sweep adopts a re-landed
+    // dir at the next tick's start (covered by the orphan test above);
+    // re-landing the same id below the watermark is swept, not re-pended
+    batch.select($"vec_id".cast("long").as("id"), $"embedding".as("vec"))
+      .write.mode("overwrite")
+      .parquet(s"$run/index/drift_batches/batch_id=7")
+    val tick3 = Maintenance.runDriftMaintenance(spark, s"$run/index", root,
+      corpus, "vec_id", "embedding")
+    assert(tick3.pendingBatchIds.isEmpty && tick3.rebuild.isEmpty)
+    assert(!graft.core.Fs.exists(spark,
+      s"$run/index/drift_batches/batch_id=7"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
   }
