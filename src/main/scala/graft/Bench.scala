@@ -41,7 +41,60 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // DuckDB anchor wall-times (scripts/duckdb_anchor.py, committed). Read
+    // up front: the anchor names double as the "anchors" filter set below,
+    // and the summary line self-reports the gate geomean so a window hunt
+    // can read one number per run instead of post-processing the record.
+    val anchorTimes: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("DUCKDB_ANCHOR.json")
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        val q = node.get("queries")
+        if (q == null || !q.isObject) Map.empty
+        else {
+          val it = q.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+
+    // Query filter: SPARK_GRAFT_BENCH_QUERIES = "anchors" (the DuckDB-anchor
+    // set) or a comma-list of query names. A filtered pass (~40s for the 16
+    // anchors vs ~25min full suite) is the cheap probe for hunting a clean
+    // scheduler-floor window; the full suite remains the artifact of record,
+    // so a filtered run stamps "filtered" into the summary to keep a partial
+    // total from ever being mistaken for the headline.
+    val filterSpec = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.trim).filter(_.nonEmpty)
+    val keep: Option[Set[String]] = filterSpec.map {
+      case "anchors" =>
+        require(anchorTimes.nonEmpty, "anchors filter requires DUCKDB_ANCHOR.json")
+        anchorTimes.keySet
+      case list => list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }
+    keep.foreach { k =>
+      val unknown = k -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val qsOnce = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keep.forall(_.contains(n)) }
+    // SPARK_GRAFT_BENCH_REPEAT=N runs the (filtered) set N times in one JVM
+    // and publishes the best sample per query. A 16-query pass is JIT-cold
+    // in a way the 211-query suite is not (the anchors run mid-suite on a
+    // fully warmed JVM there), so a single filtered pass overstates the
+    // anchors ~1.5x; repeats restore full-suite warmth at probe cost. The
+    // record carries "repeat":N so a repeated artifact is self-describing.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map { raw =>
+      val n = raw.trim.toIntOption
+      require(n.isDefined && n.get >= 1,
+        s"SPARK_GRAFT_BENCH_REPEAT must be a positive integer, got: $raw")
+      n.get
+    }.getOrElse(1)
+    val qs = Seq.fill(repeat)(qsOnce).flatten
 
     // Per-query JOB counts, for the floor-normalized headline: the suite's
     // sub-second queries are scheduler-floor-bound (~80ms/job, FloorProbe),
@@ -182,7 +235,7 @@ object Bench {
     }.toSet
     val fnByName = qs.toMap
     val redone = scala.collection.mutable.ArrayBuffer[Double]()
-    val full = timed.map { case (name, elapsed0, seg, jobs0) =>
+    val fullRaw = timed.map { case (name, elapsed0, seg, jobs0) =>
       var elapsed = elapsed0
       var jobs = jobs0
       if (!elapsed.isNaN && polluted.contains(seg)) {
@@ -192,6 +245,12 @@ object Bench {
       }
       (name, if (elapsed.isNaN) -1.0 else elapsed, jobs)
     }
+    // Collapse repeats to the best successful sample per query (a query
+    // that failed EVERY rep stays -1). Order restored to sorted-by-name.
+    val full = fullRaw.groupBy(_._1).map { case (name, xs) =>
+      val ok = xs.filter(_._2 >= 0)
+      if (ok.isEmpty) xs.head else ok.minBy(_._2)
+    }.toSeq.sortBy(_._1)
     val results = full.map { case (name, elapsed, _) => name -> elapsed }
     if (polluted.nonEmpty) redone += canaryFloor(spark)
 
@@ -248,8 +307,21 @@ object Bench {
         }
       } else ""
     }
+    // Gate number in-record: geometric mean of spark_wall/duckdb_wall over
+    // the anchor queries present in this run (all 16 on a full or
+    // anchors-filtered run). -1.0 if any covered anchor failed.
+    val anchorCovered = results.filter { case (k, _) => anchorTimes.contains(k) }
+    val anchorGeo =
+      if (anchorCovered.isEmpty) None
+      else if (anchorCovered.exists(_._2 < 0)) Some(-1.0)
+      else Some(math.exp(anchorCovered.map { case (k, v) =>
+        math.log(v / anchorTimes(k)) }.sum / anchorCovered.size))
+    val geoJson = anchorGeo.map(g =>
+      s""","anchor_geomean":${math.rint(g * 1000) / 1000},"anchor_n":${anchorCovered.size}""").getOrElse("")
+    val filteredJson = keep.map(k => s""","filtered":${k.size}""").getOrElse("") +
+      (if (repeat > 1) s""","repeat":$repeat""" else "")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"$canaryJson$normJson$jobsJson$extrasJson$anchor}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$filteredJson$geoJson,"queries":$qjson,"sf":"$sfDir"$canaryJson$normJson$jobsJson$extrasJson$anchor}"""
     println(line)
     // Durable copy: stdout goes through sbt's logger and a log-tail capture,
     // either of which can truncate the (long) per-query line. The file is
@@ -267,7 +339,7 @@ object Bench {
     // complete parseable record (it is printed LAST).
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"$canaryJson$normJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$filteredJson$geoJson,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"$canaryJson$normJson}""")
     spark.stop()
   }
 }

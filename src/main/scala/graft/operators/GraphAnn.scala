@@ -1295,11 +1295,14 @@ object GraphAnn {
       nprobe: Int, k: Int, ef: Int, rerankFactor: Int = 4,
       clumpGuard: Boolean = true, clumpBound: Option[Int] = None,
       tombstones: Option[DataFrame] = None,
-      allowed: Option[DataFrame] = None): DataFrame = allowed match {
+      allowed: Option[DataFrame] = None,
+      corpusVecTransform: Option[org.apache.spark.sql.expressions
+        .UserDefinedFunction] = None): DataFrame = allowed match {
     case Some(a) =>
       searchGraphRoutedPqFiltered(spark.read.parquet(dir), index, corpus,
         idCol, vecCol, probes, probeId, probeVec, a, nprobe, k, ef,
-        rerankFactor, clumpGuard, clumpBound, tombstones)
+        rerankFactor, clumpGuard, clumpBound, tombstones,
+        corpusVecTransform)
     case None =>
       // route ONCE: the same map prunes the scan and drives the beams
       val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
@@ -1308,7 +1311,7 @@ object GraphAnn {
         .repartition(col("part"), col("seg"))
       searchGraphRoutedPqWithRoutes(nodes, index, corpus, idCol, vecCol,
         probes, probeId, probeVec, routes, k, ef, rerankFactor, clumpGuard,
-        clumpBound, tombstones)
+        clumpBound, tombstones, corpusVecTransform)
   }
 
   /** [[searchGraphRoutedPqPersisted]] against the CURRENTLY PUBLISHED
@@ -1649,7 +1652,8 @@ object GraphAnn {
       efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
       residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
       minMass: Double = 0.01,
-      keepVersions: Int = 2): Option[PartialRebuildReport] = {
+      keepVersions: Int = 2,
+      appendWhenClean: Boolean = false): Option[PartialRebuildReport] = {
     val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
       throw new IllegalStateException(
         s"no published PQ serving state under $root"))
@@ -1666,9 +1670,49 @@ object GraphAnn {
     val tripped = Similarity.trippedCells(batchStats, ref, residRatioMax,
       massRatioMax, minMass)
     if (tripped.isEmpty) {
+      if (!appendWhenClean) {
+        log.info(s"no cell of $root/$v trips on this batch " +
+          s"(n=${batchStats.n}) — appending normally is the right response")
+        return None
+      }
+      // appendWhenClean (r17 advice): in a deployment where this
+      // orchestrator is the ONLY writer to the serving root (the
+      // maintenance tick's shape), "appending normally" must happen HERE
+      // or the drifted arrivals are never served. The append-only
+      // republish is the main path's remainder leg applied to the whole
+      // batch against the UNCHANGED index: fresh segments, codes derived
+      // from the segments, post-append stats folded into the reference,
+      // one flip. O(batch) work; the report's empty tripped set is the
+      // "nothing retrained" signal.
+      val batchAll = assignedBatch.select(col("id"), col("vec"))
+        .localCheckpoint(true)
+      val n = batchAll.count()
+      if (n == 0L) return None
+      val nodes0 = spark.read.parquet(s"$root/$v/cells")
+      val freshSegs = buildAppendSegmentsPq(nodes0, batchAll, "id", "vec",
+        art.index, m, efConstruction, maxSegmentSize).localCheckpoint(true)
+      val restCoded = freshSegs.select(col("id"),
+        col("part").as("cell"), col("codes").as("pq_codes"))
+      val unitU = udf((vv: Seq[Float]) => Similarity.l2unit(vv).toSeq)
+      val restStats = Similarity.driftStatsAssigned(spark,
+        batchAll.join(freshSegs.select(col("id"),
+          col("part").as("cell")), Seq("id"))
+          .withColumn("vec", unitU(col("vec"))),
+        "cell", "vec", art.index.centroids)
+      val bound = art.clumpBound match {
+        case Some(b) => math.max(b, clumpBoundOf(freshSegs))
+        case None => clumpBoundOf(nodes0.unionByName(freshSegs))
+      }
+      val index = Similarity.IvfPqIndex(art.index.centroids,
+        art.index.book, art.index.coded.unionByName(restCoded))
+      val newV = publishPqServing(nodes0.unionByName(freshSegs), index,
+        root, Some(bound), Some(Similarity.combineRefs(ref, restStats)),
+        keepVersions)
       log.info(s"no cell of $root/$v trips on this batch " +
-        s"(n=${batchStats.n}) — appending normally is the right response")
-      return None
+        s"(n=${batchStats.n}) — appended the $n rows normally, " +
+        s"published $newV")
+      return Some(PartialRebuildReport(newV, Array.empty, Array.empty,
+        0L, n))
     }
     val trippedSeq = tripped.toSeq
     val nodes = spark.read.parquet(s"$root/$v/cells")
@@ -1802,7 +1846,8 @@ object GraphAnn {
       efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
       residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
       minMass: Double = 0.01,
-      keepVersions: Int = 2): Option[PartialRebuildReport] = {
+      keepVersions: Int = 2,
+      appendWhenClean: Boolean = false): Option[PartialRebuildReport] = {
     val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
       throw new IllegalStateException(
         s"no published serving state under $root"))
@@ -1819,9 +1864,32 @@ object GraphAnn {
     val tripped = Similarity.trippedCells(batchStats, ref, residRatioMax,
       massRatioMax, minMass)
     if (tripped.isEmpty) {
+      if (!appendWhenClean) {
+        log.info(s"no cell of $root/$v trips on this batch " +
+          s"(n=${batchStats.n}) — appending normally is the right response")
+        return None
+      }
+      // the PQ twin's appendWhenClean leg in float space: fresh segments
+      // against the unchanged centroids, post-append stats folded into
+      // the raw-space reference, one flip. O(batch).
+      val batchAll = assignedBatch.select(col("id"), col("vec"))
+        .localCheckpoint(true)
+      val n = batchAll.count()
+      if (n == 0L) return None
+      val nodes0 = spark.read.parquet(s"$root/$v/cells")
+      val freshSegs = buildAppendSegments(nodes0, batchAll, "id", "vec",
+        centroids, m, efConstruction, maxSegmentSize).localCheckpoint(true)
+      val restStats = Similarity.driftStatsAssigned(spark,
+        batchAll.join(freshSegs.select(col("id"),
+          col("part").as("cell")), Seq("id")),
+        "cell", "vec", centroids)
+      val newV = publishServing(nodes0.unionByName(freshSegs), centroids,
+        root, Some(Similarity.combineRefs(ref, restStats)), keepVersions)
       log.info(s"no cell of $root/$v trips on this batch " +
-        s"(n=${batchStats.n}) — appending normally is the right response")
-      return None
+        s"(n=${batchStats.n}) — appended the $n rows normally, " +
+        s"published $newV")
+      return Some(PartialRebuildReport(newV, Array.empty, Array.empty,
+        0L, n))
     }
     val trippedSeq = tripped.toSeq
     val nodes = spark.read.parquet(s"$root/$v/cells")
@@ -1851,11 +1919,12 @@ object GraphAnn {
         // remainder stats at the POST-APPEND routing; this tier's
         // reference is measured on RAW vectors, and the appended nodes
         // store unit vectors, so the vecs come from batchRest by id.
-        // (id, part) distinct-ed: node rows may repeat an id across
-        // levels.
+        // Segments emit exactly ONE row per node (levels nest in the
+        // neighbors array — Builder.emit), so the id-join is 1:1; no
+        // distinct needed (the PQ twin omits it for the same reason).
         val restStats = Similarity.driftStatsAssigned(spark,
           batchRest.join(freshSegs.select(col("id"),
-            col("part").as("cell")).distinct(), Seq("id")),
+            col("part").as("cell")), Seq("id")),
           "cell", "vec", partial.centroids)
         (withRegion.unionByName(freshSegs),
           Similarity.combineRefs(partial.mergedStats, restStats))
@@ -2043,11 +2112,13 @@ object GraphAnn {
       probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
       rerankFactor: Int = 4, clumpGuard: Boolean = true,
       clumpBound: Option[Int] = None,
-      tombstones: Option[DataFrame] = None): DataFrame =
+      tombstones: Option[DataFrame] = None,
+      corpusVecTransform: Option[org.apache.spark.sql.expressions
+        .UserDefinedFunction] = None): DataFrame =
     searchGraphRoutedPqWithRoutes(nodes, index, corpus, idCol, vecCol,
       probes, probeId, probeVec,
       routePqBatch(probes, probeId, probeVec, index, nprobe), k, ef,
-      rerankFactor, clumpGuard, clumpBound, tombstones)
+      rerankFactor, clumpGuard, clumpBound, tombstones, corpusVecTransform)
 
   /** [[searchGraphRoutedPq]] body with the routing PRECOMPUTED — shared
     * with [[searchGraphRoutedPqPersisted]], which routes once to prune
@@ -2060,7 +2131,9 @@ object GraphAnn {
       vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
       routes: Map[Int, Array[(Long, Array[Float])]], k: Int, ef: Int,
       rerankFactor: Int, clumpGuard: Boolean, clumpBound: Option[Int],
-      tombstones: Option[DataFrame]): DataFrame = {
+      tombstones: Option[DataFrame],
+      corpusVecTransform: Option[org.apache.spark.sql.expressions
+        .UserDefinedFunction] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val bcR = spark.sparkContext.broadcast(
@@ -2089,7 +2162,7 @@ object GraphAnn {
       }
     }.toDF("probe_id", "id", "approx_sim")
     pqRerank(approx, corpus, idCol, vecCol, probes, probeId, probeVec,
-      kCand, k)
+      kCand, k, corpusVecTransform)
   }
 
   /** FILTERED PQ-routed graph search — [[searchGraphRoutedFiltered]]'s
@@ -2108,7 +2181,9 @@ object GraphAnn {
       allowed: DataFrame, nprobe: Int, k: Int, ef: Int,
       rerankFactor: Int = 4, clumpGuard: Boolean = true,
       clumpBound: Option[Int] = None,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      corpusVecTransform: Option[org.apache.spark.sql.expressions
+        .UserDefinedFunction] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
@@ -2143,7 +2218,7 @@ object GraphAnn {
       }
     }.toDF("probe_id", "id", "approx_sim")
     pqRerank(approx, corpus, idCol, vecCol, probes, probeId, probeVec,
-      kCand, k)
+      kCand, k, corpusVecTransform)
   }
 
   /** [[FlaggedNode]]'s PQ twin (see the encoder visibility note there). */
@@ -2158,18 +2233,25 @@ object GraphAnn {
     */
   private def pqRerank(approx: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, probes: DataFrame, probeId: String, probeVec: String,
-      kCand: Int, k: Int): DataFrame = {
+      kCand: Int, k: Int,
+      corpusVecTransform: Option[org.apache.spark.sql.expressions
+        .UserDefinedFunction] = None): DataFrame = {
     val stage1 = udaf(new graft.functions.TopKByScore(kCand))
     val survivors = approx.groupBy(col("probe_id"))
       .agg(stage1(col("id"), col("approx_sim")).as("top"))
       .select(col("probe_id"), explode(col("top")).as("p"))
       .select(col("probe_id"), col("p._1").as("id"))
     val stage2 = udaf(new graft.functions.TopKByScore(k))
+    // `corpusVecTransform` (the OPQ tier's rotation) applies ABOVE the
+    // survivors join — O(kCand·|probes|) rows, never O(corpus); see
+    // Similarity.searchIvfPqBatch for the r17 lesson this placement pins.
     survivors
       .join(corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("vec")), Seq("id"))
       .join(broadcast(probes.select(col(probeId).cast("long").as("probe_id"),
         col(probeVec).as("probe_vec"))), Seq("probe_id"))
+      .withColumn("vec", corpusVecTransform.map(f => f(col("vec")))
+        .getOrElse(col("vec")))
       .withColumn("sim", graft.functions.GraftFunctions
         .cosine_f32(col("vec"), col("probe_vec")))
       .groupBy(col("probe_id"))

@@ -292,22 +292,54 @@ object Opq {
         subspaces, codesPerSub, ivfIters, pqIters))
   }
 
-  /** Batch search — rotate probes AND the rerank corpus view, then
-    * delegate to the unchanged [[Similarity.searchIvfPqBatch]]. Rotation
-    * preserves cosines, so the returned sims ARE the original-space
-    * cosines (up to float rounding of the rotation itself).
+  /** Batch search — rotate the probes (O(|batch|) rows) and hand the
+    * UNROTATED corpus to [[Similarity.searchIvfPqBatch]] with the
+    * rotation as its post-join `corpusVecTransform`, so corpus rows are
+    * rotated only AFTER the stage-1 survivors join:
+    * O(k·rerankFactor·|probes|) dim×dim applications per batch instead
+    * of O(n). (The r17 path rotated the whole corpus below that join —
+    * at dim 64 that is ~4 096 flops on EVERY corpus row per batch, 64×
+    * the cosine the PQ stage-1 exists to avoid; a scale-killer at
+    * 100 TB.) Rotation preserves cosines, so the returned sims ARE the
+    * original-space cosines (up to float rounding of the rotation
+    * itself), and per-row values are identical to the r17 path — the
+    * same UDF on the same surviving rows, just placed above the join.
     */
   def searchIvfOpqBatch(spark: SparkSession, ix: IvfOpqIndex,
       corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int,
-      rerankFactor: Int = 4): DataFrame = {
-    val rot = rotateUnitUdf(spark, ix.rotation)
-    val rotCorpus = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol), rot(col(vecCol)).as(vecCol))
+      rerankFactor: Int = 4): DataFrame =
+    searchIvfOpqBatchCounted(spark, ix, corpus, idCol, vecCol, probes,
+      probeId, probeVec, nprobe, k, rerankFactor)._1
+
+  /** [[searchIvfOpqBatch]] plus the accumulator counting corpus-row
+    * rotation invocations in the rerank stage — the O(survivors) scale
+    * pin. After one action on the result, the accumulator reads
+    * ~|probes|·k·rerankFactor at most (each stage-1 survivor joins
+    * exactly one corpus row), NOT the corpus size; `OpqSpec` and the
+    * v39 gate assert it with a 3× margin — accumulators over-count
+    * under task retries/speculation, so the pin is a bounded-above
+    * signal, never an equality.
+    */
+  def searchIvfOpqBatchCounted(spark: SparkSession, ix: IvfOpqIndex,
+      corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int,
+      rerankFactor: Int = 4): (DataFrame,
+      org.apache.spark.util.LongAccumulator) = {
+    val acc = spark.sparkContext.longAccumulator("opq_rerank_rotations")
     val rotProbes = probes.filter(col(probeVec).isNotNull)
-      .select(col(probeId), rot(col(probeVec)).as(probeVec))
-    Similarity.searchIvfPqBatch(spark, ix.index, rotCorpus, idCol, vecCol,
-      rotProbes, probeId, probeVec, nprobe, k, rerankFactor)
+      .select(col(probeId),
+        rotateUnitUdf(spark, ix.rotation)(col(probeVec)).as(probeVec))
+    val bc = spark.sparkContext.broadcast(ix.rotation)
+    val rotCounting = udf((v: Seq[Float]) => {
+      acc.add(1L)
+      if (v == null) null else rotate(bc.value, Similarity.l2unit(v)).toSeq
+    })
+    val out = Similarity.searchIvfPqBatch(spark, ix.index,
+      corpus.filter(col(vecCol).isNotNull), idCol, vecCol, rotProbes,
+      probeId, probeVec, nprobe, k, rerankFactor,
+      corpusVecTransform = Some(rotCounting))
+    (out, acc)
   }
 
   /** Persist rotation + artifacts under one root; [[readIvfOpq]] serves
@@ -317,18 +349,113 @@ object Opq {
   def writeIvfOpq(spark: SparkSession, ix: IvfOpqIndex, dir: String,
       clumpBound: Option[Int] = None,
       driftStats: Option[Similarity.DriftStats] = None): Unit = {
-    import spark.implicits._
-    ix.rotation.zipWithIndex
-      .map { case (row, i) => (i, row.toSeq) }.toSeq
-      .toDF("i", "row")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+    writeRotation(spark, ix.rotation, s"$dir/rotation")
     Similarity.writeIvfPq(ix.index, s"$dir/pq", clumpBound, driftStats)
   }
 
   def readIvfOpq(spark: SparkSession, dir: String): IvfOpqIndex = {
-    val rot = spark.read.parquet(s"$dir/rotation").collect()
+    IvfOpqIndex(readRotation(spark, s"$dir/rotation"),
+      Similarity.readIvfPq(spark, s"$dir/pq").index)
+  }
+
+  private def writeRotation(spark: SparkSession,
+      r: Array[Array[Float]], dir: String): Unit = {
+    import spark.implicits._
+    r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "row")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def readRotation(spark: SparkSession,
+      dir: String): Array[Array[Float]] =
+    spark.read.parquet(dir).collect() // dim rows — bounded driver state
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
-    IvfOpqIndex(rot, Similarity.readIvfPq(spark, s"$dir/pq").index)
+
+  // ── The OPQ GRAPH serving tier ──────────────────────────────────────
+  // The rotation slots in at exactly three seams — probe transform
+  // (routing + ADC run in the rotated space the codes were trained in),
+  // graph build input (rotated unit corpus), and the exact rerank's
+  // survivor transform — and EVERYTHING else is [[GraphAnn]]'s
+  // partitioned PQ graph machinery verbatim, so the 100 TB serving path
+  // (DiskANN-posture codes+adjacency on disk, PartitionFilters-pruned
+  // cell reads, bounded rerank) gets v39's MSE cut for free.
+
+  /** Build the graph nodes for an OPQ index: [[GraphAnn.buildGraphPerCellPq]]
+    * over the ROTATED unit corpus (the space `ix.index`'s cells and
+    * codes live in). One O(n) rotation pass at BUILD time — never at
+    * serving time.
+    */
+  def buildGraphCellsOpq(spark: SparkSession, ix: IvfOpqIndex,
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      efConstruction: Int = 64,
+      maxSegmentSize: Int = Int.MaxValue): DataFrame = {
+    val rotated = corpus.filter(col(vecCol).isNotNull).select(
+      col(idCol), rotateUnitUdf(spark, ix.rotation)(col(vecCol)).as(vecCol))
+    GraphAnn.buildGraphPerCellPq(spark, rotated, idCol, vecCol, ix.index,
+      m, efConstruction, maxSegmentSize)
+  }
+
+  /** [[GraphAnn.publishPqServing]] plus the rotation, under ONE version
+    * dir — the same atomic pointer flip covers cells, artifacts AND the
+    * rotation, so a cold-started server can never read a codebook with
+    * the wrong rotation. Layout: `<root>/v<NNN>/{cells,artifacts,rotation}`.
+    */
+  def publishPqServingOpq(spark: SparkSession, nodes: DataFrame,
+      ix: IvfOpqIndex, root: String, clumpBound: Option[Int] = None,
+      driftStats: Option[Similarity.DriftStats] = None,
+      keepVersions: Int = 2): String =
+    graft.pipeline.VersionedIndex.publishInto(root, keepVersions) { dir =>
+      GraphAnn.writeGraphCellsPq(nodes, s"$dir/cells")
+      Similarity.writeIvfPq(ix.index, s"$dir/artifacts", clumpBound,
+        driftStats)
+      writeRotation(spark, ix.rotation, s"$dir/rotation")
+    }
+
+  /** In-memory OPQ graph search: rotate the probes (O(|batch|)), run
+    * [[GraphAnn.searchGraphRoutedPq]] with the rotation as the rerank's
+    * survivor transform (O(k·rerankFactor·|probes|) — never the corpus;
+    * the r17 lesson). Sims are original-space cosines up to the
+    * rotation's float rounding.
+    */
+  def searchGraphRoutedPqOpq(spark: SparkSession, nodes: DataFrame,
+      ix: IvfOpqIndex, corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeId: String, probeVec: String, nprobe: Int,
+      k: Int, ef: Int, rerankFactor: Int = 4,
+      clumpBound: Option[Int] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val rot = rotateUnitUdf(spark, ix.rotation)
+    val rotProbes = probes.filter(col(probeVec).isNotNull)
+      .select(col(probeId), rot(col(probeVec)).as(probeVec))
+    GraphAnn.searchGraphRoutedPq(nodes, ix.index, corpus, idCol, vecCol,
+      rotProbes, probeId, probeVec, nprobe, k, ef, rerankFactor,
+      clumpGuard = true, clumpBound = clumpBound, tombstones = tombstones,
+      corpusVecTransform = Some(rot))
+  }
+
+  /** COLD-START OPQ graph serving — [[GraphAnn.searchGraphRoutedPqColdStart]]
+    * over a [[publishPqServingOpq]] root: resolve CURRENT once, read
+    * centroids + codebook + clump bound + ROTATION from the version dir
+    * (bit-exact round-trips), serve through the persisted
+    * PartitionFilters-pruned path. Row-identical to the in-memory
+    * [[searchGraphRoutedPqOpq]] over the same files (gate v40).
+    */
+  def searchGraphRoutedPqColdStartOpq(spark: SparkSession, root: String,
+      corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
+      probeId: String, probeVec: String, nprobe: Int, k: Int, ef: Int,
+      rerankFactor: Int = 4, tombstones: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"no published OPQ serving state under $root"))
+    val art = Similarity.readIvfPq(spark, s"$root/$v/artifacts")
+    val rot = rotateUnitUdf(spark, readRotation(spark, s"$root/$v/rotation"))
+    val rotProbes = probes.filter(col(probeVec).isNotNull)
+      .select(col(probeId), rot(col(probeVec)).as(probeVec))
+    GraphAnn.searchGraphRoutedPqPersisted(spark, s"$root/$v/cells",
+      art.index, corpus, idCol, vecCol, rotProbes, probeId, probeVec,
+      nprobe, k, ef, rerankFactor, clumpGuard = true,
+      clumpBound = art.clumpBound, tombstones = tombstones,
+      allowed = allowed, corpusVecTransform = Some(rot))
   }
 }

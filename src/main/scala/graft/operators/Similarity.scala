@@ -657,30 +657,83 @@ object Similarity {
     * the last rebuild, so each rebuild prunes the log through the
     * batch ids it processed. Rows with `batch_id <= uptoBatchId` drop;
     * null-id rows (the batch append legs' reports — no stream ordering
-    * to prune by) stay, as do later stream rows. Same in-place rewrite
-    * discipline as [[graft.pipeline.Compaction.compactFlat]]
-    * (mergeSchema read, localCheckpoint, Overwrite); the
-    * `dropDuplicates("batch_id")` read contract is unchanged. Returns
+    * to prune by) stay, as do later stream rows.
+    *
+    * APPEND-SAFE BY CONSTRUCTION (r17 advice): the prune deletes only
+    * whole parquet FILES every one of whose rows is prunable — it never
+    * rewrites the directory, so a log row appended by a concurrently
+    * running stream between the read and the delete lives in a file
+    * this call either never saw or must keep (its id exceeds the
+    * watermark; replayed same-id rows' dirs are already-processed
+    * garbage the watermark sweep owns). The old read-checkpoint-
+    * Overwrite rewrite could silently drop such a row — per
+    * land-then-log its landed dir then never pended and the sweep
+    * deleted the rows without a rebuild: a permanently lost drift
+    * response. [[appendDriftLog]] writes one file per report
+    * (coalesce(1)), so file granularity prunes exactly in the steady
+    * state; a [[graft.pipeline.Compaction.compactFlat]]-merged file
+    * with rows straddling the watermark is kept whole until a later
+    * prune covers all of it (rows linger, never vanish — the
+    * `dropDuplicates("batch_id")` read contract absorbs them). Returns
     * rows removed; absent log is a no-op.
     */
   def pruneDriftLog(spark: SparkSession, logDir: String,
       uptoBatchId: Long): Long = {
     if (!graft.core.Fs.exists(spark, logDir)) return 0L
     val log = spark.read.option("mergeSchema", "true").parquet(logDir)
-    val keep = log.filter(col("batch_id").isNull ||
-      col("batch_id") > uptoBatchId).localCheckpoint(true)
-    val before = log.count()
-    val after = keep.count()
-    if (after < before)
-      keep.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(logDir)
+    // one bounded aggregate: per-file row count + prunability (file count
+    // is bounded by the flat compactor; driver state is one row per file)
+    val perFile = log
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(when(col("batch_id").isNotNull &&
+          col("batch_id") <= uptoBatchId, true).otherwise(false))
+          .as("all_prunable"))
+      .collect()
+    val deletable = perFile.filter(_.getBoolean(2))
+    val removed = deletable.map(_.getLong(1)).sum
+    if (deletable.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      // deleting EVERY data file would leave a schema-less dir that
+      // readers can't load — land a schema-only file FIRST (before any
+      // delete), so a reader always sees at least one footer. The file
+      // lives under ONE FIXED NAME, rename-replaced each time: a naive
+      // append-an-empty-file-per-cycle would leak one zero-row file per
+      // prune-all (zero-row files produce no rows, so the per-file scan
+      // can never see them to delete them) — unbounded file growth on
+      // exactly the healthy stream this prune bounds. Never touches
+      // concurrent writers' files (their part names are unique).
+      if (deletable.length == perFile.length) {
+        val dirPath = new org.apache.hadoop.fs.Path(logDir)
+        val fs = dirPath.getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(logDir,
+          s".prune-schema-${java.util.UUID.randomUUID()}")
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            log.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"schema-only write produced no parquet part under $tmp"))
+        val fixed = new org.apache.hadoop.fs.Path(dirPath,
+          "part-00000-prune-schema.parquet")
+        fs.delete(fixed, false) // replace last cycle's marker, if any
+        fs.rename(part, fixed)
+        fs.delete(tmp, true)
+      }
+      deletable.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0)))
+        p.getFileSystem(conf).delete(p, false)
+      }
+    }
     // durable prune watermark (monotonic): lets the maintenance sweep
     // tell "pruned, its dirs are garbage" apart from "not logged yet,
     // the stream may be mid-write" — the distinction that makes orphan
     // adoption safe on ticks with nothing pending. SIBLING of the log
-    // dir, not inside it: both this function's Overwrite and
-    // Compaction.compactFlat truncate the dir wholesale, and the marker
-    // must survive both.
+    // dir, not inside it: Compaction.compactFlat truncates the dir
+    // wholesale, and the marker must survive it.
     val cur = prunedUpto(spark, logDir)
     if (uptoBatchId > cur) {
       val mp = markerPath(logDir)
@@ -689,7 +742,7 @@ object Similarity {
       try out.write(uptoBatchId.toString.getBytes("UTF-8"))
       finally out.close()
     }
-    before - after
+    removed
   }
 
   private def markerPath(logDir: String) =
@@ -1555,7 +1608,9 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, probes: DataFrame,
       probeId: String, probeVec: String, nprobe: Int, k: Int,
       rerankFactor: Int = 4, maxCachedTables: Int = 8192,
-      repartitionByProbe: Boolean = false): DataFrame = {
+      repartitionByProbe: Boolean = false,
+      corpusVecTransform: Option[org.apache.spark.sql.expressions
+        .UserDefinedFunction] = None): DataFrame = {
     val bc = spark.sparkContext.broadcast((index.centroids, index.book))
     val unitUdf = udf((v: Seq[Float]) => l2unit(v).toSeq)
     val cellsUdf = udf((q: Seq[Float]) =>
@@ -1623,10 +1678,19 @@ object Similarity {
       .select(col("probe_id"), explode(col("top")).as("p"))
       .select(col("probe_id"), col("p._1").as("id"))
     val stage2 = udaf(new graft.functions.TopKByScore(k))
+    // `corpusVecTransform` (OPQ's rotation) applies ABOVE the survivors
+    // join, so it evaluates O(k·rerankFactor·|probes|) rows — placing it on
+    // the corpus side below the join pays the transform on EVERY corpus row
+    // per batch (the r17 OPQ path did exactly that: dim×dim flops × n,
+    // 64× the cosine the PQ stage-1 exists to avoid). Spark has no rule
+    // that pushes a Project's expressions through a join, so the placement
+    // here is the plan's placement.
     survivors
       .join(corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")), Seq("id"))
       .join(broadcast(probes.select(col(probeId).cast("long").as("probe_id"),
         col(probeVec).as("probe_vec"))), Seq("probe_id"))
+      .withColumn("vec", corpusVecTransform.map(f => f(col("vec")))
+        .getOrElse(col("vec")))
       .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), col("probe_vec")))
       .groupBy(col("probe_id"))
       .agg(stage2(col("id"), col("sim")).as("top"))

@@ -1944,13 +1944,124 @@ object VectorQueries {
       val coldEq = servedMem.exceptAll(servedCold).isEmpty &&
         servedCold.exceptAll(servedMem).isEmpty
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      // O(survivors) rerank pin (r17 verdict: the old path rotated the
+      // WHOLE corpus below the rerank join — dim×dim flops × n per batch).
+      // A sparse probe set keeps the survivors bound well under the corpus
+      // size, so the accumulator separates O(survivors) from O(n): the
+      // rotation UDF must fire ~once per stage-1 survivor. Accumulators
+      // over-count under task retries/speculation, so the bound carries
+      // a 3× retry margin — still far under the corpus size (the O(n)
+      // signature this pin exists to catch), and the strict `< corpus`
+      // leg holds even doubled.
+      val sparseProbes = emb.filter($"vec_id" % 256 === 0)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val nSparse = sparseProbes.count()
+      val corpusRows = emb.count()
+      val (counted, acc) = Opq.searchIvfOpqBatchCounted(s, ixOpq, emb,
+        "vec_id", "embedding", sparseProbes, "probe_id", "probe_vec",
+        nprobe = 4, k = k, rerankFactor = 4)
+      counted.count() // one action; acc is stable after it
+      val rotationsBounded = acc.value <= 3 * nSparse * k * 4 &&
+        acc.value < corpusRows
       s.range(1).select(
         // ≥ 3 % relative MSE cut, not just <: "strictly improves" must
         // not ride float noise (measured ~16 % at sf0.01, ~14 % sf0.1)
         lit(mseOpq < 0.97 * mseBase).as("mse_improves"),
         lit(hitsOpq >= hitsBase).as("recall_not_worse"),
         lit(maxDev < 1e-4).as("rotation_orthonormal"),
-        lit(rotRt && coldEq).as("cold_start_ok"))
+        lit(rotRt && coldEq).as("cold_start_ok"),
+        lit(rotationsBounded).as("rerank_rotations_bounded"))
+    }),
+
+    // V40: OPQ composed with the PQ GRAPH serving tier (r17 verdict item
+    // 5) — the 100 TB serving path gets v39's MSE cut. The rotation
+    // slots in at three seams (probe transform, graph build input, the
+    // rerank's survivor transform); routing, beams, ADC, clump guard,
+    // publish flip and the PartitionFilters-pruned cold start are
+    // GraphAnn verbatim. Gate: (a) graph recall@10 not worse than the
+    // plain-PQ graph at equal bytes (same subspaces/codes/m/ef) —
+    // STRICT wherever the corpus has no quantization-indistinguishable
+    // clumps (clump bound 1: every natural sf; OPQ wins with margin —
+    // sf0.01: 215 vs 194 of 320; sf0.1: 590 vs 573 of 1250), with a
+    // 2%-of-total TIE allowance only when clumps exist: the x8 scale
+    // replica is 8 nudged clones per vector, so every top-10 is
+    // code-indistinguishable ties whose beam survival is noise the
+    // rotation merely reshuffles (sign flips with ef; clump bounds
+    // equal in both spaces — SCALING.md r18 table); the STRICT
+    // code-quality-improvement claim lives in v39 (code-ranked, all
+    // cells, green at x8). (b) a publishPqServingOpq
+    // root serves cold-start row-identical to the in-memory path
+    // (rotation under the SAME version flip), (c) the cold serve
+    // returns the full top-k for every probe.
+    "v40_opq_graph_serving" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      import graft.operators.Opq
+      val emb = load(s, d, "embeddings")
+      val nCells = 16; val subs = 8; val codes = 16
+      val ixBase = Fixtures.cachedObj(s, s"v39_ixbase:$d")(
+        Similarity.buildIvfPq(s, emb, "vec_id", "embedding", nCells,
+          subs, codes, ivfIters = 2, pqIters = 2))
+      val ixOpq = Fixtures.cachedObj(s, s"v39_ixopq:$d")(
+        Opq.buildIvfOpq(s, emb, "vec_id", "embedding", nCells, subs,
+          codes, ivfIters = 2, pqIters = 2, opqIters = 3))
+      val m = 8; val efC = 48
+      val nodesBase = Fixtures.cached(s, s"v40_nodes_base:$d")(
+        GraphAnn.buildGraphPerCellPq(s, emb, "vec_id", "embedding",
+          ixBase, m, efC))
+      val nodesOpq = Fixtures.cached(s, s"v40_nodes_opq:$d")(
+        Opq.buildGraphCellsOpq(s, ixOpq, emb, "vec_id", "embedding",
+          m, efC))
+      val probes = emb.filter($"vec_id" % 16 === 0)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 10
+      val exact = Fixtures.cached(s, s"v39_exact:$d")(
+        Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+            emb, "vec_id", "embedding", k = k)
+          .select($"probe_id".cast("long").as("probe_id"),
+            $"vec_id".cast("long").as("id")))
+      def hits(got: org.apache.spark.sql.DataFrame): Long =
+        got.join(exact, Seq("probe_id", "id"), "left_semi").count()
+      val boundBase = GraphAnn.pqClumpBound(nodesBase)
+      val boundOpq = GraphAnn.pqClumpBound(nodesOpq)
+      val hitsBase = hits(GraphAnn.searchGraphRoutedPq(nodesBase, ixBase,
+        emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = 8, k = k, ef = 64, rerankFactor = 4,
+        clumpBound = Some(boundBase)))
+      val hitsOpq = hits(Opq.searchGraphRoutedPqOpq(s, nodesOpq, ixOpq,
+        emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = 8, k = k, ef = 64, rerankFactor = 4,
+        clumpBound = Some(boundOpq)))
+      // one flip publishes cells + artifacts + rotation; cold ≡ memory
+      val root = java.nio.file.Files.createTempDirectory("graft-v40")
+        .toString
+      val v1 = Opq.publishPqServingOpq(s, nodesOpq, ixOpq, root,
+        Some(boundOpq))
+      val mem = Opq.searchGraphRoutedPqOpq(s, nodesOpq, ixOpq, emb,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec",
+          nprobe = 4, k = k, ef = 64, rerankFactor = 4,
+          clumpBound = Some(boundOpq))
+        .select($"probe_id", $"id", $"rank").localCheckpoint(true)
+      val cold = Opq.searchGraphRoutedPqColdStartOpq(s, root, emb,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec",
+          nprobe = 4, k = k, ef = 64, rerankFactor = 4)
+        .select($"probe_id", $"id", $"rank").localCheckpoint(true)
+      val coldEq = graft.pipeline.VersionedIndex.currentVersion(root)
+        .contains(v1) &&
+        mem.exceptAll(cold).isEmpty && cold.exceptAll(mem).isEmpty
+      val completeTopk = cold.count() == probes.count() * k
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      // the tie allowance exists ONLY where quantization-indistinguishable
+      // clumps exist (clump bound > 1 — the x8 clone replica); on the
+      // natural corpora (clump 1 at every sf) the claim is STRICT, so a
+      // real recall regression there cannot hide behind the allowance
+      val tieAllowance =
+        if (boundBase <= 1 && boundOpq <= 1) 0L
+        else math.ceil(0.02 * exact.count()).toLong
+      s.range(1).select(
+        lit(hitsOpq + tieAllowance >= hitsBase).as("recall_not_worse"),
+        lit(coldEq).as("cold_eq_memory"),
+        lit(completeTopk).as("complete_topk"))
     }),
 
     // DC3: SEMANTIC decontamination — dc1/dc2 catch verbatim n-gram
@@ -2145,7 +2256,11 @@ object VectorQueries {
       "SELECT true AS recall_ok, true AS width_ok, true AS cells_bounded",
     "v39_opq_recall" ->
       """SELECT true AS mse_improves, true AS recall_not_worse,
-        | true AS rotation_orthonormal, true AS cold_start_ok""".stripMargin,
+        | true AS rotation_orthonormal, true AS cold_start_ok,
+        | true AS rerank_rotations_bounded""".stripMargin,
+    "v40_opq_graph_serving" ->
+      """SELECT true AS recall_not_worse, true AS cold_eq_memory,
+        | true AS complete_topk""".stripMargin,
     "v14_contrastive_triplets" ->
       """SELECT true AS has_triplets, true AS pos_ok, true AS neg_ok,
         | true AS margin_ok, true AS distinct_ok""".stripMargin,

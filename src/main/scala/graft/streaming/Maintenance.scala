@@ -37,24 +37,113 @@ import graft.operators.{GraphAnn, Similarity}
   * stay unique), and the cleanup completes. The spec pins that replay
   * path.
   *
-  * A None verdict on FIRST contact (stream thresholds more sensitive
-  * than the rebuild's) also clears the pending state: the orchestrator's
-  * verdict is authoritative — "appending normally is the right response"
-  * — and those rows belong to the normal append leg
-  * ([[GraphAnn.appendGraphCellsPqMonitored]]), not to retrain.
+  * On FIRST contact with rows no cell-level trip confirms (stream
+  * thresholds more sensitive than the rebuild's), the orchestrator
+  * COMPLETES the normal append leg itself (`appendCleanNovel`, default
+  * on → the rebuild's `appendWhenClean` path: fresh segments, reference
+  * fold, one flip) before the pending state clears — in a deployment
+  * where the tick is the only writer to the serving root, nothing else
+  * would ever serve those arrivals (r17 advice). The report signals it
+  * as Some(rebuild) with an empty `tripped` set. Only a replay whose
+  * rows are ALL already served yields a true None.
+  *
+  * Ticks are SINGLE-FLIGHT per index dir: a lease file serializes
+  * concurrent callers the way the reference's APScheduler serializes
+  * job instances; the loser of the race skips (`skipped = true`)
+  * rather than double-processing the window.
   */
 object Maintenance {
 
   /** One maintenance tick's outcome: which logged batches were pending,
-    * the rebuild verdict (None = nothing tripped against the current
-    * reference), and how much history the prune removed.
+    * the rebuild verdict (None = nothing pending or nothing novel;
+    * Some with an EMPTY `tripped` = nothing retrained, the novel rows
+    * were appended normally — the r17-advice completion of the "normal
+    * append leg"), how much history the prune removed, and whether the
+    * tick was skipped because another tick holds the lease
+    * (`skipped = true` → nothing was examined or mutated; re-run after
+    * the holder finishes).
     */
   final case class MaintenanceReport(pendingBatchIds: Seq[Long],
-      rebuild: Option[GraphAnn.PartialRebuildReport], logRowsPruned: Long)
+      rebuild: Option[GraphAnn.PartialRebuildReport], logRowsPruned: Long,
+      skipped: Boolean = false)
 
   private def driftLogDir(indexDir: String) = s"$indexDir/drift_log"
   private def batchDir(indexDir: String, batchId: Long) =
     s"$indexDir/drift_batches/batch_id=$batchId"
+  private def lockPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/maintenance.lock")
+
+  /** Single-flight lease (the reference's APScheduler serializes job
+    * instances — one running instance per job, main.py:146-156; two
+    * overlapping ticks here would race the prune/sweep: each is
+    * self-consistent, but one tick's sweep can delete batch dirs the
+    * other is mid-read). Acquire = atomic create-no-overwrite of a lock
+    * file holding a fresh OWNER TOKEN; a second tick finds it and SKIPS
+    * (never blocks — the holder will process the same pending window).
+    * Returns the token (None = held by someone else).
+    *
+    * The three races a naive lock gets wrong, and their answers here:
+    * (1) staleness is judged by the lock file's MODIFICATION TIME, never
+    * its content — a reader can see a just-created lock mid-write
+    * (empty), and content-based staleness would break a LIVE lease;
+    * (2) a stale lease is broken by atomic RENAME to a breaker-unique
+    * name — exactly one of two racing breakers' renames succeeds, so
+    * the loser can never delete the winner's freshly created lock the
+    * way delete-then-create allows; (3) release deletes the lock ONLY
+    * if it still holds this tick's own token — a tick that overran
+    * `leaseMs` and was shadowed must not delete its successor's lease
+    * on the way out. `leaseMs` must exceed the longest plausible tick
+    * (default 30 min); a live tick outliving its lease can be shadowed
+    * once — the contract every lease-based scheduler carries — but the
+    * token check stops the shadowing from cascading.
+    */
+  private def acquireLease(spark: SparkSession, indexDir: String,
+      leaseMs: Long): Option[String] = {
+    val p = lockPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return Some(token)
+    // held — stale? mtime-based: content may be mid-write
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // released between our create and the stat — one clean retry
+          return if (tryCreate()) Some(token) else None
+        case _: java.io.IOException => return None
+      }
+    if (System.currentTimeMillis() - mtime <= leaseMs) return None
+    // break the stale lease: rename is the arbiter (one winner)
+    val broken = new org.apache.hadoop.fs.Path(
+      s"${p.toString}.broken.$token")
+    val won = try fs.rename(p, broken)
+    catch { case _: java.io.IOException => false }
+    if (!won) return None // another breaker got it; let THEM acquire
+    fs.delete(broken, false)
+    if (tryCreate()) Some(token) else None
+  }
+
+  private def releaseLease(spark: SparkSession, indexDir: String,
+      token: String): Unit = {
+    val p = lockPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ours =
+      try {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          "UTF-8") == token
+        finally in.close()
+      } catch { case _: java.io.IOException => false }
+    if (ours) fs.delete(p, false)
+    ()
+  }
 
   /** The drifted, still-pending batch ids: ANY logged trip per batch id
     * counts (a crash-replayed batch can log twice, and if a reference
@@ -90,12 +179,14 @@ object Maintenance {
       splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
       efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
       residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
-      minMass: Double = 0.01, keepVersions: Int = 2): MaintenanceReport = {
-    runTick(spark, indexDir, servingRoot,
+      minMass: Double = 0.01, keepVersions: Int = 2,
+      appendCleanNovel: Boolean = true,
+      leaseMs: Long = 30L * 60 * 1000): MaintenanceReport = {
+    runTick(spark, indexDir, servingRoot, leaseMs,
       batch => GraphAnn.rebuildDriftedPqServing(spark, servingRoot,
         corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
         m, efConstruction, maxSegmentSize, residRatioMax, massRatioMax,
-        minMass, keepVersions))
+        minMass, keepVersions, appendWhenClean = appendCleanNovel))
   }
 
   /** The tick body both tiers share — only the rebuild call differs.
@@ -110,29 +201,70 @@ object Maintenance {
     * whether the absorbed mode happens to re-trip.
     */
   private def runTick(spark: SparkSession, indexDir: String,
-      servingRoot: String,
+      servingRoot: String, leaseMs: Long,
       rebuildFn: DataFrame => Option[GraphAnn.PartialRebuildReport])
       : MaintenanceReport = {
-    // adopt orphans FIRST, pending or not: a crash between a previous
-    // tick's prune and its dir deletes leaves landed dirs whose log rows
-    // are gone — they sit at or below the durable prune watermark, which
-    // is what distinguishes them from a dir the live stream is writing
-    // RIGHT NOW (not logged yet, id above every pruned id — batch ids
-    // are checkpoint-monotonic). Without this, a quiet stream would
-    // preserve crash orphans forever.
-    sweepLanded(spark, indexDir,
-      Similarity.prunedUpto(spark, driftLogDir(indexDir)))
-    val ids = pendingDriftBatchIds(spark, indexDir)
-    if (ids.isEmpty) return MaintenanceReport(Nil, None, 0L)
-    val batch = novelPending(spark, indexDir, servingRoot, ids)
-    val rebuild = if (batch.isEmpty) None else rebuildFn(batch)
-    // terminal either way — clear the processed window: prune the log
-    // (which also advances the durable watermark), then sweep every
-    // landed dir in the window
-    val pruned = Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
-      uptoBatchId = ids.max)
-    sweepLanded(spark, indexDir, ids.max)
-    MaintenanceReport(ids, rebuild, pruned)
+    val lease = acquireLease(spark, indexDir, leaseMs)
+    if (lease.isEmpty)
+      return MaintenanceReport(Nil, None, 0L, skipped = true)
+    try {
+      // adopt orphans FIRST, pending or not: a crash between a previous
+      // tick's prune and its dir deletes leaves landed dirs whose log rows
+      // are gone — they sit at or below the durable prune watermark, which
+      // is what distinguishes them from a dir the live stream is writing
+      // RIGHT NOW (not logged yet, id above every pruned id — batch ids
+      // are checkpoint-monotonic). Without this, a quiet stream would
+      // preserve crash orphans forever.
+      sweepLanded(spark, indexDir,
+        Similarity.prunedUpto(spark, driftLogDir(indexDir)))
+      // the healthy-path prune bound is read BEFORE the pending check —
+      // order matters against a live stream: a drifted batch landed and
+      // logged between the two reads must NOT fall inside the pruned
+      // window (land-then-log + checkpoint-monotonic ids make the
+      // earlier bound safe: anything logged after this read has a
+      // higher id than everything it saw, so it survives the prune and
+      // pends at the next tick). Reading the bound AFTER the pending
+      // check would prune-and-sweep such a batch unrebuilt — the exact
+      // lost-drift-response class the file-granular prune eliminates.
+      val healthyUpto = maxLoggedBatchId(spark, indexDir)
+      val ids = pendingDriftBatchIds(spark, indexDir)
+      if (ids.isEmpty) {
+        // nothing pending — still bound the log (r17 advice: a healthy
+        // stream that never trips would otherwise grow it without
+        // bound). Every id logged at healthyUpto-read time is safely
+        // prunable here: land-then-log means a drifted row's dir either
+        // still exists (then the LATER pending read would have seen it
+        // — ids would be non-empty) or was already swept by a finished
+        // tick; an interrupted landing has NO log row, and its replay
+        // re-logs under an id above every logged one.
+        val pruned =
+          if (healthyUpto < 0L) 0L
+          else Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
+            healthyUpto)
+        return MaintenanceReport(Nil, None, pruned)
+      }
+      val batch = novelPending(spark, indexDir, servingRoot, ids)
+      val rebuild = if (batch.isEmpty) None else rebuildFn(batch)
+      // terminal either way — clear the processed window: prune the log
+      // (which also advances the durable watermark), then sweep every
+      // landed dir in the window
+      val pruned = Similarity.pruneDriftLog(spark, driftLogDir(indexDir),
+        uptoBatchId = ids.max)
+      sweepLanded(spark, indexDir, ids.max)
+      MaintenanceReport(ids, rebuild, pruned)
+    } finally releaseLease(spark, indexDir, lease.get)
+  }
+
+  /** The highest batch id the log has seen (−1: no log / only null-id
+    * rows) — the healthy-path prune bound.
+    */
+  private def maxLoggedBatchId(spark: SparkSession,
+      indexDir: String): Long = {
+    val log = driftLogDir(indexDir)
+    if (!graft.core.Fs.exists(spark, log)) return -1L
+    val r = spark.read.option("mergeSchema", "true").parquet(log)
+      .agg(max(col("batch_id"))).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   /** Delete every landed batch dir with id ≤ `upto` (no-op for
@@ -185,11 +317,13 @@ object Maintenance {
       splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
       efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
       residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
-      minMass: Double = 0.01, keepVersions: Int = 2): MaintenanceReport = {
-    runTick(spark, indexDir, servingRoot,
+      minMass: Double = 0.01, keepVersions: Int = 2,
+      appendCleanNovel: Boolean = true,
+      leaseMs: Long = 30L * 60 * 1000): MaintenanceReport = {
+    runTick(spark, indexDir, servingRoot, leaseMs,
       batch => GraphAnn.rebuildDriftedServing(spark, servingRoot,
         corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
         m, efConstruction, maxSegmentSize, residRatioMax, massRatioMax,
-        minMass, keepVersions))
+        minMass, keepVersions, appendWhenClean = appendCleanNovel))
   }
 }

@@ -109,6 +109,78 @@ class OpqSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("rerank rotates O(survivors) corpus rows, not O(n)") {
+    // r17 verdict #1: the old path placed the rotation Project below the
+    // stage-2 survivors join, paying dim×dim flops on EVERY corpus row per
+    // batch. The counted variant pins the fixed placement: the rotation
+    // UDF fires at most once per stage-1 survivor (≤ |probes|·k·rf) and
+    // strictly fewer times than the corpus has rows.
+    val ix = Opq.buildIvfOpq(spark, emb, "vec_id", "embedding",
+      nCells = 4, subspaces = 8, codesPerSub = 8, ivfIters = 1,
+      pqIters = 1, opqIters = 1)
+    val probes = emb.filter($"vec_id" % 128 === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val nProbes = probes.count()
+    val corpusRows = emb.count()
+    val k = 5; val rf = 4
+    val (res, acc) = Opq.searchIvfOpqBatchCounted(spark, ix, emb,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 2, k = k, rerankFactor = rf)
+    val rows = res.count()
+    assert(rows > 0)
+    assert(acc.value > 0, "the rerank must actually rotate the survivors")
+    // 3× margin: accumulators over-count under task retries/speculation;
+    // even tripled, the survivors bound stays far below the O(n)
+    // signature this pin exists to catch
+    assert(acc.value <= 3 * nProbes * k * rf,
+      s"rotation fired ${acc.value} times > 3x survivors bound ${nProbes * k * rf}")
+    assert(acc.value < corpusRows,
+      s"rotation fired ${acc.value} times on a $corpusRows-row corpus — O(n) placement")
+  }
+
+  test("OPQ graph tier: one-flip publish (rotation included), cold serving row-identical") {
+    val ix = Opq.buildIvfOpq(spark, emb, "vec_id", "embedding",
+      nCells = 4, subspaces = 8, codesPerSub = 8, ivfIters = 1,
+      pqIters = 1, opqIters = 1)
+    val nodes = Opq.buildGraphCellsOpq(spark, ix, emb, "vec_id",
+      "embedding", m = 4, efConstruction = 16).localCheckpoint(true)
+    val bound = GraphAnn.pqClumpBound(nodes)
+    val root = java.nio.file.Files.createTempDirectory("graft-opq-root")
+      .toString
+    val v1 = Opq.publishPqServingOpq(spark, nodes, ix, root, Some(bound))
+    assert(graft.pipeline.VersionedIndex.currentVersion(root).contains(v1))
+    val probes = emb.filter($"vec_id" % 16 === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val k = 5
+    val mem = Opq.searchGraphRoutedPqOpq(spark, nodes, ix, emb, "vec_id",
+        "embedding", probes, "probe_id", "probe_vec", nprobe = 2, k = k,
+        ef = 32, rerankFactor = 4, clumpBound = Some(bound))
+      .select($"probe_id", $"id", $"rank").localCheckpoint(true)
+    val cold = Opq.searchGraphRoutedPqColdStartOpq(spark, root, emb,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = 2, k = k, ef = 32, rerankFactor = 4)
+      .select($"probe_id", $"id", $"rank").localCheckpoint(true)
+    assert(mem.exceptAll(cold).isEmpty && cold.exceptAll(mem).isEmpty,
+      "cold start must serve row-identically through the published rotation")
+    assert(mem.count() == probes.count() * k, "full top-k per probe")
+    // all-cells probe + big rerank recovers brute force THROUGH the
+    // graph + rotation composition (the end-to-end sanity the batch
+    // path pins, on the serving tier)
+    val exact = Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+        emb, "vec_id", "embedding", k = k)
+      .select($"probe_id".cast("long").as("probe_id"),
+        $"vec_id".cast("long").as("id"))
+    val got = Opq.searchGraphRoutedPqOpq(spark, nodes, ix, emb, "vec_id",
+      "embedding", probes, "probe_id", "probe_vec", nprobe = 4, k = k,
+      ef = 128, rerankFactor = 64, clumpBound = Some(bound))
+    val hits = got.join(exact, Seq("probe_id", "id"), "left_semi")
+      .groupBy($"probe_id").count()
+    assert(hits.count() == probes.count() &&
+      hits.agg(min($"count")).head().getLong(0) >= k - 1,
+      "graph + rotation must not break exact recovery under full probe")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("end-to-end: all-cells probe + big rerank recovers brute force through the rotation") {
     val ix = Opq.buildIvfOpq(spark, emb, "vec_id", "embedding",
       nCells = 4, subspaces = 8, codesPerSub = 8, ivfIters = 1,

@@ -164,6 +164,44 @@ class QualityLrSpec extends AnyFunSuite {
     assert(m(1) < m(3) && m(3) < m(5), s"tier means must order: $m")
   }
 
+  test("grade-cut calibration: argmax-F1 on a separable corpus recovers the planted keep cut") {
+    // the t15c claim the gate's hash-match can't prove: on a corpus the
+    // head CAN learn (marker-token frequency linear in the grade — fixed
+    // 50-token docs, grade·8 'edu' markers), the per-cut confusion/PR
+    // table's unique argmax-F1 row is the planted rule's own cut (≥ 3,
+    // the FineWeb-Edu keep rule). Simulated convergence: epochs=16,
+    // lr=0.5 reaches F1=1.0 at cut 3 with margin over every other cut.
+    val fillers = Array("alpha", "beta", "gamma", "delta", "eps")
+    val planted = (0 until 600).map { i =>
+      val g = i % 6
+      val toks = Seq.fill(g * 8)("edu") ++
+        (0 until 50 - g * 8).map(j => fillers((i + j) % 5))
+      (i.toLong, toks.mkString(" "), g)
+    }.toDF("doc_id", "text", "grade_true")
+    val model = TextAnalysis.trainQualityGrades(planted, "doc_id", "text",
+      $"grade_true", $"doc_id" % 3 === 0, epochs = 16, lr = 0.5)
+    val held = planted.filter($"doc_id" % 3 =!= 0)
+    val scored = TextAnalysis.scoreQualityGrades(held, "doc_id", "text",
+        model)
+      .join(held.select($"doc_id".as("id"), ($"grade_true" >= 3).as("pos")),
+        Seq("id"))
+    val table = TextAnalysis.gradeCutCalibration(scored, "grade", $"pos")
+      .orderBy($"cut").collect()
+    assert(table.length == 6)
+    // internal consistency: every row partitions the same held-out set
+    val n = table.head.getLong(1) + table.head.getLong(2) +
+      table.head.getLong(3) + table.head.getLong(4)
+    assert(table.forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) +
+      r.getLong(4) == n))
+    // cut 0 keeps everything: recall 1, tn 0
+    assert(table.head.getInt(0) == 0 && table.head.getLong(4) == 0L)
+    val optimal = table.filter(_.getBoolean(8)).map(_.getInt(0)).toSeq
+    assert(optimal == Seq(3),
+      s"argmax-F1 must uniquely recover the planted keep cut: $optimal")
+    val f1At3 = table.find(_.getInt(0) == 3).get.getDouble(7)
+    assert(f1At3 == 1.0, s"the learnable rubric calibrates exactly: $f1At3")
+  }
+
   test("graded-head training is deterministic and 6-dp quantized") {
     val m1 = TextAnalysis.trainQualityGrades(gradedToy, "doc_id", "text",
       $"grade_true", $"doc_id" % 3 === 0, epochs = 4)

@@ -140,6 +140,209 @@ class MaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
   }
 
+  test("float tier tick: rebuild fires, window prunes, second tick no-op, replay absorbed") {
+    // float deployment: raw-space IVF + graph + reference under a
+    // publishServing root (the PQ tick test's shape on the other tier)
+    val ivf = Similarity.buildIvf(spark,
+      base.select($"vec_id".as("id"), $"embedding".as("vec")),
+      "id", "vec", nCells = 8, iters = 2)
+    val assignments = ivf.assignments.localCheckpoint(true)
+    val nodes = GraphAnn.buildGraphPerCell(spark, assignments, m = 4,
+      efConstruction = 16)
+    val ref = Similarity.driftStatsAssigned(spark, assignments, "cell",
+      "vec", ivf.centroids)
+    val root = Files.createTempDirectory("graft-mt-froot").toString
+    val v0 = GraphAnn.publishServing(nodes, ivf.centroids, root, Some(ref))
+    val run = Files.createTempDirectory("graft-mt-ftick").toString
+    // the stream's on-disk pending contract, constructed directly:
+    // land-then-log the drifted batch under one stream batch id
+    val batch = drifted.localCheckpoint(true)
+    def land(id: Long): Unit = {
+      batch.select($"vec_id".cast("long").as("id"), $"embedding".as("vec"))
+        .write.mode("overwrite")
+        .parquet(s"$run/index/drift_batches/batch_id=$id")
+      Similarity.appendDriftLog(spark, s"$run/index/drift_log",
+        Similarity.DriftReport(batch.count(), 1.0, 1.0, 2.0, 2.0,
+          drifted = true), Some(id))
+    }
+    land(4L)
+    val corpus = base.unionByName(batch).localCheckpoint(true)
+    val tick1 = Maintenance.runDriftMaintenanceFloat(spark, s"$run/index",
+      root, corpus, "vec_id", "embedding", splitFactor = 2, ivfIters = 2,
+      m = 4, efConstruction = 16)
+    assert(tick1.rebuild.nonEmpty, "the planted mode must rebuild")
+    val res = tick1.rebuild.get
+    assert(res.tripped.nonEmpty && res.version != v0)
+    assert(graft.pipeline.VersionedIndex.currentVersion(root)
+      .contains(res.version), "one-flip republish")
+    assert(Maintenance.pendingDriftBatchIds(spark, s"$run/index").isEmpty)
+    assert(tick1.logRowsPruned >= 1)
+    // every batch row is served by the new version
+    val served = spark.read.parquet(s"$root/${res.version}/cells")
+      .select($"id").distinct()
+    assert(batch.select($"vec_id".cast("long").as("id"))
+      .join(served, Seq("id"), "left_anti").isEmpty,
+      "every drifted row must be served after the tick")
+    // second tick: no-op, no flip
+    val tick2 = Maintenance.runDriftMaintenanceFloat(spark, s"$run/index",
+      root, corpus, "vec_id", "embedding")
+    assert(tick2.pendingBatchIds.isEmpty && tick2.rebuild.isEmpty)
+    assert(graft.pipeline.VersionedIndex.currentVersion(root)
+      .contains(res.version))
+    // crash replay: the same rows re-land under a NEW id (post-publish
+    // re-log) — novelPending absorbs them, state clears, no second flip
+    land(5L)
+    val replay = Maintenance.runDriftMaintenanceFloat(spark, s"$run/index",
+      root, corpus, "vec_id", "embedding")
+    assert(replay.pendingBatchIds == Seq(5L) && replay.rebuild.isEmpty,
+      "already-served rows drop in novelPending — nothing to rebuild")
+    assert(Maintenance.pendingDriftBatchIds(spark, s"$run/index").isEmpty)
+    assert(graft.pipeline.VersionedIndex.currentVersion(root)
+      .contains(res.version), "no second flip")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+  }
+
+  test("first-contact clean verdict APPENDS the novel rows (the normal append leg completes)") {
+    val (root, _, _, v0) = publishBase()
+    val run = Files.createTempDirectory("graft-mt-clean").toString
+    // an over-sensitive stream logged an in-distribution batch as
+    // drifted; thresholds passed to the TICK are maxed so no cell can
+    // trip — forcing the clean-verdict path deterministically
+    val batch = inDist.localCheckpoint(true)
+    batch.select($"vec_id".cast("long").as("id"), $"embedding".as("vec"))
+      .write.mode("overwrite")
+      .parquet(s"$run/index/drift_batches/batch_id=2")
+    Similarity.appendDriftLog(spark, s"$run/index/drift_log",
+      Similarity.DriftReport(batch.count(), 1.0, 1.0, 2.0, 2.0,
+        drifted = true), Some(2L))
+    val corpus = base.unionByName(batch).localCheckpoint(true)
+    val tick = Maintenance.runDriftMaintenance(spark, s"$run/index", root,
+      corpus, "vec_id", "embedding", splitFactor = 2, ivfIters = 2,
+      m = 4, efConstruction = 16,
+      residRatioMax = 100.0, massRatioMax = 1e6, minMass = 0.99)
+    val res = tick.rebuild.getOrElse(fail(
+      "the clean verdict must still produce an append receipt"))
+    assert(res.tripped.isEmpty && res.newCells.isEmpty &&
+      res.regionRows == 0L, "nothing retrained")
+    assert(res.restRows == batch.count(), "every novel row appended")
+    assert(res.version != v0 && graft.pipeline.VersionedIndex
+      .currentVersion(root).contains(res.version), "one-flip republish")
+    // the appended rows are actually served, and the published
+    // reference's n tracks the served corpus (coverage fold)
+    val served = spark.read.parquet(s"$root/${res.version}/cells")
+      .select($"id").distinct()
+    assert(batch.select($"vec_id".cast("long").as("id"))
+      .join(served, Seq("id"), "left_anti").isEmpty,
+      "the clean batch's rows must be served after the tick")
+    val art = Similarity.readIvfPq(spark, s"$root/${res.version}/artifacts")
+    assert(art.driftStats.get.n == art.index.coded.count(),
+      "reference.n must cover the appended rows")
+    assert(Maintenance.pendingDriftBatchIds(spark, s"$run/index").isEmpty,
+      "pending state clears after the append")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+  }
+
+  test("single-flight lease: a held lock skips without losing state; a stale lock is broken") {
+    val run = Files.createTempDirectory("graft-mt-lease").toString
+    val index = s"$run/index"
+    // pending drifted state on disk
+    drifted.limit(4).select($"vec_id".cast("long").as("id"),
+        $"embedding".as("vec"))
+      .write.mode("overwrite").parquet(s"$index/drift_batches/batch_id=1")
+    Similarity.appendDriftLog(spark, s"$index/drift_log",
+      Similarity.DriftReport(4, 1.0, 1.0, 2.0, 2.0, drifted = true),
+      Some(1L))
+    val lock = new org.apache.hadoop.fs.Path(s"$index/maintenance.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeLock(content: String): Unit = {
+      val out = fs.create(lock, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // live holder → the tick SKIPS: nothing examined, nothing lost.
+    // Content is deliberately EMPTY: staleness is judged by mtime, and
+    // an empty (mid-write) lock must read as HELD, never as breakable —
+    // the r18-review race where a content-based check broke a live
+    // lease it caught mid-write.
+    writeLock("")
+    val skippedTick = Maintenance.runDriftMaintenance(spark, index,
+      s"$run/no-root", base, "vec_id", "embedding")
+    assert(skippedTick.skipped && skippedTick.rebuild.isEmpty &&
+      skippedTick.pendingBatchIds.isEmpty && skippedTick.logRowsPruned == 0L)
+    assert(Maintenance.pendingDriftBatchIds(spark, index) == Seq(1L),
+      "a skipped tick must not consume or lose the pending window")
+    assert(fs.exists(lock), "the skipper must not release the holder's lock")
+    // stale holder (crashed tick) → broken, the tick proceeds. Staleness
+    // = old MTIME (content irrelevant). The serving root deliberately
+    // doesn't exist: the rebuild THROWING proves the lease was broken
+    // and the tick entered the body — and the lock must still release
+    // on the error path (it holds the tick's own token).
+    writeLock("some-dead-ticks-token")
+    fs.setTimes(lock, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    val e = intercept[IllegalStateException] {
+      Maintenance.runDriftMaintenance(spark, index, s"$run/no-root",
+        base, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("no published"), e.getMessage)
+    assert(!fs.exists(lock), "the lease releases on the error path too")
+    // with the lock free the tick completes (no-root never reached:
+    // absorb the pending window first so the rebuild isn't needed)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$index/drift_batches/batch_id=1"), true)
+    val clean = Maintenance.runDriftMaintenance(spark, index,
+      s"$run/no-root", base, "vec_id", "embedding")
+    assert(!clean.skipped && clean.logRowsPruned >= 1,
+      "a free lock admits the tick; the healthy path still prunes")
+    assert(!fs.exists(lock), "released after a completed tick")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+  }
+
+  test("healthy stream: a tick with nothing pending still bounds the log") {
+    val run = Files.createTempDirectory("graft-mt-healthy").toString
+    val index = s"$run/index"
+    def rep(d: Boolean) = Similarity.DriftReport(4, 1.0, 1.0, 1.0, 0.1, d)
+    Similarity.appendDriftLog(spark, s"$index/drift_log", rep(false), Some(0L))
+    Similarity.appendDriftLog(spark, s"$index/drift_log", rep(false), Some(1L))
+    Similarity.appendDriftLog(spark, s"$index/drift_log", rep(false), None)
+    val tick = Maintenance.runDriftMaintenance(spark, index,
+      s"$run/no-root", base, "vec_id", "embedding")
+    assert(tick.pendingBatchIds.isEmpty && tick.rebuild.isEmpty)
+    assert(tick.logRowsPruned == 2L,
+      "the no-op tick prunes the clean window (null-id rows stay)")
+    val left = spark.read.parquet(s"$index/drift_log")
+      .select($"batch_id").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(left == Seq(-1L), s"only the null-id row stays: $left")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+  }
+
+  test("pruneDriftLog never loses a row appended concurrently (file-granular prune)") {
+    // the r17-advice race, made deterministic: rows land in the log
+    // AFTER the prune's read but BEFORE its delete would have rewritten
+    // the dir under the old Overwrite scheme. File-granular pruning
+    // deletes only fully-covered files, so the late row's file — id
+    // above the watermark — is untouchable by construction. Simulate by
+    // interleaving: prune(1) while rows 2..3 were appended after the
+    // rows 0..1 it targets; then verify ONLY 0..1 left.
+    val dir = Files.createTempDirectory("graft-mt-race").toString + "/log"
+    def rep = Similarity.DriftReport(4, 1.0, 1.0, 2.0, 2.0, drifted = true)
+    Similarity.appendDriftLog(spark, dir, rep, Some(0L))
+    Similarity.appendDriftLog(spark, dir, rep, Some(1L))
+    Similarity.appendDriftLog(spark, dir, rep, Some(2L))
+    Similarity.appendDriftLog(spark, dir, rep, Some(3L))
+    assert(Similarity.pruneDriftLog(spark, dir, 1L) == 2L)
+    val left = spark.read.parquet(dir).select($"batch_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(2L, 3L),
+      s"rows above the watermark survive byte-identical: $left")
+    // prune-all leaves a readable (schema-only) log dir
+    assert(Similarity.pruneDriftLog(spark, dir, 9L) == 2L)
+    assert(spark.read.parquet(dir).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(java.nio.file.Paths.get(dir).getParent.toString))
+  }
+
   test("a crash between prune and dir-delete is adopted by the NEXT tick, pending or not") {
     val run = Files.createTempDirectory("graft-mt-orphan").toString
     val log = s"$run/index/drift_log"
