@@ -47,37 +47,52 @@ object Relational {
     }),
 
     // J5-class: fact ⋈ broadcast dims (lookup-column resolution,
-    // jobs/sharepoint_indexer.py:370-502 → dimension joins).
+    // jobs/sharepoint_indexer.py:370-502 → dimension joins). The
+    // supplier⋈nation snowflake folds into ONE broadcast dim before the
+    // fact join — two broadcast exchanges against the fact instead of
+    // three (each is its own job under AQE), and the fact rows carry
+    // one join column fewer through the probe side. The fold itself is
+    // dim-sized work (nation broadcasts into supplier).
     "j5_dim_join_revenue" -> ((s, d) => {
       import s.implicits._
+      val supNation = load(s, d, "supplier")
+        .join(broadcast(load(s, d, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
       load(s, d, "lineitem")
         .join(broadcast(load(s, d, "part")), $"l_partkey" === $"p_partkey")
-        .join(broadcast(load(s, d, "supplier")), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(load(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
         .groupBy($"n_name", $"p_brand")
         .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"n_name", $"p_brand")
     }),
 
-    // 6-table join with region/date pruning (TPC-H Q5 shape). The
-    // nation⋈region snowflake folds into ONE ASIA-filtered broadcast dim
-    // (≤25 rows at every SF): one broadcast materialization instead of
-    // two, and the region predicate prunes 4/5 of nations BEFORE the
-    // supplier join instead of after — strictly less data through every
-    // downstream exchange at any scale.
+    // 6-table join with region/date pruning (TPC-H Q5 shape). The whole
+    // dim snowflake folds BEFORE the fact chain: region(ASIA)⋈nation
+    // (≤25 rows at every SF) prunes 4/5 of nations, and that prunes 4/5
+    // of SUPPLIERS in a dim-sized join — so the fact side meets ONE
+    // ASIA-only broadcast dim (s_suppkey, s_nationkey, n_name) instead
+    // of a full-supplier join followed by a nation filter. Strictly
+    // less data through every downstream exchange at any scale, and two
+    // fewer broadcast exchanges (each is its own job under AQE). The
+    // supplier table is the reference's lookup-dim shape (j5 broadcasts
+    // it too); a deployment whose supplier dim outgrows the broadcast
+    // threshold drops the hint and AQE picks the shuffle join.
     "q05_regional_revenue" -> ((s, d) => {
       import s.implicits._
       val asiaNations = load(s, d, "nation")
         .join(load(s, d, "region").filter($"r_name" === "ASIA"),
           $"n_regionkey" === $"r_regionkey")
         .select($"n_nationkey", $"n_name")
+      val asiaSuppliers = load(s, d, "supplier")
+        .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_nationkey", $"n_name")
       load(s, d, "customer")
         .join(load(s, d, "orders"), $"c_custkey" === $"o_custkey")
         .join(load(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
-        .join(load(s, d, "supplier"),
+        .join(broadcast(asiaSuppliers),
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-        .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
         .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
           $"o_orderdate" < to_timestamp(lit("1998-01-01")))
         .groupBy($"n_name")
