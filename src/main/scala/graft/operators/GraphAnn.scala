@@ -1657,6 +1657,54 @@ object GraphAnn {
     val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
       throw new IllegalStateException(
         s"no published PQ serving state under $root"))
+    // REFUSAL, not silence: an [[Opq.publishPqServingOpq]] root is
+    // layout-compatible with a plain root (cells/ + artifacts/) except
+    // for its rotation/, and this rotation-blind rebuild would (a)
+    // assign UNROTATED batch/corpus vectors against rotated-space
+    // centroids — mixed-space drift attribution, retraining and append
+    // — and (b) republish a version dir with NO rotation/, so the OPQ
+    // cold-start path throws (and once retention reaps the old version
+    // the rotation is lost entirely). Same silent-wrong-space class the
+    // stale-corpus / duplicate-id checks refuse.
+    if (graft.core.Fs.exists(spark, s"$root/$v/rotation"))
+      throw new IllegalStateException(
+        s"$root/$v is an OPQ serving root (rotation/ present) — a " +
+          "rotation-blind rebuild would mix spaces and drop the rotation " +
+          "from the republished version; use Opq.rebuildDriftedPqServingOpq " +
+          "(or Maintenance.runDriftMaintenanceOpq for the scheduler tick)")
+    rebuildDriftedPqServingCore(spark, root, v, corpus, idCol, vecCol,
+      batch, batchIdCol, batchVecCol, splitFactor, ivfIters, m,
+      efConstruction, maxSegmentSize, residRatioMax, massRatioMax, minMass,
+      appendWhenClean, memberVecTransform = None,
+      publishFn = (nodes, index, bound, ref) =>
+        publishPqServing(nodes, index, root, bound, ref, keepVersions))
+  }
+
+  /** The one rebuild body both tiers of the PQ serving path share —
+    * [[rebuildDriftedPqServing]] (identity space) and
+    * [[Opq.rebuildDriftedPqServingOpq]] (rotated space) differ only in
+    * (a) `memberVecTransform`: applied to the tripped cells' member
+    * floats AFTER the O(corpus) id-join checkpoints them — O(region)
+    * dim×dim applications, never the corpus (the r17 rerank lesson,
+    * same placement discipline); the BATCH arrives already in index
+    * space (the OPQ wrapper rotates it at the tick boundary, O(batch));
+    * and (b) `publishFn`: the OPQ publish carries rotation/ through the
+    * SAME version flip as cells + artifacts.
+    */
+  private[operators] def rebuildDriftedPqServingCore(spark: SparkSession,
+      root: String, v: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      batch: DataFrame, batchIdCol: String, batchVecCol: String,
+      splitFactor: Int, ivfIters: Int, m: Int,
+      efConstruction: Int, maxSegmentSize: Int,
+      residRatioMax: Double, massRatioMax: Double,
+      minMass: Double,
+      appendWhenClean: Boolean,
+      memberVecTransform: Option[
+        org.apache.spark.sql.expressions.UserDefinedFunction],
+      publishFn: (DataFrame, Similarity.IvfPqIndex, Option[Int],
+        Option[Similarity.DriftStats]) => String)
+      : Option[PartialRebuildReport] = {
     val art = Similarity.readIvfPq(spark, s"$root/$v/artifacts")
     val ref = art.driftStats.getOrElse(throw new IllegalStateException(
       s"$root/$v carries no drift reference — republish with one " +
@@ -1705,9 +1753,8 @@ object GraphAnn {
       }
       val index = Similarity.IvfPqIndex(art.index.centroids,
         art.index.book, art.index.coded.unionByName(restCoded))
-      val newV = publishPqServing(nodes0.unionByName(freshSegs), index,
-        root, Some(bound), Some(Similarity.combineRefs(ref, restStats)),
-        keepVersions)
+      val newV = publishFn(nodes0.unionByName(freshSegs), index,
+        Some(bound), Some(Similarity.combineRefs(ref, restStats)))
       log.info(s"no cell of $root/$v trips on this batch " +
         s"(n=${batchStats.n}) — appended the $n rows normally, " +
         s"published $newV")
@@ -1721,7 +1768,12 @@ object GraphAnn {
     // it carries post-publish appends the artifacts' coded table may
     // lack; this rebuild heals that asymmetry for the region) + the
     // batch's tripped rows. One id-join against the corpus, O(region).
-    val memberFloats = trippedMembers(nodes, corpus, idCol, vecCol, tripped)
+    val memberRaw = trippedMembers(nodes, corpus, idCol, vecCol, tripped)
+    // into index space AFTER the checkpointed O(corpus) id-join lands
+    // its O(region) rows — the transform (OPQ: unit-normalize + rotate,
+    // a dim×dim product per row) must never see the corpus
+    val memberFloats = memberVecTransform.fold(memberRaw)(t =>
+      memberRaw.select(col("id"), t(col("vec")).as("vec")))
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
       .select(col("id"), col("vec"))
     val batchRest = assignedBatch.filter(!col("cell").isin(trippedSeq: _*))
@@ -1774,8 +1826,7 @@ object GraphAnn {
     }
     val index = Similarity.IvfPqIndex(partial.index.centroids,
       partial.index.book, newCoded)
-    val newV = publishPqServing(newNodes, index, root, Some(bound),
-      Some(publishedRef), keepVersions)
+    val newV = publishFn(newNodes, index, Some(bound), Some(publishedRef))
     val regionRows = regionFloats.count()
     log.info(s"partial rebuild of $root: cells " +
       s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +

@@ -331,10 +331,14 @@ object Opq {
       .select(col(probeId),
         rotateUnitUdf(spark, ix.rotation)(col(probeVec)).as(probeVec))
     val bc = spark.sparkContext.broadcast(ix.rotation)
+    // asNondeterministic pins the side-effecting UDF to ONE evaluation
+    // per output row — without it Catalyst may duplicate the expression
+    // (collapsed projects, subexpression elimination) and inflate the
+    // count beyond genuine task retries (r18 advice)
     val rotCounting = udf((v: Seq[Float]) => {
       acc.add(1L)
       if (v == null) null else rotate(bc.value, Similarity.l2unit(v)).toSeq
-    })
+    }).asNondeterministic()
     val out = Similarity.searchIvfPqBatch(spark, ix.index,
       corpus.filter(col(vecCol).isNotNull), idCol, vecCol, rotProbes,
       probeId, probeVec, nprobe, k, rerankFactor,
@@ -457,5 +461,91 @@ object Opq {
       nprobe, k, ef, rerankFactor, clumpGuard = true,
       clumpBound = art.clumpBound, tombstones = tombstones,
       allowed = allowed, corpusVecTransform = Some(rot))
+  }
+
+  // ── OPQ × drift maintenance ─────────────────────────────────────────
+  // The tick-side composition that closes the OPQ serving lifecycle
+  // (r18 verdict item 1): arrivals and the corpus live in RAW space,
+  // the published index in ROTATED space, so the rotation must apply at
+  // exactly two tick-side seams — the pending batch (O(batch), here)
+  // and the tripped cells' member floats (O(region), inside the shared
+  // core, AFTER the id-join checkpoints them) — and the republish must
+  // carry rotation/ through the SAME version flip as cells + artifacts
+  // (the invariant publishPqServingOpq advertises). The rotation itself
+  // is FROZEN across partial rebuilds, exactly like the codebook: the
+  // untouched cells' codes were trained under this R, so re-learning R
+  // mid-partial-rebuild would invalidate every code the rebuild
+  // deliberately passes through unchanged. A scheduled FULL retrain
+  // (buildIvfOpq on the union → publishPqServingOpq) is where R
+  // refreshes.
+
+  /** The serving centroids expressed in RAW space: c ↦ Rᵀ·c. Because R
+    * is an isometry (‖Rx − c‖ = ‖x − Rᵀc‖ and the assignment argmax is
+    * preserved), an arrival-point drift monitor
+    * ([[graft.streaming.StreamingIngest.DriftMonitorConfig]]) given
+    * THESE centroids plus the rotated-space reference stats produces
+    * verdicts identical (up to the rotation's own ~1e-4 orthonormality
+    * rounding, far below the ratio thresholds) to scoring rotated
+    * vectors against the rotated centroids — so the ingest hot path
+    * never pays a per-row rotation and never changes for OPQ.
+    * Dim × nCells driver work, once per published version.
+    */
+  def unrotatedCentroids(ix: IvfOpqIndex): Array[(Int, Array[Float])] =
+    ix.index.centroids.map { case (cell, c) =>
+      val n = ix.rotation.length
+      val out = new Array[Float](n)
+      var j = 0
+      while (j < n) {
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += ix.rotation(i)(j) * c(i); i += 1 }
+        out(j) = s.toFloat
+        j += 1
+      }
+      (cell, out)
+    }
+
+  /** [[GraphAnn.rebuildDriftedPqServing]]'s OPQ twin — the bounded
+    * drift response against a [[publishPqServingOpq]] root. Reads the
+    * CURRENT version's rotation (refusing a plain root — the mirror of
+    * the generic path's OPQ refusal), rotates the pending batch at the
+    * tick boundary (`batch`/`corpus` arrive RAW — the views a
+    * deployment already has; everything index-side stays in rotated
+    * space), and runs the shared core with the rotation as the member
+    * transform and a publish that lands `rotation/` in the new version
+    * dir under the one flip. Cost shape unchanged: the rotation is
+    * O(batch) + O(region) dim×dim products; Lloyd/encode/graph remain
+    * O(region + batch); the corpus is scanned only by the one id-join.
+    */
+  def rebuildDriftedPqServingOpq(spark: SparkSession, root: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      batch: DataFrame, batchIdCol: String, batchVecCol: String,
+      splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
+      efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
+      residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
+      minMass: Double = 0.01,
+      keepVersions: Int = 2,
+      appendWhenClean: Boolean = false)
+      : Option[GraphAnn.PartialRebuildReport] = {
+    val v = graft.pipeline.VersionedIndex.currentVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"no published OPQ serving state under $root"))
+    if (!graft.core.Fs.exists(spark, s"$root/$v/rotation"))
+      throw new IllegalStateException(
+        s"$root/$v carries no rotation/ — not an OPQ serving root; use " +
+          "GraphAnn.rebuildDriftedPqServing (Maintenance.runDriftMaintenance)")
+    val r = readRotation(spark, s"$root/$v/rotation")
+    val rot = rotateUnitUdf(spark, r)
+    val rotBatch = batch.filter(col(batchVecCol).isNotNull)
+      .select(col(batchIdCol), rot(col(batchVecCol)).as(batchVecCol))
+    GraphAnn.rebuildDriftedPqServingCore(spark, root, v, corpus, idCol,
+      vecCol, rotBatch, batchIdCol, batchVecCol, splitFactor, ivfIters, m,
+      efConstruction, maxSegmentSize, residRatioMax, massRatioMax, minMass,
+      appendWhenClean, memberVecTransform = Some(rot),
+      // the ONE OPQ publish path — layout changes to publishPqServingOpq
+      // (a manifest, say) automatically cover rebuild-published versions
+      publishFn = (nodes, index, bound, ref) =>
+        publishPqServingOpq(spark, nodes, IvfOpqIndex(r, index), root,
+          bound, ref, keepVersions))
   }
 }

@@ -691,7 +691,7 @@ object Similarity {
           .as("all_prunable"))
       .collect()
     val deletable = perFile.filter(_.getBoolean(2))
-    val removed = deletable.map(_.getLong(1)).sum
+    var removedAdjust = 0L // rows of files whose delete did NOT land
     if (deletable.nonEmpty) {
       val conf = spark.sparkContext.hadoopConfiguration
       // deleting EVERY data file would leave a schema-less dir that
@@ -719,13 +719,47 @@ object Similarity {
         val fixed = new org.apache.hadoop.fs.Path(dirPath,
           "part-00000-prune-schema.parquet")
         fs.delete(fixed, false) // replace last cycle's marker, if any
-        fs.rename(part, fixed)
+        // the marker MUST land before any data file dies: deleting every
+        // file with no footer left behind makes every subsequent log
+        // read fail ("Unable to infer schema") until manual repair. A
+        // failed rename (returns false — e.g. the fixed name reappeared
+        // between the delete and the rename) aborts the whole prune:
+        // nothing deleted, no watermark advance, retried next tick
+        // (r18 advice).
+        val landed = fs.rename(part, fixed)
         fs.delete(tmp, true)
+        if (!landed) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"prune of $logDir aborted: schema-only marker did not land " +
+              s"at $fixed — no files deleted this cycle")
+          return 0L
+        }
       }
       deletable.foreach { r =>
-        val p = new org.apache.hadoop.fs.Path(
-          new java.net.URI(r.getString(0)))
-        p.getFileSystem(conf).delete(p, false)
+        // input_file_name() returns the URL-ENCODED path on this Spark
+        // (FileScanRDD publishes PartitionedFile.urlEncodedPath), so the
+        // URI round-trip DECODES correctly and never throws on
+        // spaces/brackets — they arrive as %20/%5B. Path(String) would
+        // re-quote the '%' (→ %2520) and delete the wrong name. The
+        // fallback covers a hypothetical un-encoded string.
+        val s0 = r.getString(0)
+        val p =
+          try new org.apache.hadoop.fs.Path(new java.net.URI(s0))
+          catch {
+            case _: java.net.URISyntaxException =>
+              new org.apache.hadoop.fs.Path(s0)
+          }
+        // a false return (transient IO, permissions) must not count the
+        // file's rows as removed — the rows linger (the read contract
+        // absorbs them: dropDuplicates + the watermark) and a later
+        // prune sees the file again and retries
+        if (!p.getFileSystem(conf).delete(p, false) &&
+            p.getFileSystem(conf).exists(p)) {
+          removedAdjust += r.getLong(1)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"prune of $logDir: could not delete $p — its rows linger " +
+              "until a later prune retries")
+        }
       }
     }
     // durable prune watermark (monotonic): lets the maintenance sweep
@@ -742,7 +776,7 @@ object Similarity {
       try out.write(uptoBatchId.toString.getBytes("UTF-8"))
       finally out.close()
     }
-    removed
+    deletable.map(_.getLong(1)).sum - removedAdjust
   }
 
   private def markerPath(logDir: String) =

@@ -112,4 +112,38 @@ object Fixtures {
     }
     perSession.getOrElseUpdate(key, build).asInstanceOf[T]
   }
+
+  /** Stage one parquet FILE per frame with ascending fixed mtimes under
+    * a session-cached temp dir — the arrival-stream fixture the
+    * streaming gates share (each file becomes its own micro-batch under
+    * `maxFilesPerTrigger = 1`; the file source takes oldest-first).
+    * Cached under `key` so gates sharing the SAME arrival data (st8 /
+    * v41) stage it once per session — and cannot drift apart, which is
+    * why this lives here instead of per-gate copies of the staging loop.
+    */
+  def stagedStreamDir(spark: SparkSession, key: String)(
+      dfs: => Seq[DataFrame]): java.nio.file.Path =
+    cachedObj(spark, key) {
+      val t = java.nio.file.Files.createTempDirectory("graft-stream-fix")
+      dfs.zipWithIndex.foreach { case (df, i) =>
+        val scratch =
+          java.nio.file.Files.createTempDirectory("graft-stage-part")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val ls = java.nio.file.Files.list(scratch)
+        val part =
+          try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally ls.close()
+        val dst = t.resolve(s"b$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst, java.nio.file
+          .attribute.FileTime.fromMillis(1700000000000L + i * 3600000L))
+        val rm = java.nio.file.Files.walk(scratch)
+        try rm.sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally rm.close()
+      }
+      t
+    }
 }

@@ -327,28 +327,8 @@ object PipelineQueries {
       val drifted = emb.filter($"vec_id" % 16 === 1)
         .select(($"vec_id" + 2000000L).as("vec_id"),
           expr("transform(embedding, x -> x + 0.5f)").as("embedding"))
-      val streamDir = Fixtures.cachedObj(s, s"st8_stream:$d") {
-        val t = java.nio.file.Files.createTempDirectory("graft-st8-stream")
-        Seq(inDist, drifted).zipWithIndex.foreach { case (df, i) =>
-          val scratch =
-            java.nio.file.Files.createTempDirectory("graft-st8-part")
-          df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-          val ls = java.nio.file.Files.list(scratch)
-          val part =
-            try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
-            finally ls.close()
-          val dst = t.resolve(s"b$i.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst, java.nio.file
-            .attribute.FileTime.fromMillis(1700000000000L + i * 3600000L))
-          val rm = java.nio.file.Files.walk(scratch)
-          try rm.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally rm.close()
-        }
-        t
-      }
+      val streamDir =
+        Fixtures.stagedStreamDir(s, s"st8_stream:$d")(Seq(inDist, drifted))
       // per-run mutable state: published serving root + ingest index
       val root = java.nio.file.Files.createTempDirectory("graft-st8-root")
         .toString

@@ -2064,6 +2064,180 @@ object VectorQueries {
         lit(completeTopk).as("complete_topk"))
     }),
 
+    // V41: OPQ × the auto-maintenance loop (r18 verdict item 1 — the
+    // drift tick was rotation-blind: pointed at a publishPqServingOpq
+    // root it would assign UNROTATED batch/corpus vectors against
+    // rotated-space centroids and republish with no rotation/). Gates,
+    // on st8's exact loop shape but an OPQ serving root: (a) the
+    // arrival-point monitor needs NO OPQ variant — rotation is an
+    // isometry, so the RAW-space head (Opq.unrotatedCentroids) plus the
+    // rotated-space reference yields the same verdicts (clean batch
+    // clean, planted batch trips) at zero per-row ingest cost; (b) the
+    // PLAIN tick pointed at the OPQ root REFUSES (names the OPQ path)
+    // with the pending window intact — the silent-wrong-space hazard is
+    // closed on both sides; (c) the OPQ tick rotates the batch at the
+    // tick boundary, retrains the tripped region in rotated space, and
+    // the rotation SURVIVES the republish flip bit-exactly (frozen-R,
+    // the codebook discipline); (d) cold-start OPQ serving over the
+    // flipped root recovers brute force for the drifted mode; (e) a
+    // second tick is a no-op and the processed window cleared.
+    "v41_opq_maintenance" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      import graft.operators.Opq
+      val emb = load(s, d, "embeddings")
+      val base = emb.filter($"vec_id" % 4 === 0)
+      val ixOpq = Fixtures.cachedObj(s, s"v41_ixopq:$d")(
+        Opq.buildIvfOpq(s, base, "vec_id", "embedding", nCells = 16,
+          subspaces = 8, codesPerSub = 16, ivfIters = 2, pqIters = 2,
+          opqIters = 2))
+      val nodes = Fixtures.cached(s, s"v41_nodes:$d")(
+        Opq.buildGraphCellsOpq(s, ixOpq, base, "vec_id", "embedding",
+          m = 8, efConstruction = 48))
+      val rotU = Opq.rotateUnitUdf(s, ixOpq.rotation)
+      val refRot = Fixtures.cachedObj(s, s"v41_ref:$d")(
+        Similarity.driftStats(s,
+          base.select(rotU($"embedding").as("embedding")), "embedding",
+          ixOpq.index.centroids, unit = true))
+      // st8's arrival files verbatim (same fixture key): b0 in-dist,
+      // b1 the planted +0.5/dim drifted mode, disjoint id spaces
+      val inDist = emb.filter($"vec_id" % 16 === 3)
+        .select(($"vec_id" + 3000000L).as("vec_id"), $"embedding")
+      val drifted = emb.filter($"vec_id" % 16 === 1)
+        .select(($"vec_id" + 2000000L).as("vec_id"),
+          expr("transform(embedding, x -> x + 0.5f)").as("embedding"))
+      val streamDir =
+        Fixtures.stagedStreamDir(s, s"st8_stream:$d")(Seq(inDist, drifted))
+      val root = java.nio.file.Files.createTempDirectory("graft-v41-root")
+        .toString
+      val run = java.nio.file.Files.createTempDirectory("graft-v41-run")
+      Opq.publishPqServingOpq(s, nodes, ixOpq, root,
+        Some(GraphAnn.pqClumpBound(nodes)), Some(refRot))
+      // ingest with the RAW-space monitor head — the isometry claim
+      graft.streaming.StreamingIngest.runAvailableNowNearDupEmbeddings(s,
+        streamDir.toString, s"$run/index", s"$run/ckpt",
+        minCosine = 0.4, bands = 8, rowsPerBand = 4,
+        maxFilesPerTrigger = Some(1), buckets = 8,
+        driftMonitor = Some(graft.streaming.StreamingIngest
+          .DriftMonitorConfig(Opq.unrotatedCentroids(ixOpq), refRot)))
+      val log0 = s.read.parquet(s"$run/index/drift_log")
+        .dropDuplicates("batch_id").localCheckpoint(true)
+      val driftedIds = log0.filter($"drifted").select($"batch_id")
+        .collect().map(_.getLong(0)).toSeq
+      val tripLogged = log0.count() == 2 && driftedIds.size == 1 &&
+        graft.core.Fs.exists(s,
+          s"$run/index/drift_batches/batch_id=${driftedIds.head}")
+      val corpus = Fixtures.cached(s, s"v41_corpus:$d")(
+        base.select($"vec_id", $"embedding")
+          .unionByName(drifted.select($"vec_id", $"embedding")))
+      // the rotation-blind tick REFUSES the OPQ root, pending intact
+      val refused =
+        try {
+          graft.streaming.Maintenance.runDriftMaintenance(s, s"$run/index",
+            root, corpus, "vec_id", "embedding", splitFactor = 2,
+            ivfIters = 2, m = 8, efConstruction = 48)
+          false
+        } catch {
+          case e: IllegalStateException =>
+            e.getMessage.contains("rebuildDriftedPqServingOpq")
+        }
+      val pendingIntact = graft.core.Fs.exists(s,
+        s"$run/index/drift_batches/batch_id=${driftedIds.head}") &&
+        !s.read.parquet(s"$run/index/drift_log")
+          .filter($"batch_id".isNotNull).isEmpty
+      // the OPQ tick: rotate at the boundary, retrain in rotated space,
+      // carry rotation/ through the flip
+      val tick1 = graft.streaming.Maintenance.runDriftMaintenanceOpq(s,
+        s"$run/index", root, corpus, "vec_id", "embedding",
+        splitFactor = 2, ivfIters = 2, m = 8, efConstruction = 48)
+      val rebuildFired = tick1.rebuild.nonEmpty &&
+        tick1.pendingBatchIds == driftedIds
+      val res = tick1.rebuild.get
+      val rotAfter = s.read.parquet(s"$root/${res.version}/rotation")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val rotationSurvives = rotAfter.length == ixOpq.rotation.length &&
+        rotAfter.zip(ixOpq.rotation).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) }
+      // keystone: cold OPQ serve over the flipped root, drifted probes
+      val probes = drifted.filter($"vec_id" < 2000020L)
+        .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+      val k = 8
+      val got = Opq.searchGraphRoutedPqColdStartOpq(s, root, corpus,
+          "vec_id", "embedding", probes, "probe_id", "probe_vec",
+          nprobe = 16, k = k, ef = 128, rerankFactor = 64)
+        .localCheckpoint(true)
+      val nProbes = probes.count()
+      val exact = Fixtures.cached(s, s"v41_exact:$d")(
+        Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
+            corpus, "vec_id", "embedding", k = k)
+          .select($"probe_id".cast("long").as("probe_id"),
+            $"vec_id".cast("long").as("id")))
+      val keystoneOk = got.join(exact, Seq("probe_id", "id"), "left_semi")
+        .groupBy($"probe_id").count()
+        .agg((count(lit(1)) === nProbes && min($"count") >= k - 1)
+          .as("ok")).head().getBoolean(0)
+      // processed window cleared; a second OPQ tick is a no-op
+      // maxOption: an empty pending set (monitor regression) must read
+      // as a false gate column, not an empty.max crash
+      val logPruned = tick1.pendingBatchIds.maxOption.exists(mx =>
+        s.read.parquet(s"$run/index/drift_log")
+          .filter($"batch_id" <= mx).isEmpty)
+      val pendingCleared = !graft.core.Fs.exists(s,
+        s"$run/index/drift_batches/batch_id=${driftedIds.head}")
+      val tick2 = graft.streaming.Maintenance.runDriftMaintenanceOpq(s,
+        s"$run/index", root, corpus, "vec_id", "embedding")
+      val secondNoop = tick2.pendingBatchIds.isEmpty &&
+        tick2.rebuild.isEmpty &&
+        graft.pipeline.VersionedIndex.currentVersion(root)
+          .contains(res.version)
+      val retentionOk =
+        graft.pipeline.VersionedIndex.versions(root).size <= 2
+      // r18 verdict stretch: partial rebuilds FREEZE R (the codebook
+      // discipline) — the scheduled FULL retrain is where R refreshes.
+      // buildIvfOpq on the union re-learns rotation + codebook, the
+      // SAME publishPqServingOpq flip lands them, and the served
+      // rotation is the refreshed one (bit-exact, ≠ the frozen R).
+      val ixFull = Opq.buildIvfOpq(s, corpus, "vec_id", "embedding",
+        nCells = 16, subspaces = 8, codesPerSub = 16, ivfIters = 2,
+        pqIters = 2, opqIters = 2)
+      val nodesFull = Opq.buildGraphCellsOpq(s, ixFull, corpus, "vec_id",
+        "embedding", m = 8, efConstruction = 48)
+      val rotFullU = Opq.rotateUnitUdf(s, ixFull.rotation)
+      val refFull = Similarity.driftStats(s,
+        corpus.select(rotFullU($"embedding").as("embedding")), "embedding",
+        ixFull.index.centroids, unit = true)
+      val vFull = Opq.publishPqServingOpq(s, nodesFull, ixFull, root,
+        Some(GraphAnn.pqClumpBound(nodesFull)), Some(refFull))
+      val rotServed = s.read.parquet(s"$root/$vFull/rotation")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+      def sameRot(a: Array[Array[Float]], b: Array[Array[Float]]) =
+        a.length == b.length && a.zip(b).forall { case (x, y) =>
+          java.util.Arrays.equals(x, y) }
+      val coldFull = Opq.searchGraphRoutedPqColdStartOpq(s, root, corpus,
+        "vec_id", "embedding", probes, "probe_id", "probe_vec",
+        nprobe = 16, k = k, ef = 128, rerankFactor = 64)
+      val rotationRefreshed =
+        graft.pipeline.VersionedIndex.currentVersion(root)
+          .contains(vFull) &&
+        sameRot(rotServed, ixFull.rotation) &&
+        !sameRot(rotServed, ixOpq.rotation) &&
+        coldFull.count() == nProbes * k
+      Seq(root, run.toString).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      s.range(1).select(
+        lit(tripLogged).as("trip_logged_raw_head"),
+        lit(refused).as("plain_tick_refused"),
+        lit(pendingIntact).as("pending_intact_after_refusal"),
+        lit(rebuildFired).as("rebuild_fired"),
+        lit(rotationSurvives).as("rotation_survives_flip"),
+        lit(keystoneOk).as("keystone_ok"),
+        lit(logPruned && pendingCleared).as("window_cleared"),
+        lit(secondNoop && retentionOk).as("second_tick_noop"),
+        lit(rotationRefreshed).as("full_retrain_refreshes_rotation"))
+    }),
+
     // DC3: SEMANTIC decontamination — dc1/dc2 catch verbatim n-gram
     // leaks; this flags training rows whose EMBEDDING sits within cosine
     // tau of any eval-set row (paraphrased benchmark items). Eval matrix
@@ -2261,6 +2435,12 @@ object VectorQueries {
     "v40_opq_graph_serving" ->
       """SELECT true AS recall_not_worse, true AS cold_eq_memory,
         | true AS complete_topk""".stripMargin,
+    "v41_opq_maintenance" ->
+      """SELECT true AS trip_logged_raw_head, true AS plain_tick_refused,
+        | true AS pending_intact_after_refusal, true AS rebuild_fired,
+        | true AS rotation_survives_flip, true AS keystone_ok,
+        | true AS window_cleared, true AS second_tick_noop,
+        | true AS full_retrain_refreshes_rotation""".stripMargin,
     "v14_contrastive_triplets" ->
       """SELECT true AS has_triplets, true AS pos_ok, true AS neg_ok,
         | true AS margin_ok, true AS distinct_ok""".stripMargin,

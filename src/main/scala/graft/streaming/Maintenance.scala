@@ -96,6 +96,20 @@ object Maintenance {
     * (default 30 min); a live tick outliving its lease can be shadowed
     * once — the contract every lease-based scheduler carries — but the
     * token check stops the shadowing from cascading.
+    *
+    * FILESYSTEM CONTRACT (r18 advice): mutual exclusion is only as real
+    * as `fs.create(path, overwrite = false)` is atomic. HDFS guarantees
+    * it (namenode-arbitrated); the local filesystem implements the flag
+    * as check-then-create — a narrow TOCTOU acceptable for the
+    * one-scheduler-per-box deployments local paths imply; S3-class
+    * object stores WITHOUT conditional PUT do not honor it at all, so
+    * there the lease is purely ADVISORY — run exactly one scheduler per
+    * index dir, or arbitrate externally (a conditional-put-capable
+    * store, or a lock service). Staleness compares the lock's mtime
+    * against the FILESYSTEM'S OWN clock ([[fsClockMillis]] — both
+    * timestamps from the same authority, so cross-host clock skew can't
+    * judge a live lease stale), falling back to the local clock only if
+    * the probe write fails.
     */
   private def acquireLease(spark: SparkSession, indexDir: String,
       leaseMs: Long): Option[String] = {
@@ -119,7 +133,9 @@ object Maintenance {
           return if (tryCreate()) Some(token) else None
         case _: java.io.IOException => return None
       }
-    if (System.currentTimeMillis() - mtime <= leaseMs) return None
+    val now = fsClockMillis(fs, p.getParent)
+      .getOrElse(System.currentTimeMillis())
+    if (now - mtime <= leaseMs) return None
     // break the stale lease: rename is the arbiter (one winner)
     val broken = new org.apache.hadoop.fs.Path(
       s"${p.toString}.broken.$token")
@@ -129,6 +145,24 @@ object Maintenance {
     fs.delete(broken, false)
     if (tryCreate()) Some(token) else None
   }
+
+  /** The filesystem's OWN clock, by touch-and-stat: create a throwaway
+    * sibling, stat its mtime, delete it. Lets staleness compare two
+    * timestamps from the same authority instead of trusting the local
+    * clock against a remote writer's. None if the probe fails — the
+    * caller falls back to the local clock, best-effort.
+    */
+  private def fsClockMillis(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] =
+    try {
+      val probe = new org.apache.hadoop.fs.Path(dir,
+        s".lease-clock-${java.util.UUID.randomUUID()}")
+      val out = fs.create(probe, true)
+      out.close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false)
+      Some(t)
+    } catch { case _: java.io.IOException => None }
 
   private def releaseLease(spark: SparkSession, indexDir: String,
       token: String): Unit = {
@@ -182,11 +216,68 @@ object Maintenance {
       minMass: Double = 0.01, keepVersions: Int = 2,
       appendCleanNovel: Boolean = true,
       leaseMs: Long = 30L * 60 * 1000): MaintenanceReport = {
+    checkRootTier(spark, servingRoot, expectOpq = false)
     runTick(spark, indexDir, servingRoot, leaseMs,
       batch => GraphAnn.rebuildDriftedPqServing(spark, servingRoot,
         corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
         m, efConstruction, maxSegmentSize, residRatioMax, massRatioMax,
         minMass, keepVersions, appendWhenClean = appendCleanNovel))
+  }
+
+  /** Refuse a tier/root layout mismatch at TICK START, quiet ticks
+    * included — a scheduler wired to the wrong tier variant must fail
+    * its FIRST tick (a config review at rollout), not run silent
+    * healthy-path prunes for days and then start throwing at the first
+    * drift trip (r19 review). The rebuild orchestrators keep their own
+    * refusals for direct callers. No published version yet → nothing to
+    * check (the root has no layout until the first publish).
+    */
+  private def checkRootTier(spark: SparkSession, servingRoot: String,
+      expectOpq: Boolean): Unit =
+    graft.pipeline.VersionedIndex.currentVersion(servingRoot).foreach { v =>
+      val hasRot = graft.core.Fs.exists(spark, s"$servingRoot/$v/rotation")
+      if (hasRot && !expectOpq)
+        throw new IllegalStateException(
+          s"$servingRoot/$v is an OPQ serving root (rotation/ present) — " +
+            "use Maintenance.runDriftMaintenanceOpq " +
+            "(Opq.rebuildDriftedPqServingOpq)")
+      if (!hasRot && expectOpq)
+        throw new IllegalStateException(
+          s"$servingRoot/$v carries no rotation/ — not an OPQ serving " +
+            "root; use Maintenance.runDriftMaintenance")
+    }
+
+  /** [[runDriftMaintenance]]'s OPQ twin, against a
+    * [[graft.operators.Opq.publishPqServingOpq]] root. `corpus` and the
+    * landed batches stay RAW (the views the deployment already has);
+    * [[graft.operators.Opq.rebuildDriftedPqServingOpq]] reads the
+    * CURRENT version's rotation under the lease, rotates the pending
+    * batch at this tick boundary, retrains in rotated space and carries
+    * `rotation/` through the republish flip. Pointing the PLAIN
+    * [[runDriftMaintenance]] at an OPQ root refuses (names this path)
+    * with the pending state intact — the refusal happens before any
+    * prune or sweep, so the next OPQ tick processes the same window.
+    * The arrival-point monitor needs no OPQ variant: feed
+    * [[graft.streaming.StreamingIngest.DriftMonitorConfig]] the
+    * raw-space head from [[graft.operators.Opq.unrotatedCentroids]]
+    * (rotation is an isometry — identical verdicts, zero per-row
+    * rotation cost at ingest).
+    */
+  def runDriftMaintenanceOpq(spark: SparkSession, indexDir: String,
+      servingRoot: String, corpus: DataFrame, idCol: String, vecCol: String,
+      splitFactor: Int = 2, ivfIters: Int = 3, m: Int = 8,
+      efConstruction: Int = 64, maxSegmentSize: Int = Int.MaxValue,
+      residRatioMax: Double = 1.25, massRatioMax: Double = 4.0,
+      minMass: Double = 0.01, keepVersions: Int = 2,
+      appendCleanNovel: Boolean = true,
+      leaseMs: Long = 30L * 60 * 1000): MaintenanceReport = {
+    checkRootTier(spark, servingRoot, expectOpq = true)
+    runTick(spark, indexDir, servingRoot, leaseMs,
+      batch => graft.operators.Opq.rebuildDriftedPqServingOpq(spark,
+        servingRoot, corpus, idCol, vecCol, batch, "id", "vec",
+        splitFactor, ivfIters, m, efConstruction, maxSegmentSize,
+        residRatioMax, massRatioMax, minMass, keepVersions,
+        appendWhenClean = appendCleanNovel))
   }
 
   /** The tick body both tiers share — only the rebuild call differs.

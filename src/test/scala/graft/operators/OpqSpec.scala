@@ -202,4 +202,43 @@ class OpqSpec extends AnyFunSuite {
       hits.agg(min($"count")).head().getLong(0) >= k - 1,
       "rotation must not break exact recovery under full probe + rerank")
   }
+
+  test("unrotatedCentroids: raw-space monitor scoring matches rotated-space scoring (isometry)") {
+    // the claim runDriftMaintenanceOpq's scaladoc makes for the ingest
+    // hot path: an arrival monitor fed c ↦ Rᵀc plus the rotated-space
+    // reference produces the same verdicts as rotating every batch row —
+    // because ‖unit(x) − Rᵀc‖ = ‖R·unit(x) − c‖ and the assignment
+    // argmax is preserved. Checked on a clean AND a drifted batch.
+    val ix = Opq.buildIvfOpq(spark, emb, "vec_id", "embedding",
+      nCells = 4, subspaces = 8, codesPerSub = 8, ivfIters = 1,
+      pqIters = 1, opqIters = 2)
+    val rawHead = Opq.unrotatedCentroids(ix)
+    val rotU = Opq.rotateUnitUdf(spark, ix.rotation)
+    val ref = Similarity.driftStats(spark,
+      emb.select(rotU($"embedding").as("v")), "v",
+      ix.index.centroids, unit = true)
+    def both(batch: org.apache.spark.sql.DataFrame) = {
+      val raw = Similarity.driftReport(spark, batch.select($"embedding"),
+        "embedding", rawHead, ref, unit = true)
+      val rot = Similarity.driftReport(spark,
+        batch.select(rotU($"embedding").as("embedding")), "embedding",
+        ix.index.centroids, ref, unit = true)
+      (raw, rot)
+    }
+    val clean = emb.filter($"vec_id" % 8 === 3)
+    val drifted = emb.filter($"vec_id" % 8 === 1)
+      .select(expr("transform(embedding, x -> x + 0.5f)").as("embedding"))
+    Seq(clean, drifted).foreach { b =>
+      val (raw, rot) = both(b)
+      assert(raw.drifted == rot.drifted, s"verdicts: $raw vs $rot")
+      // the rotation's own float rounding (~1e-4 orthonormality dev) is
+      // the only divergence source — far below the ratio thresholds
+      assert(math.abs(raw.residRatio - rot.residRatio) <=
+        1e-3 * math.max(1.0, rot.residRatio), s"residRatio: $raw vs $rot")
+      assert(math.abs(raw.massKl - rot.massKl) <= 1e-3,
+        s"massKl: $raw vs $rot")
+    }
+    val (rawD, _) = both(drifted)
+    assert(rawD.drifted, "the planted mode must trip through the raw head")
+  }
 }

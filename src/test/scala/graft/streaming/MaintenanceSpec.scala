@@ -414,4 +414,99 @@ class MaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
   }
+
+  test("OPQ tick: plain tick refuses the OPQ root, rotation survives the flip, replay absorbed") {
+    import graft.operators.Opq
+    // OPQ deployment: rotated-space IVF-PQ + graph + reference under a
+    // publishPqServingOpq root
+    val ix = Opq.buildIvfOpq(spark, base, "vec_id", "embedding",
+      nCells = 8, subspaces = 8, codesPerSub = 8, ivfIters = 2,
+      pqIters = 1, opqIters = 2)
+    val nodes = Opq.buildGraphCellsOpq(spark, ix, base, "vec_id",
+      "embedding", m = 4, efConstruction = 16)
+    val rotU = Opq.rotateUnitUdf(spark, ix.rotation)
+    val ref = Similarity.driftStats(spark,
+      base.select(rotU($"embedding").as("embedding")), "embedding",
+      ix.index.centroids, unit = true)
+    val root = Files.createTempDirectory("graft-mt-oroot").toString
+    val v0 = Opq.publishPqServingOpq(spark, nodes, ix, root,
+      Some(GraphAnn.pqClumpBound(nodes)), Some(ref))
+    val run = Files.createTempDirectory("graft-mt-otick").toString
+    val batch = drifted.localCheckpoint(true)
+    def land(id: Long): Unit = {
+      batch.select($"vec_id".cast("long").as("id"), $"embedding".as("vec"))
+        .write.mode("overwrite")
+        .parquet(s"$run/index/drift_batches/batch_id=$id")
+      Similarity.appendDriftLog(spark, s"$run/index/drift_log",
+        Similarity.DriftReport(batch.count(), 1.0, 1.0, 2.0, 2.0,
+          drifted = true), Some(id))
+    }
+    land(4L)
+    val corpus = base.unionByName(batch).localCheckpoint(true)
+    // 1. the rotation-blind tick REFUSES (names the OPQ path) before any
+    // mutation: pending window intact, lease released
+    val ex = intercept[IllegalStateException] {
+      Maintenance.runDriftMaintenance(spark, s"$run/index", root, corpus,
+        "vec_id", "embedding", splitFactor = 2, ivfIters = 2, m = 4,
+        efConstruction = 16)
+    }
+    assert(ex.getMessage.contains("rebuildDriftedPqServingOpq"))
+    assert(Maintenance.pendingDriftBatchIds(spark, s"$run/index")
+      == Seq(4L), "refusal must leave the pending window intact")
+    assert(graft.pipeline.VersionedIndex.currentVersion(root).contains(v0),
+      "refusal must not flip")
+    // 2. the OPQ tick: not skipped (the refusal released the lease),
+    // rebuild fires, rotation carried through the flip BIT-EXACTLY
+    val tick1 = Maintenance.runDriftMaintenanceOpq(spark, s"$run/index",
+      root, corpus, "vec_id", "embedding", splitFactor = 2, ivfIters = 2,
+      m = 4, efConstruction = 16)
+    assert(!tick1.skipped, "the refused tick must have released the lease")
+    assert(tick1.rebuild.nonEmpty, "the planted mode must rebuild")
+    val res = tick1.rebuild.get
+    assert(res.version != v0 &&
+      graft.pipeline.VersionedIndex.currentVersion(root)
+        .contains(res.version), "one-flip republish")
+    val rotAfter = spark.read.parquet(s"$root/${res.version}/rotation")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    assert(rotAfter.length == ix.rotation.length &&
+      rotAfter.zip(ix.rotation).forall {
+        case (a, b) => java.util.Arrays.equals(a, b) },
+      "the frozen rotation must survive the flip bit-exactly")
+    // every drifted row served; the OPQ cold-start path works on the
+    // flipped version (it throws on a missing rotation/)
+    val served = spark.read.parquet(s"$root/${res.version}/cells")
+      .select($"id").distinct()
+    assert(batch.select($"vec_id".cast("long").as("id"))
+      .join(served, Seq("id"), "left_anti").isEmpty,
+      "every drifted row must be served after the tick")
+    val probes = batch.limit(5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val got = Opq.searchGraphRoutedPqColdStartOpq(spark, root, corpus,
+      "vec_id", "embedding", probes, "probe_id", "probe_vec",
+      nprobe = 8, k = 4, ef = 64, rerankFactor = 16)
+    assert(got.count() == 5L * 4, "cold OPQ serve over the flipped root")
+    // 3. window cleared; second tick no-op; a crash replay (same rows,
+    // new id) is absorbed without a second flip
+    assert(Maintenance.pendingDriftBatchIds(spark, s"$run/index").isEmpty)
+    val tick2 = Maintenance.runDriftMaintenanceOpq(spark, s"$run/index",
+      root, corpus, "vec_id", "embedding")
+    assert(tick2.pendingBatchIds.isEmpty && tick2.rebuild.isEmpty)
+    land(5L)
+    val replay = Maintenance.runDriftMaintenanceOpq(spark, s"$run/index",
+      root, corpus, "vec_id", "embedding")
+    assert(replay.pendingBatchIds == Seq(5L) && replay.rebuild.isEmpty,
+      "already-served rows drop in novelPending — nothing to rebuild")
+    assert(graft.pipeline.VersionedIndex.currentVersion(root)
+      .contains(res.version), "no second flip")
+    // 4. the mirror refusal: the OPQ rebuild pointed at a PLAIN root
+    val (plainRoot, _, _, _) = publishBase()
+    val ex2 = intercept[IllegalStateException] {
+      Opq.rebuildDriftedPqServingOpq(spark, plainRoot, corpus, "vec_id",
+        "embedding", batch, "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("not an OPQ serving root"))
+    Seq(root, run, plainRoot).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
 }
