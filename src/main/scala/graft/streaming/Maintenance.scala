@@ -216,7 +216,7 @@ object Maintenance {
       minMass: Double = 0.01, keepVersions: Int = 2,
       appendCleanNovel: Boolean = true,
       leaseMs: Long = 30L * 60 * 1000): MaintenanceReport = {
-    checkRootTier(spark, servingRoot, expectOpq = false)
+    checkRootTier(spark, servingRoot, expect = "PQ")
     runTick(spark, indexDir, servingRoot, leaseMs,
       batch => GraphAnn.rebuildDriftedPqServing(spark, servingRoot,
         corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,
@@ -228,23 +228,37 @@ object Maintenance {
     * included — a scheduler wired to the wrong tier variant must fail
     * its FIRST tick (a config review at rollout), not run silent
     * healthy-path prunes for days and then start throwing at the first
-    * drift trip (r19 review). The rebuild orchestrators keep their own
-    * refusals for direct callers. No published version yet → nothing to
-    * check (the root has no layout until the first publish).
+    * drift trip (r19 review). Tier detection is by the layout the three
+    * publish families leave behind: `rotation/` ⇒ OPQ
+    * ([[graft.operators.Opq.publishPqServingOpq]]),
+    * `artifacts/codebook` ⇒ PQ ([[GraphAnn.publishPqServing]]), neither
+    * ⇒ float ([[GraphAnn.publishServing]]). The OPQ↔PQ confusion is the
+    * SILENT-wrong-space hazard (identical schemas); float↔PQ would fail
+    * on schema eventually, but only after retraining work and with a
+    * column-mismatch error that doesn't name the misconfiguration. The
+    * rebuild orchestrators keep their own refusals for direct callers.
+    * No published version yet → nothing to check (the root has no
+    * layout until the first publish).
     */
   private def checkRootTier(spark: SparkSession, servingRoot: String,
-      expectOpq: Boolean): Unit =
+      expect: String): Unit =
     graft.pipeline.VersionedIndex.currentVersion(servingRoot).foreach { v =>
       val hasRot = graft.core.Fs.exists(spark, s"$servingRoot/$v/rotation")
-      if (hasRot && !expectOpq)
+      val hasBook =
+        graft.core.Fs.exists(spark, s"$servingRoot/$v/artifacts/codebook")
+      val actual = if (hasRot) "OPQ" else if (hasBook) "PQ" else "float"
+      val an = if (actual == "OPQ") "an" else "a"
+      if (actual != expect)
         throw new IllegalStateException(
-          s"$servingRoot/$v is an OPQ serving root (rotation/ present) — " +
-            "use Maintenance.runDriftMaintenanceOpq " +
-            "(Opq.rebuildDriftedPqServingOpq)")
-      if (!hasRot && expectOpq)
-        throw new IllegalStateException(
-          s"$servingRoot/$v carries no rotation/ — not an OPQ serving " +
-            "root; use Maintenance.runDriftMaintenance")
+          s"$servingRoot/$v is $an $actual serving root but this tick " +
+            s"expects a $expect one — use " + (actual match {
+              case "OPQ" => "Maintenance.runDriftMaintenanceOpq " +
+                "(Opq.rebuildDriftedPqServingOpq)"
+              case "PQ" => "Maintenance.runDriftMaintenance " +
+                "(GraphAnn.rebuildDriftedPqServing)"
+              case _ => "Maintenance.runDriftMaintenanceFloat " +
+                "(GraphAnn.rebuildDriftedServing)"
+            }))
     }
 
   /** [[runDriftMaintenance]]'s OPQ twin, against a
@@ -271,7 +285,7 @@ object Maintenance {
       minMass: Double = 0.01, keepVersions: Int = 2,
       appendCleanNovel: Boolean = true,
       leaseMs: Long = 30L * 60 * 1000): MaintenanceReport = {
-    checkRootTier(spark, servingRoot, expectOpq = true)
+    checkRootTier(spark, servingRoot, expect = "OPQ")
     runTick(spark, indexDir, servingRoot, leaseMs,
       batch => graft.operators.Opq.rebuildDriftedPqServingOpq(spark,
         servingRoot, corpus, idCol, vecCol, batch, "id", "vec",
@@ -411,6 +425,7 @@ object Maintenance {
       minMass: Double = 0.01, keepVersions: Int = 2,
       appendCleanNovel: Boolean = true,
       leaseMs: Long = 30L * 60 * 1000): MaintenanceReport = {
+    checkRootTier(spark, servingRoot, expect = "float")
     runTick(spark, indexDir, servingRoot, leaseMs,
       batch => GraphAnn.rebuildDriftedServing(spark, servingRoot,
         corpus, idCol, vecCol, batch, "id", "vec", splitFactor, ivfIters,

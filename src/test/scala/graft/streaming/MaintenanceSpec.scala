@@ -509,4 +509,40 @@ class MaintenanceSpec extends AnyFunSuite {
     Seq(root, run, plainRoot).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
+
+  test("tier mismatch refuses at TICK START, quiet ticks included, naming the remedy") {
+    // PQ root ← float tick: would otherwise run quiet prunes silently
+    // and only fail (on a schema mismatch) at the first drift trip
+    val (pqRoot, _, _, _) = publishBase()
+    val run = Files.createTempDirectory("graft-mt-tier").toString
+    val ex = intercept[IllegalStateException] {
+      Maintenance.runDriftMaintenanceFloat(spark, s"$run/index", pqRoot,
+        base, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("a PQ serving root") &&
+      ex.getMessage.contains("runDriftMaintenance "), ex.getMessage)
+    // float root ← PQ tick
+    val ivf = Similarity.buildIvf(spark,
+      base.select($"vec_id".as("id"), $"embedding".as("vec")),
+      "id", "vec", nCells = 4, iters = 1)
+    val fNodes = GraphAnn.buildGraphPerCell(spark, ivf.assignments, m = 4,
+      efConstruction = 8)
+    val fRef = Similarity.driftStatsAssigned(spark, ivf.assignments,
+      "cell", "vec", ivf.centroids)
+    val fRoot = Files.createTempDirectory("graft-mt-tierf").toString
+    GraphAnn.publishServing(fNodes, ivf.centroids, fRoot, Some(fRef))
+    val ex2 = intercept[IllegalStateException] {
+      Maintenance.runDriftMaintenance(spark, s"$run/index", fRoot,
+        base, "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("a float serving root") &&
+      ex2.getMessage.contains("runDriftMaintenanceFloat"), ex2.getMessage)
+    // ... and a matched quiet tick still no-ops cleanly (the check does
+    // not break the healthy path)
+    val ok = Maintenance.runDriftMaintenance(spark, s"$run/index", pqRoot,
+      base, "vec_id", "embedding")
+    assert(ok.pendingBatchIds.isEmpty && ok.rebuild.isEmpty && !ok.skipped)
+    Seq(pqRoot, fRoot, run).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
 }
