@@ -34,10 +34,11 @@ object Probe {
           if (jobDetail) {
             val d = Option(e.properties)
               .map(_.getProperty("spark.job.description", "")).getOrElse("")
-            val cs = Option(e.properties)
-              .map(_.getProperty("callSite.short", "")).getOrElse("")
+            // the result stage's NAME is the call site ("count at X.scala:N")
+            // — job-start properties don't carry callSite keys on this build
+            val site = e.stageInfos.lastOption.map(_.name).getOrElse("")
             println(s"JOB ${e.jobId} stages=${e.stageInfos.size} " +
-              s"tasks=${e.stageInfos.map(_.numTasks).sum} site=$cs desc=${d.take(80)}")
+              s"tasks=${e.stageInfos.map(_.numTasks).sum} site=$site desc=${d.take(80)}")
           }
           ()
         }

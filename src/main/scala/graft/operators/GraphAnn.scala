@@ -1100,6 +1100,40 @@ object GraphAnn {
     * spec-asserted). Store it next to the IVF index's own tables and the
     * tiers share one layout discipline.
     */
+  // Explicit reader schemas for the two cells layouts this file writes
+  // (float [[GraphNode]] / PQ [[PqGraphNode]], written partitionBy("part"))
+  // — supplied at every persisted-cells read so none pays a per-read
+  // schema-inference job (see Similarity's artifact-schema note; the
+  // cold paths read cells once per probe batch / tick).
+  private def longArr2 = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false))
+  private[graft] val cellsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("level",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("neighbors", longArr2),
+    org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("part",
+      org.apache.spark.sql.types.IntegerType)))
+  private[graft] val pqCellsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("level",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("neighbors", longArr2),
+    org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("part",
+      org.apache.spark.sql.types.IntegerType)))
+
   def writeGraphCells(nodes: DataFrame, dir: String): Unit =
     nodes.write.mode("overwrite").partitionBy("part").parquet(dir)
 
@@ -1156,13 +1190,14 @@ object GraphAnn {
       // the filtered path prunes to the routed cells itself (the filter
       // lands in this scan's PartitionFilters) and repartitions after
       // its flag join — no pre-shuffle needed here
-      searchGraphRoutedFiltered(spark.read.parquet(dir), centroids,
+      searchGraphRoutedFiltered(spark.read.schema(cellsSchema).parquet(dir), centroids,
         probes, probeId, probeVec, a, nprobe, k, ef, tombstones)
     case None =>
       // route ONCE: the same map prunes the scan and drives the beams
       val routes = routeBatch(probes, probeId, probeVec, centroids, nprobe)
       val cells = routes.keys.toSeq
-      val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
+      val nodes = spark.read.schema(cellsSchema).parquet(dir)
+        .filter(col("part").isin(cells: _*))
         // a cell whose parquet file exceeds maxPartitionBytes splits
         // across scan partitions, breaking the per-task segment locality
         // the beams need (adjacency ids must resolve locally); one
@@ -1181,14 +1216,31 @@ object GraphAnn {
     * root alone ([[searchGraphRoutedColdStart]]). Layout:
     * `<root>/v<NNN>/cells` + `<root>/v<NNN>/artifacts`.
     */
+
+  /** Run a publish's independent directory writes CONCURRENTLY (guide
+    * §2.6: the scheduler back-fills one write's task tail with the
+    * other's tasks; the legs touch disjoint dirs and their inputs are
+    * checkpointed by the callers). Await-all-then-rethrow.
+    */
+  private[operators] def overlapWrites(legs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    legs.map(l => Future(l()))
+      .map(f => scala.util.Try(
+        Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      .collectFirst { case scala.util.Failure(e) => throw e }
+    ()
+  }
+
   def publishServing(nodes: DataFrame,
       centroids: Array[(Int, Array[Float])], root: String,
       driftStats: Option[Similarity.DriftStats] = None,
       keepVersions: Int = 2): String =
     graft.pipeline.VersionedIndex.publishInto(root, keepVersions) { dir =>
-      writeGraphCells(nodes, s"$dir/cells")
-      Similarity.writeIvfHead(nodes.sparkSession, centroids,
-        s"$dir/artifacts", driftStats)
+      overlapWrites(
+        () => writeGraphCells(nodes, s"$dir/cells"),
+        () => Similarity.writeIvfHead(nodes.sparkSession, centroids,
+          s"$dir/artifacts", driftStats))
     }
 
   /** COLD-START float serving — [[searchGraphRoutedPqColdStart]]'s
@@ -1244,8 +1296,10 @@ object GraphAnn {
       driftStats: Option[Similarity.DriftStats] = None,
       keepVersions: Int = 2): String =
     graft.pipeline.VersionedIndex.publishInto(root, keepVersions) { dir =>
-      writeGraphCellsPq(nodes, s"$dir/cells")
-      Similarity.writeIvfPq(index, s"$dir/artifacts", clumpBound, driftStats)
+      overlapWrites(
+        () => writeGraphCellsPq(nodes, s"$dir/cells"),
+        () => Similarity.writeIvfPq(index, s"$dir/artifacts", clumpBound,
+          driftStats))
     }
 
   /** COLD-START published serving: a fresh session (no in-memory
@@ -1299,7 +1353,7 @@ object GraphAnn {
       corpusVecTransform: Option[org.apache.spark.sql.expressions
         .UserDefinedFunction] = None): DataFrame = allowed match {
     case Some(a) =>
-      searchGraphRoutedPqFiltered(spark.read.parquet(dir), index, corpus,
+      searchGraphRoutedPqFiltered(spark.read.schema(pqCellsSchema).parquet(dir), index, corpus,
         idCol, vecCol, probes, probeId, probeVec, a, nprobe, k, ef,
         rerankFactor, clumpGuard, clumpBound, tombstones,
         corpusVecTransform)
@@ -1307,7 +1361,8 @@ object GraphAnn {
       // route ONCE: the same map prunes the scan and drives the beams
       val routes = routePqBatch(probes, probeId, probeVec, index, nprobe)
       val cells = routes.keys.toSeq
-      val nodes = spark.read.parquet(dir).filter(col("part").isin(cells: _*))
+      val nodes = spark.read.schema(pqCellsSchema).parquet(dir)
+        .filter(col("part").isin(cells: _*))
         .repartition(col("part"), col("seg"))
       searchGraphRoutedPqWithRoutes(nodes, index, corpus, idCol, vecCol,
         probes, probeId, probeVec, routes, k, ef, rerankFactor, clumpGuard,
@@ -1734,9 +1789,11 @@ object GraphAnn {
       // "nothing retrained" signal.
       val batchAll = assignedBatch.select(col("id"), col("vec"))
         .localCheckpoint(true)
-      val n = batchAll.count()
+      // the one nearest-centroid pass already counted the batch
+      // (statsOverCellRn) — no second count job (r19)
+      val n = batchStats.n
       if (n == 0L) return None
-      val nodes0 = spark.read.parquet(s"$root/$v/cells")
+      val nodes0 = spark.read.schema(pqCellsSchema).parquet(s"$root/$v/cells")
       val freshSegs = buildAppendSegmentsPq(nodes0, batchAll, "id", "vec",
         art.index, m, efConstruction, maxSegmentSize).localCheckpoint(true)
       val restCoded = freshSegs.select(col("id"),
@@ -1762,7 +1819,7 @@ object GraphAnn {
         0L, n))
     }
     val trippedSeq = tripped.toSeq
-    val nodes = spark.read.parquet(s"$root/$v/cells")
+    val nodes = spark.read.schema(pqCellsSchema).parquet(s"$root/$v/cells")
     val untouched = nodes.filter(!col("part").isin(trippedSeq: _*))
     // region floats: tripped cells' CURRENT members (ids from the graph —
     // it carries post-publish appends the artifacts' coded table may
@@ -1827,7 +1884,9 @@ object GraphAnn {
     val index = Similarity.IvfPqIndex(partial.index.centroids,
       partial.index.book, newCoded)
     val newV = publishFn(newNodes, index, Some(bound), Some(publishedRef))
-    val regionRows = regionFloats.count()
+    // the retrain measured the region's stats over exactly these rows —
+    // its n IS the region count (no extra count job, r19)
+    val regionRows = partial.regionStats.n
     log.info(s"partial rebuild of $root: cells " +
       s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +
       s"$regionRows region rows retrained, $restRows appended, " +
@@ -1925,9 +1984,11 @@ object GraphAnn {
       // the raw-space reference, one flip. O(batch).
       val batchAll = assignedBatch.select(col("id"), col("vec"))
         .localCheckpoint(true)
-      val n = batchAll.count()
+      // the one nearest-centroid pass already counted the batch
+      // (statsOverCellRn) — no second count job (r19)
+      val n = batchStats.n
       if (n == 0L) return None
-      val nodes0 = spark.read.parquet(s"$root/$v/cells")
+      val nodes0 = spark.read.schema(cellsSchema).parquet(s"$root/$v/cells")
       val freshSegs = buildAppendSegments(nodes0, batchAll, "id", "vec",
         centroids, m, efConstruction, maxSegmentSize).localCheckpoint(true)
       val restStats = Similarity.driftStatsAssigned(spark,
@@ -1943,7 +2004,7 @@ object GraphAnn {
         0L, n))
     }
     val trippedSeq = tripped.toSeq
-    val nodes = spark.read.parquet(s"$root/$v/cells")
+    val nodes = spark.read.schema(cellsSchema).parquet(s"$root/$v/cells")
     val untouched = nodes.filter(!col("part").isin(trippedSeq: _*))
     val memberFloats = trippedMembers(nodes, corpus, idCol, vecCol, tripped)
     val batchTripped = assignedBatch.filter(col("cell").isin(trippedSeq: _*))
@@ -1982,7 +2043,8 @@ object GraphAnn {
       }
     val newV = publishServing(newNodes, partial.centroids, root,
       Some(publishedRef), keepVersions)
-    val regionRows = regionFloats.count()
+    // regionStats measured exactly the region rows (r19, as the PQ twin)
+    val regionRows = partial.regionStats.n
     log.info(s"partial rebuild of $root: cells " +
       s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +
       s"$regionRows region rows retrained, $restRows appended, " +

@@ -362,6 +362,17 @@ object Opq {
       Similarity.readIvfPq(spark, s"$dir/pq").index)
   }
 
+  /** [[writeRotation]]'s layout, supplied to every rotation read so
+    * none pays a schema-inference job (see Similarity's artifact-schema
+    * note). */
+  private[graft] val rotationSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("row",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))))
+
   private def writeRotation(spark: SparkSession,
       r: Array[Array[Float]], dir: String): Unit = {
     import spark.implicits._
@@ -372,7 +383,8 @@ object Opq {
 
   private def readRotation(spark: SparkSession,
       dir: String): Array[Array[Float]] =
-    spark.read.parquet(dir).collect() // dim rows — bounded driver state
+    spark.read.schema(rotationSchema).parquet(dir)
+      .collect() // dim rows — bounded driver state
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
 
@@ -410,10 +422,11 @@ object Opq {
       driftStats: Option[Similarity.DriftStats] = None,
       keepVersions: Int = 2): String =
     graft.pipeline.VersionedIndex.publishInto(root, keepVersions) { dir =>
-      GraphAnn.writeGraphCellsPq(nodes, s"$dir/cells")
-      Similarity.writeIvfPq(ix.index, s"$dir/artifacts", clumpBound,
-        driftStats)
-      writeRotation(spark, ix.rotation, s"$dir/rotation")
+      GraphAnn.overlapWrites(
+        () => GraphAnn.writeGraphCellsPq(nodes, s"$dir/cells"),
+        () => Similarity.writeIvfPq(ix.index, s"$dir/artifacts", clumpBound,
+          driftStats),
+        () => writeRotation(spark, ix.rotation, s"$dir/rotation"))
     }
 
   /** In-memory OPQ graph search: rotate the probes (O(|batch|)), run

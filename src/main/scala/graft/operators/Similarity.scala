@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.GraftFunctions
 
 /** Similarity search over embedding columns (SURVEY §7.1 item 7, W7 top-k).
@@ -297,7 +298,8 @@ object Similarity {
     */
   def readIvfHead(spark: SparkSession, dir: String):
       (Array[(Int, Array[Float])], Option[DriftStats]) = {
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
+    val cents = spark.read.schema(centroidsSchema)
+      .parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     (cents, readDriftStats(spark, s"$dir/drift_stats"))
@@ -312,10 +314,11 @@ object Similarity {
     * asc); the assignments stay a lazy partition-pruned scan.
     */
   def readIvf(spark: SparkSession, dir: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
+    val cents = spark.read.schema(centroidsSchema)
+      .parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    IvfIndex(cents, spark.read.parquet(s"$dir/assignments")
+    IvfIndex(cents, spark.read.schema(assignmentsSchema).parquet(s"$dir/assignments")
       .select(col("id"), col("vec"), col("cell")))
   }
 
@@ -336,7 +339,8 @@ object Similarity {
     */
   def appendToIvf(spark: SparkSession, dir: String, df: DataFrame,
       idCol: String, vecCol: String): Unit = {
-    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+    val centroids = spark.read.schema(centroidsSchema)
+      .parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -456,19 +460,27 @@ object Similarity {
   }
 
   private[operators] def statsOverCellRn(cellRn: DataFrame): DriftStats = {
-    val assigned = cellRn
-      .localCheckpoint(true) // one assignment pass feeds both aggregates
-    val r = assigned.agg(count(lit(1)), avg(col("rn")),
-      expr("percentile_approx(rn, 0.95, 10000)")).head()
-    val n = r.getLong(0)
+    // ONE aggregate job (r19): rollup(cell) emits the per-cell rows AND
+    // the grand-total row from a single pass — the old shape paid a
+    // localCheckpoint plus two separate aggregate jobs for the same
+    // numbers (the checkpoint existed only so the assignment UDF fed
+    // both; with one pass there is nothing to share). The grand row
+    // (cell = null — cells are non-null ints by construction) carries
+    // n / mean / p95 over the identical rows; cellMass and cellMeanRn
+    // come from the per-cell rows exactly as before. This runs once per
+    // drift-monitored micro-batch and 3-4× per partial rebuild.
+    val rows = cellRn.rollup(col("cell"))
+      .agg(count(lit(1)).as("cnt"), avg(col("rn")).as("mrn"),
+        expr("percentile_approx(rn, 0.95, 10000)").as("p95"))
+      .collect()
+    val total = rows.find(_.isNullAt(0))
+    val n = total.map(_.getLong(1)).getOrElse(0L)
     if (n == 0) return DriftStats(0, Array.empty, 0.0, 0.0)
-    // one grouped pass yields BOTH per-cell tables (mass for the KL leg,
-    // mean rn for per-cell attribution + exact partial-rebuild merges)
-    val perCell = assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("cnt"), avg(col("rn")).as("mrn")).collect()
+    val perCell = rows.filter(!_.isNullAt(0))
       .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
     DriftStats(n, perCell.map(c => (c._1, c._2.toDouble / n)),
-      r.getDouble(1), r.getDouble(2), perCell.map(c => (c._1, c._3)))
+      total.get.getDouble(2), total.get.getDouble(3),
+      perCell.map(c => (c._1, c._3)))
   }
 
   /** Score an append batch against the build-time distribution — the
@@ -549,6 +561,52 @@ object Similarity {
     }.sorted
   }
 
+  // ── Explicit artifact reader schemas (r19 optimization) ──────────────
+  // Every tiny artifact table this file writes is read back with its
+  // schema SUPPLIED: `spark.read.parquet` without a user schema runs a
+  // one-task schema-inference job per call, and on the cold-read paths
+  // those inference jobs outnumber the data jobs (measured: readIvfPq
+  // was ~10 one-task jobs — 4 inference + 5 collect/head — at the box's
+  // ~80 ms/job scheduler floor, paid per cold read; v34 pays it per
+  // probe batch, the rebuild orchestrators 2-3× per tick). The schemas
+  // are the writers' own, defined beside them, so nothing about the
+  // bytes or their bit-exact round-trip changes — only the job count
+  // (optimization guide §1.2: remove work before tuning what remains).
+  private def floatArr = ArrayType(FloatType, containsNull = false)
+  private[graft] val centroidsSchema = StructType(Seq(
+    StructField("cell", IntegerType), StructField("centroid", floatArr)))
+  private val codebookSchema = StructType(Seq(
+    StructField("sub", IntegerType), StructField("code", IntegerType),
+    StructField("centroid", floatArr)))
+  private val manifestSchema = StructType(Seq(
+    StructField("subspaces", IntegerType),
+    StructField("sub_dim", IntegerType),
+    StructField("clump_bound", IntegerType)))
+  private val driftStatsSchema = StructType(Seq(
+    StructField("cell", IntegerType), StructField("mass", DoubleType),
+    StructField("n", LongType), StructField("mean_rn", DoubleType),
+    StructField("p95_rn", DoubleType),
+    StructField("cell_mean_rn", DoubleType)))
+  private[graft] val assignmentsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("vec", ArrayType(FloatType)),
+    StructField("cell", IntegerType)))
+  private[graft] val codedSchema = StructType(Seq(
+    StructField("id", LongType), StructField("pq_codes", BinaryType),
+    StructField("cell", IntegerType)))
+
+  /** [[appendDriftLog]]'s column set — shared by every log reader (the
+    * maintenance tick, the prune, the gates) so none pays a per-read
+    * schema-inference job (the old `mergeSchema=true` reads additionally
+    * footer-scanned EVERY file). Files written before a column existed
+    * read that column as null — the same absorption mergeSchema gave.
+    */
+  val driftLogSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType), StructField("n", LongType),
+    StructField("mean_rn", DoubleType), StructField("p95_rn", DoubleType),
+    StructField("resid_ratio", DoubleType),
+    StructField("mass_kl", DoubleType),
+    StructField("drifted", BooleanType)))
+
   private def writeDriftStats(spark: SparkSession, st: DriftStats,
       path: String): Unit = {
     import spark.implicits._
@@ -566,23 +624,28 @@ object Similarity {
     */
   def readDriftStats(spark: SparkSession, path: String): Option[DriftStats] = {
     val df =
-      try spark.read.parquet(path)
+      try spark.read.schema(driftStatsSchema).parquet(path)
       catch { case scala.util.control.NonFatal(_) => return None }
-    val rows = df.collect()
+    val rows =
+      try df.collect()
+      catch { case scala.util.control.NonFatal(_) => return None }
+    driftStatsFromRows(rows)
+  }
+
+  /** Rebuild a [[DriftStats]] from [[driftStatsSchema]]-shaped rows
+    * (column order: cell, mass, n, mean_rn, p95_rn, cell_mean_rn) —
+    * shared by [[readDriftStats]] and [[readIvfPq]]'s one-collect read.
+    * Tables written before `cell_mean_rn` existed read it as null.
+    */
+  private[operators] def driftStatsFromRows(rows: Array[Row]): Option[DriftStats] = {
     if (rows.isEmpty) return Some(DriftStats(0, Array.empty, 0.0, 0.0))
     val h = rows.head
-    val cellMean =
-      if (!df.schema.fieldNames.contains("cell_mean_rn")) Array.empty[(Int, Double)]
-      else rows.flatMap { r =>
-        val i = r.fieldIndex("cell_mean_rn")
-        if (r.isNullAt(i)) None
-        else Some((r.getInt(r.fieldIndex("cell")), r.getDouble(i)))
-      }.sortBy(_._1)
-    Some(DriftStats(h.getLong(h.fieldIndex("n")),
-      rows.map(r => (r.getInt(r.fieldIndex("cell")),
-        r.getDouble(r.fieldIndex("mass")))).sortBy(_._1),
-      h.getDouble(h.fieldIndex("mean_rn")),
-      h.getDouble(h.fieldIndex("p95_rn")), cellMean))
+    val cellMean = rows.flatMap { r =>
+      if (r.isNullAt(5)) None else Some((r.getInt(0), r.getDouble(5)))
+    }.sortBy(_._1)
+    Some(DriftStats(h.getLong(2),
+      rows.map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1),
+      h.getDouble(3), h.getDouble(4), cellMean))
   }
 
   /** [[appendToIvf]] with the drift monitor wired in: score the batch
@@ -599,11 +662,12 @@ object Similarity {
       idCol: String, vecCol: String, residRatioMax: Double = 1.25,
       klMax: Double = 0.5): DriftReport = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+    val centroids = spark.read.schema(centroidsSchema)
+      .parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val ref = readDriftStats(spark, s"$dir/drift_stats").getOrElse {
       val st = driftStatsAssigned(spark,
-        spark.read.parquet(s"$dir/assignments"), "cell", "vec", centroids)
+        spark.read.schema(assignmentsSchema).parquet(s"$dir/assignments"), "cell", "vec", centroids)
       writeDriftStats(spark, st, s"$dir/drift_stats") // backfill once
       st
     }
@@ -680,7 +744,7 @@ object Similarity {
   def pruneDriftLog(spark: SparkSession, logDir: String,
       uptoBatchId: Long): Long = {
     if (!graft.core.Fs.exists(spark, logDir)) return 0L
-    val log = spark.read.option("mergeSchema", "true").parquet(logDir)
+    val log = spark.read.schema(driftLogSchema).parquet(logDir)
     // one bounded aggregate: per-file row count + prunability (file count
     // is bounded by the flat compactor; driver state is one row per file)
     val perFile = log
@@ -805,10 +869,11 @@ object Similarity {
     */
   def searchIvfPartitioned(spark: SparkSession, dir: String, probe: Array[Float],
       nprobe: Int, k: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+    val centroids = spark.read.schema(centroidsSchema)
+      .parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val cells = nearestCells(centroids, probe, nprobe)
-    spark.read.parquet(s"$dir/assignments")
+    spark.read.schema(assignmentsSchema).parquet(s"$dir/assignments")
       .filter(col("cell").isin(cells: _*))
       .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), typedLit(probe)))
       .select(col("id"), col("sim"))
@@ -827,7 +892,8 @@ object Similarity {
   def searchIvfPartitionedBatch(spark: SparkSession, dir: String,
       probes: DataFrame, probeId: String, probeVec: String,
       nprobe: Int, k: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+    val centroids = spark.read.schema(centroidsSchema)
+      .parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val bc = spark.sparkContext.broadcast(centroids)
     val cellsOf = udf((v: Seq[Float]) => nearestCells(bc.value, v.toArray, nprobe))
@@ -839,7 +905,7 @@ object Similarity {
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val topk = udaf(new graft.functions.TopKByScore(k))
-    spark.read.parquet(s"$dir/assignments")
+    spark.read.schema(assignmentsSchema).parquet(s"$dir/assignments")
       .filter(col("cell").isin(cells: _*))
       .join(probeCells, Seq("cell"))
       .withColumn("sim", GraftFunctions.cosine_f32(col("vec"), col("probe_vec")))
@@ -1220,26 +1286,47 @@ object Similarity {
     // the old index's drift_stats behind would hand the monitor a
     // reference from the WRONG centroids (silently mis-scoring every
     // batch) instead of the honest "no reference stored".
-    driftStats match {
-      case Some(st) => writeDriftStats(spark, st, s"$dir/drift_stats")
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/drift_stats")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-    }
+    // The four driver-sized side tables write CONCURRENTLY (guide §2.6:
+    // overlap independent jobs — each is a one-task write whose wall is
+    // the scheduler floor, and they touch disjoint directories); the
+    // data-sized coded write keeps the whole cluster first. Await-all-
+    // then-rethrow, the StreamingIngest upsert discipline.
     index.coded.select(col("id"), col("cell"), col("pq_codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/coded")
-    index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val b = index.book
-    (for { sc <- 0 until b.subspaces; code <- b.centroids(sc).indices }
-      yield (sc, code, b.centroids(sc)(code).toSeq))
-      .toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-    Seq((b.subspaces, b.subDim, clumpBound))
-      .toDF("subspaces", "sub_dim", "clump_bound")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sideWrites = Seq(
+      Future {
+        driftStats match {
+          case Some(st) => writeDriftStats(spark, st, s"$dir/drift_stats")
+          case None =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/drift_stats")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true)
+        }
+      },
+      Future {
+        index.centroids.toSeq.map { case (ci, c) => (ci, c.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      },
+      Future {
+        (for { sc <- 0 until b.subspaces; code <- b.centroids(sc).indices }
+          yield (sc, code, b.centroids(sc)(code).toSeq))
+          .toDF("sub", "code", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+      },
+      Future {
+        Seq((b.subspaces, b.subDim, clumpBound))
+          .toDF("subspaces", "sub_dim", "clump_bound")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+      })
+    sideWrites
+      .map(f => scala.util.Try(
+        Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      .collectFirst { case scala.util.Failure(e) => throw e }
+    ()
   }
 
   /** Reconstruct an [[IvfPqIndex]] from a [[writeIvfPq]] directory in a
@@ -1252,27 +1339,66 @@ object Similarity {
     * table stays a lazy partition-pruned scan.
     */
   def readIvfPq(spark: SparkSession, dir: String): IvfPqArtifacts = {
-    val man = spark.read.parquet(s"$dir/manifest").head()
-    val subspaces = man.getInt(man.fieldIndex("subspaces"))
-    val subDim = man.getInt(man.fieldIndex("sub_dim"))
-    val cbIdx = man.fieldIndex("clump_bound")
-    val clump = if (man.isNullAt(cbIdx)) None else Some(man.getInt(cbIdx))
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
-      .map(r => (r.getInt(r.fieldIndex("cell")),
-        r.getSeq[Float](r.fieldIndex("centroid")).toArray))
-      .sortBy(_._1)
-    val bySub = spark.read.parquet(s"$dir/codebook").collect()
-      .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
-        r.getSeq[Float](r.fieldIndex("centroid")).toArray))
+    // ONE collect job for the whole cold read: manifest + centroids +
+    // codebook (+ the drift reference when stored) union under a tagged
+    // wide schema and collect together. Read table-by-table this was
+    // ~10 one-task jobs (schema inference + collect per table) — pure
+    // scheduler floor, paid per cold read (v34 per probe batch, the
+    // rebuild orchestrators 2-3× per tick). The files, their layout and
+    // the bit-exact float round-trip are unchanged; only the read plan
+    // is fused. Unified columns: t(0), a(1), b(2), vec(3), clump(4),
+    // mass(5), n(6), mean_rn(7), p95_rn(8), cmr(9).
+    val nullF = lit(null).cast(floatArr)
+    val nullI = lit(null).cast("int")
+    val nullD = lit(null).cast("double")
+    val nullL = lit(null).cast("long")
+    def leg(path: String, sch: StructType, tag: String,
+        cols: Column*): DataFrame =
+      spark.read.schema(sch).parquet(path)
+        .select((lit(tag).as("t") +: cols): _*)
+    val hasDrift = graft.core.Fs.exists(spark, s"$dir/drift_stats")
+    val legs = Seq(
+      leg(s"$dir/manifest", manifestSchema, "m",
+        col("subspaces").as("a"), col("sub_dim").as("b"), nullF.as("vec"),
+        col("clump_bound").as("clump"), nullD.as("mass"), nullL.as("n"),
+        nullD.as("mean_rn"), nullD.as("p95_rn"), nullD.as("cmr")),
+      leg(s"$dir/centroids", centroidsSchema, "c",
+        col("cell").as("a"), nullI.as("b"), col("centroid").as("vec"),
+        nullI.as("clump"), nullD.as("mass"), nullL.as("n"),
+        nullD.as("mean_rn"), nullD.as("p95_rn"), nullD.as("cmr")),
+      leg(s"$dir/codebook", codebookSchema, "k",
+        col("sub").as("a"), col("code").as("b"), col("centroid").as("vec"),
+        nullI.as("clump"), nullD.as("mass"), nullL.as("n"),
+        nullD.as("mean_rn"), nullD.as("p95_rn"), nullD.as("cmr"))) ++
+      (if (hasDrift)
+        Seq(leg(s"$dir/drift_stats", driftStatsSchema, "d",
+          col("cell").as("a"), nullI.as("b"), nullF.as("vec"),
+          nullI.as("clump"), col("mass"), col("n"), col("mean_rn"),
+          col("p95_rn"), col("cell_mean_rn").as("cmr")))
+      else Nil)
+    val byTag = legs.reduce(_ unionByName _).collect().groupBy(_.getString(0))
+    val man = byTag.getOrElse("m", throw new IllegalStateException(
+      s"no manifest under $dir")).head
+    val subspaces = man.getInt(1)
+    val subDim = man.getInt(2)
+    val clump = if (man.isNullAt(4)) None else Some(man.getInt(4))
+    val cents = byTag.getOrElse("c", Array.empty[Row])
+      .map(r => (r.getInt(1), r.getSeq[Float](3).toArray)).sortBy(_._1)
+    val bySub = byTag.getOrElse("k", Array.empty[Row])
+      .map(r => (r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray))
       .groupBy(_._1)
     val centroids = Array.tabulate(subspaces) { sc =>
       bySub(sc).sortBy(_._2).map(_._3)
     }
-    val coded = spark.read.parquet(s"$dir/coded")
+    val drift =
+      if (!hasDrift) None
+      else driftStatsFromRows(byTag.getOrElse("d", Array.empty[Row]).map(r =>
+        Row(r.getInt(1), r.get(5), r.get(6), r.get(7), r.get(8), r.get(9))))
+    val coded = spark.read.schema(codedSchema).parquet(s"$dir/coded")
       .select(col("id"), col("cell"), col("pq_codes"))
     IvfPqArtifacts(
       IvfPqIndex(cents, PqCodebook(subspaces, subDim, centroids), coded),
-      clump, readDriftStats(spark, s"$dir/drift_stats"))
+      clump, drift)
   }
 
   /** One partial retrain's output: the index with ONLY the tripped

@@ -34,7 +34,9 @@ object IncrementalIndexer {
 
   private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     if (graft.core.Fs.exists(spark, dir))
-      spark.read.parquet(dir)
+      // schema supplied (it is this writer's own) — skips the per-read
+      // schema-inference job (r19; see Similarity's artifact-schema note)
+      spark.read.schema(schema).parquet(dir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 

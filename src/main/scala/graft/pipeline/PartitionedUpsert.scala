@@ -91,14 +91,25 @@ object PartitionedUpsert {
         "would hash into the wrong partitions and replaced rows would " +
         "silently duplicate"))
     val fresh = updates.withColumn("_bucket", bucketOf(col(keyCol), nBuckets))
-    // the changed slice is small by contract — its distinct bucket list is
-    // at most nBuckets ints, and it bounds the whole run's IO
-    val buckets = fresh.select(col("_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (buckets.isEmpty) return
-    val affected = spark.read.parquet(dir)
+    // ONE collect drives both the partition-pruned read (bucket list) and
+    // the replace anti-join (key set) — the changed slice is small by
+    // contract, and the old shape paid two extra scheduler-floor jobs per
+    // upsert (a second distinct for the buckets plus the broadcast build
+    // of a distributed keys plan; a LocalRelation broadcast builds on the
+    // driver with no job). r19, guide §1.2/§2.4.
+    val keyRows = fresh.select(col(keyCol), col("_bucket")).distinct().collect()
+    if (keyRows.isEmpty) return
+    val buckets = keyRows.map(_.getInt(1)).distinct.toSeq
+    // reader schema = the updates' own shape (the table was written from
+    // the same shape by writeInitial/previous upserts): skips the per-call
+    // schema-inference job
+    val affected = spark.read.schema(fresh.schema).parquet(dir)
       .filter(col("_bucket").isin(buckets: _*)) // PartitionFilters: pruned scan
-    val keys = updates.select(col(keyCol)).distinct()
+    val keyField = updates.schema(updates.schema.fieldIndex(keyCol))
+    val keys = spark.createDataFrame(
+      java.util.Arrays.asList(keyRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0))): _*),
+      org.apache.spark.sql.types.StructType(Seq(keyField)))
     val kept = affected.join(broadcast(keys), Seq(keyCol), "left_anti")
     // localCheckpoint materializes the merged partitions so the subsequent
     // overwrite of the same path is legal (the files are no longer read)
@@ -112,7 +123,13 @@ object PartitionedUpsert {
       .partitionBy("_bucket").parquet(dir)
   }
 
-  /** Read the table back (bucket column dropped). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("_bucket")
+  /** Read the table back (bucket column dropped). `schema`, when the
+    * caller knows the table's shape (data columns + `_bucket INT`),
+    * skips the per-read schema-inference job — the streaming ingest
+    * loops re-read their index tables every micro-batch.
+    */
+  def read(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(dir).drop("_bucket")
 }

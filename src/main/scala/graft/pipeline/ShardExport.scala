@@ -167,15 +167,25 @@ object ShardExport {
     val p = new Path(s"$epochDir/_manifest")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
-    val manifest = spark.read.parquet(s"$epochDir/_manifest")
+    // both sides are ≤ nShards rows: ONE collect each, compared as sorted
+    // tuples on the driver — the old shape paid two schema-inference jobs
+    // plus three count/join jobs for the same comparison (r19)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(r.fieldIndex("shard")), r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("order_checksum")))
+    val manifest = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "shard INT, n_docs BIGINT, n_tokens BIGINT, order_checksum BIGINT"))
+      .parquet(s"$epochDir/_manifest").collect().map(key).sortBy(_._1)
     val recomputed = spark.read.parquet(epochDir)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol).cast("long")).as("n_tokens"),
         sum(col("pos").cast("long") * col(idCol).cast("long"))
           .as("order_checksum"))
-    manifest.count() == recomputed.count() &&
-      manifest.join(recomputed,
-        Seq("shard", "n_docs", "n_tokens", "order_checksum")).count() == manifest.count()
+      .collect().map(key).sortBy(_._1)
+    manifest.length == recomputed.length &&
+      manifest.sameElements(recomputed)
   }
 }

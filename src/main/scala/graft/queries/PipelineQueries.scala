@@ -343,11 +343,15 @@ object PipelineQueries {
           .DriftMonitorConfig(baseIx.centroids, baseRef)))
       // the stream's verdicts: exactly the planted batch logged drifted,
       // its rows landed (land-then-log), the clean batch logged clean
-      val log0 = s.read.parquet(s"$run/index/drift_log")
-        .dropDuplicates("batch_id").localCheckpoint(true)
-      val driftedIds = log0.filter($"drifted").select($"batch_id")
-        .collect().map(_.getLong(0)).toSeq
-      val tripLogged = log0.count() == 2 && driftedIds.size == 1 &&
+      // ONE collect serves every verdict over the (tiny, 2-row) log —
+      // the old checkpoint + filtered collect + count shape paid three
+      // scheduler-floor jobs for the same reads (r19)
+      val log0 = s.read.schema(Similarity.driftLogSchema)
+        .parquet(s"$run/index/drift_log")
+        .dropDuplicates("batch_id").collect()
+      val driftedIds = log0.filter(_.getAs[Boolean]("drifted"))
+        .map(_.getAs[Long]("batch_id")).toSeq
+      val tripLogged = log0.length == 2 && driftedIds.size == 1 &&
         graft.core.Fs.exists(s,
           s"$run/index/drift_batches/batch_id=${driftedIds.head}")
       // the scheduler tick — corpus is the view the index serves
@@ -367,7 +371,8 @@ object PipelineQueries {
       // the loop composition, so the cheaper multiset fingerprint keeps
       // this gate's job count down without losing the loop's invariant)
       val batchIds = drifted.select($"vec_id".cast("long").as("id"))
-      def codedSum(v: String) = s.read.parquet(s"$root/$v/artifacts/coded")
+      def codedSum(v: String) = s.read
+        .schema(Similarity.codedSchema).parquet(s"$root/$v/artifacts/coded")
         .filter(!$"cell".isin(tripped: _*) &&
           !$"cell".isin(res.newCells.toSeq: _*))
         .join(batchIds, Seq("id"), "left_anti") // minus appended arrivals
@@ -398,7 +403,7 @@ object PipelineQueries {
           .as("ok")).head().getBoolean(0)
       // processed window cleared: log pruned through both batches,
       // landed rows gone
-      val logAfter = s.read.parquet(s"$run/index/drift_log")
+      val logAfter = s.read.schema(Similarity.driftLogSchema).parquet(s"$run/index/drift_log")
       val logPruned = logAfter.filter(
         $"batch_id" <= tick1.pendingBatchIds.max).isEmpty &&
         tick1.logRowsPruned >= 2

@@ -225,7 +225,8 @@ object VectorQueries {
       // cell's file stays under maxPartitionBytes — restore it explicitly
       // (resolveAdj fails fast naming this remedy otherwise)
       val mem = GraphAnn.searchGraphRouted(
-          GraphAnn.restoreSegmentLocality(s.read.parquet(dir)),
+          GraphAnn.restoreSegmentLocality(
+            s.read.schema(GraphAnn.cellsSchema).parquet(dir)),
           index.centroids, probes, "probe_id", "probe_vec", nprobe, k, ef = 48)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select($"probe_id", $"id", $"rank")
@@ -881,7 +882,8 @@ object VectorQueries {
           ef = 64, rerankFactor = 16, clumpBound = Some(bound))
         .localCheckpoint(true)
       val mem = GraphAnn.searchGraphRoutedPq(
-        GraphAnn.restoreSegmentLocality(s.read.parquet(vdir)), index, emb,
+        GraphAnn.restoreSegmentLocality(
+          s.read.schema(GraphAnn.pqCellsSchema).parquet(vdir)), index, emb,
         "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe, k,
         ef = 64, rerankFactor = 16, clumpBound = Some(bound))
       def rows(df: org.apache.spark.sql.DataFrame) =
@@ -898,7 +900,8 @@ object VectorQueries {
         ef = 256, rerankFactor = 64, clumpBound = Some(bound),
         allowed = Some(allowed))
       val fmem = GraphAnn.searchGraphRoutedPqFiltered(
-        GraphAnn.restoreSegmentLocality(s.read.parquet(vdir)), index, emb,
+        GraphAnn.restoreSegmentLocality(
+          s.read.schema(GraphAnn.pqCellsSchema).parquet(vdir)), index, emb,
         "vec_id", "embedding", probes, "probe_id", "probe_vec", allowed,
         nprobe, k, ef = 256, rerankFactor = 64, clumpBound = Some(bound))
       val fdiff = rows(fdisk).exceptAll(rows(fmem))
@@ -1125,7 +1128,8 @@ object VectorQueries {
           k, ef = 64, rerankFactor = 16)
         .localCheckpoint(true)
       val mem = GraphAnn.searchGraphRoutedPq(
-        GraphAnn.restoreSegmentLocality(s.read.parquet(s"$root/$v/cells")),
+        GraphAnn.restoreSegmentLocality(
+          s.read.schema(GraphAnn.pqCellsSchema).parquet(s"$root/$v/cells")),
         index, emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
         nprobe, k, ef = 64, rerankFactor = 16, clumpBound = Some(bound))
       def rows(df: org.apache.spark.sql.DataFrame) =
@@ -1139,7 +1143,8 @@ object VectorQueries {
         "vec_id", "embedding", probes, "probe_id", "probe_vec", nprobe, k,
         ef = 256, rerankFactor = 64, allowed = Some(allowed))
       val fmem = GraphAnn.searchGraphRoutedPqFiltered(
-        GraphAnn.restoreSegmentLocality(s.read.parquet(s"$root/$v/cells")),
+        GraphAnn.restoreSegmentLocality(
+          s.read.schema(GraphAnn.pqCellsSchema).parquet(s"$root/$v/cells")),
         index, emb, "vec_id", "embedding", probes, "probe_id", "probe_vec",
         allowed, nprobe, k, ef = 256, rerankFactor = 64,
         clumpBound = Some(bound))
@@ -1194,8 +1199,9 @@ object VectorQueries {
         "vec_id", "embedding")
       val r2 = Similarity.appendToIvfMonitored(s, dir, drifted,
         "vec_id", "embedding")
-      val logRows = s.read.parquet(s"$dir/drift_log").count()
-      val landed = s.read.parquet(s"$dir/assignments").count() ==
+      val logRows = s.read.schema(Similarity.driftLogSchema).parquet(s"$dir/drift_log").count()
+      val landed = s.read.schema(Similarity.assignmentsSchema)
+        .parquet(s"$dir/assignments").count() ==
         nEmb + r1.n + r2.n
       // PQ tier: the unit-space monitor on the graph append
       val pq = Fixtures.cachedObj(s, s"v16_ivfpq:$d")(
@@ -1425,13 +1431,14 @@ object VectorQueries {
       // is appended batch rows only
       val oldArt = s"$root/$v0/artifacts"
       val newArt = s"$root/${res.version}/artifacts"
-      def coded(p: String) = s.read.parquet(s"$p/coded")
+      def coded(p: String) = s.read
+        .schema(Similarity.codedSchema).parquet(s"$p/coded")
         .filter(!$"cell".isin(tripped: _*))
         .select($"id", $"cell", $"pq_codes")
       val codedA = coded(oldArt); val codedB = coded(newArt)
       val codedAdds = codedB.exceptAll(codedA).localCheckpoint(true)
       val batchIds = batch.select($"vec_id".cast("long").as("id"))
-      val codedNew = s.read.parquet(s"$newArt/coded")
+      val codedNew = s.read.schema(Similarity.codedSchema).parquet(s"$newArt/coded")
         .join(batchIds, Seq("id"), "left_semi").localCheckpoint(true)
       val untouchedCodedOk = codedA.exceptAll(codedB).isEmpty &&
         codedAdds.count() == res.regionRows + res.restRows &&
@@ -1439,7 +1446,8 @@ object VectorQueries {
           .join(batchIds, Seq("id"), "left_anti").isEmpty &&
         codedNew.count() == batchN &&
         codedNew.select($"id").distinct().count() == batchN
-      def adj(p: String) = s.read.parquet(s"$root/$p/cells")
+      def adj(p: String) = s.read
+        .schema(GraphAnn.pqCellsSchema).parquet(s"$root/$p/cells")
         .filter(!$"part".isin(tripped: _*))
         .select($"part", $"id", $"codes", $"level", $"neighbors", $"seg")
       val adjA = adj(v0); val adjB = adj(res.version)
@@ -1453,7 +1461,7 @@ object VectorQueries {
       val oldMax = baseIx.centroids.map(_._1).max
       val retireOk = res.tripped.forall(c => !liveCells.contains(c)) &&
         res.newCells.forall(_ > oldMax) &&
-        s.read.parquet(s"$newArt/coded")
+        s.read.schema(Similarity.codedSchema).parquet(s"$newArt/coded")
           .filter($"cell".isin(tripped: _*)).isEmpty
       val bookOk = art.index.book.centroids.zip(baseIx.book.centroids)
         .forall { case (sa, sb) => sa.zip(sb).forall {
@@ -1461,7 +1469,8 @@ object VectorQueries {
       // (d) the merged reference ≡ a direct recompute over EVERY row the
       // index serves — r17: the appended remainder's post-append stats
       // now fold into the merge, so the coverage is the full coded table
-      val covered = s.read.parquet(s"$newArt/coded").select($"id", $"cell")
+      val covered = s.read.schema(Similarity.codedSchema)
+        .parquet(s"$newArt/coded").select($"id", $"cell")
         .join(corpus.select($"vec_id".cast("long").as("id"), $"embedding"),
           Seq("id"))
       val unitU = udf((v: Seq[Float]) => Similarity.l2unit(v).toSeq)
@@ -1574,7 +1583,8 @@ object VectorQueries {
       val corpusN = corpus.count()
       val batchN = batch.count()
       val batchIds = batch.select($"vec_id".cast("long").as("id"))
-      def adj(p: String) = s.read.parquet(s"$root/$p/cells")
+      def adj(p: String) = s.read
+        .schema(GraphAnn.cellsSchema).parquet(s"$root/$p/cells")
         .filter(!$"part".isin(tripped: _*))
         .select($"part", $"id", $"vec", $"level", $"neighbors", $"seg")
       val adjA = adj(v0); val adjB = adj(res.version)
@@ -2120,11 +2130,14 @@ object VectorQueries {
         maxFilesPerTrigger = Some(1), buckets = 8,
         driftMonitor = Some(graft.streaming.StreamingIngest
           .DriftMonitorConfig(Opq.unrotatedCentroids(ixOpq), refRot)))
-      val log0 = s.read.parquet(s"$run/index/drift_log")
-        .dropDuplicates("batch_id").localCheckpoint(true)
-      val driftedIds = log0.filter($"drifted").select($"batch_id")
-        .collect().map(_.getLong(0)).toSeq
-      val tripLogged = log0.count() == 2 && driftedIds.size == 1 &&
+      // ONE collect serves every verdict over the (tiny, 2-row) log
+      // — as st8 (r19)
+      val log0 = s.read.schema(Similarity.driftLogSchema)
+        .parquet(s"$run/index/drift_log")
+        .dropDuplicates("batch_id").collect()
+      val driftedIds = log0.filter(_.getAs[Boolean]("drifted"))
+        .map(_.getAs[Long]("batch_id")).toSeq
+      val tripLogged = log0.length == 2 && driftedIds.size == 1 &&
         graft.core.Fs.exists(s,
           s"$run/index/drift_batches/batch_id=${driftedIds.head}")
       val corpus = Fixtures.cached(s, s"v41_corpus:$d")(
@@ -2143,7 +2156,7 @@ object VectorQueries {
         }
       val pendingIntact = graft.core.Fs.exists(s,
         s"$run/index/drift_batches/batch_id=${driftedIds.head}") &&
-        !s.read.parquet(s"$run/index/drift_log")
+        !s.read.schema(Similarity.driftLogSchema).parquet(s"$run/index/drift_log")
           .filter($"batch_id".isNotNull).isEmpty
       // the OPQ tick: rotate at the boundary, retrain in rotated space,
       // carry rotation/ through the flip
@@ -2153,7 +2166,7 @@ object VectorQueries {
       val rebuildFired = tick1.rebuild.nonEmpty &&
         tick1.pendingBatchIds == driftedIds
       val res = tick1.rebuild.get
-      val rotAfter = s.read.parquet(s"$root/${res.version}/rotation")
+      val rotAfter = s.read.schema(Opq.rotationSchema).parquet(s"$root/${res.version}/rotation")
         .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1).map(_._2)
       val rotationSurvives = rotAfter.length == ixOpq.rotation.length &&
@@ -2181,7 +2194,7 @@ object VectorQueries {
       // maxOption: an empty pending set (monitor regression) must read
       // as a false gate column, not an empty.max crash
       val logPruned = tick1.pendingBatchIds.maxOption.exists(mx =>
-        s.read.parquet(s"$run/index/drift_log")
+        s.read.schema(Similarity.driftLogSchema).parquet(s"$run/index/drift_log")
           .filter($"batch_id" <= mx).isEmpty)
       val pendingCleared = !graft.core.Fs.exists(s,
         s"$run/index/drift_batches/batch_id=${driftedIds.head}")
@@ -2215,7 +2228,7 @@ object VectorQueries {
         }
       val vFull = Opq.publishPqServingOpq(s, nodesFull, ixFull, root,
         Some(GraphAnn.pqClumpBound(nodesFull)), Some(refFull))
-      val rotServed = s.read.parquet(s"$root/$vFull/rotation")
+      val rotServed = s.read.schema(Opq.rotationSchema).parquet(s"$root/$vFull/rotation")
         .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1).map(_._2)
       def sameRot(a: Array[Array[Float]], b: Array[Array[Float]]) =

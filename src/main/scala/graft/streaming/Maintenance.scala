@@ -192,7 +192,7 @@ object Maintenance {
   def pendingDriftBatchIds(spark: SparkSession, indexDir: String): Seq[Long] = {
     val log = driftLogDir(indexDir)
     if (!graft.core.Fs.exists(spark, log)) return Nil
-    spark.read.option("mergeSchema", "true").parquet(log)
+    spark.read.schema(Similarity.driftLogSchema).parquet(log)
       .filter(col("batch_id").isNotNull)
       .groupBy(col("batch_id"))
       .agg(max(col("drifted")).as("drifted"))
@@ -367,7 +367,7 @@ object Maintenance {
       indexDir: String): Long = {
     val log = driftLogDir(indexDir)
     if (!graft.core.Fs.exists(spark, log)) return -1L
-    val r = spark.read.option("mergeSchema", "true").parquet(log)
+    val r = spark.read.schema(Similarity.driftLogSchema).parquet(log)
       .agg(max(col("batch_id"))).head()
     if (r.isNullAt(0)) -1L else r.getLong(0)
   }
@@ -402,11 +402,22 @@ object Maintenance {
   private def novelPending(spark: SparkSession, indexDir: String,
       servingRoot: String, ids: Seq[Long]): DataFrame = {
     val pending = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
       .parquet(ids.map(batchDir(indexDir, _)): _*)
       .select(col("id"), col("vec"))
     graft.pipeline.VersionedIndex.currentVersion(servingRoot) match {
       case Some(v) =>
-        val served = spark.read.parquet(s"$servingRoot/$v/cells")
+        // partial user schema = projection at the scan, no inference job
+        val served = spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(s"$servingRoot/$v/cells")
           .select(col("id"))
         pending.join(served, Seq("id"), "left_anti").localCheckpoint(true)
       case None => pending.localCheckpoint(true)

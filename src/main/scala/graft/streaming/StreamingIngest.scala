@@ -45,6 +45,18 @@ object StreamingIngest {
     */
   private val Buckets = 64
 
+  // The index tables' on-disk shapes (data columns + the `_bucket`
+  // partition column), supplied to every per-micro-batch re-read so the
+  // loop never pays a schema-inference job per trigger (see Similarity's
+  // artifact-schema note — at the local scheduler floor those one-task
+  // jobs are the loop's overhead, not its work).
+  private val SigsSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("id BIGINT, sig ARRAY<BIGINT>, _bucket INT")
+  private val SksSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("id BIGINT, vec ARRAY<FLOAT>, sks ARRAY<BIGINT>, _bucket INT")
+  private val BandsSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("band INT, bh BIGINT, id BIGINT, _bucket INT")
+
   /** Post-pass index maintenance: every [[PartitionedUpsert.upsertByKey]]
     * rewrites a touched bucket with as many files as tasks held its rows,
     * so a long-lived ingest index fragments at the rate of (touched
@@ -204,11 +216,12 @@ object StreamingIngest {
             s.emptyDataFrame.select(cols.map { case (n, t) =>
               lit(null).cast(t).as(n) }: _*).filter(lit(false))
           val sks =
-            if (haveIndex) PartitionedUpsert.read(s, sksDir)
+            if (haveIndex) PartitionedUpsert.read(s, sksDir, Some(SksSchema))
             else emptyTyped("id" -> "long", "vec" -> "array<float>",
               "sks" -> "array<long>")
           val bandTbl =
-            if (haveIndex) PartitionedUpsert.read(s, bandsDir)
+            if (haveIndex) PartitionedUpsert.read(s, bandsDir,
+              Some(BandsSchema))
             else emptyTyped("band" -> "int", "bh" -> "long", "id" -> "long")
           if (bloom == null) bloom =
             if (haveIndex) Dedup.buildBandBloom(bandTbl, expectedBandKeys)
@@ -280,10 +293,11 @@ object StreamingIngest {
             s.emptyDataFrame.select(cols.map { case (n, t) =>
               lit(null).cast(t).as(n) }: _*).filter(lit(false))
           val sigs =
-            if (haveIndex) PartitionedUpsert.read(s, sigsDir)
+            if (haveIndex) PartitionedUpsert.read(s, sigsDir, Some(SigsSchema))
             else emptyTyped("id" -> "long", "sig" -> "array<long>")
           val bands =
-            if (haveIndex) PartitionedUpsert.read(s, bandsDir)
+            if (haveIndex) PartitionedUpsert.read(s, bandsDir,
+              Some(BandsSchema))
             else emptyTyped("band" -> "int", "bh" -> "long", "id" -> "long")
           if (bloom == null) bloom =
             if (haveIndex) Dedup.buildBandBloom(bands, expectedBandKeys)
