@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON record must reach the driver UNPREFIXED: sbt's
+// default LoggedOutput wraps forked stdout in "[info] " lines, which has
+// kept the driver's record parser failing since r13 (BENCH_r13..r19
+// parsed:null). StdoutOutput passes the forked process's stdout through
+// verbatim, so the final line of a `runMain graft.Bench` run is the bare
+// parseable record.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,7 +45,7 @@ one_pass() {  # $1 = filter env value ("anchors") or empty for full suite
         SPARK_GRAFT_BENCH_REPEAT="$rep" \
         java $ADD_OPENS -Xmx8g \
         -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-        -cp "$SNAP/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null | tail -2 | head -1)
+        -cp "$SNAP/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null | tail -1)
   if [ -n "$out" ]; then
     echo "{\"ts\":\"$(date -u +%FT%TZ)\",\"rec\":$out}" >> "$LOG"
     echo "$out" | python3 -c '

@@ -340,24 +340,31 @@ object Bench {
       (if (repeat > 1) s""","repeat":$repeat""" else "")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$filteredJson$geoJson,"queries":$qjson,"sf":"$sfDir"$canaryJson$normJson$jobsJson$extrasJson$anchor}"""
-    println(line)
-    // Durable copy: stdout goes through sbt's logger and a log-tail capture,
-    // either of which can truncate the (long) per-query line. The file is
-    // the parse-safe record.
-    try {
-      val p = java.nio.file.Paths.get("target", "bench_summary.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-    } catch {
-      case t: Throwable => System.err.println(s"[bench] summary write failed: $t")
-    }
-    // The per-query line above can exceed a log tail window; repeat the
-    // headline as a short self-contained JSON line (same shape, queries map
-    // limited to the 10 slowest) so a truncated capture still contains one
-    // complete parseable record (it is printed LAST).
+    // Human-friendly headline FIRST (short self-contained record, queries
+    // map limited to the 10 slowest) — the full record is printed LAST so
+    // a tail capture's final JSON line is the complete per-query record
+    // (r19 verdict item 1: the driver's extractor reads the run's last
+    // line, which used to be this short form and parsed as null).
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$filteredJson$geoJson,"n_queries":${results.size},"queries":$slow,"sf":"$sfDir"$canaryJson$normJson}""")
+    // Durable copies: a log-tail capture can truncate the (long) per-query
+    // line; the files are the parse-safe record. bench_record.json sits at
+    // the repo root where the driver (and a human) can find it without
+    // knowing the sbt layout.
+    for (p <- Seq(java.nio.file.Paths.get("target", "bench_summary.json"),
+                  java.nio.file.Paths.get("bench_record.json"))) {
+      try {
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] record write to $p failed: $t")
+      }
+    }
+    // The full one-line JSON record, printed as the FINAL stdout line
+    // (bare — build.sbt forks run with StdoutOutput, so no [info] prefix).
+    println(line)
     spark.stop()
   }
 }

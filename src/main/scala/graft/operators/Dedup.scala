@@ -983,14 +983,27 @@ object Dedup {
           .join(indexSigs.select(col("id").as("idx_id"), col("sig").as("idx_sig")),
             Seq("idx_id"))
           .filter(estJaccardUdf(col("sig"), col("idx_sig")) >= threshold)
-          .select(col("id")).distinct()
+          // no distinct: the only consumer is novelSurvivorIds' left-semi
+          // probe, which absorbs duplicates — the distinct was one more
+          // exchange (and its AQE stage job) per micro-batch (r20)
+          .select(col("id"))
       }
-    // within-batch clustering over the SAME signatures (no recompute)
-    val ids = novelSurvivorIds(batchSigs.select(col("id")),
-      minhashPairsFromSigs(batchSigs, threshold, maxBucketSize), dupIds)
-    IngestSurvivors(
-      incoming.join(ids.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
-      batchSigs.join(ids, Seq("id"), "left_semi"))
+    // within-batch clustering over the SAME signatures (no recompute);
+    // the drop set computes driver-side when the verified pairs fit
+    // (micro-batch/slice-bounded by contract) — the distributed
+    // relax/jump shape is the overflow fallback
+    val pairs = minhashPairsFromSigs(batchSigs, threshold, maxBucketSize)
+    novelDropIds(pairs, dupIds) match {
+      case Some(drop) =>
+        IngestSurvivors(
+          antiDrop(incoming, col(idCol).cast("long"), drop),
+          antiDrop(batchSigs, col("id"), drop))
+      case None =>
+        val ids = novelSurvivorIds(batchSigs.select(col("id")), pairs, dupIds)
+        IngestSurvivors(
+          incoming.join(ids.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+          batchSigs.join(ids, Seq("id"), "left_semi"))
+    }
   }
 
   /** Shared survivor selection of both ingest gates: cluster the batch's
@@ -998,16 +1011,110 @@ object Dedup {
     * the cluster contains an index-matched id, in which case the indexed
     * copy is the representative and the whole cluster drops.
     */
-  private def novelSurvivorIds(batchIds: DataFrame, batchPairs: DataFrame,
+  private[operators] def novelSurvivorIds(batchIds: DataFrame, batchPairs: DataFrame,
       dupIds: DataFrame): DataFrame = {
     val clusters = nearDupClusters(batchIds, batchPairs)
       .localCheckpoint(true) // read twice: index-touch probe + survivor pick
     val indexTouched = clusters.join(dupIds, Seq("id"), "left_semi")
-      .select(col("cluster")).distinct()
+      // no distinct: the anti-join consumer below absorbs duplicate
+      // cluster labels — the distinct was one more exchange per call (r20)
+      .select(col("cluster"))
     clusters
       .filter(col("id") === col("cluster")) // min-id representative
       .join(indexTouched, Seq("cluster"), "left_anti")
       .select(col("id"))
+  }
+
+  /** Driver-side DROP set for the ingest gates' within-batch survivor
+    * rule — the job-count fast path of [[novelSurvivorIds]] (r20, guide
+    * §1.2: the relax/jump machinery and its per-action AQE stage jobs
+    * cost more in scheduler floors than the whole micro-batch's
+    * component computation). Both inputs are threshold-VERIFIED near-dup
+    * outputs over one micro-batch/slice, never the corpus: `batchPairs`'
+    * endpoints are batch ids by construction (pairs derive from the
+    * batch's own signatures), so the defensive foreign-endpoint filter
+    * of [[nearDupClusters]] is a no-op here and the pairs collect
+    * directly. Union-find with path compression + the min-id /
+    * index-absorption rule run on the driver (the same algorithm
+    * [[nearDupClusters]]' small-edge path uses — DedupClustersSpec pins
+    * the distributed equivalence; IngestSurvivorsSpec pins this one).
+    *
+    * Returns None — caller falls back to the distributed
+    * [[novelSurvivorIds]] shape — when either collect overflows
+    * `driverEdgeCap` rows or `spark.driver.maxResultSize` (bounded
+    * driver state, the [[nearDupClusters]] cap discipline).
+    *
+    * The returned ids are the batch ids to DROP; survivors = batch ids
+    * minus the set (null ids excluded by the caller — the distributed
+    * semi join dropped them implicitly).
+    */
+  private[operators] def novelDropIds(batchPairs: DataFrame, dupIds: DataFrame,
+      driverEdgeCap: Long = 200000L): Option[Array[Long]] = {
+    def tooLarge(e: Throwable): Boolean =
+      e.getMessage != null && e.getMessage.contains("maxResultSize")
+    val pairs =
+      try batchPairs.select(col("id_a"), col("id_b")).collect()
+      catch { case e: org.apache.spark.SparkException if tooLarge(e) =>
+        return None }
+    if (pairs.length > driverEdgeCap) return None
+    val dups =
+      try dupIds.collect().map(_.getLong(0))
+      catch { case e: org.apache.spark.SparkException if tooLarge(e) =>
+        return None }
+    // union-find with path compression over the pair endpoints
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent(cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    pairs.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val verts = pairs.iterator
+      .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    verts.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+    }
+    // drop = every edge vertex that is not its cluster's min-id rep,
+    // plus the rep of every cluster an index-matched id touches, plus
+    // the index-matched ids themselves (covers isolated dup ids — their
+    // own-cluster rep is themselves)
+    val drop = scala.collection.mutable.LongMap.empty[Boolean]
+    verts.foreach(v => if (minOfRoot(find(v)) != v) drop(v) = true)
+    dups.foreach { d =>
+      drop(d) = true
+      if (parent.contains(d) || minOfRoot.contains(d)) {
+        val rep = minOfRoot.getOrElse(find(d), d)
+        drop(rep) = true
+      }
+    }
+    Some(drop.keysIterator.toArray)
+  }
+
+  /** The survivors of `incoming` under the driver-computed drop set: a
+    * broadcast anti-join against a LocalRelation (builds on the driver,
+    * no job). The isNotNull filter reproduces the distributed shape's
+    * semi-join semantics — a null id never matched there, so it must not
+    * survive here either.
+    */
+  private def antiDrop(df: DataFrame, idExpr: Column,
+      drop: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (drop.isEmpty) df.filter(idExpr.isNotNull)
+    else df.filter(idExpr.isNotNull)
+      .join(broadcast(drop.toSeq.toDF("_drop_id")),
+        idExpr === col("_drop_id"), "left_anti")
   }
 
   private def novelSurvivors(incoming: DataFrame, idCol: String,
@@ -1080,14 +1187,25 @@ object Dedup {
           .join(indexSketches.select(col("id").as("idx_id"), col("vec").as("idx_vec")),
             Seq("idx_id"))
           .filter(cosineUdf(col("vec"), col("idx_vec")) >= minCosine)
-          .select(col("id")).distinct()
+          // no distinct — left-semi consumer absorbs duplicates (see the
+          // text twin)
+          .select(col("id"))
       }
-    val ids = novelSurvivorIds(batchSk.select(col("id")),
-      embeddingPairsFromSketches(batchSk, minCosine, bands, maxBucketSize),
-      dupIds)
-    EmbedIngestSurvivors(
-      incoming.join(ids.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
-      batchSk.join(ids, Seq("id"), "left_semi"))
+    // driver-side drop set when the verified pairs fit (see the text
+    // twin); distributed fallback above the cap
+    val pairs = embeddingPairsFromSketches(batchSk, minCosine, bands,
+      maxBucketSize)
+    novelDropIds(pairs, dupIds) match {
+      case Some(drop) =>
+        EmbedIngestSurvivors(
+          antiDrop(incoming, col(idCol).cast("long"), drop),
+          antiDrop(batchSk, col("id"), drop))
+      case None =>
+        val ids = novelSurvivorIds(batchSk.select(col("id")), pairs, dupIds)
+        EmbedIngestSurvivors(
+          incoming.join(ids.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+          batchSk.join(ids, Seq("id"), "left_semi"))
+    }
   }
 
   /** Corpus-level overlap estimation from mergeable MinHash sketches

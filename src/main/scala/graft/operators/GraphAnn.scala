@@ -1224,7 +1224,11 @@ object GraphAnn {
     */
   private[operators] def overlapWrites(legs: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // dedicated cached pool, NOT the process-global EC: a publish leg that
+    // itself overlaps its side writes (publishPqServingOpq → writeIvfPq)
+    // nests overlap, and the fixed-size global pool can serialize or
+    // wedge the inner legs on a low-core machine (r19 advice)
+    implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.io
     legs.map(l => Future(l()))
       .map(f => scala.util.Try(
         Await.result(f, scala.concurrent.duration.Duration.Inf)))
@@ -1790,7 +1794,11 @@ object GraphAnn {
       val batchAll = assignedBatch.select(col("id"), col("vec"))
         .localCheckpoint(true)
       // the one nearest-centroid pass already counted the batch
-      // (statsOverCellRn) — no second count job (r19)
+      // (statsOverCellRn) — no second count job (r19). n counts the
+      // batch's non-null-vector rows (driftStats filters vec IS NOT
+      // NULL); assigned batches are null-free by construction — the
+      // assignment itself dereferences every vector — so n == the full
+      // batch count (r19 verdict item 5 pins this invariant).
       val n = batchStats.n
       if (n == 0L) return None
       val nodes0 = spark.read.schema(pqCellsSchema).parquet(s"$root/$v/cells")
@@ -1885,7 +1893,9 @@ object GraphAnn {
       partial.index.book, newCoded)
     val newV = publishFn(newNodes, index, Some(bound), Some(publishedRef))
     // the retrain measured the region's stats over exactly these rows —
-    // its n IS the region count (no extra count job, r19)
+    // its n IS the region count (no extra count job, r19). Post
+    // null-vector filter, which is exact here: region rows come from
+    // assignment/serving state that dereferences every vector.
     val regionRows = partial.regionStats.n
     log.info(s"partial rebuild of $root: cells " +
       s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +
@@ -1985,7 +1995,11 @@ object GraphAnn {
       val batchAll = assignedBatch.select(col("id"), col("vec"))
         .localCheckpoint(true)
       // the one nearest-centroid pass already counted the batch
-      // (statsOverCellRn) — no second count job (r19)
+      // (statsOverCellRn) — no second count job (r19). n counts the
+      // batch's non-null-vector rows (driftStats filters vec IS NOT
+      // NULL); assigned batches are null-free by construction — the
+      // assignment itself dereferences every vector — so n == the full
+      // batch count (r19 verdict item 5 pins this invariant).
       val n = batchStats.n
       if (n == 0L) return None
       val nodes0 = spark.read.schema(cellsSchema).parquet(s"$root/$v/cells")
@@ -2043,7 +2057,9 @@ object GraphAnn {
       }
     val newV = publishServing(newNodes, partial.centroids, root,
       Some(publishedRef), keepVersions)
-    // regionStats measured exactly the region rows (r19, as the PQ twin)
+    // regionStats measured exactly the region rows (r19, as the PQ
+    // twin; n is post null-vector filter — exact, batches are null-free
+    // by construction)
     val regionRows = partial.regionStats.n
     log.info(s"partial rebuild of $root: cells " +
       s"[${tripped.mkString(",")}] retired → [${partial.newCells.mkString(",")}], " +

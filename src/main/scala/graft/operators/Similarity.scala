@@ -1295,7 +1295,9 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/coded")
     val b = index.book
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // dedicated cached pool (see GraphAnn.overlapWrites): these legs run
+    // NESTED inside a publish's own overlap — the global EC can starve
+    implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.io
     val sideWrites = Seq(
       Future {
         driftStats match {
@@ -1357,7 +1359,7 @@ object Similarity {
       spark.read.schema(sch).parquet(path)
         .select((lit(tag).as("t") +: cols): _*)
     val hasDrift = graft.core.Fs.exists(spark, s"$dir/drift_stats")
-    val legs = Seq(
+    val coreLegs = Seq(
       leg(s"$dir/manifest", manifestSchema, "m",
         col("subspaces").as("a"), col("sub_dim").as("b"), nullF.as("vec"),
         col("clump_bound").as("clump"), nullD.as("mass"), nullL.as("n"),
@@ -1369,14 +1371,27 @@ object Similarity {
       leg(s"$dir/codebook", codebookSchema, "k",
         col("sub").as("a"), col("code").as("b"), col("centroid").as("vec"),
         nullI.as("clump"), nullD.as("mass"), nullL.as("n"),
-        nullD.as("mean_rn"), nullD.as("p95_rn"), nullD.as("cmr"))) ++
-      (if (hasDrift)
+        nullD.as("mean_rn"), nullD.as("p95_rn"), nullD.as("cmr")))
+    def collectLegs(withDrift: Boolean): Array[Row] =
+      (coreLegs ++ (if (withDrift)
         Seq(leg(s"$dir/drift_stats", driftStatsSchema, "d",
           col("cell").as("a"), nullI.as("b"), nullF.as("vec"),
           nullI.as("clump"), col("mass"), col("n"), col("mean_rn"),
           col("p95_rn"), col("cell_mean_rn").as("cmr")))
-      else Nil)
-    val byTag = legs.reduce(_ unionByName _).collect().groupBy(_.getString(0))
+      else Nil)).reduce(_ unionByName _).collect()
+    // an unreadable drift_stats degrades to drift=None (the pre-fusion
+    // readDriftStats contract — r19 advice): retry the collect WITHOUT
+    // the drift leg so a corrupt monitor table can't take the manifest/
+    // centroids/codebook read down with it
+    val (rows, driftReadable) =
+      if (!hasDrift) (collectLegs(withDrift = false), false)
+      else
+        try (collectLegs(withDrift = true), true)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            (collectLegs(withDrift = false), false)
+        }
+    val byTag = rows.groupBy(_.getString(0))
     val man = byTag.getOrElse("m", throw new IllegalStateException(
       s"no manifest under $dir")).head
     val subspaces = man.getInt(1)
@@ -1391,7 +1406,7 @@ object Similarity {
       bySub(sc).sortBy(_._2).map(_._3)
     }
     val drift =
-      if (!hasDrift) None
+      if (!driftReadable) None
       else driftStatsFromRows(byTag.getOrElse("d", Array.empty[Row]).map(r =>
         Row(r.getInt(1), r.get(5), r.get(6), r.get(7), r.get(8), r.get(9))))
     val coded = spark.read.schema(codedSchema).parquet(s"$dir/coded")

@@ -77,14 +77,39 @@ object PartitionedUpsert {
     writeMarker(df.sparkSession, dir, nBuckets)
   }
 
+  /** The distinct (key, bucket) rows of an update slice — ONE job. A
+    * caller upserting SEVERAL tables keyed by the same column with the
+    * same bucket count (the streaming ingest's sigs/bands twins: band
+    * rows carry exactly the signature ids) computes this once and passes
+    * it to each [[upsertByKey]], instead of paying the distinct-collect
+    * job per table (r20, guide §1.2 — at the local scheduler floor that
+    * job is the upsert's overhead, not its work). The array doubling as
+    * the emptiness check also replaces the caller's per-batch `isEmpty`
+    * job (empty ⇔ no keys).
+    */
+  def distinctKeyRows(updates: DataFrame, keyCol: String,
+      nBuckets: Int): Array[org.apache.spark.sql.Row] =
+    updates.select(col(keyCol), bucketOf(col(keyCol), nBuckets).as("_bucket"))
+      .distinct().collect()
+
   /** Replace every row whose key appears in `updates` with the update rows
     * (replace-parent semantics: ALL old rows of an updated key go away,
     * however many new rows it has now). Only the affected buckets are read
-    * or written; `updates` must be small enough to broadcast its key set
-    * (the incremental-run changed slice, not the corpus).
+    * or written; `updates` should be the incremental-run changed slice,
+    * not the corpus — a slice whose key set overflows
+    * `spark.driver.maxResultSize` falls back to the distributed
+    * distinct/anti-join shape instead of failing (r19 advice: "small by
+    * contract" is not enforced, so the contract violation must degrade,
+    * not corrupt or crash).
+    *
+    * `knownKeys`: the precomputed [[distinctKeyRows]] of `updates` —
+    * MUST be exactly its distinct (key, bucket) set (a key present here
+    * but absent from `updates` would have its old rows deleted with no
+    * replacement).
     */
   def upsertByKey(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String, nBuckets: Int): Unit = {
+      keyCol: String, nBuckets: Int,
+      knownKeys: Option[Array[org.apache.spark.sql.Row]] = None): Unit = {
     storedBuckets(spark, dir).foreach(stored => require(stored == nBuckets,
       s"bucket-count mismatch: the table at $dir was written with $stored " +
         s"buckets but the upsert was called with $nBuckets — updated keys " +
@@ -97,7 +122,21 @@ object PartitionedUpsert {
     // upsert (a second distinct for the buckets plus the broadcast build
     // of a distributed keys plan; a LocalRelation broadcast builds on the
     // driver with no job). r19, guide §1.2/§2.4.
-    val keyRows = fresh.select(col(keyCol), col("_bucket")).distinct().collect()
+    val keyRows =
+      knownKeys.getOrElse {
+        try fresh.select(col(keyCol), col("_bucket")).distinct().collect()
+        catch {
+          // key set too big to collect (driver.maxResultSize): the slice
+          // broke the small-by-contract assumption — fall back to the
+          // distributed shape (collect only the ≤nBuckets bucket ids,
+          // keep the key anti-join distributed) rather than fail
+          case e: org.apache.spark.SparkException
+              if e.getMessage != null &&
+                e.getMessage.contains("maxResultSize") =>
+            upsertByKeyDistributed(spark, dir, fresh, keyCol)
+            return
+        }
+      }
     if (keyRows.isEmpty) return
     val buckets = keyRows.map(_.getInt(1)).distinct.toSeq
     // reader schema = the updates' own shape (the table was written from
@@ -118,6 +157,28 @@ object PartitionedUpsert {
     // writer-level option (takes precedence over the session conf): no
     // mutable session state, so concurrent upserts to DIFFERENT tables
     // are safe — StreamingIngest overlaps its sigs/bands maintenance
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket").parquet(dir)
+  }
+
+  /** The pre-r19 distributed upsert shape, kept as [[upsertByKey]]'s
+    * fallback for an update slice whose key set cannot collect: the
+    * bucket list (≤ nBuckets rows) is the only driver state; the key
+    * anti-join stays a distributed join of the pruned read against the
+    * updates' own distinct keys. Same result as the collected shape —
+    * [[PartitionedUpsertSpec]] pins the equivalence.
+    */
+  private[pipeline] def upsertByKeyDistributed(spark: SparkSession,
+      dir: String, fresh: DataFrame, keyCol: String): Unit = {
+    val buckets = fresh.select(col("_bucket")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return
+    val affected = spark.read.schema(fresh.schema).parquet(dir)
+      .filter(col("_bucket").isin(buckets: _*))
+    val kept = affected.join(fresh.select(col(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
+    val merged = kept.unionByName(fresh).localCheckpoint(true)
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_bucket").parquet(dir)

@@ -183,7 +183,10 @@ object PipelineQueries {
       graft.streaming.StreamingIngest.runAvailableNowNearDup(s,
         s"$template/stream", s"$run/index", s"$run/ckpt",
         threshold = 0.5, maxFilesPerTrigger = Some(1),
-        buckets = GateBuckets)
+        buckets = GateBuckets,
+        // staged files carry the docs table's own shape — skips the
+        // stream's per-call schema-inference job (r20)
+        sourceSchema = Some(docs.schema))
       // the survivors are exactly the odd ids the stream appended
       val survivors = graft.pipeline.PartitionedUpsert
         .read(s, s"$run/index/sigs")
@@ -268,7 +271,9 @@ object PipelineQueries {
       graft.streaming.StreamingIngest.runAvailableNowNearDupEmbeddings(s,
         s"$template/stream", s"$run/index", s"$run/ckpt",
         minCosine = 0.4, bands = 8, rowsPerBand = 4,
-        maxFilesPerTrigger = Some(1), buckets = GateBuckets)
+        maxFilesPerTrigger = Some(1), buckets = GateBuckets,
+        // staged files carry the embeddings table's own shape (r20)
+        sourceSchema = Some(emb.schema))
       val survivors = graft.pipeline.PartitionedUpsert
         .read(s, s"$run/index/sks")
         .filter($"id" % 2 === 1).select($"id".as("vec_id"))
@@ -340,7 +345,8 @@ object PipelineQueries {
         minCosine = 0.4, bands = 8, rowsPerBand = 4,
         maxFilesPerTrigger = Some(1), buckets = GateBuckets,
         driftMonitor = Some(graft.streaming.StreamingIngest
-          .DriftMonitorConfig(baseIx.centroids, baseRef)))
+          .DriftMonitorConfig(baseIx.centroids, baseRef)),
+        sourceSchema = Some(inDist.schema))
       // the stream's verdicts: exactly the planted batch logged drifted,
       // its rows landed (land-then-log), the clean batch logged clean
       // ONE collect serves every verdict over the (tiny, 2-row) log —
@@ -391,7 +397,10 @@ object PipelineQueries {
           "vec_id", "embedding", probes, "probe_id", "probe_vec",
           nprobe = 16, k = k, ef = 128, rerankFactor = 64)
         .localCheckpoint(true)
-      val nProbes = probes.count()
+      // probe-set size is FIXTURE (the probe set is fixed per (session,
+      // sf); the gated claim is the serve, not the count) — r19 verdict
+      // item 3: fold the keystone's nProbes count into the fixture pass
+      val nProbes = Fixtures.cachedObj(s, s"st8_nprobes:$d")(probes.count())
       val exact = Fixtures.cached(s, s"st8_exact:$d")(
         Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
             corpus, "vec_id", "embedding", k = k)

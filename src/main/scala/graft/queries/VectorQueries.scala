@@ -2123,13 +2123,16 @@ object VectorQueries {
       val run = java.nio.file.Files.createTempDirectory("graft-v41-run")
       Opq.publishPqServingOpq(s, nodes, ixOpq, root,
         Some(GraphAnn.pqClumpBound(nodes)), Some(refRot))
-      // ingest with the RAW-space monitor head — the isometry claim
+      // ingest with the RAW-space monitor head — the isometry claim.
+      // sourceSchema = the staged frames' own shape: skips the stream's
+      // per-call schema-inference job (r20)
       graft.streaming.StreamingIngest.runAvailableNowNearDupEmbeddings(s,
         streamDir.toString, s"$run/index", s"$run/ckpt",
         minCosine = 0.4, bands = 8, rowsPerBand = 4,
         maxFilesPerTrigger = Some(1), buckets = 8,
         driftMonitor = Some(graft.streaming.StreamingIngest
-          .DriftMonitorConfig(Opq.unrotatedCentroids(ixOpq), refRot)))
+          .DriftMonitorConfig(Opq.unrotatedCentroids(ixOpq), refRot)),
+        sourceSchema = Some(inDist.schema))
       // ONE collect serves every verdict over the (tiny, 2-row) log
       // — as st8 (r19)
       val log0 = s.read.schema(Similarity.driftLogSchema)
@@ -2180,7 +2183,11 @@ object VectorQueries {
           "vec_id", "embedding", probes, "probe_id", "probe_vec",
           nprobe = 16, k = k, ef = 128, rerankFactor = 64)
         .localCheckpoint(true)
-      val nProbes = probes.count()
+      // probe-set size is FIXTURE (the probe set itself is fixed per
+      // (session, sf) — the gated claim is the serve, not the count);
+      // folding the count beside the exact fixture drops a 2-job count
+      // per sample (r19 verdict item 3)
+      val nProbes = Fixtures.cachedObj(s, s"v41_nprobes:$d")(probes.count())
       val exact = Fixtures.cached(s, s"v41_exact:$d")(
         Similarity.topKPerProbe(probes, "probe_id", "probe_vec",
             corpus, "vec_id", "embedding", k = k)

@@ -189,17 +189,35 @@ object Maintenance {
     * land-then-log was interrupted, in which case the stream's replay
     * rewrites both under the same id).
     */
-  def pendingDriftBatchIds(spark: SparkSession, indexDir: String): Seq[Long] = {
+  def pendingDriftBatchIds(spark: SparkSession, indexDir: String): Seq[Long] =
+    logSnapshot(spark, indexDir)._2
+
+  /** ONE aggregate over the drift log serves both tick-start reads: the
+    * healthy-path prune bound (max logged batch id, drifted or not) and
+    * the pending set (ids with ANY drifted row whose landed dir still
+    * exists). The old shape paid two jobs over the same tiny log per
+    * tick (r20, guide §1.2); a single snapshot is also strictly safer
+    * against a live stream — the bound and the pending set now come from
+    * the SAME data, so a batch logged mid-tick is in neither (it pends
+    * at the next tick, above the pruned window).
+    */
+  private def logSnapshot(spark: SparkSession,
+      indexDir: String): (Long, Seq[Long]) = {
     val log = driftLogDir(indexDir)
-    if (!graft.core.Fs.exists(spark, log)) return Nil
-    spark.read.schema(Similarity.driftLogSchema).parquet(log)
+    if (!graft.core.Fs.exists(spark, log)) return (-1L, Nil)
+    val perBatch = spark.read.schema(Similarity.driftLogSchema).parquet(log)
       .filter(col("batch_id").isNotNull)
       .groupBy(col("batch_id"))
       .agg(max(col("drifted")).as("drifted"))
-      .filter(col("drifted"))
-      .select(col("batch_id").cast("long")).collect().map(_.getLong(0))
-      .toSeq.sorted
+      .select(col("batch_id").cast("long"), col("drifted"))
+      .collect()
+    val upto =
+      if (perBatch.isEmpty) -1L else perBatch.iterator.map(_.getLong(0)).max
+    val pending = perBatch.iterator
+      .filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(_.getLong(0)).toSeq.sorted
       .filter(id => graft.core.Fs.exists(spark, batchDir(indexDir, id)))
+    (upto, pending)
   }
 
   /** One maintenance tick against a [[GraphAnn.publishPqServing]] root.
@@ -322,17 +340,16 @@ object Maintenance {
       // preserve crash orphans forever.
       sweepLanded(spark, indexDir,
         Similarity.prunedUpto(spark, driftLogDir(indexDir)))
-      // the healthy-path prune bound is read BEFORE the pending check —
-      // order matters against a live stream: a drifted batch landed and
-      // logged between the two reads must NOT fall inside the pruned
-      // window (land-then-log + checkpoint-monotonic ids make the
-      // earlier bound safe: anything logged after this read has a
-      // higher id than everything it saw, so it survives the prune and
-      // pends at the next tick). Reading the bound AFTER the pending
-      // check would prune-and-sweep such a batch unrebuilt — the exact
+      // the healthy-path prune bound and the pending set come from ONE
+      // log snapshot ([[logSnapshot]]) — the bound therefore covers
+      // exactly the ids the pending check saw, which preserves the
+      // invariant the old two-read order protected: a drifted batch
+      // landed and logged mid-tick is in NEITHER (it survives the prune
+      // — land-then-log + checkpoint-monotonic ids put it above the
+      // bound — and pends at the next tick). Pruning past the pending
+      // check's view would sweep such a batch unrebuilt — the exact
       // lost-drift-response class the file-granular prune eliminates.
-      val healthyUpto = maxLoggedBatchId(spark, indexDir)
-      val ids = pendingDriftBatchIds(spark, indexDir)
+      val (healthyUpto, ids) = logSnapshot(spark, indexDir)
       if (ids.isEmpty) {
         // nothing pending — still bound the log (r17 advice: a healthy
         // stream that never trips would otherwise grow it without
@@ -358,18 +375,6 @@ object Maintenance {
       sweepLanded(spark, indexDir, ids.max)
       MaintenanceReport(ids, rebuild, pruned)
     } finally releaseLease(spark, indexDir, lease.get)
-  }
-
-  /** The highest batch id the log has seen (−1: no log / only null-id
-    * rows) — the healthy-path prune bound.
-    */
-  private def maxLoggedBatchId(spark: SparkSession,
-      indexDir: String): Long = {
-    val log = driftLogDir(indexDir)
-    if (!graft.core.Fs.exists(spark, log)) return -1L
-    val r = spark.read.schema(Similarity.driftLogSchema).parquet(log)
-      .agg(max(col("batch_id"))).head()
-    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   /** Delete every landed batch dir with id ≤ `upto` (no-op for

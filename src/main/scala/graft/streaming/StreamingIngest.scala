@@ -92,36 +92,52 @@ object StreamingIngest {
   /** One AvailableNow pass over document files in `docsDir`: dedup each
     * micro-batch against the fingerprint index at `indexDir`, append the
     * novel paragraphs, and grow the index. Returns micro-batch count.
+    * `sourceSchema` (when the caller knows the files' shape) skips the
+    * per-call schema-inference job over `docsDir`.
     */
   def runAvailableNow(spark: SparkSession, docsDir: String, indexDir: String,
       checkpointDir: String, paragraphs: Column,
-      expectedKeys: Long = 1000000L): Long = {
-    val schema = spark.read.parquet(docsDir).schema
+      expectedKeys: Long = 1000000L,
+      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    val schema = sourceSchema.getOrElse(spark.read.parquet(docsDir).schema)
     val stream = spark.readStream.schema(schema).parquet(docsDir)
     var batches = 0L
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batches += 1
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val haveIndex = graft.core.Fs.exists(s, indexDir)
-          val indexFps =
-            if (haveIndex) PartitionedUpsert.read(s, indexDir).select(col("_fp"))
-            else s.emptyDataFrame.select(lit("").as("_fp")).filter(lit(false))
-          val novel = Dedup.ingestNovelParagraphs(batch, "doc_id", paragraphs,
-              indexFps, expectedKeys)
-            .localCheckpoint(true) // one evaluation feeds index + payload
-          if (!novel.isEmpty) {
+        val s = batch.sparkSession
+        def label(x: String) =
+          s.sparkContext.setJobDescription(s"ingest b$batchId: $x")
+        try {
+          label("batch gate")
+          if (!batch.isEmpty) {
+            val haveIndex = graft.core.Fs.exists(s, indexDir)
+            val indexFps =
+              if (haveIndex) PartitionedUpsert.read(s, indexDir).select(col("_fp"))
+              else s.emptyDataFrame.select(lit("").as("_fp")).filter(lit(false))
+            label("dedup novel")
+            val novel = Dedup.ingestNovelParagraphs(batch, "doc_id", paragraphs,
+                indexFps, expectedKeys)
+              .localCheckpoint(true) // one evaluation feeds index + payload
             val entries = novel.select(col("_fp"), col("id").as("owner_id"),
               col("p_idx"), col("p_text"))
-            if (haveIndex)
-              PartitionedUpsert.upsertByKey(s, indexDir, entries, "_fp", Buckets)
-            else
-              PartitionedUpsert.writeInitial(entries, indexDir, "_fp", Buckets)
+            // the key collect doubles as the emptiness check — the old
+            // per-batch `novel.isEmpty` job is folded into the upsert's
+            // own distinct-collect (r20, guide §1.2)
+            label("index upsert")
+            val keyRows = PartitionedUpsert.distinctKeyRows(entries, "_fp",
+              Buckets)
+            if (keyRows.nonEmpty) {
+              if (haveIndex)
+                PartitionedUpsert.upsertByKey(s, indexDir, entries, "_fp",
+                  Buckets, Some(keyRows))
+              else
+                PartitionedUpsert.writeInitial(entries, indexDir, "_fp", Buckets)
+            }
           }
-        }
+        } finally s.sparkContext.setJobDescription(null)
         ()
       }
       .start()
@@ -174,10 +190,11 @@ object StreamingIngest {
       expectedBandKeys: Long = 1L << 20,
       maxFilesPerTrigger: Option[Int] = None,
       buckets: Int = Buckets,
-      driftMonitor: Option[DriftMonitorConfig] = None): Long = {
+      driftMonitor: Option[DriftMonitorConfig] = None,
+      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val sksDir = s"$indexDir/sks"
     val bandsDir = s"$indexDir/bands"
-    val schema = spark.read.parquet(vecsDir).schema
+    val schema = sourceSchema.getOrElse(spark.read.parquet(vecsDir).schema)
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
@@ -189,9 +206,14 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batches += 1
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
+        val s = batch.sparkSession
+        def label(x: String) =
+          s.sparkContext.setJobDescription(s"embed-ingest b$batchId: $x")
+        try {
+          label("batch gate")
+          if (!batch.isEmpty) {
           driftMonitor.foreach { cfg =>
+            label("drift monitor")
             val rep = graft.operators.Similarity.driftReport(s,
               batch.select(col(vecCol)), vecCol, cfg.centroids, cfg.ref,
               unit = true, residRatioMax = cfg.residRatioMax,
@@ -223,28 +245,50 @@ object StreamingIngest {
             if (haveIndex) PartitionedUpsert.read(s, bandsDir,
               Some(BandsSchema))
             else emptyTyped("band" -> "int", "bh" -> "long", "id" -> "long")
-          if (bloom == null) bloom =
-            if (haveIndex) Dedup.buildBandBloom(bandTbl, expectedBandKeys)
-            else org.apache.spark.util.sketch.BloomFilter
-              .create(expectedBandKeys, 0.01)
+          if (bloom == null) {
+            label("band bloom cold build")
+            bloom =
+              if (haveIndex) Dedup.buildBandBloom(bandTbl, expectedBandKeys)
+              else org.apache.spark.util.sketch.BloomFilter
+                .create(expectedBandKeys, 0.01)
+          }
           // the WithSketches form hands back the survivors' sketches from
           // the batch's single sketching pass — the loop never re-sketches
+          label("dedup novel")
           val delta = Dedup.ingestNovelEmbeddingsWithSketches(batch, idCol,
               vecCol, sks, bandTbl, minCosine, bands, rowsPerBand,
               bandBloom = Some(bloom))
             .sketches.localCheckpoint(true) // feeds both upserts + bloom
-          if (!delta.isEmpty) {
+          // ONE distinct-collect serves BOTH upserts (band rows carry
+          // exactly the sketch ids, hashed by the same key and bucket
+          // count) and doubles as the emptiness check — the old shape
+          // paid a per-batch `delta.isEmpty` job plus a distinct-collect
+          // per table (r20, guide §1.2)
+          label("index upsert")
+          val keyRows = PartitionedUpsert.distinctKeyRows(delta, "id", buckets)
+          if (keyRows.nonEmpty) {
             val deltaBands = Dedup.embeddingBandIndex(delta)
             if (haveIndex) {
               // independent tables — overlap the writes (the text twin's
-              // await-both-then-rethrow discipline)
+              // await-both-then-rethrow discipline) on the dedicated
+              // overlap pool (never the process-global EC: nested overlap
+              // can exhaust it on low-core machines — r19 advice)
               import scala.concurrent.{Await, Future}
-              import scala.concurrent.ExecutionContext.Implicits.global
+              implicit val ec: scala.concurrent.ExecutionContext =
+                graft.core.Pools.io
               val up = Seq(
-                Future(PartitionedUpsert.upsertByKey(s, sksDir, delta,
-                  "id", buckets)),
-                Future(PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands,
-                  "id", buckets)))
+                Future {
+                  s.sparkContext.setJobDescription(
+                    s"embed-ingest b$batchId: sks upsert")
+                  PartitionedUpsert.upsertByKey(s, sksDir, delta,
+                    "id", buckets, Some(keyRows))
+                },
+                Future {
+                  s.sparkContext.setJobDescription(
+                    s"embed-ingest b$batchId: bands upsert")
+                  PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands,
+                    "id", buckets, Some(keyRows))
+                })
               val outcomes = up.map(f => scala.util.Try(
                 Await.result(f, scala.concurrent.duration.Duration.Inf)))
               outcomes.collectFirst { case scala.util.Failure(e) => throw e }
@@ -252,9 +296,11 @@ object StreamingIngest {
               PartitionedUpsert.writeInitial(delta, sksDir, "id", buckets)
               PartitionedUpsert.writeInitial(deltaBands, bandsDir, "id", buckets)
             }
+            label("delta bloom")
             bloom.mergeInPlace(Dedup.buildBandBloom(deltaBands, expectedBandKeys))
           }
-        }
+          }
+        } finally s.sparkContext.setJobDescription(null)
         ()
       }
       .start()
@@ -267,10 +313,11 @@ object StreamingIngest {
       textCol: String = "text", threshold: Double = 0.7,
       expectedBandKeys: Long = 1L << 20,
       maxFilesPerTrigger: Option[Int] = None,
-      buckets: Int = Buckets): Long = {
+      buckets: Int = Buckets,
+      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val sigsDir = s"$indexDir/sigs"
     val bandsDir = s"$indexDir/bands"
-    val schema = spark.read.parquet(docsDir).schema
+    val schema = sourceSchema.getOrElse(spark.read.parquet(docsDir).schema)
     // maxFilesPerTrigger splits a backlog into real micro-batches (the
     // file source takes oldest-mtime-first), so an AvailableNow pass over
     // N staged files exercises the batch-over-growing-index loop N times
@@ -284,10 +331,14 @@ object StreamingIngest {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batches += 1
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
+        val s = batch.sparkSession
+        def label(x: String) =
+          s.sparkContext.setJobDescription(s"neardup-ingest b$batchId: $x")
+        try {
+          label("batch gate")
+          if (!batch.isEmpty) {
           val haveIndex = graft.core.Fs.exists(s, sigsDir)
           def emptyTyped(cols: (String, String)*): DataFrame =
             s.emptyDataFrame.select(cols.map { case (n, t) =>
@@ -299,31 +350,53 @@ object StreamingIngest {
             if (haveIndex) PartitionedUpsert.read(s, bandsDir,
               Some(BandsSchema))
             else emptyTyped("band" -> "int", "bh" -> "long", "id" -> "long")
-          if (bloom == null) bloom =
-            if (haveIndex) Dedup.buildBandBloom(bands, expectedBandKeys)
-            else org.apache.spark.util.sketch.BloomFilter
-              .create(expectedBandKeys, 0.01)
+          if (bloom == null) {
+            label("band bloom cold build")
+            bloom =
+              if (haveIndex) Dedup.buildBandBloom(bands, expectedBandKeys)
+              else org.apache.spark.util.sketch.BloomFilter
+                .create(expectedBandKeys, 0.01)
+          }
           // the WithSigs form hands back the survivors' signatures from
           // the gate's own single signing pass — the index delta needs
           // ONLY them, so the loop never re-signs the batch text (minhash
           // is the dominant per-row kernel) and one checkpoint replaces
           // the survivor-rows + re-sign pair of materializations
+          label("dedup novel")
           val deltaSigs = Dedup.ingestNovelDocumentsWithSigs(batch, idCol,
               textCol, sigs, bands, threshold, bandBloom = Some(bloom))
             .sigs.localCheckpoint(true) // feeds sig upsert, band delta, bloom
-          if (!deltaSigs.isEmpty) {
+          // ONE distinct-collect serves BOTH upserts (band rows carry
+          // exactly the signature ids, hashed by the same key and bucket
+          // count) and doubles as the emptiness check — the old shape
+          // paid a per-batch `deltaSigs.isEmpty` job plus a
+          // distinct-collect per table (r20, guide §1.2)
+          label("index upsert")
+          val keyRows = PartitionedUpsert.distinctKeyRows(deltaSigs, "id",
+            buckets)
+          if (keyRows.nonEmpty) {
             val deltaBands = Dedup.minhashBandIndex(deltaSigs)
             if (haveIndex) {
               // independent tables — overlap the two maintenance writes
               // (upsertByKey holds no session-level state; see the
-              // writer-level overwrite option in PartitionedUpsert)
+              // writer-level overwrite option in PartitionedUpsert) on
+              // the dedicated overlap pool (r19 advice)
               import scala.concurrent.{Await, Future}
-              import scala.concurrent.ExecutionContext.Implicits.global
+              implicit val ec: scala.concurrent.ExecutionContext =
+                graft.core.Pools.io
               val up = Seq(
-                Future(PartitionedUpsert.upsertByKey(s, sigsDir, deltaSigs,
-                  "id", buckets)),
-                Future(PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands,
-                  "id", buckets)))
+                Future {
+                  s.sparkContext.setJobDescription(
+                    s"neardup-ingest b$batchId: sigs upsert")
+                  PartitionedUpsert.upsertByKey(s, sigsDir, deltaSigs,
+                    "id", buckets, Some(keyRows))
+                },
+                Future {
+                  s.sparkContext.setJobDescription(
+                    s"neardup-ingest b$batchId: bands upsert")
+                  PartitionedUpsert.upsertByKey(s, bandsDir, deltaBands,
+                    "id", buckets, Some(keyRows))
+                })
               // await BOTH before surfacing a failure: rethrowing on the
               // first would leave the other table's overwrite running
               // detached, racing any replay of this batch
@@ -334,9 +407,11 @@ object StreamingIngest {
               PartitionedUpsert.writeInitial(deltaSigs, sigsDir, "id", buckets)
               PartitionedUpsert.writeInitial(deltaBands, bandsDir, "id", buckets)
             }
+            label("delta bloom")
             bloom.mergeInPlace(Dedup.buildBandBloom(deltaBands, expectedBandKeys))
           }
-        }
+          }
+        } finally s.sparkContext.setJobDescription(null)
         ()
       }
       .start()

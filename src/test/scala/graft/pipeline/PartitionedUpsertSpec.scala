@@ -96,4 +96,36 @@ class PartitionedUpsertSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "new"), (2L, "keep")))
   }
+
+  test("knownKeys (shared distinctKeyRows) upserts identically") {
+    val mk = Seq((1L, "old"), (2L, "keep"), (3L, "bye")).toDF("doc_id", "v")
+    val upd = Seq((1L, "new"), (3L, "newer"), (9L, "fresh")).toDF("doc_id", "v")
+    val dirA = freshDir(); val dirB = freshDir()
+    PartitionedUpsert.writeInitial(mk, dirA.toString, "doc_id", NB)
+    PartitionedUpsert.writeInitial(mk, dirB.toString, "doc_id", NB)
+    PartitionedUpsert.upsertByKey(spark, dirA.toString, upd, "doc_id", NB)
+    val keys = PartitionedUpsert.distinctKeyRows(upd, "doc_id", NB)
+    PartitionedUpsert.upsertByKey(spark, dirB.toString, upd, "doc_id", NB,
+      Some(keys))
+    def state(d: Path) = PartitionedUpsert.read(spark, d.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(dirA) == state(dirB))
+    assert(state(dirA) ==
+      Set((1L, "new"), (2L, "keep"), (3L, "newer"), (9L, "fresh")))
+  }
+
+  test("distributed fallback shape produces the same state as the collected one") {
+    val mk = (1L to 40L).map(i => (i, s"old$i")).toDF("doc_id", "v")
+    val upd = Seq((7L, "new7"), (21L, "new21"), (99L, "fresh")).toDF("doc_id", "v")
+    val dirA = freshDir(); val dirB = freshDir()
+    PartitionedUpsert.writeInitial(mk, dirA.toString, "doc_id", NB)
+    PartitionedUpsert.writeInitial(mk, dirB.toString, "doc_id", NB)
+    PartitionedUpsert.upsertByKey(spark, dirA.toString, upd, "doc_id", NB)
+    PartitionedUpsert.upsertByKeyDistributed(spark, dirB.toString,
+      upd.withColumn("_bucket",
+        PartitionedUpsert.bucketOf(col("doc_id"), NB)), "doc_id")
+    def state(d: Path) = PartitionedUpsert.read(spark, d.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(dirA) == state(dirB))
+  }
 }
